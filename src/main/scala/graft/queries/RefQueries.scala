@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Reference-parity query inventory (SURVEY §2.12 Q1–Q6) re-expressed over
+  * the driver's `events` table.
+  *
+  * Grounding (citations into /root/reference/):
+  *  - partition counts: sql/athena/curated_events.sql:17-20
+  *  - null audit:       sql/athena/curated_events.sql:23-27
+  *  - dup top-k:        sql/athena/curated_events.sql:31-36
+  *  - DQ counters:      glue/jobs/raw_to_curated_events_v3_dq.py:70-87
+  *  - invalid domain (negated isin, 3-valued logic): raw_to_curated_events_v3_dq.py:78
+  *  - typed projection/filter: raw_to_curated_events_v1.py:34-47
+  *
+  * Scale notes: every query here is a single scan → partial/final hash
+  * aggregate (no shuffle beyond the group-by exchange); counters collapse
+  * to ONE aggregation pass vs the reference's six separate actions
+  * (raw_to_curated_events_v3_dq.py:70-82). At 100 TB these stay
+  * scan-bound: all aggregates are map-side-combinable and the scans prune
+  * to ≤4 columns (verified via explain: ReadSchema lists only used cols).
+  */
+object RefQueries {
+
+  /** Event-type domain treated as valid; 'error' rows are the injected
+    * "invalid" class so the invalid-domain counter is non-zero (the
+    * reference's ALLOWED_EVENT_TYPES gate, ..._v3_dq.py:22). */
+  private val allowedTypes = Seq("click", "view", "purchase", "signup")
+
+  val all: Seq[Q] = Seq(
+    // --- Q-ingest analogue: schema-typed projection + filter + cast ------
+    Q(
+      "ref_typed_project",
+      """SELECT event_id, CAST(ts AS DATE) AS event_date, event_type, value
+        |FROM events
+        |WHERE event_type <> 'error' AND value > 50
+        |ORDER BY event_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .where(col("event_type") =!= "error" && col("value") > 50)
+        .select(
+          col("event_id"),
+          to_date(col("ts")).as("event_date"),
+          col("event_type"),
+          col("value"))
+        .orderBy(col("event_id"))
+    },
+
+    // --- Q-partition-counts: GROUP BY day, COUNT(*), ORDER BY -----------
+    Q(
+      "ref_partition_counts",
+      """SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+        |FROM events GROUP BY event_date
+        |ORDER BY event_date NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_date"))
+    },
+
+    // --- Q-null-audit: global conditional aggregation --------------------
+    Q(
+      "ref_null_audit",
+      """SELECT COUNT(*) AS total_rows,
+        |  COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS null_user_id,
+        |  COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS null_event_type
+        |FROM events""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d).agg(
+        count(lit(1)).as("total_rows"),
+        count(when(col("user_id").isNull, 1)).as("null_user_id"),
+        count(when(col("event_type").isNull, 1)).as("null_event_type"))
+    },
+
+    // --- Q-dup-topk: GROUP BY HAVING COUNT>1 ORDER BY c DESC LIMIT ------
+    // (user_id is the repeated key in this table; event_id is unique.)
+    Q(
+      "ref_dup_topk",
+      """SELECT user_id, COUNT(*) AS c
+        |FROM events GROUP BY user_id HAVING COUNT(*) > 1
+        |ORDER BY c DESC, user_id NULLS FIRST
+        |LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .orderBy(col("c").desc, col("user_id").asc)
+        .limit(20)
+    },
+
+    // --- Q-dq-counters: the six DQ counters D1–D6 in ONE pass -----------
+    Q(
+      "ref_dq_counters",
+      s"""SELECT COUNT(*) AS total_rows,
+         |  COUNT(CASE WHEN event_id IS NULL THEN 1 END) AS null_event_id,
+         |  COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS null_event_type,
+         |  COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS null_user_id,
+         |  CAST(COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS DOUBLE)
+         |    / COUNT(*) AS null_user_rate,
+         |  COUNT(CASE WHEN event_type NOT IN (${allowedTypes.map("'" + _ + "'").mkString(",")})
+         |        THEN 1 END) AS invalid_event_type,
+         |  COUNT(*) - COUNT(DISTINCT event_id) AS dup_extra_rows,
+         |  CAST(COUNT(*) - COUNT(DISTINCT event_id) AS DOUBLE)
+         |    / COUNT(*) AS dup_rate
+         |FROM events""".stripMargin
+    ) { (s, d) =>
+      val total = count(lit(1))
+      val nullUser = count(when(col("user_id").isNull, 1))
+      val dupExtra = count(lit(1)) - count_distinct(col("event_id"))
+      Tables.events(s, d).agg(
+        total.as("total_rows"),
+        count(when(col("event_id").isNull, 1)).as("null_event_id"),
+        count(when(col("event_type").isNull, 1)).as("null_event_type"),
+        nullUser.as("null_user_id"),
+        (nullUser.cast("double") / total).as("null_user_rate"),
+        count(when(!col("event_type").isin(allowedTypes: _*), 1))
+          .as("invalid_event_type"),
+        dupExtra.as("dup_extra_rows"),
+        (dupExtra.cast("double") / total).as("dup_rate"))
+    },
+
+    // --- Q-invalid-domain: negated isin with SQL 3-valued logic ---------
+    Q(
+      "ref_invalid_domain",
+      s"""SELECT COUNT(CASE WHEN event_type NOT IN (${allowedTypes.map("'" + _ + "'").mkString(",")})
+         |       THEN 1 END) AS invalid_rows
+         |FROM events""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d).agg(
+        count(when(!col("event_type").isin(allowedTypes: _*), 1))
+          .as("invalid_rows"))
+    },
+
+    // --- hourly bucket aggregation (windowed-batch analogue) ------------
+    Q(
+      "ref_event_hourly",
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY hour
+        |ORDER BY hour NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy(col("hour"))
+    },
+
+    // --- rolling 7-day baseline (docs/design.md:167 made real) ----------
+    Q(
+      "ref_rolling_baseline",
+      """SELECT event_date, n,
+        |  AVG(n) OVER (ORDER BY event_date
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS baseline
+        |FROM (SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+        |      FROM events GROUP BY event_date)
+        |ORDER BY event_date NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("event_date")).rowsBetween(-7, -1)
+      daily
+        .withColumn("baseline", avg(col("n")).over(w))
+        .orderBy(col("event_date"))
+    },
+
+    // --- JSON extraction over events.props ------------------------------
+    Q(
+      "ref_json_extract",
+      """SELECT event_id, json_extract_string(props, '$.k') AS k
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k"))
+        .orderBy(col("event_id"))
+    },
+
+    // --- exact distinct users per event type ----------------------------
+    Q(
+      "ref_distinct_users",
+      """SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count_distinct(col("user_id")).as("users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- approximate distinct (HLL) — algorithm-specific, rows-only -----
+    Q.noOracle("ref_approx_distinct_users") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- set ops over user populations ----------------------------------
+    Q(
+      "ref_users_intersect",
+      """SELECT user_id FROM
+        |  (SELECT DISTINCT user_id FROM events
+        |     WHERE event_type = 'purchase' AND value > 100
+        |   INTERSECT
+        |   SELECT DISTINCT user_id FROM events
+        |     WHERE event_type = 'view' AND value > 100)
+        |ORDER BY user_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      ev.where(col("event_type") === "purchase" && col("value") > 100)
+        .select("user_id").distinct()
+        .intersect(
+          ev.where(col("event_type") === "view" && col("value") > 100)
+            .select("user_id").distinct())
+        .orderBy(col("user_id"))
+    },
+
+    Q(
+      "ref_users_except",
+      """SELECT user_id FROM
+        |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+        |   EXCEPT
+        |   SELECT DISTINCT user_id FROM events
+        |     WHERE event_type = 'purchase' AND value > 300)
+        |ORDER BY user_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      ev.where(col("event_type") === "signup").select("user_id").distinct()
+        .except(
+          ev.where(col("event_type") === "purchase" && col("value") > 300)
+            .select("user_id").distinct())
+        .orderBy(col("user_id"))
+    }
+  )
+}

@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Star-schema extension queries (SURVEY §2.12 "extension queries"): the
+  * join / window / rollup surface the reference lacks (SURVEY §2.6, §2.7
+  * — "none in the reference"), expressed Spark-first over the TPC-H-ish
+  * test tables.
+  *
+  * Scale design (100 TB):
+  *  - dimension tables (region/nation/customer/supplier) are broadcast
+  *    explicitly — no shuffle of the fact table for dim joins;
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key once and
+  *    group on the same key where possible, so the exchange is reused;
+  *  - top-k goes through TakeOrderedAndProject (no global sort);
+  *  - money aggregates cast to DECIMAL before SUM: exact, order-independent
+  *    addition — required for oracle parity AND the right answer at scale
+  *    (fp sums drift with partitioning).
+  */
+object StarQueries {
+
+  val all: Seq[Q] = Seq(
+    // --- TPC-H Q1-style scan-heavy aggregation ---------------------------
+    Q(
+      "q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val cnt = count(lit(1))
+      val sumQty = sum(col("l_quantity").cast("decimal(18,2)"))
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumQty.cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).cast("decimal(18,6)")).cast("double")
+            .as("sum_charge"),
+          (sumQty.cast("double") / cnt).as("avg_qty"),
+          (sum(col("l_discount").cast("decimal(18,2)")).cast("double") / cnt)
+            .as("avg_disc"),
+          cnt.as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // --- TPC-H Q3-style: fact-fact-dim join + top-k revenue --------------
+    Q(
+      "q3_shipping_priority",
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        |GROUP BY o_orderkey, order_date, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey NULLS FIRST
+        |LIMIT 10""".stripMargin
+    ) { (s, d) =>
+      // customer is a dimension at any scale → broadcast: the lineitem ⋈
+      // orders shuffle is the only exchange in this plan.
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") > lit("1996-03-15 00:00:00").cast("timestamp"))
+        .join(
+          Tables.orders(s, d)
+            .where(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(
+          broadcast(Tables.customer(s, d)
+            .where(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(
+          col("o_orderkey"),
+          to_date(col("o_orderdate")).as("order_date"),
+          col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .select(col("o_orderkey"), col("revenue"), col("order_date"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // --- TPC-H Q5-style: 6-way join, dims broadcast ----------------------
+    Q(
+      "q5_local_supplier_volume",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val nationAsia = broadcast(
+        Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey")))
+      Tables.lineitem(s, d)
+        .join(
+          Tables.orders(s, d)
+            .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+              && col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(nationAsia, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // --- left-semi: customers that HAVE orders (EXISTS) ------------------
+    Q(
+      "q_semi_active_customers",
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // --- left-anti: customers with NO big orders (NOT EXISTS) ------------
+    Q(
+      "q_anti_inactive_customers",
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).where(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // --- window: top-2 orders per customer by totalprice -----------------
+    Q(
+      "q_window_top_orders",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2
+        |ORDER BY o_custkey NULLS FIRST, rn""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("rn"))
+        .where(col("rn") <= 2)
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    // --- window: running revenue per customer over time ------------------
+    Q(
+      "q_window_running_spend",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // --- rollup: hierarchical counts (grouping-sets family) --------------
+    Q(
+      "q_rollup_order_status",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // --- union all across filtered branches ------------------------------
+    Q(
+      "q_union_order_events",
+      """SELECT kind, k FROM (
+        |  SELECT 'high_value' AS kind, o_orderkey AS k FROM orders
+        |    WHERE o_totalprice > 400000
+        |  UNION ALL
+        |  SELECT 'urgent' AS kind, o_orderkey AS k FROM orders
+        |    WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY kind NULLS FIRST, k NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.where(col("o_totalprice") > 400000)
+        .select(lit("high_value").as("kind"), col("o_orderkey").as("k"))
+        .unionAll(
+          o.where(col("o_orderpriority") === "1-URGENT")
+            .select(lit("urgent").as("kind"), col("o_orderkey").as("k")))
+        .orderBy(col("kind"), col("k"))
+    },
+
+    // --- part/supplier join with numeric predicate -----------------------
+    Q(
+      "q_parts_by_size",
+      """SELECT p_brand, p_size, COUNT(DISTINCT p_partkey) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_retail
+        |FROM part
+        |WHERE p_size >= 10 AND p_type LIKE 'STA%'
+        |GROUP BY p_brand, p_size
+        |ORDER BY p_brand NULLS FIRST, p_size NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.part(s, d)
+        .where(col("p_size") >= 10 && col("p_type").like("STA%"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(
+          count_distinct(col("p_partkey")).as("n_parts"),
+          sum(col("p_retailprice").cast("decimal(18,2)")).cast("double")
+            .as("total_retail"))
+        .orderBy(col("p_brand"), col("p_size"))
+    }
+  )
+}
