@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.SparkSession
+
+import graft.dq.{Dq, DqReport}
+import graft.io.{CuratedWriter, RawEvents}
+
+/** Zone layout for one pipeline deployment (SURVEY §1.1). */
+final case class PipelineConfig(
+    rawBase: String,
+    curatedBase: String,
+    metricsBase: String)
+
+/** Pipeline failed its DQ gate; curated data untouched
+  * (fail-safe ordering, ref: docs/design.md:109-114). */
+final class DqFailedException(val report: DqReport)
+  extends RuntimeException(
+    "Data Quality checks failed: " + report.failures.mkString("; "))
+
+/** Raw partition missing — the reference's Lambda sensor as an in-driver
+  * pre-check (ref: docs/design.md:129-134, SURVEY §2.10 C4). */
+final class MissingUpstreamException(path: String)
+  extends RuntimeException(s"expected raw partition missing: $path")
+
+/** The reference's main entry point as a library function: steps 2–8 of
+  * SURVEY §3.1 in one JVM — no job polling, no Py4J hop.
+  *
+  * Order of operations is the reference's fail-safe contract
+  * (ref: raw_to_curated_events_v3_dq.py:68-162):
+  * read → DQ single-pass → report write → gate → purge+write curated.
+  * A DQ failure leaves prior curated data intact.
+  */
+object Pipeline {
+
+  /** Process one ingestion date (ref job: raw_to_curated_events_v3_dq.py).
+    * Throws [[DqFailedException]] on gate failure AFTER persisting the
+    * report, like the reference (report write precedes the raise,
+    * ref :131-150). */
+  def runPartition(spark: SparkSession, conf: PipelineConfig,
+      ingestionDate: String): DqReport = {
+    // C1 fail-fast arg validation (ref: ..._v3_dq.py:31-37)
+    require(validDate(ingestionDate),
+      "ingestion_date must be YYYY-MM-DD, e.g. 2025-01-02")
+
+    val rawPath = RawEvents.partitionPath(conf.rawBase, ingestionDate)
+    val curatedPath = RawEvents.partitionPath(conf.curatedBase, ingestionDate)
+    val metricsPath =
+      RawEvents.partitionPath(conf.metricsBase, ingestionDate) +
+        "data_quality.json"
+
+    if (!CuratedWriter.upstreamExists(spark, rawPath))
+      throw new MissingUpstreamException(rawPath)
+
+    val df = RawEvents.curate(
+      RawEvents.readPartition(spark, conf.rawBase, ingestionDate))
+
+    // Counters run on the curated frame like the reference (the derived
+    // columns don't affect any counter; one scan total).
+    val report = Dq.run(df, ingestionDate, rawPath, curatedPath)
+    CuratedWriter.writeSingleFile(spark, metricsPath, report.toJson)
+    if (report.status == "FAIL") throw new DqFailedException(report)
+
+    CuratedWriter.overwritePartition(df, conf.curatedBase, ingestionDate)
+    report
+  }
+
+  def validDate(d: String): Boolean =
+    d.matches("\\d{4}-\\d{2}-\\d{2}") &&
+      scala.util.Try(LocalDate.parse(d)).isSuccess
+
+  /** Backfill driver (ref: scripts/run_backfill.py:62-87 +
+    * docs/design.md:139-149): strictly sequential, one date per run,
+    * stop on first failure. In-JVM, so the reference's 20 s poll loop
+    * collapses to a plain fold. */
+  def backfill(spark: SparkSession, conf: PipelineConfig,
+      start: String, end: String): Seq[DqReport] = {
+    require(validDate(start) && validDate(end), "dates must be YYYY-MM-DD")
+    val s = LocalDate.parse(start)
+    val e = LocalDate.parse(end)
+    require(!e.isBefore(s), "end date before start date")
+    Iterator.iterate(s)(_.plusDays(1)).takeWhile(!_.isAfter(e))
+      .map(d => runPartition(spark, conf, d.toString)) // throws on first failure
+      .toSeq
+  }
+}

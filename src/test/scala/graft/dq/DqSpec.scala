@@ -1,0 +1,102 @@
+package graft.dq
+
+import graft.SparkSpec
+import graft.schema.RawEvent
+
+/** Per-counter semantics tests, including the traps SURVEY §5.2.1 calls
+  * out: negated-isin null behavior, empty-input sum, dup-rate definition
+  * "extra rows beyond first occurrence". */
+class DqSpec extends SparkSpec {
+
+  private def df(rows: RawEvent*) = {
+    val s = spark
+    import s.implicits._
+    s.createDataset(rows).toDF()
+  }
+
+  private def ev(id: String, user: Option[String] = Some("1"),
+      tpe: String = "login") =
+    RawEvent(id, user, tpe, "2025-01-01T00:00:00Z", None)
+
+  test("clean batch: all counters zero except totals") {
+    val c = DqCounters.compute(df(ev("a"), ev("b"), ev("c")))
+    assert(c == DqCounters(3, 0, 0, 0, 0, 0))
+    assert(c.nullUserRate == 0.0 && c.dupRate == 0.0)
+  }
+
+  test("null counters count exactly the null rows") {
+    val c = DqCounters.compute(df(
+      ev("a", user = None),
+      RawEvent(null, Some("1"), null, "2025-01-01T00:00:00Z", None),
+      ev("c")))
+    assert(c.nullEventId == 1 && c.nullEventType == 1 && c.nullUserId == 1)
+  }
+
+  test("negated isin: NULL event_type is NOT counted invalid (3VL)") {
+    // ref semantics: ~isin(...) over NULL → NULL → excluded from count
+    // (raw_to_curated_events_v3_dq.py:78; SURVEY §2.4 F3)
+    val c = DqCounters.compute(df(
+      RawEvent("a", Some("1"), null, "t", None),     // null → not invalid
+      ev("b", tpe = "bogus"),                        // invalid
+      ev("c", tpe = "purchase")))                    // valid
+    assert(c.invalidEventType == 1)
+    assert(c.nullEventType == 1)
+  }
+
+  test("dup extras = rows beyond first occurrence per event_id") {
+    // ids: a×3, b×1, c×2 → extras = 2 + 0 + 1 = 3
+    val c = DqCounters.compute(df(
+      ev("a"), ev("a"), ev("a"), ev("b"), ev("c"), ev("c")))
+    assert(c.dupExtraRows == 3)
+    assert(c.dupRate == 3.0 / 6)
+  }
+
+  test("dup extras: null event_ids form ONE group, like groupBy") {
+    // nulls: 2 rows → 1 extra; 'a': 2 rows → 1 extra
+    val c = DqCounters.compute(df(
+      RawEvent(null, Some("1"), "login", "t", None),
+      RawEvent(null, Some("1"), "login", "t", None),
+      ev("a"), ev("a"), ev("b")))
+    assert(c.dupExtraRows == 2)
+  }
+
+  test("empty input: all counters zero, rates guarded (no div-by-zero)") {
+    val c = DqCounters.compute(df())
+    assert(c == DqCounters(0, 0, 0, 0, 0, 0))
+    assert(c.nullUserRate == 0.0 && c.dupRate == 0.0)
+  }
+
+  test("gate: clean batch passes; each D1–D6 violation fails with its message") {
+    def gate(c: DqCounters) = DqCheck.all.flatMap(_.evaluate(c))
+    assert(gate(DqCounters(100, 0, 0, 2, 0, 1)).isEmpty) // 2% nulls, 1% dups → PASS
+    assert(gate(DqCounters(0, 0, 0, 0, 0, 0)) ==
+      Seq("No rows found (total_rows == 0)"))
+    assert(gate(DqCounters(100, 1, 0, 0, 0, 0)) == Seq("event_id has nulls: 1"))
+    assert(gate(DqCounters(100, 0, 2, 0, 0, 0)) == Seq("event_type has nulls: 2"))
+    assert(gate(DqCounters(100, 0, 0, 0, 3, 0)) ==
+      Seq("event_type has invalid values: 3"))
+    assert(gate(DqCounters(100, 0, 0, 4, 0, 0)) ==
+      Seq("user_id null rate too high: 0.0400 > 0.03"))
+    assert(gate(DqCounters(100, 0, 0, 0, 0, 3)) ==
+      Seq("duplicate event_id rate too high: 0.0300 > 0.02"))
+  }
+
+  test("report JSON has the exact reference field set, failures only on FAIL") {
+    val pass = DqReport("2025-01-01", "raw/", "curated/",
+      DqCounters(100, 0, 0, 2, 0, 1), Nil)
+    val json = pass.toJson
+    for (f <- Seq("ingestion_date", "raw_path", "curated_partition_path",
+        "total_rows", "null_event_id", "null_event_type", "null_user_id",
+        "null_user_rate", "invalid_event_type",
+        "duplicate_event_id_extra_rows", "duplicate_event_id_rate",
+        "thresholds", "max_null_user_id_rate", "max_duplicate_event_id_rate",
+        "status"))
+      assert(json.contains("\"" + f + "\""), s"missing field $f")
+    assert(!json.contains("failures"))
+    assert(json.contains("\"status\": \"PASS\""))
+
+    val fail = pass.copy(failures = Seq("event_id has nulls: 1"))
+    assert(fail.toJson.contains("\"failures\": [\"event_id has nulls: 1\"]"))
+    assert(fail.toJson.contains("\"status\": \"FAIL\""))
+  }
+}

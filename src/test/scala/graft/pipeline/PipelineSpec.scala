@@ -1,0 +1,182 @@
+package graft.pipeline
+
+import java.io.File
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.gen.EventsGen
+import graft.io.{Catalog, RawEvents}
+
+/** End-to-end pipeline tests against local temp dirs (SURVEY §5.2.3):
+  * idempotency, partition isolation, fail-safe ordering, late data. */
+class PipelineSpec extends SparkSpec {
+
+  private def freshConf(): PipelineConfig = {
+    val base = tmpDir("graft-pipe")
+    PipelineConfig(s"$base/raw", s"$base/curated", s"$base/metrics")
+  }
+
+  // n=1000 like the reference (generate_events.py:14): at smaller n the
+  // 2% null-user injection has enough variance to trip the 3% DQ gate.
+  private def gen(conf: PipelineConfig, date: String, n: Int = 1000): Unit =
+    EventsGen.writeNdjson(EventsGen.generateDay(date, nEvents = n),
+      conf.rawBase, date)
+
+  private def curated(conf: PipelineConfig, date: String): DataFrame =
+    spark.read.parquet(
+      RawEvents.partitionPath(conf.curatedBase, date))
+
+  private def rowSet(df: DataFrame): Set[String] =
+    df.selectExpr("event_id", "user_id", "event_type",
+      "cast(event_ts as string)", "cast(amount as string)")
+      .collect().map(_.mkString("|")).toSet
+
+  test("end-to-end: gen → ingest → DQ pass → curated partition written") {
+    val conf = freshConf()
+    gen(conf, "2025-01-01")
+    val report = Pipeline.runPartition(spark, conf, "2025-01-01")
+    assert(report.status == "PASS")
+    assert(report.counters.totalRows == 1010) // 1000 + 10 injected dupes
+    val out = curated(conf, "2025-01-01")
+    assert(out.count() == 1010)
+    // curated schema: event_ts became timestamp, processing_ts added
+    assert(out.schema("event_ts").dataType.typeName == "timestamp")
+    assert(out.columns.contains("processing_ts"))
+    // report artifact is a single exact-name JSON file
+    val f = new File(RawEvents.partitionPath(conf.metricsBase, "2025-01-01"),
+      "data_quality.json")
+    assert(f.isFile)
+    val json = scala.io.Source.fromFile(f).mkString
+    assert(json.contains("\"status\": \"PASS\""))
+  }
+
+  test("idempotency: re-running the same date yields the identical row set") {
+    val conf = freshConf()
+    gen(conf, "2025-01-01")
+    Pipeline.runPartition(spark, conf, "2025-01-01")
+    val first = rowSet(curated(conf, "2025-01-01"))
+    Pipeline.runPartition(spark, conf, "2025-01-01")
+    val second = rowSet(curated(conf, "2025-01-01"))
+    assert(first == second)
+  }
+
+  test("partition isolation: rewriting date X leaves date Y untouched") {
+    val conf = freshConf()
+    gen(conf, "2025-01-01")
+    gen(conf, "2025-01-02")
+    Pipeline.backfill(spark, conf, "2025-01-01", "2025-01-02")
+    val yFilesBefore =
+      new File(RawEvents.partitionPath(conf.curatedBase, "2025-01-02"))
+        .listFiles().map(f => f.getName -> f.lastModified()).toSet
+    Pipeline.runPartition(spark, conf, "2025-01-01") // rewrite X only
+    val yFilesAfter =
+      new File(RawEvents.partitionPath(conf.curatedBase, "2025-01-02"))
+        .listFiles().map(f => f.getName -> f.lastModified()).toSet
+    assert(yFilesBefore == yFilesAfter)
+  }
+
+  test("late data: re-run after late file lands reflects the union") {
+    val conf = freshConf()
+    gen(conf, "2025-01-02")
+    Pipeline.runPartition(spark, conf, "2025-01-02")
+    assert(curated(conf, "2025-01-02").count() == 1010)
+    // late batch lands in the SAME raw partition (add_late_events.py:12-17)
+    EventsGen.writeNdjson(EventsGen.generateLate("2025-01-02", nEvents = 50),
+      conf.rawBase, "2025-01-02", fileName = "late_events.json")
+    Pipeline.runPartition(spark, conf, "2025-01-02")
+    assert(curated(conf, "2025-01-02").count() == 1060)
+  }
+
+  test("fail-safe ordering: DQ failure writes report but leaves curated intact") {
+    val conf = freshConf()
+    gen(conf, "2025-01-01")
+    Pipeline.runPartition(spark, conf, "2025-01-01")
+    val before = rowSet(curated(conf, "2025-01-01"))
+    // poison the partition: a file whose rows all have null event_id
+    val bad = EventsGen.generateDay("2025-01-01", nEvents = 5)
+      .map(_.copy(event_id = null))
+    EventsGen.writeNdjson(bad, conf.rawBase, "2025-01-01",
+      fileName = "bad_events.json")
+    val ex = intercept[DqFailedException] {
+      Pipeline.runPartition(spark, conf, "2025-01-01")
+    }
+    // 5 generated + 1 injected duplicate = 6 poison rows
+    assert(ex.report.counters.nullEventId == 6)
+    assert(ex.getMessage.contains("event_id has nulls: 6"))
+    // curated untouched (ref fail-safe ordering docs/design.md:109-114)
+    assert(rowSet(curated(conf, "2025-01-01")) == before)
+    // FAIL report persisted before the raise (ref :131-150)
+    val json = scala.io.Source.fromFile(new File(
+      RawEvents.partitionPath(conf.metricsBase, "2025-01-01"),
+      "data_quality.json")).mkString
+    assert(json.contains("\"status\": \"FAIL\""))
+    assert(json.contains("failures"))
+  }
+
+  test("missing upstream partition fails distinctly (sensor C4)") {
+    val conf = freshConf()
+    intercept[MissingUpstreamException] {
+      Pipeline.runPartition(spark, conf, "2025-03-01")
+    }
+  }
+
+  test("invalid date argument fails fast (C1)") {
+    val conf = freshConf()
+    intercept[IllegalArgumentException] {
+      Pipeline.runPartition(spark, conf, "2025/01/01")
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.runPartition(spark, conf, "2025-13-45")
+    }
+  }
+
+  test("backfill: sequential, stops on first failing date") {
+    val conf = freshConf()
+    gen(conf, "2025-01-01")
+    // 2025-01-02 poisoned → backfill must process 01, fail on 02, not touch 03
+    val bad = EventsGen.generateDay("2025-01-02", nEvents = 5)
+      .map(_.copy(event_type = "hack"))
+    EventsGen.writeNdjson(bad, conf.rawBase, "2025-01-02")
+    gen(conf, "2025-01-03")
+    intercept[DqFailedException] {
+      Pipeline.backfill(spark, conf, "2025-01-01", "2025-01-03")
+    }
+    assert(curated(conf, "2025-01-01").count() == 1010)
+    assert(!new File(
+      RawEvents.partitionPath(conf.curatedBase, "2025-01-03")).exists())
+  }
+
+  test("catalog: registered table prunes partitions and answers the audit query") {
+    val conf = freshConf()
+    gen(conf, "2025-01-01")
+    gen(conf, "2025-01-02")
+    Pipeline.backfill(spark, conf, "2025-01-01", "2025-01-02")
+    Catalog.registerCuratedEvents(spark, conf.curatedBase, "curated_events_t")
+    // the reference README's canonical smoke query (curated_events.sql:17-20)
+    val counts = spark.sql(
+      """SELECT ingestion_date, COUNT(*) AS n FROM curated_events_t
+        |GROUP BY ingestion_date ORDER BY ingestion_date""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(counts.toSeq ==
+      Seq("2025-01-01" -> 1010L, "2025-01-02" -> 1010L))
+    // partition pruning visible in the physical plan
+    val plan = spark.sql(
+      "SELECT * FROM curated_events_t WHERE ingestion_date = '2025-01-01'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("2025-01-01"))
+    spark.sql("DROP TABLE curated_events_t")
+  }
+
+  test("recursive raw read recovers partition dates from file paths (S1/P4)") {
+    val conf = freshConf()
+    gen(conf, "2025-01-01", n = 50)
+    gen(conf, "2025-01-02", n = 50)
+    val all = RawEvents.readAll(spark, conf.rawBase)
+    val byDate = all.groupBy("ingestion_date").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 50 generated + max(1, 50*0.01)=1 injected duplicate per day
+    assert(byDate == Map("2025-01-01" -> 51L, "2025-01-02" -> 51L))
+  }
+}
