@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextOps
+
+/** Deduplication operator family over `documents` (training-data-pipeline
+  * surface of the build brief): exact, keep-first, MinHash+LSH, SimHash,
+  * n-gram Jaccard.
+  *
+  * Scale design: the exact variants are one hash-aggregate / one window
+  * over a single shuffle; the near-dup variants go through LSH banding —
+  * candidate generation is a bucket equi-join on (band, band_hash), never
+  * an all-pairs cross join, so cost is O(docs × bands + collisions), the
+  * standard web-scale dedup shape (e.g. the C4/RefinedWeb pipelines).
+  */
+object DedupQueries {
+
+  /** MinHash parameters: 12 bands × 4 rows = 48 hashes; band collision
+    * prob = j⁴ per band → catches j ≳ 0.6 pairs with high recall. */
+  private val MinhashK = 48
+  private val Bands = 12
+  private val RowsPerBand = 4
+
+  val all: Seq[Q] = Seq(
+    // --- exact dedup: group identical content, keep lowest doc_id -------
+    Q(
+      "dedup_exact_groups",
+      """SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY fp
+        |ORDER BY keep_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
+    // --- keep-first dedup via window (row_number = 1) --------------------
+    Q(
+      "dedup_keep_first",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC,
+        |                       doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- unigram Jaccard near-dup pairs within source --------------------
+    Q(
+      "dedup_ngram_jaccard",
+      """SELECT a_id, b_id, jac FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    ROUND(CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+        |                                  list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+        |      / len(list_distinct(list_concat(string_split(a.text, ' '),
+        |                                      string_split(b.text, ' ')))), 6) AS jac
+        |  FROM documents a JOIN documents b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jac >= 0.8
+        |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      val a = docs.select(col("doc_id").as("a_id"), col("source"),
+        col("toks").as("a_toks"))
+      val b = docs.select(col("doc_id").as("b_id"),
+        col("source").as("b_source"), col("toks").as("b_toks"))
+      a.join(b, col("source") === col("b_source")
+          && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(TextOps.jaccard(col("a_toks"), col("b_toks")), 6).as("jac"))
+        .where(col("jac") >= 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // --- MinHash + LSH near-dup candidate pairs — rows-only --------------
+    // (banded bucket join; verified with exact shingle Jaccard)
+    Q.noOracle("dedup_minhash_lsh") { (s, d) =>
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      val sigs = docs.select(
+        col("doc_id"), col("sh"),
+        TextOps.lshBands(
+          TextOps.minhashSignature(col("sh"), MinhashK),
+          Bands, RowsPerBand).as("bands"))
+      val buckets = sigs.select(col("doc_id"), col("sh"),
+        explode(col("bands")).as("b"))
+      val a = buckets.select(col("b").as("ab"), col("doc_id").as("a_id"),
+        col("sh").as("a_sh"))
+      val b = buckets.select(col("b").as("bb"), col("doc_id").as("b_id"),
+        col("sh").as("b_sh"))
+      a.join(b, col("ab") === col("bb") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(TextOps.jaccard(col("a_sh"), col("b_sh")), 6).as("jac"))
+        .distinct()
+        .where(col("jac") >= 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // --- SimHash near-dup pairs (custom Catalyst expression) — rows-only -
+    // candidate generation: 4×16-bit bands (Hamming ≤ 3 ⇒ ≥ 1 band equal)
+    Q.noOracle("dedup_simhash") { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TextOps.simhash(TextOps.tokens(col("text"))).as("sh"))
+      val banded = docs.select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map { j =>
+          struct(lit(j).as("band"),
+            shiftright(col("sh"), 16 * j).bitwiseAND(lit(0xFFFFL))
+              .as("band_val"))
+        }: _*)).as("b"))
+      val a = banded.select(col("b").as("ab"), col("doc_id").as("a_id"),
+        col("sh").as("a_sh"))
+      val b = banded.select(col("b").as("bb"), col("doc_id").as("b_id"),
+        col("sh").as("b_sh"))
+      a.join(b, col("ab") === col("bb") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          TextOps.hamming64(col("a_sh"), col("b_sh")).as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 3)
+        .orderBy(col("a_id"), col("b_id"))
+    }
+  )
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextOps
+
+/** Text-analysis query inventory over the `documents` table: token
+  * counting, word counts, quality scoring, language-ID, fingerprinting
+  * (the training-data-pipeline text surface of the build brief).
+  *
+  * All row-level features are narrow projections (no shuffle); only the
+  * word-count aggregation exchanges data, on the word key — both shapes
+  * hold unchanged at 100 TB.
+  */
+object TextQueries {
+
+  val all: Seq[Q] = Seq(
+    // --- token counting: whitespace + regex (BPE-ish pre-tokenizer) ----
+    Q(
+      "text_token_counts",
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+        |    AS n_regex_tokens
+        |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_regex_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- corpus word frequencies, top 50 --------------------------------
+    Q(
+      "text_wordcount_topk",
+      """SELECT word, COUNT(*) AS n FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word
+        |ORDER BY n DESC, word NULLS FIRST
+        |LIMIT 50""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(50)
+    },
+
+    // --- quality scoring: lexical diversity + stopword density ----------
+    Q(
+      "text_quality",
+      s"""SELECT doc_id,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         |    AS n_distinct,
+         |  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |    / len(string_split(text, ' ')), 6) AS distinct_ratio,
+         |  ROUND(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+         |    / len(string_split(text, ' ')), 6) AS avg_token_len,
+         |  ROUND(CAST(len(list_filter(string_split(text, ' '),
+         |      t -> list_contains(${TextOps.EnglishStopwords.map("'" + _ + "'").mkString("[", ",", "]")}, t))) AS DOUBLE)
+         |    / len(string_split(text, ' ')), 6) AS stopword_ratio
+         |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val f = TextOps.qualityFeatures(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), f.as("f"))
+        .select(
+          col("doc_id"),
+          col("f.n_distinct").as("n_distinct"),
+          round(col("f.distinct_ratio"), 6).as("distinct_ratio"),
+          round(col("f.avg_token_len"), 6).as("avg_token_len"),
+          round(col("f.stopword_ratio"), 6).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- language-ID heuristic (stopword-profile argmax) — rows-only ----
+    Q.noOracle("text_langid") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          TextOps.langId(col("text")).as("pred"))
+        .select(col("doc_id"), col("labeled_lang"),
+          col("pred.lang").as("pred_lang"),
+          round(col("pred.score"), 6).as("score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- deterministic content fingerprint (md5 of normalized text) -----
+    Q(
+      "text_fingerprint",
+      """SELECT doc_id, md5(lower(text)) AS fp
+        |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}
