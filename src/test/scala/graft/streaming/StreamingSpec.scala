@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedCounts: tumbling windows aggregate by event_type; " +
+      "watermark drops too-late rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.windowedCounts(events, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:15:00"), "click", 2.0),
+        (ts("2024-01-01 10:20:00"), "view", 3.0))
+      q.processAllAvailable()
+      // advance event time beyond 10:00–11:00 + 30 min watermark → closes it
+      input.addData((ts("2024-01-01 11:45:00"), "click", 4.0))
+      q.processAllAvailable()
+      // this row is older than the watermark → must be dropped
+      input.addData((ts("2024-01-01 10:01:00"), "click", 99.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 13:30:00"), "click", 5.0))
+      q.processAllAvailable()
+      val rows = s.table("wc")
+        .select("window_start", "event_type", "n", "sum_value")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)),
+        s"got $rows") // the 99.0 late row did NOT count
+      assert(rows.contains(("2024-01-01 10:00:00.0", "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("windowedDqCounters: per-window null counters match batch semantics") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type")
+    val q = Streaming.windowedDqCounters(events, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("dqw")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 09:10:00"), "u1", "click"),
+        (ts("2024-01-01 09:20:00"), null, "view"),
+        (ts("2024-01-01 09:30:00"), "u2", null))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:30:00"), "u3", "click"))
+      q.processAllAvailable()
+      val rows = s.table("dqw").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(rows.contains(("2024-01-01 09:00:00.0", 3L, 1L, 1L)),
+        s"got $rows")
+    } finally q.stop()
+  }
+
+  test("sessionize: gap-based sessions close via event-time timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Streaming.SessionEvent]
+    val q = Streaming.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then silence
+      input.addData(
+        Streaming.SessionEvent(1L, ts("2024-01-01 08:00:00")),
+        Streaming.SessionEvent(1L, ts("2024-01-01 08:10:00")),
+        Streaming.SessionEvent(2L, ts("2024-01-01 08:05:00")))
+      q.processAllAvailable()
+      // advance watermark far past user 1's gap → session times out
+      input.addData(Streaming.SessionEvent(3L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      input.addData(Streaming.SessionEvent(3L, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      val sessions = s.table("sess").as[Streaming.UserSession].collect()
+        .map(u => u.user_id -> u).toMap
+      assert(sessions.contains(1L), s"got ${sessions.keySet}")
+      assert(sessions(1L).n_events == 2)
+      assert(sessions(1L).session_start == ts("2024-01-01 08:00:00"))
+      assert(sessions(1L).session_end == ts("2024-01-01 08:10:00"))
+      assert(sessions.contains(2L) && sessions(2L).n_events == 1)
+    } finally q.stop()
+  }
+
+  test("same transform runs in batch mode (source-agnostic)") {
+    val s = spark
+    import s.implicits._
+    val batch = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:15:00"), "click", 2.0))
+      .toDF("ts", "event_type", "value")
+    val out = Streaming.windowedCounts(batch).collect()
+    assert(out.length == 1 && out(0).getLong(2) == 2L)
+  }
+}
