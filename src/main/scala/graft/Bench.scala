@@ -1,23 +1,58 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the full query inventory on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Protocol per BASELINE.md: warm JVM (one untimed warm-up), median of 3
+  * timed runs per query, AQE on, UTC. Each run materializes the full
+  * result via a noop-format write — a bare `count()` would let Catalyst
+  * prune projections and under-measure the query.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // optional args: restrict to named queries (debug/iteration aid)
+    val selected =
+      if (args.isEmpty) SparkEntry.inventory
+      else SparkEntry.inventory.filter(q => args.contains(q.name))
+
+    val results = selected.map { q =>
+      val t =
+        try {
+          timeOnce(q.run) // warm-up: plan + code cache + page cache
+          val samples = Seq.fill(3)(timeOnce(q.run)).sorted
+          samples(1) // median
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            -1.0
+        }
+      q.name -> t
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{MinHashSig, SimHash, SortedJaccard, VectorDot}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions so `spark.sql("SELECT simhash(...)...")`
+  * works, not just the Column API.
+  *
+  * Wire up with:
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)           // in-process
+  *   // or: spark.sql.extensions=graft.GraftExtensions (config-driven)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "simhash"),
+      (args: Seq[Expression]) => SimHash(args.head)))
+
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(arr, Literal(k: Int, _)) => MinHashSig(arr, k)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(array<string>, k literal int)")
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_jaccard"),
+      new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
+      (args: Seq[Expression]) => SortedJaccard(args(0), args(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (args: Seq[Expression]) => VectorDot(args(0), args(1))))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for the dedup hot paths. The higher-order-function
+  * formulations (`transform` + `array_min` for MinHash, `array_intersect`
+  * / `array_union` for Jaccard) evaluate interpreted, per element, per
+  * row — measured at ~30 s/query at sf0.1. These expressions do the same
+  * math in one compiled pass and splice into whole-stage codegen.
+  */
+
+/** k-slot MinHash signature in ONE pass over the shingle array.
+  * Per element: two XXH64 draws, slot i uses the Kirsch–Mitzenmacher
+  * double-hashing family h1 + i·h2 (standard Bloom/MinHash construction)
+  * — 2 hashes instead of k per element, same independence guarantees in
+  * practice. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.minhashSig($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashSig = copy(child = newChild)
+}
+
+/** Jaccard similarity of two SORTED, DISTINCT string arrays via a merge
+  * walk — O(n+m), no allocation. Callers sort+distinct once per row
+  * upstream (amortized across all pairs the row participates in). */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_jaccard requires two array<string>, got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sortedJaccard(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextKernels.sortedJaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedJaccard = copy(newLeft, newRight)
+}
+
+object TextKernels {
+
+  def minhashSig(tokens: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val s: UTF8String = tokens.getUTF8String(i)
+        val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 77L) | 1L // odd → full-period stride
+        var j = 0
+        var h = h1
+        while (j < k) {
+          if (h < mins(j)) mins(j) = h
+          h += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { inter += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  def minhash_sig(tokens: Column, k: Int): Column =
+    column(MinHashSig(expression(tokens), k))
+
+  def sorted_jaccard(a: Column, b: Column): Column =
+    column(SortedJaccard(expression(a), expression(b)))
+}

@@ -29,14 +29,14 @@ object TextOps {
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
 
-  /** MinHash signature: k independent permutations approximated by k
-    * seeded xxhash64 draws; signature element i = min hash under seed i.
-    * One pass over the shingle array per row, no shuffle — the classic
-    * MinHash estimator (Broder 1997). */
+  /** MinHash signature: k permutations approximated by seeded hash
+    * draws; signature element i = min hash under family member i. One
+    * compiled pass over the shingle array per row, no shuffle — the
+    * classic MinHash estimator (Broder 1997) via the native
+    * [[MinHashSig]] kernel (the equivalent `transform`+`array_min`
+    * formulation evaluates interpreted and costs k passes). */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))
-    }: _*)
+    TextKernels.minhash_sig(shingleCol, k)
 
   /** LSH banding: hash r consecutive signature slots per band. Two docs
     * collide in band j iff their signature slice j matches exactly →

@@ -73,42 +73,62 @@ object DedupQueries {
         |WHERE jac >= 0.8
         |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin
     ) { (s, d) =>
+      // sort+distinct once per doc → merge-walk jaccard kernel per pair
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          array_distinct(TextOps.tokens(col("text"))).as("toks"))
+          array_sort(array_distinct(TextOps.tokens(col("text")))).as("toks"))
       val a = docs.select(col("doc_id").as("a_id"), col("source"),
         col("toks").as("a_toks"))
       val b = docs.select(col("doc_id").as("b_id"),
         col("source").as("b_source"), col("toks").as("b_toks"))
       a.join(b, col("source") === col("b_source")
           && col("a_id") < col("b_id"))
+        // the source join has few keys → few active tasks; re-spread the
+        // O(n²/sources) pair stream across the cluster BEFORE the
+        // per-pair set math, so jaccard runs on all cores, not per-key
+        .repartition(col("a_id"), col("b_id"))
         .select(col("a_id"), col("b_id"),
-          round(TextOps.jaccard(col("a_toks"), col("b_toks")), 6).as("jac"))
+          round(graft.functions.TextKernels.sorted_jaccard(
+            col("a_toks"), col("b_toks")), 6).as("jac"))
         .where(col("jac") >= 0.8)
         .orderBy(col("a_id"), col("b_id"))
     },
 
     // --- MinHash + LSH near-dup candidate pairs — rows-only --------------
-    // (banded bucket join; verified with exact shingle Jaccard)
+    // Three-stage shape, each stage shuffle-isolated so nothing heavy is
+    // recomputed inside a join (projection collapse would otherwise
+    // re-evaluate the shingle transform PER CANDIDATE PAIR — measured as
+    // a single-core straggler at sf0.1):
+    //  1. shingle+sign once per doc, materialized by an exchange;
+    //  2. bucket join on NARROW columns only (ids + band hash), distinct;
+    //  3. join candidate ids back to the shingle table, jaccard once per
+    //     distinct pair, spread across the cluster.
     Q.noOracle("dedup_minhash_lsh") { (s, d) =>
+      // repartition = exchange boundary: shingles computed exactly once
+      // per doc and shipped as data, never re-derived downstream
       val docs = Tables.documents(s, d).select(
         col("doc_id"),
-        TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
-      val sigs = docs.select(
-        col("doc_id"), col("sh"),
-        TextOps.lshBands(
+        array_sort(array_distinct(
+          TextOps.shingles(TextOps.tokens(col("text")), 3))).as("sh"))
+        .repartition(col("doc_id"))
+      val buckets = docs.select(col("doc_id"),
+        explode(TextOps.lshBands(
           TextOps.minhashSignature(col("sh"), MinhashK),
-          Bands, RowsPerBand).as("bands"))
-      val buckets = sigs.select(col("doc_id"), col("sh"),
-        explode(col("bands")).as("b"))
-      val a = buckets.select(col("b").as("ab"), col("doc_id").as("a_id"),
-        col("sh").as("a_sh"))
-      val b = buckets.select(col("b").as("bb"), col("doc_id").as("b_id"),
-        col("sh").as("b_sh"))
-      a.join(b, col("ab") === col("bb") && col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          round(TextOps.jaccard(col("a_sh"), col("b_sh")), 6).as("jac"))
+          Bands, RowsPerBand)).as("b"))
+        .select(col("doc_id"), col("b"))
+      val cand = buckets.as("x")
+        .join(buckets.as("y"),
+          col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+          "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+          "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(graft.functions.TextKernels.sorted_jaccard(
+            col("a_sh"), col("b_sh")), 6).as("jac"))
         .where(col("jac") >= 0.5)
         .orderBy(col("a_id"), col("b_id"))
     },
@@ -116,8 +136,11 @@ object DedupQueries {
     // --- SimHash near-dup pairs (custom Catalyst expression) — rows-only -
     // candidate generation: 4×16-bit bands (Hamming ≤ 3 ⇒ ≥ 1 band equal)
     Q.noOracle("dedup_simhash") { (s, d) =>
+      // exchange boundary: fingerprint computed once per doc (without it,
+      // projection collapse re-derives simhash(split(text)) per pair)
       val docs = Tables.documents(s, d).select(col("doc_id"),
         TextOps.simhash(TextOps.tokens(col("text"))).as("sh"))
+        .repartition(col("doc_id"))
       val banded = docs.select(col("doc_id"), col("sh"),
         explode(array((0 until 4).map { j =>
           struct(lit(j).as("band"),

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextKernelsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("sorted_jaccard equals the set-semantics HOF jaccard") {
+    val df = docs(
+      (1L, "a b c d e"), (2L, "c d e f g"), (3L, "a b"), (4L, "x y z"))
+    val toks = array_sort(array_distinct(split(col("text"), " ")))
+    val prepared = df.select(col("doc_id"), toks.as("toks"))
+    val pairs = prepared.as("a").join(prepared.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        TextKernels.sorted_jaccard(col("a.toks"), col("b.toks")).as("fast"),
+        TextOps.jaccard(col("a.toks"), col("b.toks")).as("ref"))
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(3),
+        s"mismatch for pair (${r.getLong(0)},${r.getLong(1)})")
+    }
+    // spot value: {a,b,c,d,e} vs {c,d,e,f,g} → 3/7
+    val v = pairs.find(r => r.getLong(0) == 1 && r.getLong(1) == 2).get
+    assert(math.abs(v.getDouble(2) - 3.0 / 7) < 1e-15)
+  }
+
+  test("sorted_jaccard: empty vs empty is 0, interpreted matches codegen") {
+    val df = docs((1L, "x"))
+      .select(TextKernels.sorted_jaccard(
+        array().cast("array<string>"), array().cast("array<string>")).as("j"))
+    assert(df.head().getDouble(0) == 0.0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(df.head().getDouble(0) == 0.0)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    }
+  }
+
+  test("minhash_sig: deterministic, k slots, estimator tracks jaccard") {
+    val base = (1 to 30).map(i => s"s$i").mkString(" ")
+    val near = (1 to 28).map(i => s"s$i").mkString(" ") + " t1 t2"
+    val far = (1 to 30).map(i => s"q$i").mkString(" ")
+    val df = docs((1L, base), (2L, base), (3L, near), (4L, far))
+      .select(col("doc_id"),
+        TextKernels.minhash_sig(split(col("text"), " "), 64).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs.values.forall(_.length == 64))
+    assert(sigs(1L) == sigs(2L))
+    def est(a: Long, b: Long) =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 64.0
+    // true unigram jaccard(base, near) = 28/32 = 0.875
+    assert(est(1L, 3L) > 0.6, s"near est ${est(1L, 3L)}")
+    assert(est(1L, 4L) < 0.15, s"far est ${est(1L, 4L)}")
+  }
+}
