@@ -247,6 +247,58 @@ object StarQueries {
         .orderBy(col("kind"), col("k"))
     },
 
+    // --- TPC-H Q4-style: EXISTS + count by priority ----------------------
+    Q(
+      "q4_order_priority",
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // --- TPC-H Q18-style: HAVING on an aggregate over a join -------------
+    Q(
+      "q18_large_orders",
+      """SELECT c_custkey, o_orderkey, total_qty FROM (
+        |  SELECT c_custkey, o_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |    JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY c_custkey, o_orderkey)
+        |WHERE total_qty > 250
+        |ORDER BY total_qty DESC, o_orderkey NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      // aggregate lineitem by orderkey FIRST, then join: the heavy table
+      // shrinks before any join shuffle (same rewrite Catalyst cannot do
+      // automatically because the HAVING references the joined grouping)
+      val qtyPerOrder = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("total_qty"))
+        .where(col("total_qty") > 250)
+      qtyPerOrder
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+    },
+
     // --- part/supplier join with numeric predicate -----------------------
     Q(
       "q_parts_by_size",

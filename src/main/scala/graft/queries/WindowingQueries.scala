@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Batch time-windowing + multidimensional aggregation extensions
+  * (SURVEY §2.12): tumbling windows are in RefQueries; here the sliding /
+  * session variants, CUBE, pivot, and schema-full JSON parsing.
+  */
+object WindowingQueries {
+
+  val all: Seq[Q] = Seq(
+    // --- sliding window: 1 h window every 30 min -------------------------
+    // each event lands in 2 windows; oracle reproduces Spark's assignment
+    // by unnesting both candidate starts per row.
+    Q(
+      "q_sliding_window",
+      """SELECT strftime(w_start, '%Y-%m-%d %H:%M') AS window_start,
+        |  COUNT(*) AS n
+        |FROM (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                    time_bucket(INTERVAL '30 minutes', ts)
+        |                      - INTERVAL '30 minutes']) AS w_start
+        |      FROM events)
+        |GROUP BY w_start
+        |ORDER BY window_start NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm")
+            .as("window_start"),
+          col("n"))
+        .orderBy(col("window_start"))
+    },
+
+    // --- session window: gap-based batch sessionization — rows-only ------
+    // (session_window has no concise DuckDB equivalent)
+    Q.noOracle("q_session_window") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // --- CUBE: all grouping-set combinations -----------------------------
+    Q(
+      "q_cube_order_dims",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // --- pivot: event-type counts per user (fixed pivot values) ----------
+    Q(
+      "q_pivot_user_events",
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase"))
+        .orderBy(col("user_id"))
+    },
+
+    // --- from_json: schema-full JSON parsing of props --------------------
+    Q(
+      "q_from_json_props",
+      """SELECT k, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS users
+        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |             user_id
+        |      FROM events)
+        |GROUP BY k
+        |ORDER BY k NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .select(
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"),
+          col("user_id"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("users"))
+        .orderBy(col("k"))
+    }
+  )
+}
