@@ -23,7 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "simhash"),
-      (args: Seq[Expression]) => SimHash(args.head)))
+      (args: Seq[Expression]) => args match {
+        case Seq(tokens) => SimHash(tokens)
+        case _ => throw new IllegalArgumentException(
+          "simhash(array<string>)")
+      }))
 
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
@@ -37,11 +41,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("sorted_jaccard"),
       new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
-      (args: Seq[Expression]) => SortedJaccard(args(0), args(1))))
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => SortedJaccard(a, b)
+        case _ => throw new IllegalArgumentException(
+          "sorted_jaccard(array<string>, array<string>)")
+      }))
 
     ext.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-      (args: Seq[Expression]) => VectorDot(args(0), args(1))))
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => VectorDot(a, b)
+        case _ => throw new IllegalArgumentException(
+          "vector_dot(array<float>, array<float>)")
+      }))
   }
 }

@@ -24,11 +24,21 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** events.parquet stores `ts` as TIMESTAMP(NANOS) which Spark's parquet
     * reader rejects by default; read nanos as long and rebuild a µs-precision
-    * timestamp (same truncation DuckDB applies when comparing at µs). */
+    * timestamp (same truncation DuckDB applies when comparing at µs).
+    * The legacy flag is restored after building the frame — schema
+    * resolution happens eagerly at read time, so the plan keeps its long
+    * view of `ts` while OTHER nanos-parquet reads in the session are not
+    * silently switched to LongType. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try load(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

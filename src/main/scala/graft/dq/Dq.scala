@@ -104,18 +104,23 @@ object DqCheck {
         Some(s"event_type has invalid values: ${c.invalidEventType}")
       else None
   }
+  /** Locale-stable %.4f (the f-interpolator honors the JVM default
+    * locale; a comma-decimal locale would change the message format). */
+  private def f4(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+
   /** D5 (ref: ..._v3_dq.py:119-120) */
   case object NullUserRate extends DqCheck {
     def evaluate(c: DqCounters): Option[String] =
       if (c.nullUserRate > MaxNullUserIdRate)
-        Some(f"user_id null rate too high: ${c.nullUserRate}%.4f > $MaxNullUserIdRate")
+        Some(s"user_id null rate too high: ${f4(c.nullUserRate)} > $MaxNullUserIdRate")
       else None
   }
   /** D6 (ref: ..._v3_dq.py:121-122; definition docs/design.md:107) */
   case object DupEventIdRate extends DqCheck {
     def evaluate(c: DqCounters): Option[String] =
       if (c.dupRate > MaxDupEventIdRate)
-        Some(f"duplicate event_id rate too high: ${c.dupRate}%.4f > $MaxDupEventIdRate")
+        Some(s"duplicate event_id rate too high: ${f4(c.dupRate)} > $MaxDupEventIdRate")
       else None
   }
 

@@ -17,9 +17,11 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** BPE-ish regex tokenization: letter runs, digit runs, or single
-    * non-space symbols — the classic pre-tokenizer split. */
+    * non-space symbols — the classic pre-tokenizer split. The character
+    * class excludes the literal space (not `\s`) so Spark and the DuckDB
+    * oracle tokenize identically. */
   def regexTokens(text: Column): Column =
-    regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
 
   /** Word n-gram shingles. Docs shorter than n collapse to one shingle
     * (whole doc) so every doc has a non-empty shingle set. */

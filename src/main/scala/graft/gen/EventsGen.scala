@@ -103,8 +103,12 @@ object EventsGen {
     def s(v: String) =
       if (v == null) "null"
       else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    // a comma-decimal locale would emit malformed JSON ("amount": 42,0)
     val amount = e.amount.map { a =>
-      if (a == math.rint(a)) f"$a%.1f" else a.toString
+      if (a == math.rint(a))
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(a))
+      else a.toString
     }.getOrElse("null")
     s"""{"event_id": ${s(e.event_id)}, "user_id": ${e.user_id.map(s).getOrElse("null")}, "event_type": ${s(e.event_type)}, "event_ts": ${s(e.event_ts)}, "amount": $amount}"""
   }

@@ -35,8 +35,10 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     try {
-      val reports = Pipeline.backfill(spark, conf, start, end)
-      reports.foreach { r =>
+      // print per date as it commits (an operator must see which earlier
+      // dates landed even when a later one fails), like the reference job
+      Pipeline.dateRange(start, end).foreach { date =>
+        val r = Pipeline.runPartition(spark, conf, date)
         println(s"DQ REPORT ${r.ingestionDate}:\n${r.toJson}")
         println(s"SUCCESS ingestion_date=${r.ingestionDate}")
       }

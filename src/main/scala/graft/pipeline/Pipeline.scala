@@ -75,13 +75,17 @@ object Pipeline {
     * stop on first failure. In-JVM, so the reference's 20 s poll loop
     * collapses to a plain fold. */
   def backfill(spark: SparkSession, conf: PipelineConfig,
-      start: String, end: String): Seq[DqReport] = {
+      start: String, end: String): Seq[DqReport] =
+    dateRange(start, end)
+      .map(d => runPartition(spark, conf, d)) // throws on first failure
+
+  /** Inclusive date range, validated fail-fast (C1). */
+  def dateRange(start: String, end: String): Seq[String] = {
     require(validDate(start) && validDate(end), "dates must be YYYY-MM-DD")
     val s = LocalDate.parse(start)
     val e = LocalDate.parse(end)
     require(!e.isBefore(s), "end date before start date")
     Iterator.iterate(s)(_.plusDays(1)).takeWhile(!_.isAfter(e))
-      .map(d => runPartition(spark, conf, d.toString)) // throws on first failure
-      .toSeq
+      .map(_.toString).toSeq
   }
 }

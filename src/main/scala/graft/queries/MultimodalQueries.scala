@@ -14,7 +14,7 @@ object MultimodalQueries {
     Q(
       "mm_payload_audit",
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  COUNT(*) OVER () AS corpus_size
         |FROM documents
         |ORDER BY media_id NULLS FIRST""".stripMargin

@@ -30,8 +30,7 @@ object TextQueries {
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         size(toks).cast("long").as("n_tokens"),
-        size(regexp_extract_all(col("text"),
-          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        size(TextOps.regexTokens(col("text")))
           .cast("long").as("n_regex_tokens"))
         .orderBy(col("doc_id"))
     },

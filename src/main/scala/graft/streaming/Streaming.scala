@@ -51,51 +51,52 @@ object Streaming {
         col("null_user_id"), col("null_event_type"))
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)
-  final case class SessionState(start: Long, end: Long, n: Int)
+  /** One open session interval; a user's state is ALL open intervals —
+    * an interval only leaves state once the watermark proves nothing can
+    * merge into it anymore. */
+  final case class SessionState(sessions: List[(Long, Long, Int)])
   final case class UserSession(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Int)
 
   /** Session gap (ms) after which a user's activity closes. */
   val SessionGapMs: Long = 30L * 60 * 1000
 
-  /** Custom-state sessionization via flatMapGroupsWithState: one state
-    * object per active user, closed by gap timeout against the event-time
-    * watermark. The KeyValueGroupedDataset path — state is partitioned by
-    * user key, so it scales horizontally with the key space. */
+  /** Custom-state sessionization via flatMapGroupsWithState: state is the
+    * user's open session intervals; new (possibly out-of-order, within
+    * watermark) events are merged interval-wise, and a session is emitted
+    * only when the event-time watermark passes its end + gap — so a late
+    * in-watermark event can still extend or predate any open session
+    * without corrupting boundaries. State is partitioned by user key and
+    * bounded by the watermark, so it scales with active users, not
+    * history. */
   def sessionize(events: Dataset[SessionEvent]): Dataset[UserSession] = {
     import events.sparkSession.implicits._
+
+    def merge(intervals: List[(Long, Long, Int)]): List[(Long, Long, Int)] =
+      intervals.sortBy(_._1).foldLeft(List.empty[(Long, Long, Int)]) {
+        case ((cs, ce, cn) :: rest, (s, e, n)) if s - ce <= SessionGapMs =>
+          (cs, math.max(ce, e), cn + n) :: rest
+        case (acc, iv) => iv :: acc
+      }.reverse
+
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId, rows, state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(UserSession(userId, new Timestamp(s.start),
-              new Timestamp(s.end), s.n))
-          } else {
-            val ts = rows.map(_.ts.getTime).toSeq.sorted
-            var closed = List.empty[UserSession]
-            var cur = state.getOption
-            ts.foreach { t =>
-              cur match {
-                case Some(s) if t - s.end <= SessionGapMs =>
-                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
-                case Some(s) =>
-                  closed ::= UserSession(userId, new Timestamp(s.start),
-                    new Timestamp(s.end), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + SessionGapMs)
-            }
-            closed.reverseIterator
+          val prior = state.getOption.map(_.sessions).getOrElse(Nil)
+          val incoming = rows.map(r => (r.ts.getTime, r.ts.getTime, 1)).toList
+          val open = merge(prior ++ incoming)
+          // emit every session the watermark has sealed (end+gap passed)
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, stillOpen) = open.partition(_._2 + SessionGapMs <= wm)
+          if (stillOpen.nonEmpty) {
+            state.update(SessionState(stillOpen))
+            state.setTimeoutTimestamp(stillOpen.map(_._2).min + SessionGapMs)
+          } else state.remove()
+          closed.iterator.map { case (s, e, n) =>
+            UserSession(userId, new Timestamp(s), new Timestamp(e), n)
           }
       }
   }

@@ -100,6 +100,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: out-of-order in-watermark event forms its OWN session, " +
+      "not a merge into a later one") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Streaming.SessionEvent]
+    val q = Streaming.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    try {
+      // batch 1: event at 10:00
+      input.addData(Streaming.SessionEvent(1L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // batch 2: LATE but in-watermark event at 09:10 — 50 min before the
+      // 10:00 session, beyond the 30-min gap → must be its own session
+      input.addData(Streaming.SessionEvent(1L, ts("2024-01-01 09:10:00")))
+      q.processAllAvailable()
+      // advance watermark far enough to seal both sessions
+      input.addData(Streaming.SessionEvent(9L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      input.addData(Streaming.SessionEvent(9L, ts("2024-01-01 18:00:00")))
+      q.processAllAvailable()
+      val sessions = s.table("sess_ooo").as[Streaming.UserSession].collect()
+        .filter(_.user_id == 1L)
+        .map(u => (u.session_start.toString, u.session_end.toString,
+          u.n_events)).toSet
+      assert(sessions == Set(
+        ("2024-01-01 09:10:00.0", "2024-01-01 09:10:00.0", 1),
+        ("2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0", 1)),
+        s"got $sessions")
+    } finally q.stop()
+  }
+
+  test("sessionize: adjacent out-of-order event EXTENDS the session start") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Streaming.SessionEvent]
+    val q = Streaming.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess_ext")
+      .outputMode("append").start()
+    try {
+      input.addData(Streaming.SessionEvent(1L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // 09:50 is within the 30-min gap of [10:00, 10:00] → one session
+      // starting at 09:50
+      input.addData(Streaming.SessionEvent(1L, ts("2024-01-01 09:50:00")))
+      q.processAllAvailable()
+      input.addData(Streaming.SessionEvent(9L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      input.addData(Streaming.SessionEvent(9L, ts("2024-01-01 18:00:00")))
+      q.processAllAvailable()
+      val sessions = s.table("sess_ext").as[Streaming.UserSession].collect()
+        .filter(_.user_id == 1L)
+        .map(u => (u.session_start.toString, u.session_end.toString,
+          u.n_events)).toSet
+      assert(sessions == Set(
+        ("2024-01-01 09:50:00.0", "2024-01-01 10:00:00.0", 2)),
+        s"got $sessions")
+    } finally q.stop()
+  }
+
   test("same transform runs in batch mode (source-agnostic)") {
     val s = spark
     import s.implicits._
