@@ -299,6 +299,56 @@ object StarQueries {
         .orderBy(col("total_qty").desc, col("o_orderkey"))
     },
 
+    // --- TPC-H Q17-style: correlated scalar subquery (decorrelated by ---
+    // Catalyst into an aggregate+join), via the spark.sql entry point
+    Q(
+      "q17_small_quantity_revenue",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_type = 'STANDARD'
+        |  AND l.l_quantity < (
+        |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |                  / COUNT(*))
+        |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      s.sql(
+        """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    / 7.0 AS avg_yearly,
+          |  COUNT(*) AS n_lines
+          |FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+          |WHERE p.p_type = 'STANDARD'
+          |  AND l.l_quantity < (
+          |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |                  / COUNT(*))
+          |    FROM lineitem_v l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+    },
+
+    // --- global scalar subquery: orders above the average total ----------
+    Q(
+      "q_above_avg_orders",
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / COUNT(*) FROM orders)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n
+          |FROM orders_v
+          |WHERE o_totalprice > (
+          |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |         / COUNT(*) FROM orders_v)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
+    },
+
     // --- part/supplier join with numeric predicate -----------------------
     Q(
       "q_parts_by_size",
