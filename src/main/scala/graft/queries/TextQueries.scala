@@ -67,15 +67,20 @@ object TextQueries {
          |    / len(string_split(text, ' ')), 6) AS stopword_ratio
          |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin
     ) { (s, d) =>
-      val f = TextOps.qualityFeatures(col("text"))
+      // one-pass native kernel (TokenStats); ratio math mirrors the
+      // compositional TextOps.qualityFeatures exactly (spec-asserted)
+      val f = graft.functions.TokenStats.token_stats(col("text"))
       Tables.documents(s, d)
         .select(col("doc_id"), f.as("f"))
         .select(
           col("doc_id"),
           col("f.n_distinct").as("n_distinct"),
-          round(col("f.distinct_ratio"), 6).as("distinct_ratio"),
-          round(col("f.avg_token_len"), 6).as("avg_token_len"),
-          round(col("f.stopword_ratio"), 6).as("stopword_ratio"))
+          round(col("f.n_distinct").cast("double") / col("f.n_tokens"), 6)
+            .as("distinct_ratio"),
+          round((col("f.n_chars") - col("f.n_tokens") + 1).cast("double")
+            / col("f.n_tokens"), 6).as("avg_token_len"),
+          round(col("f.stopword_hits").cast("double") / col("f.n_tokens"), 6)
+            .as("stopword_ratio"))
         .orderBy(col("doc_id"))
     },
 
