@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, the single latest right row
+  * with `rightTs <= leftTs` within the same key group — the time-series
+  * join Spark has no built-in for.
+  *
+  * Implementation follows build-brief preference (a) — compose built-in
+  * operators — rather than a custom LogicalPlan: both sides are tagged
+  * and unioned, then a single `last(..., ignoreNulls)` carry-forward
+  * window per key delivers the match. Cost: ONE shuffle on the key +
+  * one sort per partition, independent of time-range width; a naive
+  * range join (`l.key = r.key AND r.ts <= l.ts` + max) explodes to
+  * O(|L|·|R|/keys) intermediate rows, which at 100 TB is the difference
+  * between a working plan and an OOM. Equal timestamps match (inclusive
+  * `<=`): right rows sort before left rows at the same instant.
+  */
+object AsOfJoin {
+
+  /** @param rightValueCols right columns to surface, each prefixed
+    *                       `asof_` in the output (besides the key/ts). */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      rightValueCols: Seq[String]): DataFrame = {
+    val payload = struct(
+      (rightTs +: rightValueCols).map(c => col(c).as(c)): _*)
+    val taggedRight = right.select(
+      keys.map(col) :+ col(rightTs).as("_asof_ts") :+
+        lit(0).as("_asof_side") :+ payload.as("_asof_payload"): _*)
+    val taggedLeft = left
+      .withColumn("_asof_ts", col(leftTs))
+      .withColumn("_asof_side", lit(1))
+      .withColumn("_asof_payload",
+        lit(null).cast(taggedRight.schema("_asof_payload").dataType))
+
+    val unioned = taggedLeft.unionByName(taggedRight,
+      allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_asof_ts"), col("_asof_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = unioned
+      .withColumn("_asof_match",
+        last(col("_asof_payload"), ignoreNulls = true).over(w))
+      .where(col("_asof_side") === 1)
+
+    val out = left.columns.map(col) ++
+      (rightTs +: rightValueCols).map(c =>
+        col(s"_asof_match.$c").as(s"asof_$c"))
+    matched.select(out: _*)
+  }
+}

@@ -81,6 +81,41 @@ object WindowingQueries {
         .orderBy(col("user_id"))
     },
 
+    // --- as-of join: each purchase matched to the user's latest prior ---
+    // signup (inclusive). Engine side: graft.operators.AsOfJoin (union +
+    // carry-forward window, one shuffle); oracle side: DuckDB's NATIVE
+    // ASOF LEFT JOIN — two independent implementations of the operator.
+    Q(
+      "q_asof_purchase_signup",
+      """WITH p AS (SELECT event_id, user_id,
+        |             date_trunc('second', ts) AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     s AS (SELECT DISTINCT user_id,
+        |             date_trunc('second', ts) AS s_ts
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime(s.s_ts, '%Y-%m-%d %H:%M:%S') AS asof_signup_ts
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND p.p_ts >= s.s_ts
+        |ORDER BY event_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("p_ts"))
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), date_trunc("second", col("ts")).as("s_ts"))
+        .distinct()
+      graft.operators.AsOfJoin
+        .backward(purchases, signups, Seq("user_id"), "p_ts", "s_ts", Nil)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          date_format(col("asof_s_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("asof_signup_ts"))
+        .orderBy(col("event_id"))
+    },
+
     // --- from_json: schema-full JSON parsing of props --------------------
     Q(
       "q_from_json_props",

@@ -1,0 +1,58 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("backward as-of: latest right row at-or-before each left row, per key") {
+    val s = spark
+    import s.implicits._
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), 100.0),
+      (1L, ts("2024-01-01 10:00:20"), 101.0),
+      (2L, ts("2024-01-01 10:00:10"), 50.0),
+      (3L, ts("2024-01-01 10:00:10"), 7.0) // key with no quotes
+    ).toDF("sym", "trade_ts", "px")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 99.5),
+      (1L, ts("2024-01-01 10:00:10"), 100.5),
+      (1L, ts("2024-01-01 10:00:30"), 102.0), // after both trades
+      (2L, ts("2024-01-01 10:00:10"), 49.9)   // equal ts → inclusive match
+    ).toDF("sym", "quote_ts", "bid")
+
+    val out = AsOfJoin.backward(trades, quotes, Seq("sym"),
+      "trade_ts", "quote_ts", Seq("bid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString) ->
+        (Option(r.getTimestamp(3)).map(_.toString), Option(r.get(4))))
+      .toMap
+
+    assert(out((1L, "2024-01-01 10:00:05.0")) ==
+      (Some("2024-01-01 10:00:00.0"), Some(99.5)))
+    assert(out((1L, "2024-01-01 10:00:20.0")) ==
+      (Some("2024-01-01 10:00:10.0"), Some(100.5)))
+    // equal timestamp is inclusive
+    assert(out((2L, "2024-01-01 10:00:10.0")) ==
+      (Some("2024-01-01 10:00:10.0"), Some(49.9)))
+    // no right row for the key → nulls, row preserved (left semantics)
+    assert(out((3L, "2024-01-01 10:00:10.0")) == (None, None))
+  }
+
+  test("left row count is always preserved (no fan-out, no drops)") {
+    val s = spark
+    import s.implicits._
+    val left = (1 to 100).map(i =>
+      (i.toLong % 5, ts(f"2024-01-01 10:00:${i % 60}%02d"), i.toDouble))
+      .toDF("k", "lts", "v")
+    val right = (1 to 300).map(i =>
+      (i.toLong % 7, ts(f"2024-01-01 09:59:${i % 60}%02d"), i.toDouble))
+      .toDF("k", "rts", "rv")
+    val joined = AsOfJoin.backward(left, right, Seq("k"), "lts", "rts",
+      Seq("rv"))
+    assert(joined.count() == 100)
+  }
+}
