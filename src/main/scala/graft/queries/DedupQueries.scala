@@ -133,6 +133,41 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // --- duplicate clusters: transitive closure over VERIFIED near-dup --
+    // pairs — rows-only. GraphX connected components turn pairwise edges
+    // into keep-one-per-group clusters (a~b, b~c ⇒ {a,b,c}); clustering
+    // runs on jaccard-verified pairs, not raw bucket collisions, so a
+    // chance LSH collision can't weld two unrelated groups together.
+    Q.noOracle("dedup_clusters") { (s, d) =>
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        array_sort(array_distinct(
+          TextOps.shingles(TextOps.tokens(col("text")), 3))).as("sh"))
+        .repartition(col("doc_id"))
+      val buckets = docs.select(col("doc_id"),
+        explode(TextOps.lshBands(
+          TextOps.minhashSignature(col("sh"), MinhashK),
+          Bands, RowsPerBand)).as("b"))
+      val cand = buckets.as("x")
+        .join(buckets.as("y"),
+          col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val verified = cand
+        .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+          "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+          "b_id")
+        .where(graft.functions.TextKernels.sorted_jaccard(
+          col("a_sh"), col("b_sh")) >= 0.5)
+        .select(col("a_id"), col("b_id"))
+      graft.operators.DedupClusters.summarize(
+        graft.operators.DedupClusters.fromPairs(s, verified, "a_id", "b_id"))
+        .select(col("cluster_id"), col("keep_id"), col("n_members"),
+          col("members").cast("string").as("members"))
+        .orderBy(col("keep_id"))
+    },
+
     // --- SimHash near-dup pairs (custom Catalyst expression) — rows-only -
     // candidate generation: 4×16-bit bands (Hamming ≤ 3 ⇒ ≥ 1 band equal)
     Q.noOracle("dedup_simhash") { (s, d) =>

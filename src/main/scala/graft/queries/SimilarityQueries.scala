@@ -35,12 +35,17 @@ object SimilarityQueries {
     },
 
     // --- distributed centroid components per label ----------------------
-    // posexplode → decimal-exact per-(label, dim) sums: the shuffle-based
-    // vector aggregation pattern (order-independent, oracle-exact).
+    // posexplode → EXACT per-(label, dim) sums: each float has a 24-bit
+    // mantissa, so v·2⁵² is an exactly-representable integer below 2⁵³ — casting it
+    // to DECIMAL(38,0) never rounds, making the sum order-independent AND
+    // engine-independent (rounding a double to a decimal scale would tie-
+    // break differently: Spark half-up vs DuckDB half-even — observed as
+    // a 1-digit mismatch at sf0.1; and Spark's double→decimal cast goes through Double.toString, which is only digit-exact below 2⁵³ — hence 2⁵², not 2⁶⁰).
     Q(
       "emb_centroid_components",
       """SELECT label, CAST(pos AS BIGINT) AS pos,
-        |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE) AS comp_sum,
+        |  CAST(SUM(CAST(CAST(v AS DOUBLE) * 4503599627370496 AS DECIMAL(38,0))) AS DOUBLE)
+        |    / 4503599627370496 AS comp_sum,
         |  COUNT(*) AS n
         |FROM (SELECT label, unnest(embedding) AS v,
         |        generate_subscripts(embedding, 1) AS pos
@@ -48,12 +53,13 @@ object SimilarityQueries {
         |GROUP BY label, pos
         |ORDER BY label NULLS FIRST, pos NULLS FIRST""".stripMargin
     ) { (s, d) =>
+      val scale = lit(4503599627370496L) // 2^52
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
         .groupBy(col("label"), (col("p") + 1).cast("long").as("pos"))
         .agg(
-          sum(col("v").cast("double").cast("decimal(28,9)")).cast("double")
-            .as("comp_sum"),
+          (sum((col("v").cast("double") * scale).cast("decimal(38,0)"))
+            .cast("double") / scale).as("comp_sum"),
           count(lit(1)).as("n"))
         .orderBy(col("label"), col("pos"))
     },
