@@ -59,19 +59,28 @@ object TokenStats {
   }
 
   def compute(text: UTF8String): InternalRow = {
-    val sep = UTF8String.fromString(" ")
-    val tokens = text.split(sep, -1)
-    val seen = new java.util.HashSet[UTF8String](tokens.length * 2)
+    // byte-walk split on 0x20 (single-byte in UTF-8, so no multi-byte
+    // sequence can contain it): no regex, no java.lang.String round
+    // trip, token views share the input's byte array. Semantics match
+    // split(text, ' '): N separators → N+1 tokens, empties included.
+    val bytes = text.getBytes
+    val seen = new java.util.HashSet[UTF8String](64)
+    var nTokens = 0L
     var stop = 0L
+    var start = 0
     var i = 0
-    while (i < tokens.length) {
-      seen.add(tokens(i))
-      if (stopwords.contains(tokens(i))) stop += 1
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
+        nTokens += 1
+        seen.add(tok)
+        if (stopwords.contains(tok)) stop += 1
+        start = i + 1
+      }
       i += 1
     }
     new GenericInternalRow(Array[Any](
-      text.numChars().toLong, tokens.length.toLong,
-      seen.size().toLong, stop))
+      text.numChars().toLong, nTokens, seen.size().toLong, stop))
   }
 
   def token_stats(text: Column): Column =

@@ -21,13 +21,23 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param rightValueCols right columns to surface, each prefixed
-    *                       `asof_` in the output (besides the key/ts). */
+    *                       `asof_` in the output (besides the key/ts).
+    *
+    * NULL semantics follow SQL join matching (and DuckDB's ASOF JOIN,
+    * the oracle): right rows with a NULL timestamp or NULL key can never
+    * match — they are dropped before the union, otherwise a NULL ts
+    * would sort first and become everyone's "earliest prior" payload,
+    * and Spark's window partitioning (which groups NULL keys) would
+    * match NULL-key rows to each other. */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
       rightValueCols: Seq[String]): DataFrame = {
     val payload = struct(
       (rightTs +: rightValueCols).map(c => col(c).as(c)): _*)
-    val taggedRight = right.select(
+    val matchableRight = right.where(
+      (col(rightTs).isNotNull +: keys.map(col(_).isNotNull))
+        .reduce(_ && _))
+    val taggedRight = matchableRight.select(
       keys.map(col) :+ col(rightTs).as("_asof_ts") :+
         lit(0).as("_asof_side") :+ payload.as("_asof_payload"): _*)
     val taggedLeft = left

@@ -23,6 +23,38 @@ object DedupQueries {
   private val Bands = 12
   private val RowsPerBand = 4
 
+  /** Jaccard-verified near-dup pairs via MinHash+LSH — the shared
+    * candidate pipeline behind `dedup_minhash_lsh` and `dedup_clusters`.
+    * Three shuffle-isolated stages (see the scaladoc at the top of this
+    * file and docs/DESIGN_NOTES.md for why the exchanges are load-
+    * bearing): shingle once per doc, bucket-join narrow columns, join
+    * shingles back and verify once per distinct pair. */
+  private def verifiedNearDupPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      array_sort(array_distinct(
+        TextOps.shingles(TextOps.tokens(col("text")), 3))).as("sh"))
+      .repartition(col("doc_id"))
+    val buckets = docs.select(col("doc_id"),
+      explode(TextOps.lshBands(
+        TextOps.minhashSignature(col("sh"), MinhashK),
+        Bands, RowsPerBand)).as("b"))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+        "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+        "b_id")
+      .select(col("a_id"), col("b_id"),
+        graft.functions.TextKernels.sorted_jaccard(
+          col("a_sh"), col("b_sh")).as("jac"))
+  }
+
   val all: Seq[Q] = Seq(
     // --- exact dedup: group identical content, keep lowest doc_id -------
     Q(
@@ -104,31 +136,8 @@ object DedupQueries {
     //  3. join candidate ids back to the shingle table, jaccard once per
     //     distinct pair, spread across the cluster.
     Q.noOracle("dedup_minhash_lsh") { (s, d) =>
-      // repartition = exchange boundary: shingles computed exactly once
-      // per doc and shipped as data, never re-derived downstream
-      val docs = Tables.documents(s, d).select(
-        col("doc_id"),
-        array_sort(array_distinct(
-          TextOps.shingles(TextOps.tokens(col("text")), 3))).as("sh"))
-        .repartition(col("doc_id"))
-      val buckets = docs.select(col("doc_id"),
-        explode(TextOps.lshBands(
-          TextOps.minhashSignature(col("sh"), MinhashK),
-          Bands, RowsPerBand)).as("b"))
-        .select(col("doc_id"), col("b"))
-      val cand = buckets.as("x")
-        .join(buckets.as("y"),
-          col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      cand
-        .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
-          "a_id")
-        .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
-          "b_id")
-        .select(col("a_id"), col("b_id"),
-          round(graft.functions.TextKernels.sorted_jaccard(
-            col("a_sh"), col("b_sh")), 6).as("jac"))
+      verifiedNearDupPairs(s, d)
+        .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
         .where(col("jac") >= 0.5)
         .orderBy(col("a_id"), col("b_id"))
     },
@@ -139,27 +148,8 @@ object DedupQueries {
     // runs on jaccard-verified pairs, not raw bucket collisions, so a
     // chance LSH collision can't weld two unrelated groups together.
     Q.noOracle("dedup_clusters") { (s, d) =>
-      val docs = Tables.documents(s, d).select(
-        col("doc_id"),
-        array_sort(array_distinct(
-          TextOps.shingles(TextOps.tokens(col("text")), 3))).as("sh"))
-        .repartition(col("doc_id"))
-      val buckets = docs.select(col("doc_id"),
-        explode(TextOps.lshBands(
-          TextOps.minhashSignature(col("sh"), MinhashK),
-          Bands, RowsPerBand)).as("b"))
-      val cand = buckets.as("x")
-        .join(buckets.as("y"),
-          col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      val verified = cand
-        .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
-          "a_id")
-        .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
-          "b_id")
-        .where(graft.functions.TextKernels.sorted_jaccard(
-          col("a_sh"), col("b_sh")) >= 0.5)
+      val verified = verifiedNearDupPairs(s, d)
+        .where(col("jac") >= 0.5)
         .select(col("a_id"), col("b_id"))
       graft.operators.DedupClusters.summarize(
         graft.operators.DedupClusters.fromPairs(s, verified, "a_id", "b_id"))

@@ -40,7 +40,12 @@ object SimilarityQueries {
     // to DECIMAL(38,0) never rounds, making the sum order-independent AND
     // engine-independent (rounding a double to a decimal scale would tie-
     // break differently: Spark half-up vs DuckDB half-even — observed as
-    // a 1-digit mismatch at sf0.1; and Spark's double→decimal cast goes through Double.toString, which is only digit-exact below 2⁵³ — hence 2⁵², not 2⁶⁰).
+    // a 1-digit mismatch at sf0.1; and Spark's double→decimal cast goes
+    // through Double.toString, which is only digit-exact below 2⁵³ —
+    // hence 2⁵², not 2⁶⁰). Exactness holds for components with
+    // 2⁻²⁹ ≤ |v| < 2 — true of unit-scale embeddings generally and this
+    // corpus specifically (observed range [8.1e-6, 0.53]); components
+    // outside it would quietly reintroduce the rounding divergence.
     Q(
       "emb_centroid_components",
       """SELECT label, CAST(pos AS BIGINT) AS pos,

@@ -12,6 +12,23 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Run `body` with whole-stage codegen off and interpreted expression
+    * eval forced, restoring the PRIOR conf values afterwards (the session
+    * is a JVM-wide singleton — hardcoding "restore" values would leak a
+    * stricter mode into unrelated suites). */
+  def withInterpretedEval[T](body: => T): T = {
+    val keys = Seq("spark.sql.codegen.wholeStage",
+      "spark.sql.codegen.factoryMode")
+    val prior = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "false")
+    spark.conf.set(keys(1), "NO_CODEGEN")
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
 
 object SparkSpec {

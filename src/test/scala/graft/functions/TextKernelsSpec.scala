@@ -37,12 +37,8 @@ class TextKernelsSpec extends SparkSpec {
       .select(TextKernels.sorted_jaccard(
         array().cast("array<string>"), array().cast("array<string>")).as("j"))
     assert(df.head().getDouble(0) == 0.0)
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    try assert(df.head().getDouble(0) == 0.0)
-    finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    withInterpretedEval {
+      assert(df.head().getDouble(0) == 0.0)
     }
   }
 

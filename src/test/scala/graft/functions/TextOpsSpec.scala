@@ -63,17 +63,10 @@ class TextOpsSpec extends SparkSpec {
     val viaCodegen = df
       .select(TextOps.simhash(TextOps.tokens(col("text"))).as("sh"))
       .head().getLong(0)
-    // force interpreted path
-    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    val viaInterp =
-      try df.select(TextOps.simhash(TextOps.tokens(col("text"))).as("sh"))
+    val viaInterp = withInterpretedEval {
+      df.select(TextOps.simhash(TextOps.tokens(col("text"))).as("sh"))
         .head().getLong(0)
-      finally {
-        spark.conf.set("spark.sql.codegen.wholeStage", prev)
-        spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-      }
+    }
     assert(viaCodegen == viaInterp)
   }
 

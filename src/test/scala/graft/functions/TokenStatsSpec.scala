@@ -12,28 +12,31 @@ class TokenStatsSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
-  test("token_stats agrees with the compositional HOF features on every field") {
+  test("token_stats ratios agree with TextOps.qualityFeatures (reference impl)") {
     val df = docs(
       (1L, "the cat and the dog"),
       (2L, "unique words only here"),
       (3L, "a a a a"),
       (4L, "x"))
-    val toks = TextOps.tokens(col("text"))
     val rows = df.select(
       col("doc_id"),
       TokenStats.token_stats(col("text")).as("k"),
-      length(col("text")).cast("long").as("ref_chars"),
-      size(toks).cast("long").as("ref_tokens"),
-      size(array_distinct(toks)).cast("long").as("ref_distinct"),
-      TextOps.occurrencesIn(toks, TextOps.EnglishStopwords).cast("long")
-        .as("ref_stops"))
+      TextOps.qualityFeatures(col("text")).as("ref"))
       .collect()
     rows.foreach { r =>
       val k = r.getStruct(1)
-      assert(k.getLong(0) == r.getLong(2), s"chars doc ${r.getLong(0)}")
-      assert(k.getLong(1) == r.getLong(3), s"tokens doc ${r.getLong(0)}")
-      assert(k.getLong(2) == r.getLong(4), s"distinct doc ${r.getLong(0)}")
-      assert(k.getLong(3) == r.getLong(5), s"stops doc ${r.getLong(0)}")
+      val ref = r.getStruct(2)
+      val id = r.getLong(0)
+      assert(k.getLong(0) == ref.getLong(0), s"n_chars doc $id")
+      assert(k.getLong(1) == ref.getLong(1), s"n_tokens doc $id")
+      assert(k.getLong(2) == ref.getLong(2), s"n_distinct doc $id")
+      // kernel-derived ratios must equal the compositional struct's
+      assert(k.getLong(2).toDouble / k.getLong(1) == ref.getDouble(3),
+        s"distinct_ratio doc $id")
+      assert((k.getLong(0) - k.getLong(1) + 1).toDouble / k.getLong(1)
+        == ref.getDouble(4), s"avg_token_len doc $id")
+      assert(k.getLong(3).toDouble / k.getLong(1) == ref.getDouble(5),
+        s"stopword_ratio doc $id")
     }
   }
 
@@ -50,12 +53,8 @@ class TokenStatsSpec extends SparkSpec {
     val df = docs((1L, "the quick brown fox the end"))
       .select(TokenStats.token_stats(col("text")).as("k"))
     val viaCodegen = df.head().getStruct(0).toString
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    try assert(df.head().getStruct(0).toString == viaCodegen)
-    finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    withInterpretedEval {
+      assert(df.head().getStruct(0).toString == viaCodegen)
     }
   }
 }

@@ -19,12 +19,8 @@ class VectorOpsSpec extends SparkSpec {
       col("a.vec_id") < col("b.vec_id"))
       .select(VectorOps.dot(col("a.embedding"), col("b.embedding")).as("d"))
     assert(pair.head().getDouble(0) == 32.0) // 4+10+18
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    try assert(pair.head().getDouble(0) == 32.0)
-    finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    withInterpretedEval {
+      assert(pair.head().getDouble(0) == 32.0)
     }
   }
 

@@ -42,6 +42,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out((3L, "2024-01-01 10:00:10.0")) == (None, None))
   }
 
+  test("NULL right timestamps/keys never match (SQL/ASOF semantics)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:05"), 1.0))
+      .toDF("k", "lts", "v")
+    val right = Seq(
+      (Some(1L), None: Option[Timestamp], 99.0),          // null ts
+      (None: Option[Long], Some(ts("2024-01-01 09:00:00")), 98.0)) // null key
+      .toDF("k", "rts", "rv")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "lts", "rts",
+      Seq("rv")).collect()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(3) && out(0).isNullAt(4),
+      "null-ts / null-key right rows must not match")
+  }
+
   test("left row count is always preserved (no fan-out, no drops)") {
     val s = spark
     import s.implicits._
