@@ -17,8 +17,8 @@ object SparkEntry {
     * dedup / similarity modules as they land). */
   def inventory: Seq[Q] =
     RefQueries.all ++ StarQueries.all ++ WindowingQueries.all ++
-      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all
+      StatsQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q5-style 6-way star join — exercises scans, broadcasts, a
