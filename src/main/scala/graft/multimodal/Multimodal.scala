@@ -45,26 +45,29 @@ final case class FrameSample(
 /** STUB decoder: deterministic fake "decode" derived from the payload
   * bytes. Replace with a real codec (JNI/javacv/...) for production. */
 object MediaDecoder {
-  def decode(bytes: Array[Byte]): (Int, Int, Int) = {
-    // ??? real decode goes here; deterministic fake below keeps the
-    // pipeline testable without codecs in the container.
-    val h = contentHash(bytes)
-    val width = 64 + (math.abs(h) % 1024).toInt
-    val height = 64 + (math.abs(h >> 10) % 1024).toInt
-    val nFrames = 1 + (math.abs(h >> 20) % 16).toInt
+  /** ??? real decode goes here; the deterministic fake below (dims/frames
+    * as arithmetic on the content hash) keeps the pipeline testable
+    * without codecs in the container. */
+  def decode(h: Long): (Int, Int, Int) = {
+    val width = 64 + (h % 1024).toInt
+    val height = 64 + ((h >> 10) % 1024).toInt
+    val nFrames = 1 + ((h >> 20) % 16).toInt
     (width, height, nFrames)
   }
 
+  /** Content fingerprint: first 60 bits of MD5 as a non-negative long.
+    * MD5 (not a bespoke rolling hash) so the fingerprint is reproducible
+    * by any other engine from the same bytes — the property that lets an
+    * external system (or the correctness oracle) audit content identity
+    * without running this library. */
   def contentHash(bytes: Array[Byte]): Long = {
-    // FNV-1a 64-bit — cheap deterministic content fingerprint
-    var h = 0xcbf29ce484222325L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(bytes)
+    // first 15 hex chars = 60 bits → always fits a positive Long
+    var h = 0L
     var i = 0
-    while (i < bytes.length) {
-      h ^= bytes(i) & 0xffL
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
+    while (i < 8) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }
+    h >>> 4
   }
 }
 
@@ -76,9 +79,10 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition init happens HERE (codec/model load in real life)
       rows.map { r =>
-        val (w, h, frames) = MediaDecoder.decode(r.bytes)
+        val ch = MediaDecoder.contentHash(r.bytes)
+        val (w, h, frames) = MediaDecoder.decode(ch)
         MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, w, h,
-          frames, MediaDecoder.contentHash(r.bytes))
+          frames, ch)
       }
     }
   }
@@ -88,10 +92,10 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 2): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      val (_, _, frames) = MediaDecoder.decode(r.bytes)
+      val ch = MediaDecoder.contentHash(r.bytes)
+      val (_, _, frames) = MediaDecoder.decode(ch)
       (0 until frames by stride).map { i =>
-        FrameSample(r.media_id, i,
-          MediaDecoder.contentHash(r.bytes) ^ i.toLong)
+        FrameSample(r.media_id, i, ch ^ i.toLong)
       }
     }
   }

@@ -28,14 +28,46 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     },
 
-    // full decode-stub feature extraction — rows-only (stub semantics)
-    Q.noOracle("mm_features") { (s, d) =>
+    // full decode-stub feature extraction. The stub's content hash is the
+    // top 60 bits of MD5 and the fake dims are plain arithmetic on it, so
+    // the ENTIRE feature row is independently recomputable in SQL — the
+    // oracle re-derives hash, dims, and frame count from the same bytes.
+    Q(
+      "mm_features",
+      """WITH f AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT media_id, kind, n_bytes,
+        |  CAST(64 + h % 1024 AS INT) AS width,
+        |  CAST(64 + (h >> 10) % 1024 AS INT) AS height,
+        |  CAST(1 + (h >> 20) % 16 AS INT) AS n_frames,
+        |  h AS content_hash
+        |FROM f ORDER BY media_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
       Multimodal.extractFeatures(Multimodal.syntheticMedia(s, d))
         .toDF().orderBy(col("media_id"))
     },
 
-    // frame sampling: variable-length explode per media row — rows-only
-    Q.noOracle("mm_frame_samples") { (s, d) =>
+    // frame sampling: variable-length explode per media row; oracle
+    // unnests range(0, n_frames, stride) per doc and XORs the hash.
+    Q(
+      "mm_frame_samples",
+      """WITH f AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |fr AS (SELECT media_id, h,
+        |         unnest(range(0, 1 + (h >> 20) % 16, 2)) AS idx
+        |       FROM f)
+        |SELECT media_id, CAST(idx AS INT) AS frame_idx,
+        |  xor(h, idx) AS frame_hash
+        |FROM fr
+        |ORDER BY media_id NULLS FIRST, frame_idx NULLS FIRST""".stripMargin
+    ) { (s, d) =>
       Multimodal.sampleFrames(Multimodal.syntheticMedia(s, d))
         .toDF().orderBy(col("media_id"), col("frame_idx"))
     }

@@ -41,11 +41,17 @@ object StatsQueries {
     },
 
     // --- approximate quantiles (mergeable sketch) — rows-only ------------
+    // (GK-sketch values are algorithm-specific, not oracle-comparable;
+    // scalar columns — an array column breaks the driver's row-hash)
     Q.noOracle("q_value_percentiles_approx") { (s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(expr("percentile_approx(value, array(0.5, 0.9, 0.99), 10000)")
-          .as("approx_quantiles"))
+          .as("aq"))
+        .select(col("event_type"),
+          round(element_at(col("aq"), 1), 6).as("p50_approx"),
+          round(element_at(col("aq"), 2), 6).as("p90_approx"),
+          round(element_at(col("aq"), 3), 6).as("p99_approx"))
         .orderBy(col("event_type"))
     },
 
@@ -68,14 +74,37 @@ object StatsQueries {
         .orderBy(col("bucket"))
     },
 
-    // --- stratified sample: fixed fraction per event_type — rows-only ----
-    // (seeded & deterministic per value, but the hash draw is
-    // Spark-specific, so no cross-engine oracle)
-    Q.noOracle("q_stratified_sample") { (s, d) =>
-      val fractions = Map("click" -> 0.1, "view" -> 0.1,
-        "purchase" -> 0.5, "signup" -> 0.5, "error" -> 0.02)
+    // --- stratified sample: fixed fraction per event_type ----------------
+    // Deterministic multiplicative-hash draw (Knuth 2654435761 mod 2³²)
+    // instead of `stat.sampleBy`: same reproducible per-row decision,
+    // but engine-independent arithmetic → oracle-checkable, and at scale
+    // the draw recomputes identically on retries/backfills (no RNG state).
+    // Per-stratum thresholds are floor(fraction · 2³²) integer compares —
+    // no float division in the hot filter. (Test-data event_id < 2³¹ keeps
+    // the product far from Long overflow; a production variant would
+    // xxhash64 the id first for the same contract.)
+    Q(
+      "q_stratified_sample",
+      """SELECT event_type, COUNT(*) AS sampled_n
+        |FROM events
+        |WHERE (event_id * 2654435761) % 4294967296 <
+        |  CASE event_type
+        |    WHEN 'click' THEN 429496729 WHEN 'view' THEN 429496729
+        |    WHEN 'purchase' THEN 2147483648 WHEN 'signup' THEN 2147483648
+        |    WHEN 'error' THEN 85899345 END
+        |GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val strata = Seq("click" -> 429496729L, "view" -> 429496729L,
+        "purchase" -> 2147483648L, "signup" -> 2147483648L,
+        "error" -> 85899345L)
+      val thr = strata.foldLeft(lit(null).cast("long")) {
+        case (acc, (k, v)) => when(col("event_type") === k, lit(v))
+          .otherwise(acc)
+      }
+      val draw = pmod(col("event_id") * lit(2654435761L), lit(4294967296L))
       Tables.events(s, d)
-        .stat.sampleBy("event_type", fractions, seed = 42L)
+        .where(draw < thr)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("sampled_n"))
         .orderBy(col("event_type"))

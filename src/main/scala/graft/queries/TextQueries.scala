@@ -84,8 +84,28 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
-    // --- language-ID heuristic (stopword-profile argmax) — rows-only ----
-    Q.noOracle("text_langid") { (s, d) =>
+    // --- language-ID heuristic (stopword-profile argmax) ----------------
+    // Oracle is generated from the SAME LangProfiles wordlists: per-lang
+    // score = stopword-hit rate, argmax via list_max over (score, lang)
+    // structs — DuckDB's struct compare is lexicographic like Spark's
+    // array_max, so ties break identically (max lang name). The score is
+    // one integer division → bit-identical doubles on both sides.
+    Q(
+      "text_langid", {
+        val structs = TextOps.LangProfiles.map { case (lang, words) =>
+          val wl = words.map("'" + _ + "'").mkString("[", ",", "]")
+          s"""struct_pack(score := CAST(len(list_filter(string_split(text, ' '),
+             |      t -> list_contains($wl, t))) AS DOUBLE)
+             |      / len(string_split(text, ' ')), lang := '$lang')""".stripMargin
+        }.mkString(",\n    ")
+        s"""SELECT doc_id, labeled_lang,
+           |  best.lang AS pred_lang, ROUND(best.score, 6) AS score
+           |FROM (SELECT doc_id, lang AS labeled_lang, list_max([
+           |    $structs]) AS best
+           |  FROM documents)
+           |ORDER BY doc_id NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang").as("labeled_lang"),
           TextOps.langId(col("text")).as("pred"))

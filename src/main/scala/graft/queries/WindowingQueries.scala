@@ -34,11 +34,35 @@ object WindowingQueries {
         .orderBy(col("window_start"))
     },
 
-    // --- session window: gap-based batch sessionization — rows-only ------
-    // (session_window has no concise DuckDB equivalent)
-    Q.noOracle("q_session_window") { (s, d) =>
+    // --- session window: gap-based batch sessionization ------------------
+    // Oracle reimplements the gap rule from first principles (lag → break
+    // flag → running session id): a new session starts when the gap to
+    // the previous event EXCEEDS 10 min — session_window's merge is
+    // gap-inclusive (an event at exactly last+gap still merges; verified
+    // against Spark 4.1 on the test corpus, where `>=` splits one extra
+    // session). Both sides sessionize on second-truncated ts so ns-vs-µs
+    // parquet precision can't shift a boundary comparison.
+    Q(
+      "q_session_window",
+      """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts
+        |           FROM events),
+        |m AS (SELECT user_id, ts,
+        |        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                  > INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |sd AS (SELECT user_id, ts,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |       FROM m)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS n_events
+        |FROM sd GROUP BY user_id, sid
+        |ORDER BY user_id NULLS FIRST, session_start NULLS FIRST""".stripMargin
+    ) { (s, d) =>
       Tables.events(s, d)
-        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .groupBy(col("user_id"),
+          session_window(date_trunc("second", col("ts")), "10 minutes"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"),
           date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
