@@ -74,10 +74,18 @@ object VectorOps {
     * ANN candidate generation becomes a bucket equi-join, the scale path
     * for similarity search over billions of vectors. Hyperplanes are
     * deterministic (fixed seed) so bucket assignment is reproducible. */
+  /** The seeded hyperplane family behind [[lshBucket]]/[[lshTables]] —
+    * public so an external auditor (or the correctness oracle) can
+    * replay bucket assignment: the planes are plain float constants, and
+    * the sign of a sequential-fold dot product is engine-independent. */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
   def lshBucket(vec: Column, dim: Int, nBits: Int,
       seed: Long = 7L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val planes = hyperplanes(dim, nBits, seed)
     val bits = planes.zipWithIndex.map { case (plane, i) =>
       val planeCol = array(plane.map(v => lit(v)): _*).cast("array<float>")
       when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))

@@ -19,6 +19,30 @@ object SimilarityQueries {
 
   private val Dim = 64
 
+  /** Oracle-SQL fragments that replay the [[VectorOps]] kernels in
+    * DuckDB with IDENTICAL IEEE arithmetic: products of float pairs in
+    * double, summed sequentially left-to-right (list_sum), cosine as
+    * dot / (√·√) in the same operation order — so the doubles are
+    * bit-identical and survive the driver's value hash. The LSH planes
+    * are serialized as float literals (exact shortest-round-trip reprs),
+    * making bucket assignment itself cross-engine reproducible. */
+  private object Sql {
+    def floatList(p: Array[Float]): String =
+      p.map(_.toDouble.toString).mkString("CAST([", ",", "] AS FLOAT[])")
+
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(list_zip($a, $b), " +
+        s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+    def cos(a: String, b: String): String =
+      s"(${dot(a, b)} / (SQRT(${dot(a, a)}) * SQRT(${dot(b, b)})))"
+
+    def bucket(vec: String, planes: Array[Array[Float]]): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${dot(vec, floatList(p))} >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+  }
+
   val all: Seq[Q] = Seq(
     // --- per-vector L2 norm — deterministic row-local fold → oracle-able
     Q(
@@ -69,9 +93,23 @@ object SimilarityQueries {
         .orderBy(col("label"), col("pos"))
     },
 
-    // --- brute-force cosine top-k (baseline) — rows-only -----------------
+    // --- brute-force cosine top-k (baseline) -----------------------------
     // query set: vec_id < 10 (broadcast side); corpus scanned once.
-    Q.noOracle("emb_knn_brute") { (s, d) =>
+    // Oracle replays the exact cosine fold + (cos DESC, vec_id) ranking.
+    Q(
+      "emb_knn_brute",
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |           FROM embeddings WHERE vec_id < 10),
+         |s AS (SELECT q_id, vec_id,
+         |        ROUND(${Sql.cos("q_vec", "embedding")}, 6) AS cos
+         |      FROM embeddings CROSS JOIN q WHERE vec_id <> q_id)
+         |SELECT q_id, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |         ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |FROM s
+         |QUALIFY rank <= 5
+         |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+    ) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val queries = broadcast(
         emb.where(col("vec_id") < 10)
@@ -87,12 +125,40 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     },
 
-    // --- LSH-bucketed ANN (scale path) — rows-only -----------------------
+    // --- LSH-bucketed ANN (scale path) -----------------------------------
     // multi-table random-hyperplane keys (6 bits × 8 tables): candidates
     // share ANY table's bucket with the query; top-3 by exact cosine over
     // the deduped candidate set. Bits tune bucket size (corpus/2^bits per
     // table), tables tune recall — the two independent knobs at scale.
-    Q.noOracle("emb_knn_lsh") { (s, d) =>
+    // Oracle rebuilds all 8 bucket keys from the serialized planes.
+    Q(
+      "emb_knn_lsh", {
+        val tables = (0 until 8).map { t =>
+          val planes = VectorOps.hyperplanes(Dim, 6, 7L + 1000L * t)
+          s"struct_pack(tbl := $t, bucket := ${Sql.bucket("embedding", planes)})"
+        }.mkString(",\n    ")
+        s"""WITH b AS (SELECT vec_id, embedding, unnest([
+           |    $tables]) AS tb
+           |  FROM embeddings),
+           |x AS (SELECT vec_id, embedding, tb.tbl AS tbl, tb.bucket AS bucket
+           |      FROM b),
+           |q AS (SELECT vec_id AS q_id, tbl, bucket FROM x WHERE vec_id < 10),
+           |cand AS (SELECT DISTINCT q.q_id, c.vec_id
+           |         FROM x c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+           |           AND c.vec_id <> q.q_id),
+           |s AS (SELECT cand.q_id, cand.vec_id,
+           |        ROUND(${Sql.cos("qe.embedding", "ce.embedding")}, 6) AS cos
+           |      FROM cand
+           |        JOIN embeddings qe ON qe.vec_id = cand.q_id
+           |        JOIN embeddings ce ON ce.vec_id = cand.vec_id)
+           |SELECT q_id, vec_id, cos,
+           |  CAST(row_number() OVER (PARTITION BY q_id
+           |         ORDER BY cos DESC, vec_id) AS INT) AS rank
+           |FROM s
+           |QUALIFY rank <= 3
+           |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) =>
       val emb = Tables.embeddings(s, d).withColumn("t",
         explode(VectorOps.lshTables(col("embedding"), Dim,
           nBits = 6, nTables = 8)))
@@ -113,10 +179,25 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     },
 
-    // --- embedding-cosine near-duplicate pairs — rows-only ---------------
+    // --- embedding-cosine near-duplicate pairs ---------------------------
     // same LSH bucketing, self-join, high-threshold filter: the
-    // embedding-space analogue of MinHash dedup.
-    Q.noOracle("dedup_embedding_cosine") { (s, d) =>
+    // embedding-space analogue of MinHash dedup. Oracle replays the
+    // 8-bit bucket key from the serialized planes, then the exact cosine.
+    Q(
+      "dedup_embedding_cosine", {
+        val planes = VectorOps.hyperplanes(Dim, 8, 7L)
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |    ${Sql.bucket("embedding", planes)} AS bucket
+           |  FROM embeddings)
+           |SELECT * FROM (
+           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |    ROUND(${Sql.cos("a.embedding", "b.embedding")}, 6) AS cos
+           |  FROM e a JOIN e b
+           |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |WHERE cos >= 0.4
+           |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .withColumn("bucket",
           VectorOps.lshBucket(col("embedding"), Dim, nBits = 8))
