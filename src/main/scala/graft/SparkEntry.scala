@@ -16,9 +16,9 @@ object SparkEntry {
   /** Full inventory: reference-parity + star-schema extensions (+ text /
     * dedup / similarity modules as they land). */
   def inventory: Seq[Q] =
-    RefQueries.all ++ StarQueries.all ++ WindowingQueries.all ++
-      StatsQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ MultimodalQueries.all
+    RefQueries.all ++ StarQueries.all ++ TpchQueries.all ++
+      WindowingQueries.all ++ StatsQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q5-style 6-way star join — exercises scans, broadcasts, a
