@@ -73,7 +73,81 @@ case class SortedJaccard(left: Expression, right: Expression)
       newRight: Expression): SortedJaccard = copy(newLeft, newRight)
 }
 
+/** Sorted, distinct word-n-gram shingle set in ONE compiled pass.
+  * The compositional formulation — `array_sort(array_distinct(
+  * transform(sequence(...), i -> concat_ws(' ', slice(toks, i, n)))))` —
+  * runs every lambda through interpreted eval: measured 2.0 s of a 2.4 s
+  * dedup query at sf0.1 (5k docs) was just building shingle arrays. This
+  * kernel is the same semantics (docs shorter than n collapse to one
+  * whole-doc shingle) at array-copy speed. */
+case class SortedShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sorted_shingles requires array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.sortedShingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.sortedShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SortedShingles = copy(child = newChild)
+}
+
 object TextKernels {
+
+  private val Space = UTF8String.fromString(" ")
+
+  def sortedShingles(tokens: ArrayData, n: Int): ArrayData = {
+    val nt = tokens.numElements()
+    val count = if (nt < n) 1 else nt - n + 1
+    val window = if (nt < n) nt else n
+    val out = new Array[UTF8String](count)
+    val parts = new Array[UTF8String](window)
+    var i = 0
+    while (i < count) {
+      var j = 0
+      while (j < window) {
+        val t = tokens.getUTF8String(i + j)
+        parts(j) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    java.util.Arrays.sort(out.asInstanceOf[Array[AnyRef]])
+    // dedup in place over the sorted run
+    var w = 0
+    i = 0
+    while (i < count) {
+      if (w == 0 || out(i).compareTo(out(w - 1)) != 0) {
+        out(w) = out(i); w += 1
+      }
+      i += 1
+    }
+    val res: Array[Any] =
+      if (w == count) out.asInstanceOf[Array[Any]]
+      else {
+        val trimmed = new Array[Any](w)
+        System.arraycopy(out, 0, trimmed, 0, w)
+        trimmed
+      }
+    new GenericArrayData(res)
+  }
+
+  def sorted_shingles(tokens: Column, n: Int): Column =
+    column(SortedShingles(expression(tokens), n))
 
   def minhashSig(tokens: ArrayData, k: Int): ArrayData = {
     val mins = new Array[Long](k)

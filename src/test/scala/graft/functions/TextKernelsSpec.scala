@@ -58,4 +58,32 @@ class TextKernelsSpec extends SparkSpec {
     assert(est(1L, 3L) > 0.6, s"near est ${est(1L, 3L)}")
     assert(est(1L, 4L) < 0.15, s"far est ${est(1L, 4L)}")
   }
+
+  test("sorted_shingles equals array_sort(array_distinct(shingles))") {
+    val df = docs(
+      (1L, "a b c d e a b c"),   // repeated trigram → dedup
+      (2L, "x y"),               // shorter than n → whole-doc shingle
+      (3L, "one"),               // single token
+      (4L, "t t t t"))           // all-equal tokens → one distinct shingle
+    val toks = split(col("text"), " ")
+    val rows = df.select(
+      TextKernels.sorted_shingles(toks, 3).as("fast"),
+      array_sort(array_distinct(TextOps.shingles(toks, 3))).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"kernel ${r.getSeq[String](0)} != HOF ${r.getSeq[String](1)}")
+    }
+    // n=1 degenerates to the sorted distinct token set
+    val uni = df.select(
+      TextKernels.sorted_shingles(toks, 1).as("fast"),
+      array_sort(array_distinct(toks)).as("ref")).collect()
+    uni.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // interpreted path matches codegen
+    withInterpretedEval {
+      val r = df.where(col("doc_id") === 1)
+        .select(TextKernels.sorted_shingles(toks, 3)).head()
+      assert(r.getSeq[String](0).head == "a b c")
+    }
+  }
 }
