@@ -74,6 +74,56 @@ object StatsQueries {
         .orderBy(col("bucket"))
     },
 
+    // --- range join: event values into OVERLAPPING value bands -----------
+    // Not a width_bucket: bands [i·25, i·25+50) overlap pairwise, so a
+    // value can match two bands — a genuine interval join. Engine side
+    // goes through graft.operators.RangeJoin (bucketed equi-join
+    // decomposition: O(points + intervals·2 + matches), never the
+    // BroadcastNestedLoopJoin Spark would plan for the raw theta join);
+    // the oracle states the naive BETWEEN semantics directly.
+    Q(
+      "q_range_join_bands",
+      """WITH bands AS (SELECT i AS band_id, i * 25.0 AS lo,
+        |                 i * 25.0 + 50.0 AS hi
+        |               FROM range(0, 20) t(i))
+        |SELECT band_id, COUNT(*) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band_id
+        |ORDER BY band_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val bands = s.range(0, 20).select(col("id").as("band_id"),
+        (col("id") * 25.0).as("lo"), (col("id") * 25.0 + 50.0).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(
+          Tables.events(s, d).select(col("value"), col("user_id")),
+          bands, "value", "lo", "hi", bucketWidth = 25.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("users"))
+        .orderBy(col("band_id"))
+    },
+
+    // --- salted aggregation over a hot-key distribution ------------------
+    // event_type has ~5 values → a plain groupBy funnels each through one
+    // reducer (the classic hot-key shape at 100 TB). Engine side goes
+    // through Salting.saltedCounts: phase 1 on (key, salt-of-user_id)
+    // spreads each hot key over 16 reducers; phase 2 merges partials.
+    // Salting by the distinct column keeps count-distinct exact, so the
+    // oracle is the plain one-phase SQL.
+    Q(
+      "q_salted_type_counts",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_user_id
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      graft.operators.Salting.saltedCounts(
+          Tables.events(s, d).select(col("event_type"), col("user_id")),
+          Seq("event_type"), "user_id", nSalts = 16)
+        .orderBy(col("event_type"))
+    },
+
     // --- stratified sample: fixed fraction per event_type ----------------
     // Deterministic multiplicative-hash draw (Knuth 2654435761 mod 2³²)
     // instead of `stat.sampleBy`: same reproducible per-row decision,
