@@ -58,10 +58,15 @@ object StatsQueries {
     // --- histogram binning via width_bucket ------------------------------
     Q(
       "q_value_histogram",
-      // DuckDB 1.0 has no width_bucket; for in-range values it equals
-      // floor((v-min)/width)+1 with the same double division, so the
-      // oracle spells out the arithmetic (data range 0 < v < 500).
-      """SELECT CAST(FLOOR(value / 25.0) + 1 AS BIGINT) AS bucket,
+      // DuckDB 1.0 has no width_bucket; the oracle spells out its full
+      // contract — floor((v-min)/width)+1 with the same double division,
+      // PLUS the underflow (0) and overflow (n+1) buckets. The in-range
+      // shortcut held at sf0.01 but sf0.1 has values ≥ 500 that
+      // width_bucket clamps into bucket 21 while a bare floor keeps
+      // counting upward — range-edge semantics are part of the operator.
+      """SELECT CAST(CASE WHEN value < 0 THEN 0
+        |            WHEN value >= 500 THEN 21
+        |            ELSE FLOOR(value / 25.0) + 1 END AS BIGINT) AS bucket,
         |  COUNT(*) AS n
         |FROM events
         |GROUP BY bucket
