@@ -41,6 +41,13 @@ object SimilarityQueries {
       planes.zipWithIndex.map { case (p, i) =>
         s"(CASE WHEN ${dot(vec, floatList(p))} >= 0 THEN ${1L << i} ELSE 0 END)"
       }.mkString("(", " + ", ")")
+
+    /** Squared L2 between a float[] and a double[] — subtraction/square
+      * per slot in double, sequential sum (same fold as the Spark side's
+      * zip_with + aggregate). */
+    def l2sq(fvec: String, dvec: String): String =
+      s"list_sum(list_transform(list_zip($fvec, $dvec), " +
+        s"x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])))"
   }
 
   val all: Seq[Q] = Seq(
@@ -175,6 +182,90 @@ object SimilarityQueries {
           round(VectorOps.cosine(col("q_vec"), col("embedding")), 6)
             .as("cos"))
         .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // --- IVF ANN (inverted-file index, the other classic scale path) -----
+    // Coarse quantizer → inverted lists → probe nprobe nearest lists →
+    // exact rerank within probed lists. The quantizer here is the
+    // per-label centroid table (one pass; swap in k-means iterations at
+    // production scale — the IVF mechanics are identical); centroid
+    // components use the 2⁵² decimal trick from emb_centroid_components,
+    // so centroids, probe distances, and rerank are ALL engine-exact and
+    // the whole index pipeline hash-checks against the oracle.
+    // At 100 TB: centroids broadcast (k × dim doubles), corpus stays
+    // partitioned by list id, each query touches nprobe lists ≈
+    // nprobe/k of the corpus.
+    Q(
+      "emb_knn_ivf", {
+        val scale = "4503599627370496" // 2^52
+        s"""WITH comp AS (
+           |  SELECT label, pos,
+           |    CAST(SUM(CAST(CAST(v AS DOUBLE) * $scale AS DECIMAL(38,0))) AS DOUBLE)
+           |      / $scale / COUNT(*) AS comp
+           |  FROM (SELECT label, unnest(embedding) AS v,
+           |          generate_subscripts(embedding, 1) AS pos
+           |        FROM embeddings)
+           |  GROUP BY label, pos),
+           |cent AS (SELECT label, list(comp ORDER BY pos) AS cvec
+           |         FROM comp GROUP BY label),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_vec
+           |      FROM embeddings WHERE vec_id < 10),
+           |qd AS (SELECT q_id, label, ${Sql.l2sq("q_vec", "cvec")} AS d
+           |       FROM q CROSS JOIN cent),
+           |probe AS (SELECT q_id, label FROM (
+           |    SELECT q_id, label,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY d, label) AS pr
+           |    FROM qd) WHERE pr <= 2),
+           |cand AS (SELECT p.q_id, e.vec_id, e.embedding
+           |         FROM embeddings e JOIN probe p ON e.label = p.label
+           |         WHERE e.vec_id <> p.q_id),
+           |s AS (SELECT cand.q_id, cand.vec_id,
+           |        ROUND(${Sql.cos("q.q_vec", "cand.embedding")}, 6) AS cos
+           |      FROM cand JOIN q ON q.q_id = cand.q_id)
+           |SELECT q_id, vec_id, cos,
+           |  CAST(row_number() OVER (PARTITION BY q_id
+           |         ORDER BY cos DESC, vec_id) AS INT) AS rank
+           |FROM s
+           |QUALIFY rank <= 3
+           |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val scale = lit(4503599627370496L) // 2^52
+      // inverted-file centroids: exact per-(list, dim) means → double[]
+      val cents = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+        .groupBy(col("label"), col("p"))
+        .agg((sum((col("v").cast("double") * scale).cast("decimal(38,0)"))
+          .cast("double") / scale / count(lit(1))).as("comp"))
+        .groupBy(col("label"))
+        .agg(transform(sort_array(collect_list(struct(col("p"), col("comp")))),
+          x => x.getField("comp")).as("cvec"))
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      // probe: nprobe=2 nearest lists by squared L2 to the centroid
+      val l2sq = (f: org.apache.spark.sql.Column, g: org.apache.spark.sql.Column) =>
+        aggregate(
+          zip_with(f, g, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v)
+      val wProbe = Window.partitionBy(col("q_id"))
+        .orderBy(col("d"), col("label"))
+      val probe = queries.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("q_vec"), col("label"),
+          l2sq(col("q_vec"), col("cvec")).as("d"))
+        .withColumn("pr", row_number().over(wProbe))
+        .where(col("pr") <= 2)
+        .select(col("q_id"), col("q_vec"), col("label").as("probe_label"))
+      // exact rerank within the probed lists only
+      val wRank = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      emb.join(broadcast(probe), col("label") === col("probe_label")
+          && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(VectorOps.cosine(col("q_vec"), col("embedding")), 6).as("cos"))
+        .withColumn("rank", row_number().over(wRank))
         .where(col("rank") <= 3)
         .orderBy(col("q_id"), col("rank"))
     },
