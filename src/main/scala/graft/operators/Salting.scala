@@ -3,18 +3,23 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Skew mitigation by key salting — the two shapes AQE does NOT already
-  * cover (AQE's skew-join splits oversized sort-merge partitions; it does
-  * nothing for hash-aggregation hot keys, and nothing for joins whose
-  * build side can't broadcast).
+/** Skew mitigation by key salting — for the shapes Spark does NOT
+  * already absorb. Spark's partial (map-side) aggregation flattens hot
+  * grouping keys for algebraic aggregates by itself, and AQE splits
+  * skewed sort-merge partitions; what remains exposed is (a) holistic
+  * aggregation state that partial aggregation can't collapse —
+  * collect_* / exact percentiles / large distinct sets funneling into
+  * one reducer — and (b) joins on a skewed key whose build side can't
+  * broadcast.
   *
-  * 1. Salted two-phase aggregation: a hot grouping key funnels all its
-  *    rows through one reducer. Phase 1 aggregates on (key, salt) — the
-  *    hot key spreads over `nSalts` reducers; phase 2 merges the partials
-  *    per key. Exact for algebraic aggregates (sum/count/min/max), and
-  *    exact for count-distinct IFF the salt is derived from the distinct
-  *    column itself (equal values always land in the same salt bucket, so
-  *    per-bucket distinct sets are disjoint and their sizes sum).
+  * 1. Salted two-phase aggregation: phase 1 aggregates on (key, salt) —
+  *    a hot key's state spreads over `nSalts` reducers; phase 2 merges
+  *    the partials per key. Exact for algebraic aggregates
+  *    (sum/count/min/max), and exact for count-distinct IFF the salt is
+  *    derived from the distinct column itself (equal values always land
+  *    in the same salt bucket, so per-bucket distinct sets are disjoint
+  *    and their sizes sum — the same idea behind Spark's own distinct-
+  *    aggregate expansion, made explicit and composable here).
   *
   * 2. Salted replicated join: fact rows take a salt from a high-
   *    cardinality column; the (small but not broadcastable, or badly

@@ -50,6 +50,21 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("total_rows"),
         col("null_user_id"), col("null_event_type"))
 
+  /** Streaming exactly-once-per-id dedup — the reference's duplicate
+    * problem (~1% dup event_ids, generate_events.py:16) solved in-flight
+    * instead of by a batch groupBy afterward. `dropDuplicatesWithinWatermark`
+    * keeps one row per id and EVICTS the id from state once the watermark
+    * passes it — bounded state (ids seen within the lateness horizon),
+    * which a plain streaming dropDuplicates does not give (its key state
+    * grows forever). Duplicates arriving later than the watermark horizon
+    * are out of contract — same contract the reference's batch re-run
+    * window has. */
+  def dedupWithinWatermark(events: DataFrame, idCol: String = "event_id",
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   final case class SessionEvent(user_id: Long, ts: Timestamp)
   /** One open session interval; a user's state is ALL open intervals —
     * an interval only leaves state once the watermark proves nothing can

@@ -162,6 +162,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark: one row per id survives; state is evicted " +
+      "after the watermark passes (a re-sent id then flows through again)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "value")
+    val q = Streaming.dedupWithinWatermark(events, "event_id", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:00:30"), 1.0), // in-batch duplicate
+        (2L, ts("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:02:00"), 1.0)) // cross-batch dup
+      q.processAllAvailable()
+      assert(s.table("dedup_stream").count() == 2) // ids {1, 2} once each
+      // advance the watermark far past id 1's last occurrence → evicted;
+      // a much-later resend of the id is a NEW event by contract
+      input.addData((3L, ts("2024-01-01 12:00:00"), 3.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 12:01:00"), 9.0))
+      q.processAllAvailable()
+      val ones = s.table("dedup_stream")
+        .where(col("event_id") === 1L).count()
+      assert(ones == 2, "expected the post-eviction resend to pass through")
+    } finally q.stop()
+  }
+
   test("same transform runs in batch mode (source-agnostic)") {
     val s = spark
     import s.implicits._
