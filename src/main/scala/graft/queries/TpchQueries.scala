@@ -430,9 +430,21 @@ object TpchQueries {
     },
 
     // --- Q21 (adapted): suppliers last to ship in shared F-orders --------
-    // EXISTS → left-semi (another supplier in the order), NOT EXISTS →
-    // left-anti (nobody shipped later): equi on l_orderkey carries the
-    // shuffle; the <>/​> predicates are join residuals.
+    // The oracle states the correlated EXISTS/NOT EXISTS directly; the
+    // engine DECORRELATES both subqueries into window functions over
+    // l_orderkey — the orders join shuffles on the same key, so the
+    // windows reuse that partitioning and the whole query is ONE
+    // exchange of lineitem (the semi/anti-join formulation shuffles
+    // lineitem three times). Per row with supplier s:
+    //   EXISTS(other supplier)        ⇔ n_distinct_suppliers > 1
+    //   NOT EXISTS(other shipped later) ⇔ max(shipdate over others) ≤ own
+    // where "max over others" falls out of the argmax struct: if s is
+    // not the argmax supplier the order's max row belongs to another
+    // supplier (qualify ⇔ own = order max); if s IS the argmax supplier,
+    // compare against the max over rows of non-argmax suppliers.
+    // Shipdate ties across suppliers qualify both (tie is not "later"),
+    // which the struct tie-break preserves — spec-matched against the
+    // oracle's join semantics by the driver hash.
     Q(
       "q21_waiting_suppliers",
       """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
@@ -451,26 +463,31 @@ object TpchQueries {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name NULLS FIRST""".stripMargin
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d)
+      val w = Window.partitionBy(col("l_orderkey"))
+      val qualified = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
-      val l3 = li.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"),
-        col("l_shipdate").as("d3"))
-      li
+        // per-order filter first: the shuffle this join induces on
+        // l_orderkey is the ONE exchange the windows then reuse
         .join(Tables.orders(s, d).where(col("o_orderstatus") === "F")
           .select(col("o_orderkey")),
           col("l_orderkey") === col("o_orderkey"))
+        .withColumn("mx", max(struct(col("l_shipdate").as("d"),
+          col("l_suppkey").as("sk"))).over(w))
+        .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("other_max", max(when(col("l_suppkey") =!= col("mx.sk"),
+          col("l_shipdate"))).over(w))
+        .where(col("n_supp") > 1 &&
+          when(col("l_suppkey") === col("mx.sk"),
+            col("other_max").isNull
+              || col("other_max") <= col("l_shipdate"))
+            .otherwise(col("l_shipdate") === col("mx.d")))
+      qualified
         .join(broadcast(Tables.supplier(s, d)
           .join(broadcast(Tables.nation(s, d)
             .where(col("n_name") === "NATION_7")),
             col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"), col("s_name"))),
           col("l_suppkey") === col("s_suppkey"))
-        .join(l2, col("l_orderkey") === col("k2")
-          && col("l_suppkey") =!= col("s2"), "left_semi")
-        .join(l3, col("l_orderkey") === col("k3")
-          && col("l_suppkey") =!= col("s3")
-          && col("d3") > col("l_shipdate"), "left_anti")
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
