@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+/** Explicit Bloom-filter semi-join pruning — shrink the fact side BEFORE
+  * its shuffle when the other side of a join is selective.
+  *
+  * Spark's own runtime row-group filtering (InjectRuntimeFilter) only
+  * fires for shapes its heuristics accept; this operator is the same
+  * mechanism under user control, for pipelines that KNOW a stage is
+  * selective (e.g. "only customers in segment X survive"): one aggregate
+  * over the key side builds a BloomFilter sketch (mergeable, a few MB at
+  * tens of millions of keys), the fact scan then drops non-candidate
+  * rows before paying the exchange. False positives only (join result
+  * identical — the real join still runs after); false-negative rate is
+  * zero by construction.
+  *
+  * At 100 TB the economics: a 4 MB bloom broadcast once vs shuffling the
+  * 1-p fraction of fact rows that can't match — for a 1% selective dim
+  * filter that's ~99% of the fact exchange avoided. Keys hash through
+  * XxHash64, matching Spark's internal runtime-filter convention.
+  */
+object BloomPrune {
+
+  /** One aggregate job over the key side → serialized bloom bytes.
+    * (Driver materialization mirrors what InjectRuntimeFilter does with
+    * a scalar subquery — the build side is computed once either way.) */
+  def buildFilter(keys: DataFrame, keyCol: String,
+      expectedItems: Long = 1000000L): Option[Array[Byte]] = {
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(expression(col(keyCol)))), expectedItems)
+      .toAggregateExpression()
+    Option(keys.select(column(agg)).head().getAs[Array[Byte]](0))
+  }
+
+  /** Keep only fact rows whose key might be in the bloom. */
+  def prune(fact: DataFrame, factKey: String,
+      bloom: Option[Array[Byte]]): DataFrame = bloom match {
+    case None => fact.where(lit(false)) // empty key side ⇒ nothing joins
+    case Some(bytes) => fact.where(column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      new XxHash64(Seq(expression(col(factKey)))))))
+  }
+
+  /** Equi-join with the fact side bloom-pruned first. Result is
+    * IDENTICAL to `fact.join(keys, fact(factKey) === keys(keyCol))` —
+    * the bloom only removes rows the join would drop anyway. */
+  def prunedJoin(fact: DataFrame, keys: DataFrame, factKey: String,
+      keyCol: String, expectedItems: Long = 1000000L): DataFrame = {
+    val pruned = prune(fact, factKey,
+      buildFilter(keys, keyCol, expectedItems))
+    // name-based condition (self-join-safe); disambiguate equal names
+    val (rightKey, right) =
+      if (keyCol == factKey) (keyCol + "__bp", keys.withColumnRenamed(keyCol, keyCol + "__bp"))
+      else (keyCol, keys)
+    pruned.join(right, col(factKey) === col(rightKey))
+  }
+}
