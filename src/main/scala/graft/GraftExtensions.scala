@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashSig, SimHash, SortedJaccard, VectorDot}
+import graft.functions.{MinHashSig, SimHash, SortedJaccard, SortedShingles, VectorDot}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql("SELECT simhash(...)...")`
@@ -45,6 +45,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => SortedJaccard(a, b)
         case _ => throw new IllegalArgumentException(
           "sorted_jaccard(array<string>, array<string>)")
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_shingles"),
+      new ExpressionInfo(classOf[SortedShingles].getName, "sorted_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(arr, Literal(n: Int, _)) => SortedShingles(arr, n)
+        case _ => throw new IllegalArgumentException(
+          "sorted_shingles(array<string>, n literal int)")
       }))
 
     ext.injectFunction((

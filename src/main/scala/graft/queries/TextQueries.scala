@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextOps
@@ -13,6 +14,23 @@ import graft.functions.TextOps
   * hold unchanged at 100 TB.
   */
 object TextQueries {
+
+  /** DuckDB list literal of the English stopwords (shared by quality +
+    * langid + pipeline oracles — one source, no drift). */
+  private def stopwordsSql: String =
+    TextOps.EnglishStopwords.map("'" + _ + "'").mkString("[", ",", "]")
+
+  /** The langid argmax as a DuckDB expression over `text`, generated
+    * from the same LangProfiles the engine scores with. */
+  private def langidBestSql: String = {
+    val structs = TextOps.LangProfiles.map { case (lang, words) =>
+      val wl = words.map("'" + _ + "'").mkString("[", ",", "]")
+      s"""struct_pack(score := CAST(len(list_filter(string_split(text, ' '),
+         |      t -> list_contains($wl, t))) AS DOUBLE)
+         |      / len(string_split(text, ' ')), lang := '$lang')""".stripMargin
+    }.mkString(",\n    ")
+    s"list_max([\n    $structs])"
+  }
 
   val all: Seq[Q] = Seq(
     // --- token counting: whitespace + regex (BPE-ish pre-tokenizer) ----
@@ -91,20 +109,12 @@ object TextQueries {
     // array_max, so ties break identically (max lang name). The score is
     // one integer division → bit-identical doubles on both sides.
     Q(
-      "text_langid", {
-        val structs = TextOps.LangProfiles.map { case (lang, words) =>
-          val wl = words.map("'" + _ + "'").mkString("[", ",", "]")
-          s"""struct_pack(score := CAST(len(list_filter(string_split(text, ' '),
-             |      t -> list_contains($wl, t))) AS DOUBLE)
-             |      / len(string_split(text, ' ')), lang := '$lang')""".stripMargin
-        }.mkString(",\n    ")
-        s"""SELECT doc_id, labeled_lang,
-           |  best.lang AS pred_lang, ROUND(best.score, 6) AS score
-           |FROM (SELECT doc_id, lang AS labeled_lang, list_max([
-           |    $structs]) AS best
-           |  FROM documents)
-           |ORDER BY doc_id NULLS FIRST""".stripMargin
-      }
+      "text_langid",
+      s"""SELECT doc_id, labeled_lang,
+         |  best.lang AS pred_lang, ROUND(best.score, 6) AS score
+         |FROM (SELECT doc_id, lang AS labeled_lang, $langidBestSql AS best
+         |  FROM documents)
+         |ORDER BY doc_id NULLS FIRST""".stripMargin
     ) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang").as("labeled_lang"),
@@ -123,6 +133,56 @@ object TextQueries {
     ) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- the composite: a full curation pass over the corpus -------------
+    // What the library exists for, as ONE declarative plan: score every
+    // doc (one-pass TokenStats kernel + langid), drop exact duplicates
+    // (keep lowest doc_id per content hash), gate on quality thresholds,
+    // and emit the manifest with a running corpus token budget. Shape at
+    // 100 TB: one scan, one narrow shuffle on the content hash, one
+    // all-reduce for the budget — no stage is O(pairs).
+    Q(
+      "pipe_curated_corpus",
+      s"""WITH scored AS (
+         |  SELECT doc_id, md5(text) AS fp,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS distinct_ratio,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |        t -> list_contains($stopwordsSql, t))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS stopword_ratio,
+         |    $langidBestSql.lang AS pred_lang
+         |  FROM documents),
+         |kept AS (SELECT * FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+         |SELECT doc_id, pred_lang, n_tokens,
+         |  CAST(SUM(n_tokens) OVER () AS BIGINT) AS corpus_tokens
+         |FROM kept
+         |WHERE n_tokens >= 30 AND stopword_ratio >= 0.02
+         |  AND distinct_ratio >= 0.5
+         |ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val f = graft.functions.TokenStats.token_stats(col("text"))
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("fp"), f.as("f"),
+          TextOps.langId(col("text")).getField("lang").as("pred_lang"))
+        .select(col("doc_id"), col("fp"), col("pred_lang"),
+          col("f.n_tokens").as("n_tokens"),
+          (col("f.n_distinct").cast("double") / col("f.n_tokens"))
+            .as("distinct_ratio"),
+          (col("f.stopword_hits").cast("double") / col("f.n_tokens"))
+            .as("stopword_ratio"))
+      val keepFirst = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      scored
+        .withColumn("rn", row_number().over(keepFirst))
+        .where(col("rn") === 1)
+        .where(col("n_tokens") >= 30 && col("stopword_ratio") >= 0.02
+          && col("distinct_ratio") >= 0.5)
+        .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
+          sum(col("n_tokens")).over(Window.partitionBy())
+            .as("corpus_tokens"))
         .orderBy(col("doc_id"))
     }
   )
