@@ -86,6 +86,64 @@ object WindowingQueries {
           col("o_orderpriority").asc_nulls_first)
     },
 
+    // --- explicit GROUPING SETS (not expressible as rollup/cube) ---------
+    // the two one-dimension margins + grand total, skipping the full
+    // cross grouping — the shape reporting pipelines actually want.
+    Q(
+      "q_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST,
+          o_orderpriority ASC NULLS FIRST""")
+    },
+
+    // --- multiplicity-preserving set ops (INTERSECT/EXCEPT ALL) ----------
+    // bag semantics: per user, min(click, purchase) occurrences survive
+    // the intersect; click − purchase survive the except. Counted per
+    // user so the output is a compact, totally-ordered summary.
+    Q(
+      "q_intersect_all_users",
+      """SELECT user_id, COUNT(*) AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      ev.where(col("event_type") === "click").select(col("user_id"))
+        .intersectAll(
+          ev.where(col("event_type") === "purchase").select(col("user_id")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    },
+
+    Q(
+      "q_except_all_users",
+      """SELECT user_id, COUNT(*) AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |GROUP BY user_id
+        |ORDER BY user_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      ev.where(col("event_type") === "click").select(col("user_id"))
+        .exceptAll(
+          ev.where(col("event_type") === "purchase").select(col("user_id")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    },
+
     // --- pivot: event-type counts per user (fixed pivot values) ----------
     Q(
       "q_pivot_user_events",
