@@ -65,6 +65,28 @@ object Streaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream inner join with a bounded time condition: pair each
+    * click with the same user's purchase within the following hour.
+    * BOTH sides are watermarked and the join condition bounds event-time
+    * distance — that pair of constraints is what lets Spark evict buffered
+    * rows (state stays O(users active within the horizon), not O(stream
+    * history)). Without the time-range predicate a stream-stream join
+    * must buffer forever. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+    c.join(p,
+      col("c_user") === col("p_user")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_ts"),
+        col("purchase_ts"), col("value"))
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp)
   /** One open session interval; a user's state is ALL open intervals —
     * an interval only leaves state once the watermark proves nothing can

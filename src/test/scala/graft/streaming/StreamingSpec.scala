@@ -193,6 +193,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickToPurchase: stream-stream join pairs within the hour window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val q = Streaming.clickToPurchase(
+        clicks.toDF().toDF("user_id", "ts"),
+        purchases.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("c2p")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, ts("2024-01-01 10:00:00")),
+        (2L, ts("2024-01-01 10:00:00")))
+      purchases.addData(
+        (1L, ts("2024-01-01 10:30:00"), 9.99),   // within the hour → match
+        (2L, ts("2024-01-01 12:30:00"), 5.0))    // 2.5 h later → no match
+      q.processAllAvailable()
+      // advance both watermarks so results are final (distinct users so
+      // the advancer rows cannot join each other)
+      clicks.addData((98L, ts("2024-01-01 15:00:00")))
+      purchases.addData((99L, ts("2024-01-01 15:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = s.table("c2p")
+        .select("user_id", "value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows == Set((1L, 9.99)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("same transform runs in batch mode (source-agnostic)") {
     val s = spark
     import s.implicits._
