@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -142,6 +143,89 @@ object WindowingQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("user_id"))
+    },
+
+    // --- the rest of the window-function battery --------------------------
+    // lag/lead (navigation), ntile (equi-depth bucketing), percent_rank
+    // (relative position) over one per-customer ordering; percent_rank is
+    // (rank-1)/(n-1) of identical longs → identical doubles both engines.
+    Q(
+      "q_window_funcs",
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey) OVER w AS prev_order,
+        |  lead(o_orderkey) OVER w AS next_order,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  ROUND(percent_rank() OVER w, 6) AS pr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // --- time-series resample: dense hourly spine + gap fill -------------
+    // The missing-bucket problem groupBy can't see: a spine of EVERY hour
+    // in the observed range (sequence + explode) × event types, left join
+    // of the actual hourly counts, zeros filled, plus a carry-forward of
+    // the last OBSERVED count (last ignoreNulls window) — the standard
+    // prepare-for-forecasting shape. Spine size is hours × types
+    // (computed, never shuffled wide); the one real shuffle is the
+    // hourly pre-aggregation.
+    Q(
+      "q_resample_hourly",
+      """WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+        |                  date_trunc('hour', MAX(ts)) AS hi FROM events),
+        |spine AS (SELECT t.event_type, h.hour
+        |          FROM (SELECT DISTINCT event_type FROM events) t
+        |          CROSS JOIN (SELECT unnest(generate_series(lo, hi,
+        |                        INTERVAL 1 HOUR)) AS hour FROM bounds) h),
+        |hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |             COUNT(*) AS n
+        |           FROM events GROUP BY event_type, hour)
+        |SELECT * FROM (
+        |  SELECT spine.event_type AS event_type,
+        |    strftime(spine.hour, '%Y-%m-%d %H:%M') AS hour,
+        |    CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n,
+        |    CAST(last_value(hourly.n IGNORE NULLS) OVER (
+        |      PARTITION BY spine.event_type ORDER BY spine.hour
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS last_observed
+        |  FROM spine LEFT JOIN hourly
+        |    ON spine.event_type = hourly.event_type
+        |    AND spine.hour = hourly.hour)
+        |ORDER BY event_type NULLS FIRST, hour NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val spine = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 HOUR"))).as("hour"))))
+      val hourly = ev
+        .groupBy(col("event_type").as("h_type"),
+          date_trunc("hour", col("ts")).as("h_hour"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, col("event_type") === col("h_type")
+          && col("hour") === col("h_hour"), "left")
+        .select(col("event_type"),
+          col("hour"), col("n"))
+        .select(col("event_type"),
+          date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("n"), ignoreNulls = true).over(w).as("last_observed"))
+        .orderBy(col("event_type"), col("hour"))
     },
 
     // --- pivot: event-type counts per user (fixed pivot values) ----------
