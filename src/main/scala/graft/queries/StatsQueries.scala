@@ -108,6 +108,34 @@ object StatsQueries {
         .orderBy(col("band_id"))
     },
 
+    // --- typed Aggregator: exact weighted mean ---------------------------
+    // The Dataset-API custom aggregate (expressions.Aggregator via udaf):
+    // quantity weighted by price, accumulated as integer cents so the
+    // buffer merge is associative/order-independent — correct under
+    // partial aggregation and AQE at any partitioning. The oracle states
+    // the same integer-exact arithmetic; the final long→double division
+    // is bit-identical on both sides.
+    Q(
+      "q_weighted_mean_qty",
+      """SELECT l_returnflag,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * 100 AS BIGINT)
+        |                 * CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * 100 AS BIGINT)) AS BIGINT)
+        |    AS w_mean_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val wm = udaf(new graft.functions.TypedAggregators.WeightedMean,
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaDouble))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(wm(col("l_quantity"), col("l_extendedprice")).as("w_mean_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // --- salted aggregation over a hot-key distribution ------------------
     // event_type has ~5 values → a plain groupBy funnels each through one
     // reducer (the classic hot-key shape at 100 TB). Engine side goes
