@@ -4,19 +4,23 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join: for each left row, the single latest right row
-  * with `rightTs <= leftTs` within the same key group — the time-series
-  * join Spark has no built-in for.
+/** As-of joins: for each left row, the single latest right row with
+  * `rightTs <= leftTs` (backward) or earliest with `rightTs >= leftTs`
+  * (forward) within the same key group — the time-series joins Spark
+  * has no built-in for.
   *
   * Implementation follows build-brief preference (a) — compose built-in
   * operators — rather than a custom LogicalPlan: both sides are tagged
-  * and unioned, then a single `last(..., ignoreNulls)` carry-forward
-  * window per key delivers the match. Cost: ONE shuffle on the key +
-  * one sort per partition, independent of time-range width; a naive
-  * range join (`l.key = r.key AND r.ts <= l.ts` + max) explodes to
-  * O(|L|·|R|/keys) intermediate rows, which at 100 TB is the difference
-  * between a working plan and an OOM. Equal timestamps match (inclusive
-  * `<=`): right rows sort before left rows at the same instant.
+  * and unioned, then a single `last(..., ignoreNulls)` carry window per
+  * key delivers the match (carry-forward over ascending time for
+  * backward; the same carry over DESCENDING time is the forward
+  * variant). Cost: ONE shuffle on the key + one sort per partition,
+  * independent of time-range width; a naive range join
+  * (`l.key = r.key AND r.ts <= l.ts` + max) explodes to O(|L|·|R|/keys)
+  * intermediate rows, which at 100 TB is the difference between a
+  * working plan and an OOM. Equal timestamps match (inclusive bounds):
+  * right rows sort before left rows at the same instant in both
+  * directions.
   */
 object AsOfJoin {
 
@@ -31,7 +35,20 @@ object AsOfJoin {
     * match NULL-key rows to each other. */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
-      rightValueCols: Seq[String]): DataFrame = {
+      rightValueCols: Seq[String]): DataFrame =
+    asof(left, right, keys, leftTs, rightTs, rightValueCols,
+      forwardDir = false)
+
+  /** Earliest right row with `rightTs >= leftTs` per key (inclusive). */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      rightValueCols: Seq[String]): DataFrame =
+    asof(left, right, keys, leftTs, rightTs, rightValueCols,
+      forwardDir = true)
+
+  private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      rightValueCols: Seq[String], forwardDir: Boolean): DataFrame = {
     val payload = struct(
       (rightTs +: rightValueCols).map(c => col(c).as(c)): _*)
     val matchableRight = right.where(
@@ -48,8 +65,9 @@ object AsOfJoin {
 
     val unioned = taggedLeft.unionByName(taggedRight,
       allowMissingColumns = true)
+    val tsOrd = if (forwardDir) col("_asof_ts").desc else col("_asof_ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_asof_ts"), col("_asof_side"))
+      .orderBy(tsOrd, col("_asof_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = unioned

@@ -282,6 +282,43 @@ object WindowingQueries {
         .orderBy(col("event_id"))
     },
 
+    // --- forward as-of join: each purchase → the user's NEXT signup ------
+    // (at-or-after, inclusive). Engine: AsOfJoin.forward (the same
+    // one-shuffle union+carry window, over descending time); oracle: a
+    // correlated MIN subquery — an independent statement of the
+    // semantics (DuckDB's native ASOF is backward-only).
+    Q(
+      "q_asof_next_signup",
+      """WITH p AS (SELECT event_id, user_id,
+        |             date_trunc('second', ts) AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     s AS (SELECT DISTINCT user_id,
+        |             date_trunc('second', ts) AS s_ts
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime((SELECT MIN(s.s_ts) FROM s
+        |            WHERE s.user_id = p.user_id AND s.s_ts >= p.p_ts),
+        |           '%Y-%m-%d %H:%M:%S') AS asof_signup_ts
+        |FROM p
+        |ORDER BY event_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("p_ts"))
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), date_trunc("second", col("ts")).as("s_ts"))
+        .distinct()
+      graft.operators.AsOfJoin
+        .forward(purchases, signups, Seq("user_id"), "p_ts", "s_ts", Nil)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          date_format(col("asof_s_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("asof_signup_ts"))
+        .orderBy(col("event_id"))
+    },
+
     // --- from_json: schema-full JSON parsing of props --------------------
     Q(
       "q_from_json_props",

@@ -42,6 +42,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out((3L, "2024-01-01 10:00:10.0")) == (None, None))
   }
 
+  test("forward as-of: earliest right row at-or-after each left row, per key") {
+    val s = spark
+    import s.implicits._
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), 100.0),
+      (1L, ts("2024-01-01 10:00:35"), 101.0), // after the last quote
+      (2L, ts("2024-01-01 10:00:10"), 50.0),  // equal ts → inclusive match
+      (3L, ts("2024-01-01 10:00:10"), 7.0)    // key with no quotes
+    ).toDF("sym", "trade_ts", "px")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 99.5),  // before — must not match
+      (1L, ts("2024-01-01 10:00:10"), 100.5),
+      (1L, ts("2024-01-01 10:00:30"), 102.0),
+      (2L, ts("2024-01-01 10:00:10"), 49.9)
+    ).toDF("sym", "quote_ts", "bid")
+
+    val out = AsOfJoin.forward(trades, quotes, Seq("sym"),
+      "trade_ts", "quote_ts", Seq("bid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString) ->
+        (Option(r.getTimestamp(3)).map(_.toString), Option(r.get(4))))
+      .toMap
+
+    assert(out((1L, "2024-01-01 10:00:05.0")) ==
+      (Some("2024-01-01 10:00:10.0"), Some(100.5)))
+    // nothing at-or-after → nulls, row preserved
+    assert(out((1L, "2024-01-01 10:00:35.0")) == (None, None))
+    // equal timestamp is inclusive
+    assert(out((2L, "2024-01-01 10:00:10.0")) ==
+      (Some("2024-01-01 10:00:10.0"), Some(49.9)))
+    assert(out((3L, "2024-01-01 10:00:10.0")) == (None, None))
+  }
+
   test("NULL right timestamps/keys never match (SQL/ASOF semantics)") {
     val s = spark
     import s.implicits._
