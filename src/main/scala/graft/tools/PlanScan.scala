@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-line-per-query plan hygiene scan over the ENTIRE inventory:
+  * flags nested-loop / cartesian joins (allowed only where a tiny
+  * broadcast spine is intentional) so a regression can't hide in a
+  * query nobody explains by hand. */
+object PlanScan {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // Queries where a nested-loop join against a TINY broadcast side is
+    // the intended plan (the broadcast is O(1)–O(10) rows, so the "loop"
+    // is a constant factor, not a scale hazard):
+    val expected = Map(
+      "q22_global_sales" -> "1-row scalar subquery joined on >",
+      "q_resample_hourly" -> "1-row bounds row exploded into the spine",
+      "emb_knn_brute" -> "10-row query set vs corpus IS the brute baseline",
+      "emb_knn_ivf" -> "10-row query set x k centroids probe")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.inventory.foreach { q =>
+      try {
+        val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
+        val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+        val cart = plan.linesIterator.count(_.contains("CartesianProduct"))
+        if (bnlj + cart > 0) {
+          if (expected.contains(q.name))
+            println(s"OK   ${q.name}: ${expected(q.name)}")
+          else
+            println(s"FLAG ${q.name}: bnlj=$bnlj cartesian=$cart")
+        }
+      } catch {
+        case e: Throwable => println(s"ERR ${q.name}: ${e.getMessage.take(80)}")
+      }
+    }
+    println("scan done")
+    spark.stop()
+  }
+}
