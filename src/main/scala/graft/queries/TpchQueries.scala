@@ -525,6 +525,59 @@ object TpchQueries {
         .orderBy(col("c_nationkey"))
     },
 
+    // --- full outer join: both-sides-unmatched survive -------------------
+    // negative-balance customers ⊔ big-order counts: unmatched rows on
+    // BOTH sides flow through with nulls; the coalesced key is total.
+    Q(
+      "q_full_outer_audit",
+      """SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |  c_acctbal, n_big
+        |FROM (SELECT c_custkey, c_acctbal FROM customer
+        |      WHERE c_acctbal < 0) c
+        |FULL OUTER JOIN
+        |  (SELECT o_custkey, COUNT(*) AS n_big FROM orders
+        |   WHERE o_totalprice > 400000 GROUP BY o_custkey) b
+        |ON c_custkey = o_custkey
+        |ORDER BY custkey NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val negCust = Tables.customer(s, d)
+        .where(col("c_acctbal") < 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val big = Tables.orders(s, d)
+        .where(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_big"))
+      negCust.join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_acctbal"), col("n_big"))
+        .orderBy(col("custkey"))
+    },
+
+    // --- null-safe equality join (<=> / IS NOT DISTINCT FROM) ------------
+    // events.user_id is nullable; the NULL group must join the NULL
+    // group (plain = drops it silently — a real bug class in DQ joins).
+    Q(
+      "q_nullsafe_join",
+      """SELECT a.user_id, a.n_click, b.n_err
+        |FROM (SELECT user_id, COUNT(*) AS n_click FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id) a
+        |JOIN (SELECT user_id, COUNT(*) AS n_err FROM events
+        |      WHERE event_type = 'error' GROUP BY user_id) b
+        |ON a.user_id IS NOT DISTINCT FROM b.user_id
+        |ORDER BY a.user_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_click"))
+      val errs = ev.where(col("event_type") === "error")
+        .groupBy(col("user_id").as("b_user_id"))
+        .agg(count(lit(1)).as("n_err"))
+      clicks.join(errs, col("user_id") <=> col("b_user_id"))
+        .select(col("user_id"), col("n_click"), col("n_err"))
+        .orderBy(col("user_id"))
+    },
+
     // --- Q2 (adapted): best-balance supplier per part in a region --------
     // supply relation derives from lineitem (no partsupp); per-part argmax
     // via window rank over (s_acctbal DESC, s_suppkey) — deterministic.
