@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Small-file compaction for partitioned parquet — the operational debt
@@ -10,23 +10,51 @@ import org.apache.spark.sql.SparkSession
   * million-task stages.
   *
   * [[compactPartition]] rewrites one partition directory into
-  * ⌈bytes / targetBytes⌉ files. Safety follows the curated-zone
-  * idempotency playbook (same guarantees as [[CuratedWriter]]):
-  * write the compacted copy to a sibling temp dir first, then swap —
-  * a crash mid-compaction leaves the original intact (at worst a stale
-  * temp dir to GC), and re-running converges to the same layout.
+  * ⌈bytes / targetBytes⌉ files. Failure contract: the compacted copy is
+  * written to a sibling temp dir first, then swapped in via
+  * rename-original-to-backup → rename-temp-to-dir → delete-backup, so
+  * every crash point leaves the partition's data in exactly one of the
+  * three sibling dirs and [[compactPartition]] RE-RUN CONVERGES — entry
+  * recovery completes or rolls back a half-finished swap before doing
+  * any new work. (On HDFS each rename is atomic; on object stores
+  * "rename" is copy+delete, so the single-syscall windows here widen to
+  * copy windows — the recovery logic still converges, but readers can
+  * observe a missing dir for the duration of a copy.)
   * Partition-scoped like everything else in this io layer: compacting a
   * day never touches the table.
   */
 object Compaction {
 
+  private def tmpPath(dir: Path) =
+    new Path(dir.getParent, "_compacting_" + dir.getName)
+  private def backupPath(dir: Path) =
+    new Path(dir.getParent, "_precompact_" + dir.getName)
+
+  /** Finish or roll back a swap a previous run crashed inside of.
+    * Postcondition: `dir` holds the partition's data (new copy if the
+    * swap had gone far enough to be completed, original otherwise) and
+    * no backup dir remains. A stale temp from a crash BEFORE the swap
+    * started is left for the writer to overwrite. */
+  private def recover(fs: FileSystem, dir: Path): Unit = {
+    val (tmp, backup) = (tmpPath(dir), backupPath(dir))
+    if (fs.exists(backup)) {
+      if (!fs.exists(dir)) {
+        if (fs.exists(tmp)) fs.rename(tmp, dir) // crash between renames
+        else fs.rename(backup, dir)             // roll back to original
+      }
+      fs.delete(backup, true) // no-op if the rollback consumed it
+    } else if (!fs.exists(dir) && fs.exists(tmp)) {
+      fs.rename(tmp, dir) // legacy delete→rename crash: temp is newest
+    }
+  }
+
   /** @return number of files after compaction */
   def compactPartition(spark: SparkSession, partitionDir: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val fs = new Path(partitionDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(partitionDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(fs, dir)
     val dataFiles = fs.listStatus(dir)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     if (dataFiles.isEmpty) return 0
@@ -34,14 +62,15 @@ object Compaction {
     val nFiles = math.max(1, math.ceil(
       totalBytes.toDouble / targetBytes).toInt)
 
-    val tmp = new Path(dir.getParent, "_compacting_" + dir.getName)
+    val (tmp, backup) = (tmpPath(dir), backupPath(dir))
     fs.delete(tmp, true)
     spark.read.parquet(partitionDir)
       .repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    // swap: the original survives any failure before this point
-    fs.delete(dir, true)
+    // swap — original survives any failure; see recover() for each window
+    fs.rename(dir, backup)
     fs.rename(tmp, dir)
+    fs.delete(backup, true)
     fs.listStatus(dir)
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
   }

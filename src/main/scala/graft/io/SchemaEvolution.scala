@@ -27,12 +27,21 @@ object SchemaEvolution {
   def readMerged(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
 
+  /** Field names match case-INsensitively (Spark's default analyzer
+    * behavior, `spark.sql.caseSensitive=false`): a column whose name
+    * differs from the target field only in case — common across schema
+    * versions — is cast and renamed, not silently replaced by nulls.
+    * The input column is addressed by ITS OWN spelling (backtick-safe
+    * via the Column API) and aliased to the target spelling. */
   def conform(df: DataFrame, target: StructType): DataFrame = {
-    val present = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val present = df.schema.fields
+      .map(f => f.name.toLowerCase -> f)
+      .toMap // last wins on case-duplicate input names, like merge
     val cols = target.fields.map { f =>
-      present.get(f.name) match {
-        case Some(dt) if dt == f.dataType => col(f.name)
-        case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+      present.get(f.name.toLowerCase) match {
+        case Some(in) if in.dataType == f.dataType =>
+          df(in.name).as(f.name)
+        case Some(in) => df(in.name).cast(f.dataType).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     }

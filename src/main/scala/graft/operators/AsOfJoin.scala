@@ -32,7 +32,10 @@ object AsOfJoin {
     * match — they are dropped before the union, otherwise a NULL ts
     * would sort first and become everyone's "earliest prior" payload,
     * and Spark's window partitioning (which groups NULL keys) would
-    * match NULL-key rows to each other. */
+    * match NULL-key rows to each other. Left rows with a NULL
+    * timestamp survive (it is an outer join on the left) but match
+    * nothing: the window ordering pins NULLs first in BOTH directions
+    * so the carry has no payload when it reaches them. */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
       rightValueCols: Seq[String]): DataFrame =
@@ -65,7 +68,15 @@ object AsOfJoin {
 
     val unioned = taggedLeft.unionByName(taggedRight,
       allowMissingColumns = true)
-    val tsOrd = if (forwardDir) col("_asof_ts").desc else col("_asof_ts").asc
+    // NULL left timestamps must never match. Right NULL-ts rows are
+    // already filtered, so only left rows can carry a NULL _asof_ts;
+    // they must sort BEFORE every right row so the carry window has
+    // seen no payload yet. asc defaults to nulls-first, but desc
+    // defaults to nulls-LAST — which would hand a NULL-ts left row the
+    // key's earliest right row. Pin nulls-first in both directions.
+    val tsOrd =
+      if (forwardDir) col("_asof_ts").desc_nulls_first
+      else col("_asof_ts").asc_nulls_first
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrd, col("_asof_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -54,10 +54,11 @@ object BloomPrune {
       keyCol: String, expectedItems: Long = 1000000L): DataFrame = {
     val pruned = prune(fact, factKey,
       buildFilter(keys, keyCol, expectedItems))
-    // name-based condition (self-join-safe); disambiguate equal names
-    val (rightKey, right) =
-      if (keyCol == factKey) (keyCol + "__bp", keys.withColumnRenamed(keyCol, keyCol + "__bp"))
-      else (keyCol, keys)
-    pruned.join(right, col(factKey) === col(rightKey))
+    // Alias-qualified condition: bare col() would be ambiguous whenever
+    // the key side carries ANY column name that also exists on the fact
+    // side (not just keyCol == factKey). Aliasing both frames scopes
+    // resolution to the intended side regardless of name collisions.
+    pruned.as("__bp_f").join(keys.as("__bp_k"),
+      col(s"__bp_f.$factKey") === col(s"__bp_k.$keyCol"))
   }
 }

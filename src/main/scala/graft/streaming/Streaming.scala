@@ -71,9 +71,19 @@ object Streaming {
     * distance — that pair of constraints is what lets Spark evict buffered
     * rows (state stays O(users active within the horizon), not O(stream
     * history)). Without the time-range predicate a stream-stream join
-    * must buffer forever. */
+    * must buffer forever.
+    *
+    * @param pairWindow attribution window: a purchase pairs with a click
+    *                   at most this much earlier. Independent knob from
+    *                   `watermark` (lateness tolerance) — but the click
+    *                   side must buffer for `pairWindow + watermark`, so
+    *                   a watermark SHORTER than the pair window does NOT
+    *                   drop in-window matches (Spark derives the buffer
+    *                   bound from the join condition, not the watermark
+    *                   alone); it only tightens late-arrival tolerance. */
   def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      pairWindow: String = "1 hour"): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
     val p = purchases.withWatermark("ts", watermark)
@@ -82,7 +92,7 @@ object Streaming {
     c.join(p,
       col("c_user") === col("p_user")
         && col("purchase_ts") >= col("click_ts")
-        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL '$pairWindow'"))
       .select(col("c_user").as("user_id"), col("click_ts"),
         col("purchase_ts"), col("value"))
   }

@@ -48,6 +48,20 @@ class SchemaEvolutionSpec extends SparkSpec {
       && r.isNullAt(2) && r.getLong(3) == 1L)
   }
 
+  test("conform matches field names case-insensitively (Spark default)") {
+    val s = spark
+    import s.implicits._
+    // A v1 writer spelled the columns differently — Spark's analyzer
+    // would resolve these, so conform must too, not null them out.
+    val v1 = Seq((7, "a", 1)).toDF("ID", "Name", "N")
+    val out = SchemaEvolution.conform(v1, v2Schema)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "name", "score", "n"))
+    val r = out.head()
+    assert(r.getLong(0) == 7L, "ID must conform to id, not become null")
+    assert(r.getString(1) == "a")
+    assert(r.isNullAt(2) && r.getLong(3) == 1L)
+  }
+
   test("conform is idempotent and total on an already-conformed frame") {
     val s = spark
     import s.implicits._

@@ -91,6 +91,36 @@ class AsOfJoinSpec extends SparkSpec {
       "null-ts / null-key right rows must not match")
   }
 
+  test("NULL LEFT timestamps never match, in either direction") {
+    val s = spark
+    import s.implicits._
+    // Two non-null left rows bracket the null one so a sort-order bug
+    // (desc defaults to nulls-LAST) would hand the null row a payload.
+    val left = Seq(
+      (1L, Some(ts("2024-01-01 10:00:05")), 1.0),
+      (1L, None: Option[Timestamp], 2.0),
+      (1L, Some(ts("2024-01-01 10:00:25")), 3.0))
+      .toDF("k", "lts", "v")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 99.0),
+      (1L, ts("2024-01-01 10:00:30"), 98.0))
+      .toDF("k", "rts", "rv")
+
+    for (dir <- Seq("backward", "forward")) {
+      val out = (if (dir == "backward")
+        AsOfJoin.backward(left, right, Seq("k"), "lts", "rts", Seq("rv"))
+      else
+        AsOfJoin.forward(left, right, Seq("k"), "lts", "rts", Seq("rv")))
+        .collect().map(r => Option(r.get(1)).map(_.toString) ->
+          (r.isNullAt(3) && r.isNullAt(4))).toMap
+      assert(out(None), s"$dir: NULL left ts must match nothing")
+      assert(!out(Some("2024-01-01 10:00:05.0")),
+        s"$dir: non-null rows still match")
+      assert(!out(Some("2024-01-01 10:00:25.0")),
+        s"$dir: non-null rows still match")
+    }
+  }
+
   test("left row count is always preserved (no fan-out, no drops)") {
     val s = spark
     import s.implicits._

@@ -44,6 +44,20 @@ class BloomPruneSpec extends SparkSpec {
     assert(pruned.sameElements(plain))
   }
 
+  test("prunedJoin resolves colliding column names across sides") {
+    val s = spark
+    import s.implicits._
+    // Key side reuses the fact's column names — including one literally
+    // named like the fact key — which breaks bare col() resolution.
+    val ks = (0L until 10000L by 100)
+      .map(i => (i, s"dim$i", i + 1)).toDF("key", "payload", "k")
+    val out = BloomPrune.prunedJoin(fact, ks, "k", "key", 1000L)
+    assert(out.count() == 100)
+    // the join bound fact.k to keys.key (not to keys' own "k" column)
+    val cols = out.columns.count(_ == "payload")
+    assert(cols == 2, "both payload columns survive, scoped by alias")
+  }
+
   test("empty key side prunes everything") {
     val none = BloomPrune.buildFilter(keys.where(lit(false)), "key")
     assert(none.isEmpty)

@@ -224,6 +224,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickToPurchase honors a non-default pairWindow") {
+    val s = spark
+    import s.implicits._
+    // Batch mode (withWatermark is a no-op there) isolates the window
+    // arithmetic: a 2-hour attribution window must pair the purchase
+    // that the default 1-hour window rejects.
+    val clicks = Seq((1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:00:00"))).toDF("user_id", "ts")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 11:30:00"), 9.99), // 1.5 h after the click
+      (2L, ts("2024-01-01 12:30:00"), 5.0))  // 2.5 h — outside even 2 h
+      .toDF("user_id", "ts", "value")
+    val narrow = Streaming.clickToPurchase(clicks, purchases)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(narrow == Set.empty[Long], s"1h default must reject both")
+    val wide = Streaming.clickToPurchase(clicks, purchases,
+      watermark = "1 hour", pairWindow = "2 hours")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(wide == Set(1L), s"2h window must pair user 1 only, got $wide")
+  }
+
   test("same transform runs in batch mode (source-agnostic)") {
     val s = spark
     import s.implicits._
