@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   *  - partitioning: repartition on media_id upstream bounds any
   *    decoder's working set per task.
   *
-  * The decode kernel itself is a STUB — image/audio codecs are not in
-  * this container — implemented as a deterministic fake so the plumbing
-  * (schema, batching, explode of variable-length frame output) is fully
-  * testable. Swap [[MediaDecoder.decode]] for a real codec to go live.
+  * Decode kernels: the IMAGE path is REAL (`javax.imageio`, JDK-native —
+  * PNG/JPEG/GIF pixels actually parsed, see [[MediaDecoder.decodeImage]]);
+  * audio/video codecs are not in this container, so those kinds run a
+  * deterministic fake ([[MediaDecoder.fakeDecode]]) that keeps the
+  * plumbing (schema, batching, explode of variable-length frame output)
+  * fully testable. Swap the fake for a real codec to go live.
   */
 final case class MediaRow(
     media_id: Long,
@@ -42,18 +44,123 @@ final case class FrameSample(
     frame_idx: Int,
     frame_hash: Long)
 
-/** STUB decoder: deterministic fake "decode" derived from the payload
-  * bytes. Replace with a real codec (JNI/javacv/...) for production. */
+final case class ImageFeatures(
+    media_id: Long,
+    width: Int,
+    height: Int,
+    sum_r: Long,
+    sum_g: Long,
+    sum_b: Long)
+
+/** Deterministic tiny-PNG generator: dims and every pixel are pure
+  * integer arithmetic on (media_id, x, y), so an oracle that never sees
+  * the bytes can still predict exactly what a CORRECT decoder must
+  * recover from them. PNG is lossless and `TYPE_INT_RGB` carries the
+  * channels verbatim — encode→decode round-trips pixels bit-exactly. */
+object ImageGen {
+  def dims(id: Long): (Int, Int) =
+    (8 + (id % 9).toInt, 8 + ((id / 9) % 9).toInt)
+
+  /** Channel values of pixel (x, y); all terms non-negative. */
+  def rgb(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((x * 7 + y * 13 + id) % 256).toInt,
+    ((x * 3 + y * 5 + 2 * id) % 256).toInt,
+    ((x * 11 + y + 3 * id) % 256).toInt)
+
+  def png(id: Long): Array[Byte] = {
+    val (w, h) = dims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(id, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+}
+
+/** Pixel-level facts of a decoded still image: dimensions plus per-channel
+  * pixel sums. The sums are the auditable part — any other decoder (or an
+  * oracle that knows the generation rule) can recompute them, so a match
+  * proves the decode read the actual pixels, not just the header. */
+final case class ImageInfo(width: Int, height: Int,
+    sumR: Long, sumG: Long, sumB: Long)
+
+/** Media decoders. The IMAGE path is real — `javax.imageio` ships with the
+  * JDK and handles PNG/JPEG/BMP/GIF, no container dependencies needed.
+  * Audio/video codecs are NOT in this container, so those kinds fall back
+  * to [[fakeDecode]], a deterministic stand-in that keeps the pipeline
+  * plumbing (schema, batching, frame explode) testable end-to-end; swap it
+  * for a real codec (JNI/javacv/...) to go live. */
 object MediaDecoder {
-  /** ??? real decode goes here; the deterministic fake below (dims/frames
-    * as arithmetic on the content hash) keeps the pipeline testable
-    * without codecs in the container. */
-  def decode(h: Long): (Int, Int, Int) = {
+
+  private def startsWith(bytes: Array[Byte], magic: Int*): Boolean =
+    bytes.length >= magic.length &&
+      magic.zipWithIndex.forall { case (m, i) => (bytes(i) & 0xff) == m }
+
+  /** Content sniff BEFORE handing bytes to a parser: only formats whose
+    * magic we trust (PNG/JPEG/GIF). This is a safety gate, not an
+    * optimization — ImageIO's BMP probe accepts anything starting "BM",
+    * so an arbitrary binary payload could reach a parser that allocates
+    * whatever a garbage header declares. At 100 TB of untrusted payloads
+    * that is an executor-OOM vector; unknown magic → stub path instead. */
+  def looksLikeImage(bytes: Array[Byte]): Boolean =
+    startsWith(bytes, 0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ||
+      startsWith(bytes, 0xff, 0xd8, 0xff) ||
+      startsWith(bytes, 'G', 'I', 'F', '8')
+
+  /** Real still-image decode: full pixel pass, not just a header sniff.
+    * Returns None for bytes that fail the magic gate or that no
+    * registered reader parses — callers fall back to the stub path,
+    * mirroring how a production pipeline quarantines undecodable
+    * payloads instead of failing the job. */
+  def decodeImage(bytes: Array[Byte]): Option[ImageInfo] =
+    try {
+      if (!looksLikeImage(bytes)) None
+      else Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageInfo(w, h, sr, sg, sb)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** STUB for kinds whose codecs aren't in the container (audio/video):
+    * dims/frames as arithmetic on the content hash — deterministic, so
+    * the pipeline stays oracle-checkable. */
+  def fakeDecode(h: Long): (Int, Int, Int) = {
     val width = 64 + (h % 1024).toInt
     val height = 64 + ((h >> 10) % 1024).toInt
     val nFrames = 1 + ((h >> 20) % 16).toInt
     (width, height, nFrames)
   }
+
+  /** Kind dispatch: images decode for real (still image ⇒ 1 frame);
+    * everything else — including image-kind rows whose bytes no reader
+    * accepts — takes the stub path. */
+  def decode(kind: String, bytes: Array[Byte], h: Long): (Int, Int, Int) =
+    (if (kind == "image") decodeImage(bytes) else None) match {
+      case Some(info) => (info.width, info.height, 1)
+      case None => fakeDecode(h)
+    }
 
   /** Content fingerprint: first 60 bits of MD5 as a non-negative long.
     * MD5 (not a bespoke rolling hash) so the fingerprint is reproducible
@@ -80,7 +187,7 @@ object Multimodal {
       // per-partition init happens HERE (codec/model load in real life)
       rows.map { r =>
         val ch = MediaDecoder.contentHash(r.bytes)
-        val (w, h, frames) = MediaDecoder.decode(ch)
+        val (w, h, frames) = MediaDecoder.decode(r.kind, r.bytes, ch)
         MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, w, h,
           frames, ch)
       }
@@ -93,9 +200,38 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.flatMap { r =>
       val ch = MediaDecoder.contentHash(r.bytes)
-      val (_, _, frames) = MediaDecoder.decode(ch)
+      val (_, _, frames) = MediaDecoder.decode(r.kind, r.bytes, ch)
       (0 until frames by stride).map { i =>
         FrameSample(r.media_id, i, ch ^ i.toLong)
+      }
+    }
+  }
+
+  /** Real-PNG media table: one deterministic tiny PNG per document id,
+    * generated with [[ImageGen]]. The payloads are REAL image bytes —
+    * [[MediaDecoder.decodeImage]] must parse actual pixels to recover
+    * the dims/channel-sums an oracle derives independently from the
+    * generation rule. Encoding runs per-partition (mapPartitions shape,
+    * same contract a real fetch-and-decode stage has). */
+  def syntheticImages(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        MediaRow(id, "image", "image/png", ImageGen.png(id))))
+  }
+
+  /** Real decode over an image table: parse the payload pixels, emit
+    * oracle-auditable facts (dims + per-channel sums). Undecodable rows
+    * are quarantined (dropped) rather than failing the stage — the
+    * oracle's row-count check surfaces any unexpected loss. */
+  def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaDecoder.decodeImage(r.bytes).map(i =>
+          ImageFeatures(r.media_id, i.width, i.height,
+            i.sumR, i.sumG, i.sumB))
       }
     }
   }

@@ -52,6 +52,34 @@ object MultimodalQueries {
         .toDF().orderBy(col("media_id"))
     },
 
+    // REAL image decode, end-to-end: Spark encodes a deterministic tiny
+    // PNG per doc (ImageGen), then MediaDecoder parses the actual bytes
+    // back — dims AND per-channel pixel sums. The oracle never sees the
+    // bytes; it recomputes the same facts from the generation rule, so a
+    // hash match proves the decoder read real pixels (a header sniff or
+    // stub could not produce the channel sums).
+    Q(
+      "mm_image_decode",
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(8 + doc_id % 9 AS INT) AS width,
+        |    CAST(8 + (doc_id // 9) % 9 AS INT) AS height
+        |  FROM documents),
+        |xs AS (SELECT media_id, width, height,
+        |         unnest(range(0, width)) AS x FROM d),
+        |px AS (SELECT media_id, width, height, x,
+        |         unnest(range(0, height)) AS y FROM xs)
+        |SELECT media_id, width, height,
+        |  CAST(SUM((x*7 + y*13 + media_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((x*3 + y*5 + 2*media_id) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((x*11 + y + 3*media_id) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY media_id, width, height
+        |ORDER BY media_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Multimodal.imageFeatures(Multimodal.syntheticImages(s, d))
+        .toDF().orderBy(col("media_id"))
+    },
+
     // frame sampling: variable-length explode per media row; oracle
     // unnests range(0, n_frames, stride) per doc and XORs the hash.
     Q(

@@ -38,6 +38,57 @@ class MultimodalSpec extends SparkSpec {
     assert(samples.forall(_.media_id == 1L))
   }
 
+  test("golden: ImageGen PNG round-trips through a REAL ImageIO decode") {
+    val id = 42L
+    val bytes = ImageGen.png(id)
+    // real PNG magic, decodable by any standards-compliant reader
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte)
+    val info = MediaDecoder.decodeImage(bytes)
+      .getOrElse(fail("generated PNG must decode"))
+    val (w, h) = ImageGen.dims(id)
+    assert((info.width, info.height) == (w, h))
+    // channel sums recomputed directly from the generation rule
+    val expected = (for { y <- 0 until h; x <- 0 until w }
+      yield ImageGen.rgb(id, x, y))
+      .foldLeft((0L, 0L, 0L)) { case ((r, g, b), (pr, pg, pb)) =>
+        (r + pr, g + pg, b + pb) }
+    assert((info.sumR, info.sumG, info.sumB) == expected,
+      "decode must recover exact pixel values (PNG is lossless)")
+  }
+
+  test("decodeImage quarantines non-image bytes (magic gate, no throw)") {
+    assert(MediaDecoder.decodeImage("plain text".getBytes("UTF-8")).isEmpty)
+    // "BM" prefix would reach ImageIO's BMP probe without the gate —
+    // with a garbage header that is an allocation bomb, not a decode
+    assert(MediaDecoder.decodeImage(
+      "BM garbage that is not a bitmap".getBytes("UTF-8")).isEmpty)
+    // truncated PNG: passes the magic gate, parser fails → still None
+    assert(MediaDecoder.decodeImage(ImageGen.png(7L).take(20)).isEmpty)
+  }
+
+  test("extractFeatures dispatches image-kind rows to the real decoder") {
+    val s = spark
+    import s.implicits._
+    val id = 11L
+    val ds = s.createDataset(Seq(
+      MediaRow(id, "image", "image/png", ImageGen.png(id)),
+      MediaRow(12L, "audio", "audio/wav", "not pixels".getBytes("UTF-8"))))
+    val feats = Multimodal.extractFeatures(ds).collect()
+      .map(f => f.media_id -> f).toMap
+    val (w, h) = ImageGen.dims(id)
+    assert((feats(id).width, feats(id).height, feats(id).n_frames)
+      == (w, h, 1), "real decode: dims from pixels, still image = 1 frame")
+    assert(feats(12L).width >= 64, "audio stays on the stub path")
+  }
+
+  test("syntheticImages + imageFeatures: distributed real decode at sf0.001") {
+    val ds = Multimodal.syntheticImages(spark, "/root/testdata/sf0.001")
+    val feats = Multimodal.imageFeatures(ds.repartition(4))
+    assert(feats.count() == 500, "every generated PNG must decode")
+    val f0 = feats.filter(_.media_id == 0L).head()
+    assert((f0.width, f0.height) == ImageGen.dims(0L))
+  }
+
   test("syntheticMedia: schema carries binary payload + kind/mime metadata") {
     val ds = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
     val schema = ds.schema
