@@ -45,6 +45,37 @@ case class VectorDot(left: Expression, right: Expression)
       newRight: Expression): VectorDot = copy(newLeft, newRight)
 }
 
+/** Squared L2 distance between a float[] vector and a double[] centroid —
+  * the k-means / IVF-probe hot kernel. Same codegen rationale as
+  * [[VectorDot]]: assignment evaluates this k times per corpus row per
+  * Lloyd iteration. Fold order matches a row-local sequential fold
+  * (subtract in double, square, left-to-right sum) so any other engine
+  * reproduces the bits. */
+case class VectorL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vector_l2sq requires array<float>, array<double>, got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.l2sqKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorOps.l2sqKernel($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VectorL2Sq = copy(newLeft, newRight)
+}
+
 object VectorOps {
 
   /** Sequential left-to-right accumulation (deterministic, matches a
@@ -62,6 +93,22 @@ object VectorOps {
 
   def dot(a: Column, b: Column): Column =
     column(VectorDot(expression(a), expression(b)))
+
+  /** Sequential (float - double)² fold; see [[VectorL2Sq]]. */
+  def l2sqKernel(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  def l2sq(a: Column, b: Column): Column =
+    column(VectorL2Sq(expression(a), expression(b)))
 
   def normL2(a: Column): Column = sqrt(dot(a, a))
 

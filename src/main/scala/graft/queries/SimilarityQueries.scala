@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.VectorOps
+import graft.operators.KMeans
 
 /** Similarity search over the `embeddings` table (`embedding` is
   * array<float>[64]).
@@ -188,39 +189,59 @@ object SimilarityQueries {
 
     // --- IVF ANN (inverted-file index, the other classic scale path) -----
     // Coarse quantizer → inverted lists → probe nprobe nearest lists →
-    // exact rerank within probed lists. The quantizer here is the
-    // per-label centroid table (one pass; swap in k-means iterations at
-    // production scale — the IVF mechanics are identical); centroid
-    // components use the 2⁵² decimal trick from emb_centroid_components,
-    // so centroids, probe distances, and rerank are ALL engine-exact and
-    // the whole index pipeline hash-checks against the oracle.
-    // At 100 TB: centroids broadcast (k × dim doubles), corpus stays
-    // partitioned by list id, each query touches nprobe lists ≈
-    // nprobe/k of the corpus.
+    // exact rerank within probed lists. The quantizer is a LEARNED
+    // k-means (KMeans.fit: deterministic md5-hash seeds + 3 Lloyd
+    // iterations with 2⁵²-exact means), so centroids, probe distances,
+    // and rerank are ALL engine-exact and the whole index pipeline —
+    // including training — hash-checks against the oracle, which replays
+    // every iteration in SQL.
+    // At 100 TB: centroids broadcast (k × dim doubles), assignment is a
+    // narrow map (no join), each query touches nprobe lists ≈ nprobe/k
+    // of the corpus.
     Q(
       "emb_knn_ivf", {
+        val (k, iters) = (8, 3)
         val scale = "4503599627370496" // 2^52
-        s"""WITH comp AS (
-           |  SELECT label, pos,
-           |    CAST(SUM(CAST(CAST(v AS DOUBLE) * $scale AS DECIMAL(38,0))) AS DOUBLE)
-           |      / $scale / COUNT(*) AS comp
-           |  FROM (SELECT label, unnest(embedding) AS v,
-           |          generate_subscripts(embedding, 1) AS pos
-           |        FROM embeddings)
-           |  GROUP BY label, pos),
-           |cent AS (SELECT label, list(comp ORDER BY pos) AS cvec
-           |         FROM comp GROUP BY label),
+        val seedCte =
+          s"""c0 AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+             |  FROM (SELECT vec_id, embedding,
+             |          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+             |        FROM embeddings ORDER BY h, vec_id LIMIT $k))""".stripMargin
+        val iterCtes = (1 to iters).map { i =>
+          s"""a$i AS (SELECT vec_id, embedding, cid FROM (
+             |    SELECT e.vec_id, e.embedding, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${Sql.l2sq("e.embedding", "c.cvec")}, c.cid) AS rn
+             |    FROM embeddings e CROSS JOIN c${i - 1} c) WHERE rn = 1),
+             |m$i AS (SELECT cid, pos,
+             |    CAST(SUM(CAST(CAST(v AS DOUBLE) * $scale AS DECIMAL(38,0))) AS DOUBLE)
+             |      / $scale / COUNT(*) AS comp
+             |  FROM (SELECT cid, unnest(embedding) AS v,
+             |          generate_subscripts(embedding, 1) AS pos FROM a$i)
+             |  GROUP BY cid, pos),
+             |c$i AS (SELECT cid, list(comp ORDER BY pos) AS cvec
+             |        FROM m$i GROUP BY cid)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $seedCte,
+           |$iterCtes,
+           |af AS (SELECT vec_id, embedding, cid FROM (
+           |    SELECT e.vec_id, e.embedding, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${Sql.l2sq("e.embedding", "c.cvec")}, c.cid) AS rn
+           |    FROM embeddings e CROSS JOIN c$iters c) WHERE rn = 1),
            |q AS (SELECT vec_id AS q_id, embedding AS q_vec
            |      FROM embeddings WHERE vec_id < 10),
-           |qd AS (SELECT q_id, label, ${Sql.l2sq("q_vec", "cvec")} AS d
-           |       FROM q CROSS JOIN cent),
-           |probe AS (SELECT q_id, label FROM (
-           |    SELECT q_id, label,
-           |      row_number() OVER (PARTITION BY q_id ORDER BY d, label) AS pr
+           |qd AS (SELECT q_id, cid, ${Sql.l2sq("q_vec", "cvec")} AS d
+           |       FROM q CROSS JOIN c$iters),
+           |probe AS (SELECT q_id, cid FROM (
+           |    SELECT q_id, cid,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS pr
            |    FROM qd) WHERE pr <= 2),
-           |cand AS (SELECT p.q_id, e.vec_id, e.embedding
-           |         FROM embeddings e JOIN probe p ON e.label = p.label
-           |         WHERE e.vec_id <> p.q_id),
+           |cand AS (SELECT p.q_id, a.vec_id, a.embedding
+           |         FROM af a JOIN probe p ON a.cid = p.cid
+           |         WHERE a.vec_id <> p.q_id),
            |s AS (SELECT cand.q_id, cand.vec_id,
            |        ROUND(${Sql.cos("q.q_vec", "cand.embedding")}, 6) AS cos
            |      FROM cand JOIN q ON q.q_id = cand.q_id)
@@ -233,35 +254,29 @@ object SimilarityQueries {
       }
     ) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val scale = lit(4503599627370496L) // 2^52
-      // inverted-file centroids: exact per-(list, dim) means → double[]
-      val cents = emb
-        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
-        .groupBy(col("label"), col("p"))
-        .agg((sum((col("v").cast("double") * scale).cast("decimal(38,0)"))
-          .cast("double") / scale / count(lit(1))).as("comp"))
-        .groupBy(col("label"))
-        .agg(transform(sort_array(collect_list(struct(col("p"), col("comp")))),
-          x => x.getField("comp")).as("cvec"))
+      // train the coarse quantizer (bounded driver state: k × dim doubles)
+      val cents = KMeans.fit(emb, k = 8, iters = 3)
+      // inverted lists: narrow assignment, no join
+      val assigned = emb.withColumn("cid",
+        KMeans.assignExpr(col("embedding"), cents))
       val queries = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      // probe: nprobe=2 nearest lists by squared L2 to the centroid
-      val l2sq = (f: org.apache.spark.sql.Column, g: org.apache.spark.sql.Column) =>
-        aggregate(
-          zip_with(f, g, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (acc, v) => acc + v)
-      val wProbe = Window.partitionBy(col("q_id"))
-        .orderBy(col("d"), col("label"))
-      val probe = queries.crossJoin(broadcast(cents))
-        .select(col("q_id"), col("q_vec"), col("label"),
-          l2sq(col("q_vec"), col("cvec")).as("d"))
-        .withColumn("pr", row_number().over(wProbe))
-        .where(col("pr") <= 2)
-        .select(col("q_id"), col("q_vec"), col("label").as("probe_label"))
+      // probe: nprobe=2 nearest centroids — array_sort of (d, cid)
+      // structs, lexicographic = (distance, id tie-break); per-row
+      // expression, no window, no shuffle
+      val probeEntries = array_sort(array(cents.map(c =>
+        struct(
+          graft.functions.VectorOps.l2sq(col("q_vec"),
+            array(c.cvec.map(lit): _*)).as("d"),
+          lit(c.cid).as("cid"))): _*))
+      val probe = queries
+        .select(col("q_id"), col("q_vec"),
+          explode(slice(probeEntries, 1, 2)).as("pc"))
+        .select(col("q_id"), col("q_vec"), col("pc.cid").as("probe_cid"))
       // exact rerank within the probed lists only
       val wRank = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id"))
-      emb.join(broadcast(probe), col("label") === col("probe_label")
+      assigned.join(broadcast(probe), col("cid") === col("probe_cid")
           && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           round(VectorOps.cosine(col("q_vec"), col("embedding")), 6).as("cos"))

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class KMeansSpec extends SparkSpec {
+
+  private def emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("fit is deterministic and produces k (or fewer) centroids") {
+    val a = KMeans.fit(emb, k = 4, iters = 2)
+    val b = KMeans.fit(emb, k = 4, iters = 2)
+    assert(a == b, "training must be bit-deterministic")
+    assert(a.nonEmpty && a.size <= 4)
+    assert(a.map(_.cid) == a.map(_.cid).sorted)
+    val dim = a.head.cvec.size
+    assert(a.forall(_.cvec.size == dim))
+  }
+
+  test("one Lloyd iteration does not increase total within-cluster cost") {
+    val e = emb
+    def cost(cents: Seq[KMeans.Centroid]): Double = {
+      val entries = array(cents.map(c =>
+        struct(graft.functions.VectorOps.l2sq(col("embedding"),
+          array(c.cvec.map(lit): _*)).as("d"), lit(c.cid).as("cid"))): _*)
+      e.select(sum(array_min(entries).getField("d")).as("c"))
+        .head().getDouble(0)
+    }
+    val it1 = KMeans.fit(e, k = 4, iters = 1)
+    val it3 = KMeans.fit(e, k = 4, iters = 3)
+    assert(cost(it3) <= cost(it1) + 1e-9,
+      "Lloyd iterations must be non-increasing in k-means cost")
+  }
+
+  test("assignExpr picks the true argmin with lower-cid tie-break") {
+    val s = spark
+    import s.implicits._
+    val cents = Seq(
+      KMeans.Centroid(0, Seq(0.0, 0.0)),
+      KMeans.Centroid(1, Seq(4.0, 0.0)),
+      KMeans.Centroid(2, Seq(4.0, 0.0))) // duplicate of 1 → tie
+    val df = Seq(
+      (1L, Seq(0.5f, 0.0f)),  // nearest 0
+      (2L, Seq(3.9f, 0.0f)),  // nearest 1 (ties with 2 → lower cid)
+      (3L, Seq(2.0f, 0.0f)))  // exact midpoint 0 vs 1: d equal → cid 0
+      .toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+      KMeans.assignExpr(col("embedding"), cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 0))
+  }
+
+  test("assignment plan is a narrow map: no exchange, no join") {
+    val assigned = emb.withColumn("cid",
+      KMeans.assignExpr(col("embedding"),
+        KMeans.fit(emb, k = 4, iters = 1)))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), "assignment must not join")
+  }
+}
