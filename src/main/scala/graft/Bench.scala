@@ -9,6 +9,12 @@ import org.apache.spark.sql.SparkSession
   * timed runs per query, AQE on, UTC. Each run materializes the full
   * result via a noop-format write — a bare `count()` would let Catalyst
   * prune projections and under-measure the query.
+  *
+  * Variance hardening (round-3 protocol tweak): when the 3 samples
+  * spread by more than 2× (max > 2·min — GC pause / scheduling noise,
+  * observed on q_session_window in the round-2 driver bench), the query
+  * is re-measured with 2 extra samples and the median of 5 is reported,
+  * so an apparent regression survives only if it is reproducible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,8 +46,12 @@ object Bench {
       val t =
         try {
           timeOnce(q.run) // warm-up: plan + code cache + page cache
-          val samples = Seq.fill(3)(timeOnce(q.run)).sorted
-          samples(1) // median
+          val s3 = Seq.fill(3)(timeOnce(q.run)).sorted
+          if (s3.last <= 2 * s3.head) s3(1) // stable → median of 3
+          else { // noisy → widen to median of 5
+            val s5 = (s3 ++ Seq.fill(2)(timeOnce(q.run))).sorted
+            s5(2)
+          }
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")

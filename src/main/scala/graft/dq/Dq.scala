@@ -132,13 +132,17 @@ object DqCheck {
 
 /** The per-run DQ report — exact field set of the reference's JSON
   * artifact (ref: raw_to_curated_events_v3_dq.py:89-106,124-126;
-  * FIXTURES.md §A.3). `failures` present only on FAIL. */
+  * FIXTURES.md §A.3). `failures` present only on FAIL; `warnings`
+  * (non-gating alerts, e.g. [[Anomaly]] volume deviations) present only
+  * when non-empty, so the emitted JSON is byte-identical to the
+  * reference's artifact whenever neither fires. */
 final case class DqReport(
     ingestionDate: String,
     rawPath: String,
     curatedPartitionPath: String,
     counters: DqCounters,
-    failures: Seq[String]) {
+    failures: Seq[String],
+    warnings: Seq[String] = Nil) {
 
   def status: String = if (failures.isEmpty) "PASS" else "FAIL"
 
@@ -160,8 +164,11 @@ final case class DqReport(
       "thresholds" -> ("{\"max_null_user_id_rate\": " + DqCheck.MaxNullUserIdRate +
         ", \"max_duplicate_event_id_rate\": " + DqCheck.MaxDupEventIdRate + "}"),
       "status" -> s(status))
-    val fields = if (failures.isEmpty) base
+    val withFailures = if (failures.isEmpty) base
       else base :+ ("failures" -> failures.map(s).mkString("[", ", ", "]"))
+    val fields = if (warnings.isEmpty) withFailures
+      else withFailures :+
+        ("warnings" -> warnings.map(s).mkString("[", ", ", "]"))
     fields.map { case (k, v) => s"  \"$k\": $v" }
       .mkString("{\n", ",\n", "\n}")
   }
@@ -169,11 +176,13 @@ final case class DqReport(
 
 object Dq {
   /** Evaluate the full gate over a batch: one aggregation pass, then the
-    * rule list. */
+    * rule list. Non-gating `warnings` (e.g. [[Anomaly.volumeWarning]])
+    * ride along into the report. */
   def run(df: DataFrame, ingestionDate: String, rawPath: String,
-      curatedPath: String): DqReport = {
+      curatedPath: String, warnings: Seq[String] = Nil): DqReport = {
     val counters = DqCounters.compute(df)
     val failures = DqCheck.all.flatMap(_.evaluate(counters))
-    DqReport(ingestionDate, rawPath, curatedPath, counters, failures)
+    DqReport(ingestionDate, rawPath, curatedPath, counters, failures,
+      warnings)
   }
 }

@@ -4,7 +4,7 @@ import java.time.LocalDate
 
 import org.apache.spark.sql.SparkSession
 
-import graft.dq.{Dq, DqReport}
+import graft.dq.{Anomaly, DqReport}
 import graft.io.{CuratedWriter, RawEvents}
 
 /** Zone layout for one pipeline deployment (SURVEY §1.1). */
@@ -57,8 +57,16 @@ object Pipeline {
       RawEvents.readPartition(spark, conf.rawBase, ingestionDate))
 
     // Counters run on the curated frame like the reference (the derived
-    // columns don't affect any counter; one scan total).
-    val report = Dq.run(df, ingestionDate, rawPath, curatedPath)
+    // columns don't affect any counter; one scan total). The volume
+    // anomaly check (roadmap item docs/design.md:166-168) reuses the
+    // counter pass's row count against the trailing curated week —
+    // footer-metadata counts only — and WARNS without gating.
+    val counters = graft.dq.DqCounters.compute(df)
+    val warnings = Anomaly.volumeWarning(spark, conf.curatedBase,
+      ingestionDate, counters.totalRows).toSeq
+    val failures = graft.dq.DqCheck.all.flatMap(_.evaluate(counters))
+    val report = DqReport(ingestionDate, rawPath, curatedPath, counters,
+      failures, warnings)
     CuratedWriter.writeSingleFile(spark, metricsPath, report.toJson)
     if (report.status == "FAIL") throw new DqFailedException(report)
 

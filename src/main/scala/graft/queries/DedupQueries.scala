@@ -54,6 +54,23 @@ object DedupQueries {
           col("a_sh"), col("b_sh")).as("jac"))
   }
 
+  /** Hard ceiling on per-source document count for the exact-pair
+    * baseline below: pairs grow as Σ n_source², so the guard bounds the
+    * pair count at ~maxDocsPerSource²/2 per source. The default admits
+    * the test corpora (≤ ~500 docs/source at sf0.1) with two orders of
+    * headroom while making the query REFUSE to run at a scale where the
+    * quadratic blowup would silently eat a cluster. */
+  private[queries] def guardQuadraticBaseline(
+      docs: org.apache.spark.sql.DataFrame,
+      maxDocsPerSource: Long = 100000L): Unit = {
+    val worst = docs.groupBy(col("source")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    require(worst <= maxDocsPerSource,
+      s"dedup_ngram_jaccard is an ORACLE BASELINE with O(n²/source) " +
+        s"pairs; largest source has $worst docs > limit $maxDocsPerSource. " +
+        s"Use dedup_minhash_lsh (the production path) at this scale.")
+  }
+
   val all: Seq[Q] = Seq(
     // --- exact dedup: group identical content, keep lowest doc_id -------
     Q(
@@ -104,6 +121,12 @@ object DedupQueries {
         |WHERE jac >= 0.8
         |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin
     ) { (s, d) =>
+      // ORACLE BASELINE, NOT THE PRODUCTION PATH: this query enumerates
+      // ALL same-source pairs — inherently O(n²/sources) — to serve as
+      // the exact ground truth the LSH path (`dedup_minhash_lsh`) is
+      // judged against. The guard refuses to run past a per-source size
+      // where the pair count would be a cluster-killer.
+      guardQuadraticBaseline(Tables.documents(s, d))
       // Pair generation is NARROW (ids + source only — column pruning
       // keeps the token arrays out of the parquet scan), so the few-key
       // source self-join and the re-spreading exchange move ~16-byte

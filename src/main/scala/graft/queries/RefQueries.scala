@@ -172,6 +172,28 @@ object RefQueries {
         .orderBy(col("event_date"))
     },
 
+    // --- volume anomaly days (roadmap docs/design.md:166-168) -----------
+    // the rolling baseline turned into an alerting signal: a day whose
+    // count deviates ±50% from its trailing week is flagged. Exercises
+    // graft.dq.Anomaly.dailyVolume, the module the pipeline's DqReport
+    // warning rides on.
+    Q(
+      "ref_anomaly_days",
+      """SELECT event_date, n, baseline,
+        |  (baseline IS NOT NULL
+        |     AND (n > baseline * 1.5 OR n < baseline * 0.5)) AS is_anomaly
+        |FROM (
+        |  SELECT event_date, n,
+        |    AVG(n) OVER (ORDER BY event_date
+        |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS baseline
+        |  FROM (SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+        |        FROM events GROUP BY event_date))
+        |ORDER BY event_date NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      graft.dq.Anomaly.dailyVolume(Tables.events(s, d))
+        .orderBy(col("event_date"))
+    },
+
     // --- JSON extraction over events.props ------------------------------
     Q(
       "ref_json_extract",

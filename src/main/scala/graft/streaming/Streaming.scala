@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -96,6 +96,27 @@ object Streaming {
       .select(col("c_user").as("user_id"), col("click_ts"),
         col("purchase_ts"), col("value"))
   }
+
+  /** Rate-source adapter: maps Spark's built-in `rate` stream
+    * (timestamp, value) into the events shape every transform above
+    * expects. Exists to PROVE source-agnosticism: the transforms are
+    * plain DataFrame→DataFrame, so the same code runs over files,
+    * MemoryStream, Kafka, or this synthetic generator — swapping the
+    * source is one `readStream` line, no transform changes
+    * (StreamingSpec runs [[windowedCounts]] and
+    * [[dedupWithinWatermark]] over it unmodified). */
+  def rateEvents(spark: SparkSession, rowsPerSecond: Int = 500): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+      .select(
+        col("timestamp").as("ts"),
+        concat(lit("ev-"), col("value")).as("event_id"),
+        element_at(
+          array(lit("click"), lit("view"), lit("purchase")),
+          (pmod(col("value"), lit(3)) + 1).cast("int")).as("event_type"),
+        pmod(col("value"), lit(50)).as("user_id"),
+        pmod(col("value"), lit(1000)).cast("double").as("value"))
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)
   /** One open session interval; a user's state is ALL open intervals —

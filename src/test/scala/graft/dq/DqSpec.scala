@@ -1,5 +1,7 @@
 package graft.dq
 
+import org.apache.spark.sql.functions.{col, to_timestamp}
+
 import graft.SparkSpec
 import graft.schema.RawEvent
 
@@ -98,5 +100,52 @@ class DqSpec extends SparkSpec {
     val fail = pass.copy(failures = Seq("event_id has nulls: 1"))
     assert(fail.toJson.contains("\"failures\": [\"event_id has nulls: 1\"]"))
     assert(fail.toJson.contains("\"status\": \"FAIL\""))
+  }
+
+  test("warnings ride the report without gating; absent when empty") {
+    val base = DqReport("2025-01-01", "raw/", "curated/",
+      DqCounters(100, 0, 0, 0, 0, 0), Nil)
+    assert(!base.toJson.contains("warnings"))
+    val warned = base.copy(warnings = Seq("row-count anomaly: 10 vs 100.0"))
+    assert(warned.status == "PASS", "a warning must NOT flip the gate")
+    assert(warned.toJson.contains(
+      "\"warnings\": [\"row-count anomaly: 10 vs 100.0\"]"))
+  }
+
+  test("dailyVolume flags only days deviating ±threshold from the trailing week") {
+    val s = spark
+    import s.implicits._
+    // 8 steady days then a 3× spike then a steady day (spike inside the
+    // next day's baseline window pulls the average up, but not past 50%)
+    val days = (1 to 8).map(d => (f"2025-01-$d%02d", 100)) ++
+      Seq(("2025-01-09", 300), ("2025-01-10", 100))
+    val events = days.flatMap { case (d, n) =>
+      (1 to n).map(i => (s"$d 12:00:00", i.toLong))
+    }.toDF("ts_s", "user_id")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("user_id"))
+    val out = Anomaly.dailyVolume(events).collect()
+      .map(r => r.getDate(0).toString -> r.getBoolean(3)).toMap
+    assert(out("2025-01-01") == false, "no baseline yet → never anomalous")
+    assert((2 to 8).forall(d => !out(f"2025-01-0$d")), "steady days pass")
+    assert(out("2025-01-09"), "3× spike must flag")
+    assert(!out("2025-01-10"), "return to normal passes (baseline 125)")
+  }
+
+  test("volumeWarning: metadata-count baseline over curated history") {
+    val s = spark
+    import s.implicits._
+    val base = tmpDir("graft-anomaly")
+    def writeDay(d: String, n: Int): Unit =
+      (1 to n).map(_.toLong).toDF("user_id").write.mode("overwrite")
+        .parquet(graft.io.RawEvents.partitionPath(base, d).stripSuffix("/"))
+    for (day <- 1 to 7) writeDay(f"2025-01-0$day", 100)
+    // in-line batch: 90 rows vs baseline 100 → fine
+    assert(Anomaly.volumeWarning(s, base, "2025-01-08", 90L).isEmpty)
+    // 300 rows vs baseline 100 → warn
+    val w = Anomaly.volumeWarning(s, base, "2025-01-08", 300L)
+    assert(w.exists(_.contains("row-count anomaly")), s"got $w")
+    // no history at all → no baseline → silent
+    assert(Anomaly.volumeWarning(s, tmpDir("graft-anomaly-empty"),
+      "2025-01-08", 300L).isEmpty)
   }
 }

@@ -245,6 +245,36 @@ class StreamingSpec extends SparkSpec {
     assert(wide == Set(1L), s"2h window must pair user 1 only, got $wide")
   }
 
+  test("same transforms run over the rate source (source-agnostic)") {
+    val s = spark
+    // Identical transform code as the MemoryStream/file tests — only the
+    // source line differs. Complete mode so windows surface without
+    // waiting for the watermark to pass wall-clock window ends.
+    val counts = Streaming.windowedCounts(
+      Streaming.rateEvents(s), "10 seconds", "5 seconds")
+    val q = counts.writeStream.format("memory").queryName("rate_wc")
+      .outputMode("complete").start()
+    val q2 = Streaming.dedupWithinWatermark(
+        Streaming.rateEvents(s), "event_id", "5 seconds")
+      .writeStream.format("memory").queryName("rate_dedup")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def n1 = s.table("rate_wc").count()
+      def n2 = s.table("rate_dedup").count()
+      while ((n1 == 0 || n2 == 0) && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      assert(n1 > 0, "windowedCounts must aggregate rate-source rows")
+      assert(n2 > 0, "dedupWithinWatermark must pass rate-source rows")
+      // the adapter delivered the full events shape through the transform
+      assert(s.table("rate_wc").columns.toSeq ==
+        Seq("window_start", "event_type", "n", "sum_value"))
+      val types = s.table("rate_wc").select("event_type").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(types.subsetOf(Set("click", "view", "purchase")))
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("same transform runs in batch mode (source-agnostic)") {
     val s = spark
     import s.implicits._
