@@ -71,6 +71,35 @@ object DedupQueries {
         s"Use dedup_minhash_lsh (the production path) at this scale.")
   }
 
+  /** DuckDB CTEs computing the EXACT jac ≥ 0.5 near-dup pair set with an
+    * inverted shingle index (unnest → self-join on shingle → common
+    * count → jac = c/(na+nb−c)) — the same integers the engine's
+    * merge-walk kernel divides, so the doubles match bit-for-bit. The
+    * index join touches only pairs sharing ≥ 1 shingle: seconds at
+    * sf0.1 where the naive all-pairs formulation takes tens of minutes.
+    *
+    * This is the ground truth the LSH path is judged against: the hash
+    * check passes iff banded recall is 1.0 on every pair above the
+    * threshold (verified at sf0.01 AND sf0.1). On a corpus with
+    * borderline pairs (jac 0.5–0.7, where 12×4 banding recall < 1) a
+    * mismatch would surface the recall gap — by design. */
+  private def exactPairCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+      |  FROM t),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |p AS (SELECT a_id, b_id, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+      |      FROM common
+      |      JOIN sz sa ON sa.doc_id = a_id
+      |      JOIN sz sb ON sb.doc_id = b_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
     // --- exact dedup: group identical content, keep lowest doc_id -------
     Q(
@@ -172,7 +201,15 @@ object DedupQueries {
     //  2. bucket join on NARROW columns only (ids + band hash), distinct;
     //  3. join candidate ids back to the shingle table, jaccard once per
     //     distinct pair, spread across the cluster.
-    Q.noOracle("dedup_minhash_lsh") { (s, d) =>
+    // Oracle = the exact pair set (see exactPairCtes): equality IS the
+    // 100%-recall check on this corpus's above-threshold pairs.
+    Q(
+      "dedup_minhash_lsh",
+      s"""WITH $exactPairCtes
+         |SELECT a_id, b_id, ROUND(jac, 6) AS jac FROM p
+         |WHERE jac >= 0.5
+         |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
       verifiedNearDupPairs(s, d)
         .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
         .where(col("jac") >= 0.5)
@@ -184,7 +221,27 @@ object DedupQueries {
     // into keep-one-per-group clusters (a~b, b~c ⇒ {a,b,c}); clustering
     // runs on jaccard-verified pairs, not raw bucket collisions, so a
     // chance LSH collision can't weld two unrelated groups together.
-    Q.noOracle("dedup_clusters") { (s, d) =>
+    // Oracle: connected components as a recursive CTE (min-label
+    // propagation over the exact pair set; UNION dedups rows so the
+    // fixpoint terminates) — GraphX's Pregel result re-derived in pure
+    // SQL, down to the members-array string rendering.
+    Q(
+      "dedup_clusters",
+      s"""WITH RECURSIVE $exactPairCtes,
+         |e AS (SELECT a_id AS u, b_id AS v FROM p WHERE jac >= 0.5
+         |      UNION ALL
+         |      SELECT b_id, a_id FROM p WHERE jac >= 0.5),
+         |cc AS (SELECT u AS node, u AS comp FROM e
+         |       UNION
+         |       SELECT e.v, cc.comp FROM cc JOIN e ON e.u = cc.node),
+         |comp AS (SELECT node AS doc_id, MIN(comp) AS cluster_id
+         |         FROM cc GROUP BY node)
+         |SELECT cluster_id, MIN(doc_id) AS keep_id,
+         |  COUNT(*) AS n_members,
+         |  CAST(list(doc_id ORDER BY doc_id) AS VARCHAR) AS members
+         |FROM comp GROUP BY cluster_id
+         |ORDER BY keep_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
       val verified = verifiedNearDupPairs(s, d)
         .where(col("jac") >= 0.5)
         .select(col("a_id"), col("b_id"))
