@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingestion and tokenization: PII redaction, benchmark
+  * decontamination, repetition signals (Gopher-style), language-balanced
+  * sampling, and sequence packing. Extension surface beyond the reference
+  * (its pipeline stops at DQ-gated curated parquet); every query is
+  * value-exact against the DuckDB oracle.
+  *
+  * Scale notes per query inline; the common theme: row-local signals are
+  * narrow projections, cross-doc steps are hash joins / combiner-friendly
+  * aggregates on keys (gram, lang, source), never all-pairs or global
+  * windows.
+  */
+object CurationQueries {
+
+  /** Regexes kept to the syntax subset Java regex and RE2 (DuckDB) parse
+    * identically — no backrefs, no lookaround. */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "555-[0-9]{3}-[0-9]{4}"
+
+  /** Deterministic PII augmentation shared by engine and oracle: the
+    * test corpus is synthetic lowercase prose with no PII, so both sides
+    * plant the same emails/phones before redacting — the regexes then
+    * exercise real matches. */
+  /** NOTE: embedded into an outer stripMargin string — no line here may
+    * begin with `|` after whitespace, or the outer strip eats it. */
+  private def augmentedSql: String =
+    """SELECT doc_id,
+      |  concat(text,
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com now')
+      |      ELSE '' END,
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN concat(' call 555-', CAST(100 + doc_id % 900 AS VARCHAR),
+      |                  '-', CAST(1000 + doc_id % 9000 AS VARCHAR))
+      |      ELSE '' END) AS aug
+      |FROM documents""".stripMargin
+
+  private def augmented(d: org.apache.spark.sql.DataFrame) =
+    d.select(col("doc_id"),
+      concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(""),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" call 555-"),
+            (lit(100) + pmod(col("doc_id"), lit(900))).cast("string"),
+            lit("-"),
+            (lit(1000) + pmod(col("doc_id"), lit(9000))).cast("string")))
+          .otherwise("")).as("aug"))
+
+  val all: Seq[Q] = Seq(
+    // --- PII detection + redaction --------------------------------------
+    // Row-local regex work, narrow projection — embarrassingly parallel.
+    // The fingerprint column proves the REDACTED text is identical
+    // across engines, not just the match counts.
+    Q(
+      "text_pii_redact",
+      s"""WITH a AS ($augmentedSql)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(aug, '$EmailRe', '<EMAIL>', 'g'),
+         |      '$PhoneRe', '<PHONE>', 'g')) AS redacted_fp
+         |FROM a ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      augmented(Tables.documents(s, d))
+        .select(col("doc_id"),
+          regexp_count(col("aug"), lit(EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("aug"), lit(PhoneRe)).cast("long").as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>")).as("redacted_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- benchmark decontamination (Dolma/FineWeb-style) ----------------
+    // Docs sharing any 5-gram with the held-out "benchmark" slice
+    // (source = src0 stands in for an eval set). Candidate generation is
+    // an inverted-index equi-join on the gram — the same
+    // never-materialize-all-pairs shape as the LSH dedup path: cost is
+    // O(grams + collisions). Distinct-ify BEFORE the join on both sides
+    // so a hot gram contributes |A|×|B| pairs of IDs, not of texts.
+    Q(
+      "pipe_contamination",
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, source,
+        |        unnest(list_distinct(CASE WHEN len(toks) < 5
+        |          THEN [array_to_string(toks, ' ')]
+        |          ELSE list_transform(range(1, len(toks) - 3),
+        |            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                 || ' ' || toks[i+3] || ' ' || toks[i+4]) END)) AS gram
+        |      FROM t),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |corpus AS (SELECT doc_id, gram FROM g WHERE source <> 'src0')
+        |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_common_5grams
+        |FROM corpus c JOIN bench b ON c.gram = b.gram
+        |GROUP BY c.doc_id
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val grams = docs.select(col("doc_id"), col("source"),
+        explode(graft.functions.TextOps.sortedShingleSet(
+          graft.functions.TextOps.tokens(col("text")), 5)).as("gram"))
+      val bench = grams.where(col("source") === "src0")
+        .select(col("gram")).distinct()
+      grams.where(col("source") =!= "src0")
+        .join(bench, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_common_5grams"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- repetition signals (Gopher §A1.1-style filters) ----------------
+    // Per-doc word and bigram duplication plus top-word dominance. One
+    // explode + combiner-friendly two-level aggregate keyed by
+    // (doc_id, word) — no windows, no joins; fractions are int/int
+    // divisions so both engines produce identical doubles.
+    Q(
+      "text_repetition_signals",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+        |wf AS (SELECT doc_id, word, COUNT(*) AS f
+        |       FROM w GROUP BY doc_id, word),
+        |agg AS (SELECT doc_id,
+        |          CAST(SUM(f) AS BIGINT) AS n_words,
+        |          CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |          CAST(MAX(f) AS BIGINT) AS top_f
+        |        FROM wf GROUP BY doc_id),
+        |bg AS (SELECT doc_id,
+        |         CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+        |         CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1]))) AS BIGINT) AS n_distinct_bigrams
+        |       FROM t WHERE len(toks) >= 2)
+        |SELECT a.doc_id, n_words,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+        |  CAST(top_f AS DOUBLE) / n_words AS top_word_frac,
+        |  1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+        |  (1.0 - CAST(n_distinct AS DOUBLE) / n_words) <= 0.9
+        |    AND CAST(top_f AS DOUBLE) / n_words <= 0.2 AS keep
+        |FROM agg a JOIN bg USING (doc_id)
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val toks = graft.functions.TextOps.tokens(col("text"))
+      val t = Tables.documents(s, d).select(col("doc_id"), toks.as("toks"))
+      val wf = t.select(col("doc_id"), explode(col("toks")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("f"))
+      val agg = wf.groupBy(col("doc_id")).agg(
+        sum(col("f")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("f")).as("top_f"))
+      val bg = t.where(size(col("toks")) >= 2).select(col("doc_id"),
+        (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+        size(array_distinct(graft.functions.TextOps.shingles(col("toks"), 2)))
+          .cast("long").as("n_distinct_bigrams"))
+      val dupWord = lit(1.0) - col("n_distinct").cast("double") / col("n_words")
+      val topWord = col("top_f").cast("double") / col("n_words")
+      agg.join(bg, "doc_id")
+        .select(col("doc_id"), col("n_words"),
+          dupWord.as("dup_word_frac"),
+          topWord.as("top_word_frac"),
+          (lit(1.0) - col("n_distinct_bigrams").cast("double")
+            / col("n_bigrams")).as("dup_bigram_frac"),
+          (dupWord <= 0.9 && topWord <= 0.2).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- language-balanced sampling -------------------------------------
+    // At most 40 docs per language, chosen by a deterministic md5 draw —
+    // the per-language quota pass that balances a multilingual corpus.
+    // One shuffle on lang; the md5 order makes the sample reproducible
+    // by any engine (same trick as q_stratified_sample).
+    Q(
+      "pipe_language_balanced",
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 40
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 40)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- sequence packing (concat-and-chunk, per shard) -----------------
+    // The GPT-style packing contract: within each source shard,
+    // documents concatenate in doc_id order and split every T=256
+    // tokens; each doc reports its token interval and the chunks it
+    // spans. A per-SOURCE running sum (partitioned window, integer
+    // arithmetic only) — production packs per shard exactly so the
+    // window never goes global.
+    Q(
+      "pipe_pack_sequences",
+      """SELECT doc_id, source, n_tokens, tok_start,
+        |  tok_start // 256 AS chunk_first,
+        |  (tok_start + n_tokens - 1) // 256 AS chunk_last
+        |FROM (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(COALESCE(SUM(len(string_split(text, ' ')))
+        |        OVER (PARTITION BY source ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS tok_start
+        |  FROM documents)
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val nTok = size(graft.functions.TextOps.tokens(col("text")))
+        .cast("long")
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), nTok.as("n_tokens"))
+        .withColumn("tok_start",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("tok_start"),
+          // integer `div`, not floor(double /): exact at any magnitude
+          expr("tok_start div 256").as("chunk_first"),
+          expr("(tok_start + n_tokens - 1) div 256").as("chunk_last"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}
