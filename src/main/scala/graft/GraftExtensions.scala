@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashSig, SimHash, SortedJaccard, SortedShingles, VectorDot}
+import graft.functions.{MinHashSig, SimHash, SortedJaccard, SortedShingles, VectorDot, VectorL2Sq}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql("SELECT simhash(...)...")`
@@ -63,6 +63,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => VectorDot(a, b)
         case _ => throw new IllegalArgumentException(
           "vector_dot(array<float>, array<float>)")
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("vector_l2sq"),
+      new ExpressionInfo(classOf[VectorL2Sq].getName, "vector_l2sq"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => VectorL2Sq(a, b)
+        case _ => throw new IllegalArgumentException(
+          "vector_l2sq(array<float>, array<double>)")
       }))
   }
 }

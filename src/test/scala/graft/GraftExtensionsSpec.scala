@@ -33,12 +33,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  size(minhash_sig(array('a','b','c'), 16)) AS k,
         |  sorted_jaccard(array('a','b','c'), array('b','c','d')) AS j,
         |  vector_dot(cast(array(1.0,2.0) as array<float>),
-        |             cast(array(3.0,4.0) as array<float>)) AS d
+        |             cast(array(3.0,4.0) as array<float>)) AS d,
+        |  vector_l2sq(cast(array(1.0,2.0) as array<float>),
+        |              cast(array(3.0,4.0) as array<double>)) AS l2
         |""".stripMargin).head()
     assert(row.getLong(0) != 0L)
     assert(row.getInt(1) == 16)
     assert(row.getDouble(2) == 0.5)
     assert(row.getDouble(3) == 11.0)
+    assert(row.getDouble(4) == 8.0) // (1-3)² + (2-4)²
   }
 
   test("SQL and Column API agree on simhash") {
