@@ -252,6 +252,51 @@ object DedupQueries {
         .orderBy(col("keep_id"))
     },
 
+    // --- incremental dedup: new batch vs existing corpus -----------------
+    // THE daily-production shape at 100 TB: dedup an incoming delta
+    // (docs with doc_id % 10 = 0 stand in for "today's batch") against
+    // the standing corpus WITHOUT re-pairing the corpus with itself.
+    // Same three-stage LSH pipeline as dedup_minhash_lsh, but the bucket
+    // join is ASYMMETRIC (new × old only) — candidate cost scales with
+    // the delta, not the corpus squared; the corpus side contributes one
+    // shingle+sign pass that an operational pipeline would persist and
+    // reuse. Oracle = exact asymmetric inverted-index pair set (same
+    // recall argument as dedup_minhash_lsh).
+    Q(
+      "dedup_incremental",
+      s"""WITH $exactPairCtes
+         |SELECT a_id, b_id, ROUND(jac, 6) AS jac FROM p
+         |WHERE jac >= 0.5
+         |  AND ((a_id % 10 = 0) <> (b_id % 10 = 0))
+         |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        (pmod(col("doc_id"), lit(10)) === 0).as("is_new"),
+        TextOps.sortedShingleSet(TextOps.tokens(col("text")), 3).as("sh"))
+        .repartition(col("doc_id"))
+      val buckets = docs.select(col("doc_id"), col("is_new"),
+        explode(TextOps.lshBands(
+          TextOps.minhashSignature(col("sh"), MinhashK),
+          Bands, RowsPerBand)).as("b"))
+      val cand = buckets.where(col("is_new")).as("x")
+        .join(buckets.where(!col("is_new")).as("y"),
+          col("x.b") === col("y.b"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+          "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+          "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(graft.functions.TextKernels.sorted_jaccard(
+            col("a_sh"), col("b_sh")), 6).as("jac"))
+        .where(col("jac") >= 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // --- SimHash near-dup pairs (custom Catalyst expression) — rows-only -
     // candidate generation: 4×16-bit bands (Hamming ≤ 3 ⇒ ≥ 1 band equal)
     Q.noOracle("dedup_simhash") { (s, d) =>

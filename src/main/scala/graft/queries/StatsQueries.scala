@@ -191,6 +191,95 @@ object StatsQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("sampled_n"))
         .orderBy(col("event_type"))
+    },
+
+    // --- one-pass column profile (the ANALYZE/DQ-dashboard operator) -----
+    // All statistics for all profiled columns come from ONE aggregate
+    // over the table (multiple exact count-distincts cost one Expand —
+    // rows × #distinct-aggs before the partial agg, the standard price
+    // of an exact profile; swap in approx_count_distinct at 100 TB for
+    // a cheaper, non-oracle-able variant). The 1-row result is reshaped
+    // to long format driver-free with explode(array(struct...)).
+    // Numeric min/max surface as DOUBLE (exact for int64 < 2^53);
+    // lexicographic min/max only for the string column — never
+    // stringify doubles across engines (formatting differs).
+    Q(
+      "ref_profile_columns",
+      """WITH a AS (SELECT
+        |  COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(event_id) AS null_event_id,
+        |  COUNT(DISTINCT event_id) AS d_event_id,
+        |  CAST(MIN(event_id) AS DOUBLE) AS min_event_id,
+        |  CAST(MAX(event_id) AS DOUBLE) AS max_event_id,
+        |  COUNT(*) - COUNT(user_id) AS null_user_id,
+        |  COUNT(DISTINCT user_id) AS d_user_id,
+        |  CAST(MIN(user_id) AS DOUBLE) AS min_user_id,
+        |  CAST(MAX(user_id) AS DOUBLE) AS max_user_id,
+        |  COUNT(*) - COUNT(value) AS null_value,
+        |  COUNT(DISTINCT value) AS d_value,
+        |  MIN(value) AS min_value,
+        |  MAX(value) AS max_value,
+        |  COUNT(*) - COUNT(event_type) AS null_event_type,
+        |  COUNT(DISTINCT event_type) AS d_event_type,
+        |  MIN(event_type) AS mins_event_type,
+        |  MAX(event_type) AS maxs_event_type
+        |  FROM events)
+        |SELECT col_name, n_rows, n_nulls, n_distinct, min_num, max_num,
+        |       min_str, max_str FROM (
+        |  SELECT 'event_id' AS col_name, n_rows,
+        |    CAST(null_event_id AS BIGINT) AS n_nulls, d_event_id AS n_distinct,
+        |    min_event_id AS min_num, max_event_id AS max_num,
+        |    NULL AS min_str, NULL AS max_str FROM a
+        |  UNION ALL
+        |  SELECT 'event_type', n_rows, CAST(null_event_type AS BIGINT),
+        |    d_event_type, NULL, NULL, mins_event_type, maxs_event_type FROM a
+        |  UNION ALL
+        |  SELECT 'user_id', n_rows, CAST(null_user_id AS BIGINT), d_user_id,
+        |    min_user_id, max_user_id, NULL, NULL FROM a
+        |  UNION ALL
+        |  SELECT 'value', n_rows, CAST(null_value AS BIGINT), d_value,
+        |    min_value, max_value, NULL, NULL FROM a)
+        |ORDER BY col_name NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val e = Tables.events(s, d)
+      val agg = e.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("event_id"))).as("null_event_id"),
+        count_distinct(col("event_id")).as("d_event_id"),
+        min(col("event_id")).cast("double").as("min_event_id"),
+        max(col("event_id")).cast("double").as("max_event_id"),
+        (count(lit(1)) - count(col("user_id"))).as("null_user_id"),
+        count_distinct(col("user_id")).as("d_user_id"),
+        min(col("user_id")).cast("double").as("min_user_id"),
+        max(col("user_id")).cast("double").as("max_user_id"),
+        (count(lit(1)) - count(col("value"))).as("null_value"),
+        count_distinct(col("value")).as("d_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        (count(lit(1)) - count(col("event_type"))).as("null_event_type"),
+        count_distinct(col("event_type")).as("d_event_type"),
+        min(col("event_type")).as("mins_event_type"),
+        max(col("event_type")).as("maxs_event_type"))
+      val nullS = lit(null).cast("string")
+      val nullD = lit(null).cast("double")
+      def p(name: String, nulls: String, dist: String,
+          minN: org.apache.spark.sql.Column, maxN: org.apache.spark.sql.Column,
+          minS: org.apache.spark.sql.Column, maxS: org.apache.spark.sql.Column) =
+        struct(lit(name).as("col_name"), col("n_rows"),
+          col(nulls).as("n_nulls"), col(dist).as("n_distinct"),
+          minN.as("min_num"), maxN.as("max_num"),
+          minS.as("min_str"), maxS.as("max_str"))
+      agg.select(explode(array(
+          p("event_id", "null_event_id", "d_event_id",
+            col("min_event_id"), col("max_event_id"), nullS, nullS),
+          p("event_type", "null_event_type", "d_event_type",
+            nullD, nullD, col("mins_event_type"), col("maxs_event_type")),
+          p("user_id", "null_user_id", "d_user_id",
+            col("min_user_id"), col("max_user_id"), nullS, nullS),
+          p("value", "null_value", "d_value",
+            col("min_value"), col("max_value"), nullS, nullS))).as("r"))
+        .select(col("r.*"))
+        .orderBy(col("col_name"))
     }
   )
 }
