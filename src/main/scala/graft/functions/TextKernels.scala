@@ -105,6 +105,47 @@ case class SortedShingles(child: Expression, n: Int)
       : SortedShingles = copy(child = newChild)
 }
 
+/** Count of tokens (occurrences, not distinct) that appear in a fixed
+  * word set. The compositional form — `size(filter(toks,
+  * array_contains(lit(words), _)))` — evaluates the lambda interpreted
+  * per token AND scans the literal array linearly per probe; this kernel
+  * is one compiled pass with an O(1) hash probe. It backs the language-ID
+  * argmax (4 profiles × every doc) and the stopword-ratio quality
+  * feature. The set is built lazily per JVM and shipped into generated
+  * code as a referenced object. */
+case class TokensInSet(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"tokens_in_set requires array<string>, got ${other.catalogString}")
+    }
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.countInSet(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", set,
+      classOf[java.util.HashSet[UTF8String]].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.countInSet($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : TokensInSet = copy(child = newChild)
+}
+
 object TextKernels {
 
   private val Space = UTF8String.fromString(" ")
@@ -190,9 +231,26 @@ object TextKernels {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** Static kernel for [[TokensInSet]] — shared by interpreted eval and
+    * generated code. */
+  def countInSet(tokens: ArrayData,
+      set: java.util.HashSet[UTF8String]): Int = {
+    val n = tokens.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i) && set.contains(tokens.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
   def minhash_sig(tokens: Column, k: Int): Column =
     column(MinHashSig(expression(tokens), k))
 
   def sorted_jaccard(a: Column, b: Column): Column =
     column(SortedJaccard(expression(a), expression(b)))
+
+  def tokens_in_set(tokens: Column, words: Seq[String]): Column =
+    column(TokensInSet(expression(tokens), words))
 }

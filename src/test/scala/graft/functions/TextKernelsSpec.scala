@@ -42,6 +42,33 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
+  test("tokens_in_set equals the compositional filter+contains form") {
+    val words = Seq("the", "a", "of", "und", "el")
+    val df = docs(
+      (1L, "the cat of a hat the"),   // repeats count as occurrences
+      (2L, "und der el the"),
+      (3L, "nothing matches here"),
+      (4L, ""))                       // single empty token
+    val out = df.select(col("doc_id"),
+        TextKernels.tokens_in_set(split(col("text"), " "), words).as("fast"),
+        size(filter(split(col("text"), " "),
+          t => array_contains(lit(words.toArray), t))).as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"mismatch for doc ${r.getLong(0)}"))
+    assert(out.find(_.getLong(0) == 1L).get.getInt(1) == 4)
+    // interpreted path agrees with codegen
+    withInterpretedEval {
+      val i = df.select(TextKernels.tokens_in_set(
+        split(col("text"), " "), words).as("c")).collect().map(_.getInt(0))
+      assert(i.toSeq == out.sortBy(_.getLong(0)).map(_.getInt(1)).toSeq)
+    }
+    // null array → null (HOF size(filter(null)) semantics)
+    val n = df.select(TextKernels.tokens_in_set(
+      lit(null).cast("array<string>"), words).as("c")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("minhash_sig: deterministic, k slots, estimator tracks jaccard") {
     val base = (1 to 30).map(i => s"s$i").mkString(" ")
     val near = (1 to 28).map(i => s"s$i").mkString(" ") + " t1 t2"
