@@ -52,6 +52,53 @@ final case class ImageFeatures(
     sum_g: Long,
     sum_b: Long)
 
+final case class AudioInfo(nSamples: Long, sampleRate: Int,
+    channels: Int, sumSamples: Long)
+
+final case class AudioFeatures(
+    media_id: Long,
+    n_samples: Long,
+    sample_rate: Int,
+    channels: Int,
+    sum_samples: Long)
+
+/** Deterministic mono 16-bit PCM WAV generator: sample i of clip `id` is
+  * pure integer arithmetic on (id, i), so an oracle that never sees the
+  * bytes predicts the sample count AND the exact sum a correct decoder
+  * must recover. The bytes are written as a raw RIFF container here and
+  * decoded through the JDK's `javax.sound.sampled` parser — generation
+  * and decode share no code, so the round-trip exercises a real codec
+  * path. */
+object AudioGen {
+  val SampleRate = 8000
+
+  def nSamples(id: Long): Int = 400 + (id % 600).toInt
+
+  /** 16-bit signed sample value; spans the full range deterministically. */
+  def sample(id: Long, i: Int): Int =
+    (((i.toLong * 31 + id * 7) % 65536) - 32768).toInt
+
+  def wav(id: Long): Array[Byte] = {
+    val n = nSamples(id)
+    val dataLen = n * 2 // mono, 16-bit
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                    // PCM
+      .putShort(1)                    // mono
+      .putInt(SampleRate)
+      .putInt(SampleRate * 2)         // byte rate
+      .putShort(2)                    // block align
+      .putShort(16)                   // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { buf.putShort(sample(id, i).toShort); i += 1 }
+    buf.array()
+  }
+}
+
 /** Deterministic tiny-PNG generator: dims and every pixel are pure
   * integer arithmetic on (media_id, x, y), so an oracle that never sees
   * the bytes can still predict exactly what a CORRECT decoder must
@@ -151,6 +198,42 @@ object MediaDecoder {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Real WAV decode via the JDK's `javax.sound.sampled` (PCM parsing
+    * ships with the JRE — no container dependencies): full sample pass
+    * summing 16-bit values, not just a header read. Magic-gated like
+    * images (RIFF....WAVE); anything else → None → stub path. */
+  def decodeAudio(bytes: Array[Byte]): Option[AudioInfo] =
+    try {
+      if (!(startsWith(bytes, 'R', 'I', 'F', 'F') && bytes.length >= 12 &&
+          bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' &&
+          bytes(11) == 'E')) None
+      else {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val channels = fmt.getChannels
+          val bytesPerSample = fmt.getSampleSizeInBits / 8
+          val frame = new Array[Byte](fmt.getFrameSize)
+          var (count, sum) = (0L, 0L)
+          var read = in.read(frame)
+          while (read == frame.length) {
+            // mono 16-bit little-endian PCM (what AudioGen emits)
+            var ch = 0
+            while (ch < channels) {
+              val lo = frame(ch * bytesPerSample) & 0xff
+              val hi = frame(ch * bytesPerSample + 1)
+              sum += (hi << 8) | lo
+              ch += 1
+            }
+            count += 1
+            read = in.read(frame)
+          }
+          Some(AudioInfo(count, fmt.getSampleRate.toInt, channels, sum))
+        } finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** STUB for kinds whose codecs aren't in the container (audio/video):
     * dims/frames as arithmetic on the content hash — deterministic, so
     * the pipeline stays oracle-checkable. */
@@ -240,6 +323,29 @@ object Multimodal {
         MediaDecoder.decodeImage(r.bytes).map(i =>
           ImageFeatures(r.media_id, i.width, i.height,
             i.sumR, i.sumG, i.sumB))
+      }
+    }
+  }
+
+  /** Real-WAV media table: one deterministic PCM clip per document id
+    * ([[AudioGen]]), decoded back through the JDK codec. */
+  def syntheticAudio(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        MediaRow(id, "audio", "audio/wav", AudioGen.wav(id))))
+  }
+
+  /** Real decode over an audio table: parse PCM samples, emit
+    * oracle-auditable facts (count, rate, channels, exact sample sum). */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaDecoder.decodeAudio(r.bytes).map(a =>
+          AudioFeatures(r.media_id, a.nSamples, a.sampleRate,
+            a.channels, a.sumSamples))
       }
     }
   }

@@ -80,6 +80,30 @@ object MultimodalQueries {
         .toDF().orderBy(col("media_id"))
     },
 
+    // REAL audio decode, same construction as mm_image_decode: a
+    // deterministic mono 16-bit PCM WAV per doc (AudioGen, raw RIFF
+    // writer), decoded back through the JDK's javax.sound parser. The
+    // oracle predicts sample count AND the exact sample sum from the
+    // generation rule — only a real PCM decode reproduces them.
+    Q(
+      "mm_audio_decode",
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(400 + doc_id % 600 AS BIGINT) AS n_samples
+        |  FROM documents),
+        |s AS (SELECT media_id, n_samples,
+        |        unnest(range(0, n_samples)) AS i FROM d)
+        |SELECT media_id, n_samples,
+        |  8000 AS sample_rate, 1 AS channels,
+        |  CAST(SUM((i*31 + media_id*7) % 65536 - 32768) AS BIGINT)
+        |    AS sum_samples
+        |FROM s GROUP BY media_id, n_samples
+        |ORDER BY media_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Multimodal.audioFeatures(Multimodal.syntheticAudio(s, d))
+        .toDF().orderBy(col("media_id"))
+    },
+
     // frame sampling: variable-length explode per media row; oracle
     // unnests range(0, n_frames, stride) per doc and XORs the hash.
     Q(

@@ -89,6 +89,37 @@ class MultimodalSpec extends SparkSpec {
     assert((f0.width, f0.height) == ImageGen.dims(0L))
   }
 
+  test("golden: AudioGen WAV round-trips through a REAL javax.sound decode") {
+    val id = 123L
+    val bytes = AudioGen.wav(id)
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    val info = MediaDecoder.decodeAudio(bytes)
+      .getOrElse(fail("generated WAV must decode"))
+    assert(info.nSamples == AudioGen.nSamples(id).toLong)
+    assert(info.sampleRate == AudioGen.SampleRate && info.channels == 1)
+    val expected = (0 until AudioGen.nSamples(id))
+      .map(i => AudioGen.sample(id, i).toLong).sum
+    assert(info.sumSamples == expected,
+      "decode must recover exact PCM values")
+  }
+
+  test("decodeAudio quarantines non-WAV bytes") {
+    assert(MediaDecoder.decodeAudio("not audio".getBytes("UTF-8")).isEmpty)
+    // RIFF magic but truncated/garbage body → parser fails → None
+    assert(MediaDecoder.decodeAudio(AudioGen.wav(5L).take(30)).isEmpty)
+    // an image is not audio
+    assert(MediaDecoder.decodeAudio(ImageGen.png(5L)).isEmpty)
+  }
+
+  test("syntheticAudio + audioFeatures: distributed real decode at sf0.001") {
+    val feats = Multimodal.audioFeatures(
+      Multimodal.syntheticAudio(spark, "/root/testdata/sf0.001")
+        .repartition(4))
+    assert(feats.count() == 500, "every generated WAV must decode")
+    val f = feats.filter(_.media_id == 7L).head()
+    assert(f.n_samples == AudioGen.nSamples(7L).toLong)
+  }
+
   test("syntheticMedia: schema carries binary payload + kind/mime metadata") {
     val ds = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
     val schema = ds.schema
