@@ -99,6 +99,82 @@ object AudioGen {
   }
 }
 
+final case class VideoDemux(timescale: Int, duration: Long,
+    frameSizes: Seq[Int], mdat: Array[Byte])
+
+final case class VideoFrame(
+    media_id: Long,
+    frame_idx: Int,
+    frame_len: Int,
+    frame_bytes: Array[Byte])
+
+/** Deterministic minimal-but-valid MP4 (ISO-BMFF) generator: a real box
+  * tree — ftyp, moov/mvhd (timescale + duration), the sample-size table
+  * nested at its standard moov/trak/mdia/minf/stbl/stsz location, and an
+  * mdat whose payload is the concatenated frame bytes. Frame count,
+  * sizes, and every payload byte are integer arithmetic on (id, frame,
+  * offset), so an oracle predicts what a correct DEMUX must extract.
+  * Demux (container parsing, [[MediaDecoder.demuxMp4]]) is the real
+  * pre-decode stage of every video pipeline; codec decode of the frame
+  * payloads stays out of scope (no codecs in the container). */
+object VideoGen {
+  val Timescale = 1000
+
+  def duration(id: Long): Long = 1000 + id % 9000
+  def nFrames(id: Long): Int = 2 + (id % 7).toInt
+  def frameLen(id: Long, i: Int): Int = 50 + ((id + i * 13L) % 100).toInt
+  def frameByte(id: Long, i: Int, j: Int): Int =
+    ((id + i * 17L + j * 29L) % 256).toInt
+
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII"))
+      .put(payload)
+    buf.array()
+  }
+
+  def mp4(id: Long): Array[Byte] = {
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+        "isom".getBytes("US-ASCII"))
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(0)                 // version + flags
+        .putInt(0).putInt(0)      // creation / modification
+        .putInt(Timescale)
+        .putInt(duration(id).toInt)
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+        .putLong(0)               // reserved
+      // unity matrix
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+      (1 to 6).foreach(_ => b.putInt(0)) // pre_defined
+      b.putInt(2)                 // next_track_ID
+      box("mvhd", b.array())
+    }
+    val n = nFrames(id)
+    val stsz = {
+      val b = java.nio.ByteBuffer.allocate(12 + 4 * n)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(0)        // version + flags
+        .putInt(0)       // sample_size = 0 → per-sample table
+        .putInt(n)
+      (0 until n).foreach(i => b.putInt(frameLen(id, i)))
+      box("stsz", b.array())
+    }
+    val stbl = box("stbl", stsz)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val trak = box("trak", mdia)
+    val moov = box("moov", mvhd ++ trak)
+    val frames = (0 until n).flatMap { i =>
+      (0 until frameLen(id, i)).map(j => frameByte(id, i, j).toByte)
+    }.toArray
+    ftyp ++ moov ++ box("mdat", frames)
+  }
+}
+
 /** Deterministic tiny-PNG generator: dims and every pixel are pure
   * integer arithmetic on (media_id, x, y), so an oracle that never sees
   * the bytes can still predict exactly what a CORRECT decoder must
@@ -234,6 +310,50 @@ object MediaDecoder {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Real ISO-BMFF (MP4) DEMUX: walks the box tree (big-endian
+    * size+type headers, recursive descent into container boxes), reads
+    * timescale/duration from `mvhd`, the per-sample size table from its
+    * nested `stsz`, and slices the `mdat` payload into frames by those
+    * sizes. This is the real pre-decode stage of a video pipeline —
+    * demux is pure byte-walking and needs no codec; only frame-payload
+    * DECODE stays stubbed in this container. Gated on the `ftyp` box
+    * magic; malformed trees → None (quarantine). */
+  def demuxMp4(bytes: Array[Byte]): Option[VideoDemux] =
+    try {
+      if (bytes.length < 12 || bytes(4) != 'f' || bytes(5) != 't' ||
+          bytes(6) != 'y' || bytes(7) != 'p') return None
+      val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+      var mvhd: Option[Array[Byte]] = None
+      var stsz: Option[Array[Byte]] = None
+      var mdat: Option[Array[Byte]] = None
+      def be32(a: Array[Byte], p: Int): Int =
+        ((a(p) & 0xff) << 24) | ((a(p + 1) & 0xff) << 16) |
+          ((a(p + 2) & 0xff) << 8) | (a(p + 3) & 0xff)
+      def walk(from: Int, to: Int): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val size = be32(bytes, p)
+          if (size < 8 || p + size > to) return
+          val tpe = new String(bytes, p + 4, 4, "US-ASCII")
+          if (containers(tpe)) walk(p + 8, p + size)
+          else if (tpe == "mvhd") mvhd = Some(bytes.slice(p + 8, p + size))
+          else if (tpe == "stsz") stsz = Some(bytes.slice(p + 8, p + size))
+          else if (tpe == "mdat") mdat = Some(bytes.slice(p + 8, p + size))
+          p += size
+        }
+      }
+      walk(0, bytes.length)
+      for (h <- mvhd; z <- stsz; m <- mdat) yield {
+        val timescale = be32(h, 12)
+        val duration = be32(h, 16).toLong & 0xffffffffL
+        val n = be32(z, 8)
+        val sizes = (0 until n).map(i => be32(z, 12 + 4 * i))
+        require(sizes.forall(_ >= 0) && sizes.sum <= m.length,
+          "stsz inconsistent with mdat")
+        VideoDemux(timescale, duration, sizes, m)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** STUB for kinds whose codecs aren't in the container (audio/video):
     * dims/frames as arithmetic on the content hash — deterministic, so
     * the pipeline stays oracle-checkable. */
@@ -346,6 +466,37 @@ object Multimodal {
         MediaDecoder.decodeAudio(r.bytes).map(a =>
           AudioFeatures(r.media_id, a.nSamples, a.sampleRate,
             a.channels, a.sumSamples))
+      }
+    }
+  }
+
+  /** Real-MP4 media table: one deterministic box tree per document id
+    * ([[VideoGen]]). */
+  def syntheticVideo(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        MediaRow(id, "video", "video/mp4", VideoGen.mp4(id))))
+  }
+
+  /** Real frame extraction: demux the container, slice mdat by the
+    * sample-size table, emit one row per frame with its true payload —
+    * the variable-length explode a frame-sampling stage feeds to a
+    * decoder fleet. Undecodable containers are quarantined (dropped). */
+  def videoFrames(media: Dataset[MediaRow]): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaDecoder.demuxMp4(r.bytes).iterator.flatMap { d =>
+          var off = 0
+          d.frameSizes.zipWithIndex.map { case (len, i) =>
+            val f = VideoFrame(r.media_id, i, len,
+              d.mdat.slice(off, off + len))
+            off += len
+            f
+          }
+        }
       }
     }
   }

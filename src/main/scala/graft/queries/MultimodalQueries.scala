@@ -104,6 +104,62 @@ object MultimodalQueries {
         .toDF().orderBy(col("media_id"))
     },
 
+    // REAL video DEMUX: deterministic minimal MP4 box trees (VideoGen),
+    // parsed back by walking the ISO-BMFF structure — timescale/duration
+    // from mvhd, sample count from the nested stsz. Demux needs no
+    // codec; only frame-payload decode remains stubbed.
+    Q(
+      "mm_video_demux",
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id
+        |           FROM documents),
+        |fl AS (SELECT media_id,
+        |         unnest(range(0, 2 + media_id % 7)) AS i FROM d)
+        |SELECT media_id,
+        |  1000 AS timescale,
+        |  CAST(1000 + media_id % 9000 AS BIGINT) AS duration,
+        |  CAST(2 + media_id % 7 AS INT) AS n_frames,
+        |  CAST(SUM(50 + (media_id + i*13) % 100) AS BIGINT) AS mdat_bytes
+        |FROM fl GROUP BY media_id
+        |ORDER BY media_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Multimodal.syntheticVideo(s, d).mapPartitions { rows =>
+        rows.flatMap { r =>
+          graft.multimodal.MediaDecoder.demuxMp4(r.bytes).map(v =>
+            (r.media_id, v.timescale, v.duration, v.frameSizes.size,
+              v.mdat.length.toLong))
+        }
+      }.toDF("media_id", "timescale", "duration", "n_frames", "mdat_bytes")
+        .orderBy(col("media_id"))
+    },
+
+    // REAL frame extraction: mdat sliced by the stsz table; the hash of
+    // each frame's actual payload bytes must match what the oracle
+    // derives from the generation rule — only a correct demux + slice
+    // reproduces it.
+    Q(
+      "mm_video_frames",
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id
+        |           FROM documents),
+        |f AS (SELECT media_id,
+        |        unnest(range(0, 2 + media_id % 7)) AS i FROM d),
+        |fb AS (SELECT media_id, i,
+        |         50 + (media_id + i*13) % 100 AS flen FROM f)
+        |SELECT media_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(flen AS INT) AS frame_len,
+        |  md5(array_to_string(list_transform(range(0, flen),
+        |    j -> printf('%02x', (media_id + i*17 + j*29) % 256)), ''))
+        |    AS frame_hash
+        |FROM fb
+        |ORDER BY media_id NULLS FIRST, frame_idx NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Multimodal.videoFrames(Multimodal.syntheticVideo(s, d))
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("frame_len"),
+          md5(lower(hex(col("frame_bytes")))).as("frame_hash"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+
     // frame sampling: variable-length explode per media row; oracle
     // unnests range(0, n_frames, stride) per doc and XORs the hash.
     Q(

@@ -120,6 +120,42 @@ class MultimodalSpec extends SparkSpec {
     assert(f.n_samples == AudioGen.nSamples(7L).toLong)
   }
 
+  test("golden: VideoGen MP4 demuxes to exact mvhd/stsz/mdat facts") {
+    val id = 42L
+    val bytes = VideoGen.mp4(id)
+    assert(new String(bytes.slice(4, 8), "US-ASCII") == "ftyp")
+    val v = MediaDecoder.demuxMp4(bytes)
+      .getOrElse(fail("generated MP4 must demux"))
+    assert(v.timescale == VideoGen.Timescale)
+    assert(v.duration == VideoGen.duration(id))
+    val n = VideoGen.nFrames(id)
+    assert(v.frameSizes == (0 until n).map(VideoGen.frameLen(id, _)))
+    assert(v.mdat.length == v.frameSizes.sum)
+    // frame slicing recovers the exact generated payload bytes
+    val first = v.mdat.slice(0, v.frameSizes.head)
+    assert(first.zipWithIndex.forall { case (b, j) =>
+      (b & 0xff) == VideoGen.frameByte(id, 0, j) })
+  }
+
+  test("demuxMp4 quarantines non-MP4 and malformed trees") {
+    assert(MediaDecoder.demuxMp4("not a video".getBytes("UTF-8")).isEmpty)
+    assert(MediaDecoder.demuxMp4(AudioGen.wav(3L)).isEmpty)
+    // valid magic, truncated mid-box → walk stops, boxes missing → None
+    assert(MediaDecoder.demuxMp4(VideoGen.mp4(3L).take(40)).isEmpty)
+  }
+
+  test("videoFrames: distributed demux + slice at sf0.001") {
+    val frames = Multimodal.videoFrames(
+      Multimodal.syntheticVideo(spark, "/root/testdata/sf0.001")
+        .repartition(4))
+    val perDoc = frames.collect().groupBy(_.media_id)
+    assert(perDoc.size == 500)
+    perDoc.foreach { case (id, fs) =>
+      assert(fs.length == VideoGen.nFrames(id))
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length))
+    }
+  }
+
   test("syntheticMedia: schema carries binary payload + kind/mime metadata") {
     val ds = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
     val schema = ds.schema
