@@ -367,6 +367,86 @@ object StarQueries {
           sum(col("p_retailprice").cast("decimal(18,2)")).cast("double")
             .as("total_retail"))
         .orderBy(col("p_brand"), col("p_size"))
+    },
+
+    // --- Bloom-pruned fact join (graft.operators.BloomPrune) ------------
+    // A selective dimension slice (high-balance suppliers) joined to the
+    // fact with the fact side bloom-pruned BEFORE its exchange. The
+    // oracle is the PLAIN join — bloom pruning admits false positives
+    // only, so the result is provably identical while the fact shuffle
+    // shrinks to roughly the selectivity of the slice (BloomPruneSpec
+    // covers the identity + pruning-rate properties at the operator
+    // level; this entry proves it end-to-end against the oracle).
+    Q(
+      "q_bloom_pruned_join",
+      """SELECT s.s_suppkey, s.s_name,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |        AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE s.s_acctbal > 4500.0
+        |GROUP BY s.s_suppkey, s.s_name
+        |ORDER BY s_suppkey NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val richSuppliers = Tables.supplier(s, d)
+        .where(col("s_acctbal") > 4500.0)
+      graft.operators.BloomPrune.prunedJoin(
+          Tables.lineitem(s, d), richSuppliers, "l_suppkey", "s_suppkey")
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // --- SCD2 dimension-history merge (graft.operators.Scd2) ------------
+    // Deterministic snapshot + update batch built from `customer`: keys
+    // divisible by 7 change segment, keys divisible by 11 (and not 7)
+    // send a no-op update, everyone else is untouched. The oracle
+    // re-derives the full post-merge history — closed old rows, new open
+    // rows, pass-throughs — from the same rules.
+    Q(
+      "q_scd2_history",
+      """WITH base AS (SELECT c_custkey, c_mktsegment, c_nationkey
+        |              FROM customer)
+        |SELECT c_custkey, c_mktsegment, c_nationkey,
+        |       valid_from, valid_to FROM (
+        |  -- changed keys: original row closed at the batch ts
+        |  SELECT c_custkey, c_mktsegment, c_nationkey,
+        |    TIMESTAMP '2025-01-01 00:00:00' AS valid_from,
+        |    TIMESTAMP '2025-02-01 00:00:00' AS valid_to
+        |  FROM base WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  -- changed keys: new open row with the updated segment
+        |  SELECT c_custkey, c_mktsegment || '_v2', c_nationkey,
+        |    TIMESTAMP '2025-02-01 00:00:00', NULL
+        |  FROM base WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  -- no-op updates and untouched keys pass through open
+        |  SELECT c_custkey, c_mktsegment, c_nationkey,
+        |    TIMESTAMP '2025-01-01 00:00:00', NULL
+        |  FROM base WHERE c_custkey % 7 <> 0)
+        |ORDER BY c_custkey NULLS FIRST, valid_from NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      val dim = base
+        .withColumn("valid_from", lit("2025-01-01 00:00:00").cast("timestamp"))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+      val updates = base
+        .where(pmod(col("c_custkey"), lit(7)) === 0
+          || pmod(col("c_custkey"), lit(11)) === 0)
+        .select(col("c_custkey"),
+          when(pmod(col("c_custkey"), lit(7)) === 0,
+            concat(col("c_mktsegment"), lit("_v2")))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          col("c_nationkey"),
+          lit("2025-02-01 00:00:00").cast("timestamp").as("effective_ts"))
+      graft.operators.Scd2.merge(dim, updates, "c_custkey",
+          Seq("c_mktsegment", "c_nationkey"))
+        .orderBy(col("c_custkey"), col("valid_from"))
     }
   )
 }
