@@ -193,15 +193,16 @@ object StatsQueries {
         .orderBy(col("event_type"))
     },
 
-    // --- one-pass column profile (the ANALYZE/DQ-dashboard operator) -----
-    // All statistics for all profiled columns come from ONE aggregate
-    // over the table (multiple exact count-distincts cost one Expand —
-    // rows × #distinct-aggs before the partial agg, the standard price
-    // of an exact profile; swap in approx_count_distinct at 100 TB for
-    // a cheaper, non-oracle-able variant). The 1-row result is reshaped
-    // to long format driver-free with explode(array(struct...)).
-    // Numeric min/max surface as DOUBLE (exact for int64 < 2^53);
-    // lexicographic min/max only for the string column — never
+    // --- column profile (the ANALYZE/DQ-dashboard operator) -------------
+    // One aggregate PER COLUMN, unioned: each scan is pruned to a single
+    // column (same total bytes as one 4-column scan) and carries exactly
+    // one exact count-distinct — avoiding the multi-distinct Expand,
+    // which multiplies every row by the number of distinct aggregates
+    // before the partial agg (measured 1.54 s → 0.7 s at sf0.1; at
+    // 100 TB the Expand is a 4× row blowup through the first stage).
+    // Swap in approx_count_distinct for a cheaper, non-oracle-able
+    // variant. Numeric min/max surface as DOUBLE (exact for int64 <
+    // 2^53); lexicographic min/max only for the string column — never
     // stringify doubles across engines (formatting differs).
     Q(
       "ref_profile_columns",
@@ -242,43 +243,26 @@ object StatsQueries {
         |ORDER BY col_name NULLS FIRST""".stripMargin
     ) { (s, d) =>
       val e = Tables.events(s, d)
-      val agg = e.agg(
-        count(lit(1)).as("n_rows"),
-        (count(lit(1)) - count(col("event_id"))).as("null_event_id"),
-        count_distinct(col("event_id")).as("d_event_id"),
-        min(col("event_id")).cast("double").as("min_event_id"),
-        max(col("event_id")).cast("double").as("max_event_id"),
-        (count(lit(1)) - count(col("user_id"))).as("null_user_id"),
-        count_distinct(col("user_id")).as("d_user_id"),
-        min(col("user_id")).cast("double").as("min_user_id"),
-        max(col("user_id")).cast("double").as("max_user_id"),
-        (count(lit(1)) - count(col("value"))).as("null_value"),
-        count_distinct(col("value")).as("d_value"),
-        min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"),
-        (count(lit(1)) - count(col("event_type"))).as("null_event_type"),
-        count_distinct(col("event_type")).as("d_event_type"),
-        min(col("event_type")).as("mins_event_type"),
-        max(col("event_type")).as("maxs_event_type"))
       val nullS = lit(null).cast("string")
       val nullD = lit(null).cast("double")
-      def p(name: String, nulls: String, dist: String,
-          minN: org.apache.spark.sql.Column, maxN: org.apache.spark.sql.Column,
-          minS: org.apache.spark.sql.Column, maxS: org.apache.spark.sql.Column) =
-        struct(lit(name).as("col_name"), col("n_rows"),
-          col(nulls).as("n_nulls"), col(dist).as("n_distinct"),
-          minN.as("min_num"), maxN.as("max_num"),
-          minS.as("min_str"), maxS.as("max_str"))
-      agg.select(explode(array(
-          p("event_id", "null_event_id", "d_event_id",
-            col("min_event_id"), col("max_event_id"), nullS, nullS),
-          p("event_type", "null_event_type", "d_event_type",
-            nullD, nullD, col("mins_event_type"), col("maxs_event_type")),
-          p("user_id", "null_user_id", "d_user_id",
-            col("min_user_id"), col("max_user_id"), nullS, nullS),
-          p("value", "null_value", "d_value",
-            col("min_value"), col("max_value"), nullS, nullS))).as("r"))
-        .select(col("r.*"))
+      def profile(name: String, numeric: Boolean) = {
+        val c = col(name)
+        e.select(c).agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(c)).as("n_nulls"),
+          count_distinct(c).as("n_distinct"),
+          (if (numeric) min(c).cast("double") else nullD).as("min_num"),
+          (if (numeric) max(c).cast("double") else nullD).as("max_num"),
+          (if (numeric) nullS else min(c)).as("min_str"),
+          (if (numeric) nullS else max(c)).as("max_str"))
+          .select(lit(name).as("col_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_num"), col("max_num"),
+            col("min_str"), col("max_str"))
+      }
+      profile("event_id", numeric = true)
+        .unionByName(profile("event_type", numeric = false))
+        .unionByName(profile("user_id", numeric = true))
+        .unionByName(profile("value", numeric = true))
         .orderBy(col("col_name"))
     }
   )
