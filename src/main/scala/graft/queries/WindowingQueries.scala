@@ -340,6 +340,41 @@ object WindowingQueries {
         .agg(count(lit(1)).as("n"),
           count_distinct(col("user_id")).as("users"))
         .orderBy(col("k"))
+    },
+
+    // --- exact rolling 7-day active users (retention's workhorse) --------
+    // Exact sliding-window DISTINCT cannot ride a window function (no
+    // distinct agg over frames), so: dedup to (date, user) pairs ONCE —
+    // the only big shuffle, and it combines map-side — then fan each
+    // pair out to the ≤7 window-end dates it contributes to and count
+    // distinct per date. The fan-out multiplies the already-deduped pair
+    // set, not raw events: the textbook exact shape (the approximate
+    // alternative is per-day HLL sketches merged over the window —
+    // mergeable, O(days × sketch), but not oracle-able). The date spine
+    // is tiny and broadcast.
+    Q(
+      "q_rolling_active_users",
+      """WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+        |               FROM events WHERE user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT d FROM pairs)
+        |SELECT days.d AS event_date,
+        |  CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS active_7d
+        |FROM days JOIN pairs p
+        |  ON p.d BETWEEN days.d - 6 AND days.d
+        |GROUP BY days.d
+        |ORDER BY event_date NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val pairs = Tables.events(s, d)
+        .where(col("user_id").isNotNull)
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+        .distinct()
+      val days = pairs.select(col("d").as("win_end")).distinct()
+      pairs.join(broadcast(days),
+          col("d") <= col("win_end")
+            && col("d") >= date_sub(col("win_end"), 6))
+        .groupBy(col("win_end").as("event_date"))
+        .agg(count_distinct(col("user_id")).as("active_7d"))
+        .orderBy(col("event_date"))
     }
   )
 }
