@@ -375,6 +375,49 @@ object WindowingQueries {
         .groupBy(col("win_end").as("event_date"))
         .agg(count_distinct(col("user_id")).as("active_7d"))
         .orderBy(col("event_date"))
+    },
+
+    // --- signup-cohort weekly retention matrix ---------------------------
+    // The product-analytics staple: users grouped by first-signup week,
+    // counted per subsequent active week. Two combiner-friendly
+    // aggregates (first signup per user; distinct user-weeks) meet in
+    // one equi-join on user_id — both sides pre-shrunk to one row per
+    // user(-week) before the join, so the shuffles carry dedup'd keys,
+    // never raw events. Week truncation is Monday-start in both engines.
+    Q(
+      "q_cohort_retention",
+      """WITH su AS (SELECT user_id,
+        |              CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |            FROM events
+        |            WHERE event_type = 'signup' AND user_id IS NOT NULL
+        |            GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id,
+        |          CAST(date_trunc('week', ts) AS DATE) AS act_week
+        |        FROM events WHERE user_id IS NOT NULL)
+        |SELECT cohort_week,
+        |  CAST((act_week - cohort_week) // 7 AS INT) AS week_offset,
+        |  CAST(COUNT(DISTINCT su.user_id) AS BIGINT) AS n_users
+        |FROM su JOIN act ON su.user_id = act.user_id
+        |WHERE act_week >= cohort_week
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week NULLS FIRST, week_offset NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val e = Tables.events(s, d).where(col("user_id").isNotNull)
+      val su = e.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+        .select(col("user_id"),
+          date_trunc("week", col("first_ts")).cast("date").as("cohort_week"))
+      val act = e
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("act_week"))
+        .distinct()
+      su.join(act, "user_id")
+        .where(col("act_week") >= col("cohort_week"))
+        .groupBy(col("cohort_week"),
+          expr("datediff(act_week, cohort_week) div 7").cast("int")
+            .as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
     }
   )
 }
