@@ -418,6 +418,49 @@ object WindowingQueries {
             .as("week_offset"))
         .agg(count_distinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    // --- batch funnel: click → purchase conversion within 1 hour ---------
+    // The daily-conversion companion to the streaming clickToPurchase
+    // join, built on AsOfJoin.forward: each click picks its user's
+    // EARLIEST purchase at-or-after it (one shuffle on user_id, no
+    // range-join fan-out), then the 1-hour bound and a per-day rollup.
+    // The oracle re-derives the same earliest-purchase per click row
+    // (row_number keeps duplicate click events distinct — as-of
+    // preserves left multiplicity).
+    Q(
+      "q_funnel_conversion",
+      """WITH p AS (SELECT user_id, ts FROM events
+        |      WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |c2 AS (SELECT row_number() OVER (ORDER BY event_id, ts) AS rid,
+        |         user_id, ts FROM events
+        |       WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |m AS (SELECT c2.rid, c2.ts AS cts, MIN(p.ts) AS pts
+        |      FROM c2 LEFT JOIN p
+        |        ON p.user_id = c2.user_id AND p.ts >= c2.ts
+        |      GROUP BY c2.rid, c2.ts)
+        |SELECT CAST(cts AS DATE) AS click_date,
+        |  COUNT(*) AS clicks,
+        |  CAST(COUNT(CASE WHEN pts <= cts + INTERVAL 1 HOUR THEN 1 END)
+        |    AS BIGINT) AS conversions
+        |FROM m GROUP BY 1
+        |ORDER BY click_date NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val e = Tables.events(s, d).where(col("user_id").isNotNull)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      graft.operators.AsOfJoin
+        .forward(clicks, purchases, Seq("user_id"), "ts", "p_ts", Seq())
+        .select(to_date(col("ts")).as("click_date"),
+          (col("asof_p_ts").isNotNull &&
+            col("asof_p_ts") <= col("ts") + expr("INTERVAL 1 HOUR"))
+            .as("conv"))
+        .groupBy(col("click_date"))
+        .agg(count(lit(1)).as("clicks"),
+          count(when(col("conv"), 1)).as("conversions"))
+        .orderBy(col("click_date"))
     }
   )
 }
