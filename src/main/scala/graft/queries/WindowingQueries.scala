@@ -345,13 +345,17 @@ object WindowingQueries {
     // --- exact rolling 7-day active users (retention's workhorse) --------
     // Exact sliding-window DISTINCT cannot ride a window function (no
     // distinct agg over frames), so: dedup to (date, user) pairs ONCE —
-    // the only big shuffle, and it combines map-side — then fan each
-    // pair out to the ≤7 window-end dates it contributes to and count
-    // distinct per date. The fan-out multiplies the already-deduped pair
-    // set, not raw events: the textbook exact shape (the approximate
-    // alternative is per-day HLL sketches merged over the window —
-    // mergeable, O(days × sketch), but not oracle-able). The date spine
-    // is tiny and broadcast.
+    // the only big shuffle, and it combines map-side — then EXPLODE each
+    // pair into the 7 window-end dates it contributes to (a narrow
+    // per-row sequence, no join) and count distinct per date; a
+    // broadcast HASH join against the observed-dates spine drops window
+    // ends outside the data. A range-join formulation (d BETWEEN end-6
+    // AND end) plans as a BroadcastNestedLoopJoin — calendar-bounded
+    // here, but the explode+equi shape keeps every operator hash-based.
+    // The fan-out multiplies the already-deduped pair set, not raw
+    // events: the textbook exact shape (the approximate alternative is
+    // per-day HLL sketches merged over the window — mergeable, but not
+    // oracle-able).
     Q(
       "q_rolling_active_users",
       """WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
@@ -369,9 +373,11 @@ object WindowingQueries {
         .select(to_date(col("ts")).as("d"), col("user_id"))
         .distinct()
       val days = pairs.select(col("d").as("win_end")).distinct()
-      pairs.join(broadcast(days),
-          col("d") <= col("win_end")
-            && col("d") >= date_sub(col("win_end"), 6))
+      pairs
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("i"), col("d"))
+        .select(col("user_id"), expr("date_add(d, i)").as("win_end"))
+        .join(broadcast(days), "win_end")
         .groupBy(col("win_end").as("event_date"))
         .agg(count_distinct(col("user_id")).as("active_7d"))
         .orderBy(col("event_date"))
