@@ -30,4 +30,22 @@ object Layout {
       .sortWithinPartitions(cols.map(_.asc): _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Two-dimensional clustering: files hold contiguous ranges of the
+    * Morton code of (dimA, dimB), i.e. axis-aligned blocks of the 2-D
+    * key space, so per-file min/max statistics prune scans filtered on
+    * EITHER dimension — where [[writeRangeSorted]] only serves its
+    * leading column. The z-value is persisted as a `zvalue` column: it
+    * is the cluster key (useful for curve-range predicates) and costs
+    * one RLE-friendly sorted long column. Dimensions must fit 16 bits —
+    * discretize (bucketize) wider domains first, exactly like choosing
+    * a clustering-key granularity in a warehouse engine. */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+      dimA: String, dimB: String): Unit = {
+    df.withColumn("zvalue",
+        graft.functions.ZOrder.zvalue16(col(dimA), col(dimB)))
+      .repartitionByRange(numFiles, col("zvalue"))
+      .sortWithinPartitions(col("zvalue"))
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -235,6 +235,41 @@ object CurationQueries {
           expr("tok_start div 256").as("chunk_first"),
           expr("(tok_start + n_tokens - 1) div 256").as("chunk_last"))
         .orderBy(col("doc_id"))
+    },
+
+    // --- temperature-based source resampling (τ = 0.5) -------------------
+    // The multilingual-LM mixing rule (sample source s proportional to
+    // n_s^τ) with τ = 0.5: per-source quota = ⌊4·√n_s⌋, docs chosen by
+    // the deterministic md5 draw. Downweights oversized sources toward a
+    // flatter mix without a cross-source normalizer — each quota depends
+    // only on that source's own count, so the whole pass is ONE shuffle
+    // on source and no global sum of doubles (cross-engine float-exact:
+    // √ is IEEE-correctly-rounded in both engines and ×4 is a power of
+    // two, so the quota integer is bit-identical).
+    Q(
+      "pipe_temperature_mix",
+      """SELECT doc_id, source, quota FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    CAST(floor(4 * sqrt(CAST(COUNT(*) OVER (PARTITION BY source)
+        |      AS DOUBLE))) AS BIGINT) AS quota
+        |  FROM documents)
+        |WHERE rk <= quota
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val bySrc = Window.partitionBy(col("source"))
+      val draw = bySrc.orderBy(md5(col("doc_id").cast("string")),
+        col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(draw))
+        .withColumn("quota",
+          floor(lit(4) * sqrt(count(lit(1)).over(bySrc).cast("double")))
+            .cast("long"))
+        .where(col("rk") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("quota"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -264,6 +264,37 @@ object StatsQueries {
         .unionByName(profile("user_id", numeric = true))
         .unionByName(profile("value", numeric = true))
         .orderBy(col("col_name"))
+    },
+
+    // --- Morton (Z-order) cell map of the (user, hour) activity grid ----
+    // The query half of io.Layout.writeZOrdered: per-(user_id, hour)
+    // event counts keyed by the 2-D Morton code, emitted in curve order —
+    // rows that are adjacent in the output are adjacent in BOTH
+    // dimensions, which is exactly why a z-sorted layout skips files for
+    // predicates on either one. The z arithmetic is pure bitwise builtins
+    // (ZOrder.zvalue16) and the oracle runs the IDENTICAL expression
+    // generated from the same mask table (ZOrder.zvalueSql). One hash
+    // aggregate on (user_id, h); hour() can't diverge across the µs/ns
+    // parquet precision split (truncation never crosses an hour).
+    Q(
+      "q_zorder_cells",
+      s"""WITH e AS (SELECT user_id, hour(ts) AS h FROM events
+         |           WHERE user_id IS NOT NULL)
+         |SELECT user_id, CAST(h AS BIGINT) AS h,
+         |  ${graft.functions.ZOrder.zvalueSql("user_id", "h")} AS zvalue,
+         |  COUNT(*) AS n
+         |FROM e GROUP BY user_id, h
+         |ORDER BY zvalue NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .where(col("user_id").isNotNull)
+        .select(col("user_id"), hour(col("ts")).cast("long").as("h"))
+        .groupBy(col("user_id"), col("h"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("zvalue",
+          graft.functions.ZOrder.zvalue16(col("user_id"), col("h")))
+        .select(col("user_id"), col("h"), col("zvalue"), col("n"))
+        .orderBy(col("zvalue"))
     }
   )
 }

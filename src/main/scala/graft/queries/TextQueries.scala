@@ -125,6 +125,45 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- corpus-frequency rarity score (CCNet-style quality signal) -----
+    // Two-pass rare-token scoring: pass 1 builds the corpus unigram table
+    // (hash aggregate on the word key, combiner-friendly); pass 2 joins
+    // each token instance back to its corpus count and aggregates per doc.
+    // The token join is a SHUFFLE join on `word` by design — at 100 TB the
+    // vocabulary (hundreds of millions of types with long-tail web text)
+    // outgrows a broadcast, and the word key is high-cardinality so the
+    // exchange balances; docs with rarer vocabulary score lower mean_freq.
+    // All outputs are exact BIGINTs plus ONE int/int division — a single
+    // IEEE division of exact integers is correctly rounded identically in
+    // both engines (operands < 2^53), so the double is bit-exact.
+    Q(
+      "text_rarity_score",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |cf AS (SELECT word, COUNT(*) AS cf FROM w GROUP BY word)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(cf) AS BIGINT) AS freq_sum,
+        |  CAST(MIN(cf) AS BIGINT) AS min_cf,
+        |  CAST(SUM(cf) AS DOUBLE) / COUNT(*) AS mean_freq
+        |FROM w JOIN cf USING (word)
+        |GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      val cf = w.groupBy(col("word")).agg(count(lit(1)).as("cf"))
+      w.join(cf, "word")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(col("cf")).as("freq_sum"),
+          min(col("cf")).as("min_cf"))
+        .select(col("doc_id"), col("n_tokens"), col("freq_sum"), col("min_cf"),
+          (col("freq_sum").cast("double") / col("n_tokens")).as("mean_freq"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- deterministic content fingerprint (md5 of normalized text) -----
     Q(
       "text_fingerprint",

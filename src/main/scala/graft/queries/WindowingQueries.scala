@@ -467,6 +467,52 @@ object WindowingQueries {
         .agg(count(lit(1)).as("clicks"),
           count(when(col("conv"), 1)).as("conversions"))
         .orderBy(col("click_date"))
+    },
+
+    // --- MATCH_RECOGNIZE-style event-sequence pattern matching -----------
+    // SQL:2016 row-pattern recognition, Spark-first: each user's events
+    // collapse to a string of event-type initials (c/e/p/s/v — all
+    // distinct) in (ts, event_id) order, then funnels are plain regexes
+    // over that string: subsequence view→click→purchase, and a strict
+    // variant with no intervening purchase. One shuffle on user_id; the
+    // per-user state is ONE character per event, so even a power user
+    // with 10^6 events folds to a 1 MB string (cap with a window row
+    // limit if the product allows). Both engines count non-overlapping
+    // leftmost matches, and [^p]* cannot cross a 'p', so match extents
+    // are forced — no greedy-vs-lazy divergence. Ordering parity: Spark's
+    // ts is already µs-truncated (Tables.events), the oracle truncates
+    // explicitly; event_id breaks exact-µs ties identically.
+    Q(
+      "q_event_pattern_funnel",
+      """WITH seq AS (SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY date_trunc('microseconds', ts), event_id) AS seq
+        |  FROM events WHERE user_id IS NOT NULL
+        |  GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(length(seq) AS BIGINT) AS n_events,
+        |  md5(seq) AS seq_fp,
+        |  regexp_matches(seq, 'v.*c.*p') AS has_funnel,
+        |  CAST(len(regexp_extract_all(seq, 'v[^p]*c[^p]*p')) AS BIGINT)
+        |    AS n_strict_funnels
+        |FROM seq ORDER BY user_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val tagged = Tables.events(s, d)
+        .where(col("user_id").isNotNull)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("i")).as("e"))
+      tagged.groupBy(col("user_id"))
+        .agg(array_join(
+          transform(array_sort(collect_list(col("e"))),
+            x => x.getField("i")), "").as("seq"))
+        .select(col("user_id"),
+          length(col("seq")).cast("long").as("n_events"),
+          md5(col("seq")).as("seq_fp"),
+          col("seq").rlike("v.*c.*p").as("has_funnel"),
+          regexp_count(col("seq"), lit("v[^p]*c[^p]*p")).cast("long")
+            .as("n_strict_funnels"))
+        .orderBy(col("user_id"))
     }
   )
 }

@@ -33,4 +33,53 @@ class LayoutSpec extends SparkSpec {
     val narrow = s.read.parquet(dir).where(col("k").between(100, 200))
     assert(narrow.count() == 101)
   }
+
+  test("zvalue16 interleaves bits (known Morton codes)") {
+    val s = spark
+    import s.implicits._
+    // z(x=0b101, y=0b011) = y2x2 y1x1 y0x0 = 0 1 | 1 0 | 1 1 = 0b011011
+    val got = Seq((5L, 3L), (0L, 0L), (65535L, 0L), (0L, 65535L))
+      .toDF("x", "y")
+      .select(graft.functions.ZOrder.zvalue16(col("x"), col("y")))
+      .as[Long].collect().toSeq
+    assert(got == Seq(0x1BL, 0L, 0x55555555L, 0xAAAAAAAAL))
+  }
+
+  test("z-order layout keeps per-file stats selective on BOTH dims; " +
+      "a lexicographic sort only serves its leading column") {
+    val s = spark
+    import s.implicits._
+    // a full 32x32 grid, written scrambled
+    val grid = (0 until 1024).map { i =>
+      val p = (i * 587) % 1024 // 587 coprime to 1024
+      (p / 32).toLong -> (p % 32).toLong
+    }.toDF("x", "y")
+
+    val zDir = tmpDir("graft-zorder")
+    val linDir = tmpDir("graft-linsort")
+    Layout.writeZOrdered(grid, zDir, numFiles = 16, "x", "y")
+    Layout.writeRangeSorted(grid, linDir, numFiles = 16, Seq("x", "y"))
+
+    // per-file [min,max] of the TRAILING dimension y — what a parquet
+    // reader consults for a `y = 7` predicate
+    def yRanges(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+      .map { f =>
+        val r = s.read.parquet(f).agg(min(col("y")), max(col("y"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    val zHits = yRanges(zDir).count { case (lo, hi) => lo <= 7 && 7 <= hi }
+    val linHits = yRanges(linDir)
+      .count { case (lo, hi) => lo <= 7 && 7 <= hi }
+    // 16 z-files over a 10-bit curve = aligned 8x8 blocks: y=7 lives in
+    // the bottom block row -> 4 of 16 files. The x-major sort spreads
+    // every y into every file -> nothing skips.
+    assert(zHits <= 4, s"z-order should localize y=7, hit $zHits files")
+    assert(linHits == 16,
+      s"x-major sort should be useless for y (got $linHits)")
+    // both layouts still hold the full grid
+    assert(s.read.parquet(zDir).count() == 1024)
+    assert(s.read.parquet(zDir).select(col("zvalue")).distinct()
+      .count() == 1024)
+  }
 }
