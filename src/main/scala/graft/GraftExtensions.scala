@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashSig, SimHash, SortedJaccard, SortedShingles, VectorDot, VectorL2Sq}
+import graft.functions.{HeavyHitters, MinHashSig, SimHash, SortedJaccard, SortedShingles, VectorDot, VectorL2Sq}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql("SELECT simhash(...)...")`
@@ -63,6 +63,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => VectorDot(a, b)
         case _ => throw new IllegalArgumentException(
           "vector_dot(array<float>, array<float>)")
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
+      (args: Seq[Expression]) => args match {
+        case Seq(item, Literal(k: Int, _)) => HeavyHitters(item, k)
+        case _ => throw new IllegalArgumentException(
+          "heavy_hitters(string, capacity literal int)")
       }))
 
     ext.injectFunction((

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TextOps
+import graft.functions.{HeavyHitters, TextOps}
 
 /** Text-analysis query inventory over the `documents` table: token
   * counting, word counts, quality scoring, language-ID, fingerprinting
@@ -162,6 +162,36 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), col("freq_sum"), col("min_cf"),
           (col("freq_sum").cast("double") / col("n_tokens")).as("mean_freq"))
         .orderBy(col("doc_id"))
+    },
+
+    // --- exact top-k words via heavy-hitters sketch + recount -----------
+    // The scale pattern for exact top-k over web-scale text: a mergeable
+    // Misra–Gries sketch (TypedImperativeAggregate — O(capacity) state
+    // per task, merged on the reducer) yields ≤256 candidate words in one
+    // pass; the candidates broadcast back over the token stream for exact
+    // counts; top-20 of the recount. Result provably equals the exact
+    // GROUP-BY answer whenever the 20th word's true count exceeds
+    // n/257 — which the oracle (the plain exact aggregation) verifies.
+    // Exact GROUP BY shuffles the full type table (hundreds of millions
+    // of keys on real corpora); this shuffles ≤256 keys.
+    Q(
+      "text_heavy_hitters",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+        |           FROM documents)
+        |SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM w GROUP BY word
+        |ORDER BY n DESC, word LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val w = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+      val cand = w
+        .agg(HeavyHitters.heavy_hitters(col("word"), 256).as("cand"))
+        .select(explode(col("cand")).as("word"))
+      w.join(broadcast(cand), "word")
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
     },
 
     // --- deterministic content fingerprint (md5 of normalized text) -----

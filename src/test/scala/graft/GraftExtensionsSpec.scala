@@ -44,6 +44,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(4) == 8.0) // (1-3)² + (2-4)²
   }
 
+  test("heavy_hitters works as a SQL aggregate") {
+    val got = spark.sql(
+      """SELECT heavy_hitters(w, 4) AS cand
+        |FROM VALUES ('a'),('a'),('a'),('b'),('b'),('c') AS t(w)
+        |""".stripMargin).head().getSeq[String](0)
+    assert(got.contains("a") && got.contains("b"))
+    assert(got.size <= 4)
+  }
+
   test("SQL and Column API agree on simhash") {
     import org.apache.spark.sql.functions._
     val viaSql = spark.sql("SELECT simhash(array('x','y')) AS s").head().getLong(0)
