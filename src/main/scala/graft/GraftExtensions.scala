@@ -8,7 +8,9 @@ import graft.functions.{HeavyHitters, MinHashSig, SimHash, SortedJaccard, Sorted
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql("SELECT simhash(...)...")`
-  * works, not just the Column API.
+  * works, not just the Column API, and injects the
+  * [[graft.plans.RangeJoinRewrite]] optimizer rule (dormant until its
+  * bucket-width conf is set).
   *
   * Wire up with:
   * {{{
@@ -20,6 +22,10 @@ import graft.functions.{HeavyHitters, MinHashSig, SimHash, SortedJaccard, Sorted
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // planner-level range-join decomposition (opt-in via
+    // spark.graft.rangeJoin.bucketWidth; see the rule's scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+
     ext.injectFunction((
       new FunctionIdentifier("simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "simhash"),
