@@ -237,6 +237,64 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- C4-style span-level dedup (keep first occurrence) ---------------
+    // Fixed-width token spans (10 tokens, non-overlapping) dedup GLOBALLY:
+    // any span seen earlier — in another doc or earlier in the same doc —
+    // is dropped, and each doc is reassembled from its surviving spans
+    // (the C4 "repeated three-sentence span" rule, word-granular since
+    // this corpus has no sentence marks). Two shuffles, both scalable:
+    // keep-first is a window over the span VALUE (high-cardinality key,
+    // one row of state, balanced by construction), reassembly is a hash
+    // aggregate on doc_id. Span explosion is 1/10 of token count, so the
+    // exchanged volume is ~the corpus itself — the same cost class as
+    // exact dedup, with no pair enumeration anywhere.
+    Q(
+      "pipe_span_dedup",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, unnest(list_transform(
+        |        range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT), 1),
+        |        i -> struct_pack(pos := i,
+        |               span := array_to_string(toks[i*10+1:i*10+10], ' '))))
+        |        AS sp
+        |      FROM t),
+        |k AS (SELECT doc_id, sp.pos AS pos, sp.span AS span,
+        |        row_number() OVER (PARTITION BY sp.span
+        |          ORDER BY doc_id, sp.pos) = 1 AS keep
+        |      FROM s)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(COUNT(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(string_agg(CASE WHEN keep THEN span END, ' '
+        |    ORDER BY pos), '')) AS kept_fp
+        |FROM k GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val spans = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(
+          transform(
+            sequence(lit(0L),
+              ceil(size(col("toks")).cast("double") / 10.0).cast("long") - 1),
+            i => array_join(
+              slice(col("toks"), (i * 10 + 1).cast("int"), lit(10)), " "))))
+        .withColumnRenamed("col", "span")
+      val firstSeen = Window.partitionBy(col("span"))
+        .orderBy(col("doc_id"), col("pos"))
+      spans
+        .withColumn("keep", row_number().over(firstSeen) === 1)
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_spans"),
+          count(when(col("keep"), 1)).as("n_kept"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(
+                when(col("keep"), struct(col("pos"), col("span"))))),
+              x => x.getField("span")), " ")).as("kept_fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- temperature-based source resampling (τ = 0.5) -------------------
     // The multilingual-LM mixing rule (sample source s proportional to
     // n_s^τ) with τ = 0.5: per-source quota = ⌊4·√n_s⌋, docs chosen by

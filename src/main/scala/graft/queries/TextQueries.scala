@@ -32,6 +32,17 @@ object TextQueries {
     s"list_max([\n    $structs])"
   }
 
+  /** Hashing-trick linear model shared by engine and oracle: 1024 hashed
+    * feature buckets, integer weights derived from the bucket id by a
+    * Knuth multiplicative hash. In production the weight vector comes
+    * from a trained classifier; the deterministic table is the declared
+    * stand-in (same contract as the multimodal decoder stub) — what is
+    * being proven is the inference plumbing: featurize → broadcast
+    * weight lookup → per-doc reduce, all in exact integer arithmetic. */
+  private val ModelBuckets = 1024
+  private[queries] val ModelWeights: Array[Long] =
+    Array.tabulate(ModelBuckets)(b => ((b.toLong * 2654435761L) % 4096L) - 2048L)
+
   val all: Seq[Q] = Seq(
     // --- token counting: whitespace + regex (BPE-ish pre-tokenizer) ----
     Q(
@@ -161,6 +172,49 @@ object TextQueries {
           min(col("cf")).as("min_cf"))
         .select(col("doc_id"), col("n_tokens"), col("freq_sum"), col("min_cf"),
           (col("freq_sum").cast("double") / col("n_tokens")).as("mean_freq"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- model-based quality filtering (hashing-trick linear scorer) ----
+    // The fastText-style quality-classifier pass every production corpus
+    // runs: hash each token into a fixed bucket space (md5-derived, so
+    // both engines agree bit-for-bit), look its weight up in the
+    // broadcast model table, sum per document. The weight table rides
+    // into the plan as an array literal — O(buckets) bytes broadcast
+    // once, independent of corpus size; featurize+lookup is a narrow
+    // codegen projection; the only shuffle is the per-doc combiner-
+    // friendly sum. Score stays integral (exact); mean_w is one
+    // int/int division (bit-exact, operands < 2^53).
+    Q(
+      "text_quality_model",
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |           FROM documents),
+         |b AS (SELECT doc_id,
+         |        ${ModelWeights.mkString("[", ",", "]")}[
+         |          (('0x' || substr(md5(word), 1, 15))::BIGINT % 1024) + 1]
+         |          AS wt
+         |      FROM w)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(wt) AS BIGINT) AS score,
+         |  CAST(SUM(wt) AS DOUBLE) / COUNT(*) AS mean_w,
+         |  CAST(SUM(wt) AS BIGINT) > 0 AS is_quality
+         |FROM b GROUP BY doc_id
+         |ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val bucket = pmod(
+        conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"),
+        lit(1024L))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+        .select(col("doc_id"),
+          element_at(typedlit(ModelWeights.toSeq), (bucket + 1).cast("int"))
+            .as("wt"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("score"))
+        .select(col("doc_id"), col("n_tokens"), col("score"),
+          (col("score").cast("double") / col("n_tokens")).as("mean_w"),
+          (col("score") > 0).as("is_quality"))
         .orderBy(col("doc_id"))
     },
 
