@@ -391,8 +391,13 @@ object StarQueries {
     ) { (s, d) =>
       val richSuppliers = Tables.supplier(s, d)
         .where(col("s_acctbal") > 4500.0)
+      // expectedItems sized to the key side (~half the supplier table;
+      // suppliers are 0.01% of rows at any SF) — a bloom built for the
+      // 1M-item default is 2000x oversized here, and the oversized
+      // bitset is what the probe walks per fact row
       graft.operators.BloomPrune.prunedJoin(
-          Tables.lineitem(s, d), richSuppliers, "l_suppkey", "s_suppkey")
+          Tables.lineitem(s, d), richSuppliers, "l_suppkey", "s_suppkey",
+          expectedItems = 65536L)
         .groupBy(col("s_suppkey"), col("s_name"))
         .agg(
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
