@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative graph analytics over the star schema — the computation
+  * class (loop-until-k of join + re-aggregate) that sits beside the
+  * one-shot relational inventory. GraphX connected components already
+  * covers the vertex-program path ([[graft.operators.DedupClusters]]);
+  * this module runs the DataFrame-native iteration pattern instead:
+  * the edge relation is a plain DataFrame reused across iterations, so
+  * Spark's ReuseExchange dedups the repeated edge shuffles inside the
+  * single final plan, and each iteration is one shuffle on the source
+  * vertex — the same cost shape a Pregel superstep has.
+  *
+  * Everything is INTEGER arithmetic (rank units of 1e-6), so five
+  * unrolled iterations are bit-identical across engines and the oracle
+  * replays them exactly — the same engine-exactness trick as the
+  * k-means IVF training ([[SimilarityQueries]]).
+  */
+object GraphQueries {
+
+  private val Iters = 5
+
+  /** The oracle unrolls the same five integer iterations the engine
+    * runs, CTE by CTE (aggregates are illegal in a recursive CTE term,
+    * so unrolling IS the standard oracle form — same as the k-means
+    * replay). */
+  private def pagerankSql: String = {
+    val iters = (1 to Iters).map { i =>
+      s"""r$i AS (SELECT e.b AS node,
+         |  150000 + CAST(SUM((pr.rank * 85) // (100 * e.outdeg)) AS BIGINT)
+         |    AS rank
+         |  FROM e JOIN r${i - 1} pr ON e.a = pr.node GROUP BY e.b)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |ed AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+       |dg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS outdeg
+       |       FROM ed GROUP BY a),
+       |e AS (SELECT ed.a, ed.b, dg.outdeg FROM ed JOIN dg ON ed.a = dg.a),
+       |r0 AS (SELECT a AS node, CAST(1000000 AS BIGINT) AS rank FROM dg),
+       |$iters
+       |SELECT node, rank FROM r$Iters
+       |ORDER BY rank DESC, node LIMIT 50""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    // --- PageRank over the customer–supplier co-purchase graph ----------
+    // Undirected bipartite graph: customer c and supplier s are linked
+    // when some order of c contains a lineitem of s (node ids 2c / 2s+1
+    // keep the key spaces apart). Five damped power iterations in exact
+    // integer units: contribution = (rank * 85) div (100 * outdeg),
+    // new rank = 150000 + Σ contributions — floor division on positive
+    // longs is identical in both engines, and total mass stays below
+    // 2^53.
+    //
+    // Iteration discipline (all three shapes measured at sf0.1):
+    // naively nesting the joins puts i copies of the edge subtree in
+    // iteration i's lineage — 22 parquet scans in the final plan, and
+    // ReuseExchange recovers none (per-iteration re-aliasing defeats
+    // canonical matching). persist() on the edge relation collapses
+    // every nested reference onto one InMemoryRelation (the cache is
+    // the iteration working set — left pinned, LRU-evictable), and each
+    // rank generation rides a broadcast (one row per node, far under
+    // any broadcast threshold here), so a superstep is a narrow pass
+    // over cached edges plus a combiner-friendly aggregate. The eager
+    // localCheckpoint-per-iteration variant was ~40% SLOWER at this
+    // node count (five job barriers dominate); it becomes the right
+    // shape only when ranks outgrow a broadcast — billion-node graphs,
+    // where GraphX/Pregel or shuffle-join supersteps with periodic
+    // checkpoints take over.
+    Q("q_pagerank_copurchase", pagerankSql) { (s, d) =>
+      val pairs = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs
+        .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("outdeg"))
+      val e = edges.join(deg, "a").persist()
+      var ranks = deg.select(col("a").as("node"), lit(1000000L).as("rank"))
+      (1 to Iters).foreach { _ =>
+        ranks = e.join(broadcast(ranks), col("a") === col("node"))
+          .select(col("b"),
+            expr("(rank * 85) div (100 * outdeg)").as("contrib"))
+          .groupBy(col("b"))
+          .agg((lit(150000L) + sum(col("contrib"))).as("rank"))
+          .select(col("b").as("node"), col("rank"))
+      }
+      ranks.orderBy(col("rank").desc, col("node")).limit(50)
+    }
+  )
+}
