@@ -48,4 +48,28 @@ object Layout {
       .sortWithinPartitions(col("zvalue"))
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Point-lookup skipping for columns clustering can't serve: sorting
+    * orders ONE axis (and z-order two); a needle-in-haystack equality on
+    * any other high-cardinality column still touches every row group,
+    * because min/max over an unclustered column spans the domain.
+    * Parquet's split-block Bloom filters close that gap — one filter per
+    * row group per column, consulted by the reader on `=` / `IN`
+    * predicates, skipping groups whose filter rules the value out.
+    * False positives only cost a read; sizing is per expected distinct
+    * values (bits ≈ 10·ndv for ~1% fp). The filters ride in the file
+    * tail, so writers pay O(ndv) memory per open file and readers only
+    * fetch them when a candidate predicate exists — at 100 TB this
+    * turns key-lookup audits ("which files hold user X?") from
+    * full-table scans into a handful of row groups. */
+  def writeBloomIndexed(df: DataFrame, path: String, numFiles: Int,
+      bloomCols: Seq[String], expectedNdv: Long): Unit = {
+    require(bloomCols.nonEmpty, "at least one bloom column")
+    val base = df.repartition(numFiles).write.mode("overwrite")
+    bloomCols.foldLeft(base) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c",
+          expectedNdv.toString)
+    }.parquet(path)
+  }
 }

@@ -82,4 +82,54 @@ class LayoutSpec extends SparkSpec {
     assert(s.read.parquet(zDir).select(col("zvalue")).distinct()
       .count() == 1024)
   }
+
+  test("bloom-indexed layout: filters land in the footer and answer " +
+      "membership; the plain write has none") {
+    val s = spark
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    // high-cardinality scrambled keys — clustering can't serve them
+    val keys = (0 until 20000).map(i => ((i * 48271) % 100003).toLong)
+    val df = keys.toDF("k")
+
+    val bloomDir = tmpDir("graft-bloom")
+    val plainDir = tmpDir("graft-plain")
+    Layout.writeBloomIndexed(df, bloomDir, numFiles = 2, Seq("k"),
+      expectedNdv = 20000)
+    df.repartition(2).write.mode("overwrite").parquet(plainDir)
+
+    def blooms(dir: String) = {
+      val file = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        new org.apache.hadoop.conf.Configuration(),
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath))
+      try {
+        val block = reader.getFooter.getBlocks.get(0)
+        val meta = block.getColumns.asScala
+          .find(_.getPath.toDotString == "k").get
+        (Option(reader.readBloomFilter(meta)), block.getRowCount)
+      } finally reader.close()
+    }
+
+    val (bloom, rows) = blooms(bloomDir)
+    assert(bloom.isDefined, "bloom filter missing from footer")
+    val bf = bloom.get
+    val present = s.read.parquet(bloomDir).select("k").as[Long].collect()
+    assert(rows > 0)
+    // per-file filter: at least the global check — all stored keys in
+    // some file's filter; spot-check membership + false-positive rate
+    val hits = keys.count(k => bf.findHash(bf.hash(k)))
+    assert(hits >= keys.distinct.size / 2,
+      s"too few maybes for present keys: $hits") // 2 files, ~half each
+    val absentMaybes = (1 to 2000)
+      .map(i => 100003L + i) // values never written
+      .count(k => bf.findHash(bf.hash(k)))
+    assert(absentMaybes < 200,
+      s"false-positive rate off: $absentMaybes/2000")
+    assert(present.length == 20000)
+
+    assert(blooms(plainDir)._1.isEmpty,
+      "plain write unexpectedly has a bloom filter")
+  }
 }
