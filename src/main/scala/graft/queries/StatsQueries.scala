@@ -266,6 +266,35 @@ object StatsQueries {
         .orderBy(col("col_name"))
     },
 
+    // --- DSv2 connector end-to-end (graft.sources.SyntheticSource) ------
+    // The custom DataSource V2 source under the full oracle gate: the id
+    // range predicate pushes into PARTITION PLANNING (the source
+    // generates [10000, 50000) and nothing else — spec-asserted), column
+    // pruning reaches the reader, and because the generator is integer
+    // arithmetic on the row index, DuckDB replays the identical stream
+    // from range() and the aggregate hash-matches. min/max of
+    // bit-identical doubles are engine-safe; no double is ever summed.
+    Q(
+      "q_synth_source",
+      s"""WITH t AS (SELECT ${graft.sources.SyntheticSource.rowSql("i")}
+         |  FROM range(10000, 50000) r(i))
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+         |  MIN(value) AS min_v, MAX(value) AS max_v
+         |FROM t GROUP BY event_type
+         |ORDER BY event_type NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      s.read.format("graft-synth")
+        .option("numRows", 60000).option("numPartitions", 8).load()
+        .where(col("id") >= 10000L && col("id") < 50000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("users"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"))
+        .orderBy(col("event_type"))
+    },
+
     // --- Morton (Z-order) cell map of the (user, hour) activity grid ----
     // The query half of io.Layout.writeZOrdered: per-(user_id, hour)
     // event counts keyed by the 2-D Morton code, emitted in curve order —
