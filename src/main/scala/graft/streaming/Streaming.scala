@@ -118,6 +118,31 @@ object Streaming {
         pmod(col("value"), lit(50)).as("user_id"),
         pmod(col("value"), lit(1000)).cast("double").as("value"))
 
+  /** The foreachBatch exactly-once sink pattern: each micro-batch lands
+    * in its own `_batch_id=` partition via DYNAMIC partition overwrite,
+    * so a replayed batch (failure between sink write and checkpoint
+    * commit — the at-least-once window every foreachBatch sink has)
+    * OVERWRITES its own prior output instead of appending duplicates.
+    * Idempotence comes from the (batchId → partition) mapping alone; no
+    * target-side dedup read is needed, which is what keeps it O(batch)
+    * at any target size. This is the standard recipe for sinks without
+    * native transactions; [[upsertBatch]] is the unit-testable core.
+    */
+  def upsertBatch(batch: DataFrame, batchId: Long, targetDir: String): Unit =
+    batch.withColumn("_batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id")
+      .parquet(targetDir)
+
+  /** Start `df` into an idempotent parquet sink (see [[upsertBatch]]). */
+  def startIdempotentSink(df: DataFrame, targetDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) => upsertBatch(b, id, targetDir))
+      .start()
+
   final case class SessionEvent(user_id: Long, ts: Timestamp)
   /** One open session interval; a user's state is ALL open intervals —
     * an interval only leaves state once the watermark proves nothing can
