@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -85,7 +86,8 @@ private class SynthTable(options: CaseInsensitiveStringMap)
   override def name(): String = "graft_synth"
   override def schema(): StructType = SyntheticSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](options)
     merged.putAll(opts)
@@ -99,6 +101,7 @@ private class SynthScanBuilder(options: CaseInsensitiveStringMap)
 
   private val numRows = options.getLong("numRows", 100000L)
   private val numPartitions = options.getInt("numPartitions", 8)
+  private val batchRows = options.getLong("batchRows", 10000L)
 
   private var lo = 0L
   private var hi = numRows
@@ -125,13 +128,16 @@ private class SynthScanBuilder(options: CaseInsensitiveStringMap)
     required = requiredSchema
 
   override def build(): Scan =
-    new SynthScan(required, lo.min(hi), hi, numPartitions)
+    new SynthScan(required, lo.min(hi), hi, numPartitions, batchRows)
 }
 
 private class SynthScan(readSchema: StructType, lo: Long, hi: Long,
-    numPartitions: Int) extends Scan with Batch {
+    numPartitions: Int, batchRows: Long = 10000L) extends Scan with Batch {
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new SynthMicroBatchStream(readSchema, lo, hi, numPartitions, batchRows)
   override def description(): String =
     s"graft-synth [$lo, $hi) over $numPartitions partitions, " +
       s"columns ${readSchema.fieldNames.mkString(",")}"
@@ -152,6 +158,61 @@ private class SynthScan(readSchema: StructType, lo: Long, hi: Long,
 
 private case class SynthPartition(start: Long, end: Long)
     extends InputPartition
+
+/** Offsets are plain row indexes: a micro-batch is the index interval
+  * (previous offset, next offset], planned with the same chunking as
+  * the batch path. Pacing lives in `latestOffset` — it advances by at
+  * most `batchRows` per trigger and pins at the end of the stream;
+  * clamping anywhere later would skip rows, because the engine COMMITS
+  * whatever latestOffset returned. A restart from a checkpointed
+  * offset regenerates identical rows (the generator is pure index
+  * arithmetic; determinism is the source's exactly-once story, not
+  * sink-side dedup). */
+private class SynthMicroBatchStream(readSchema: StructType, lo: Long,
+    hi: Long, numPartitions: Int, batchRows: Long)
+    extends MicroBatchStream {
+
+  private case class SynthOffset(i: Long) extends Offset {
+    override def json(): String = i.toString
+  }
+
+  // highest offset offered to the engine so far (driver-side instance)
+  private var offered = lo
+
+  override def initialOffset(): Offset = SynthOffset(lo)
+
+  override def latestOffset(): Offset = {
+    offered = (offered + batchRows).min(hi)
+    SynthOffset(offered)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    // after a restart the engine replays from the checkpoint; keep the
+    // pacing cursor at least there so latestOffset never moves backward
+    val o = json.toLong
+    offered = offered.max(o)
+    SynthOffset(o)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s0 = start.asInstanceOf[SynthOffset].i
+    val e0 = end.asInstanceOf[SynthOffset].i
+    val total = (e0 - s0).max(0L)
+    val chunk = ((total + numPartitions - 1) / numPartitions.max(1)).max(1L)
+    (0 until numPartitions).map { p =>
+      val s = s0 + p * chunk
+      val e = (s + chunk).min(e0)
+      SynthPartition(s, e.max(s)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(readSchema.fieldNames)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private class SynthReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {

@@ -62,4 +62,23 @@ class SyntheticSourceSpec extends SparkSpec {
     val df = read(1000, 4).where(col("id") >= 900L && col("id") < 100L)
     assert(df.count() == 0)
   }
+
+  test("micro-batch read drains the declared rows across paced batches " +
+      "and matches the batch read exactly") {
+    val stream = spark.readStream.format("graft-synth")
+      .option("numRows", 1000).option("numPartitions", 2)
+      .option("batchRows", 300).load()
+    val q = stream.writeStream.format("memory").queryName("synth_mb")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("synth_mb")
+      assert(got.count() == 1000)
+      // batch and stream produce the identical row set
+      val batch = read(1000, 2).collect().map(_.toSeq).toSet
+      assert(got.collect().map(_.toSeq).toSet == batch)
+      // pacing: 1000 rows / 300 per trigger -> at least 4 micro-batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+    } finally q.stop()
+  }
 }
