@@ -91,4 +91,49 @@ class CurationSpec extends SparkSpec {
     assert(flagged.forall(r => docs(r.getLong(0)) != "src0"),
       "benchmark docs must never be flagged against themselves")
   }
+
+  test("span_dedup: the lowest doc keeps everything; global span budget " +
+      "balances; kept counts never exceed totals") {
+    val rows = q("pipe_span_dedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 500)
+    rows.foreach { case (id, nSpans, nKept) =>
+      assert(nKept >= 0 && nKept <= nSpans, s"doc $id kept > total")
+    }
+    // keep-first orders by (doc_id, pos): doc 0 can never lose a span
+    // to a later doc — only to itself, and its spans are distinct or
+    // not; recompute its self-collisions directly
+    val s = spark
+    val doc0 = graft.Tables.documents(s, dir)
+      .where(col("doc_id") === 0).select(col("text"))
+      .head().getString(0).split(" ")
+    val spans0 = doc0.grouped(10).map(_.mkString(" ")).toSeq
+    val (n0, k0) = rows.find(_._1 == 0L).map(r => (r._2, r._3)).get
+    assert(n0 == spans0.length && k0 == spans0.distinct.length,
+      "doc 0 must keep exactly its distinct spans")
+    // global: total kept == number of DISTINCT spans in the corpus
+    val allSpans = graft.Tables.documents(s, dir)
+      .select(col("text")).collect().flatMap(
+        _.getString(0).split(" ").grouped(10).map(_.mkString(" ")))
+    assert(rows.map(_._3).sum == allSpans.distinct.length,
+      "kept spans must equal distinct spans corpus-wide")
+  }
+
+  test("temperature_mix: per-source draw is exactly min(quota, n) with " +
+      "quota = floor(4 * sqrt(n))") {
+    val s = spark
+    val got = q("pipe_temperature_mix").collect()
+      .groupBy(_.getString(1)).map { case (src, rs) =>
+        src -> (rs.length.toLong, rs.head.getLong(2))
+      }
+    val counts = graft.Tables.documents(s, dir)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (src, n) =>
+      val quota = math.floor(4 * math.sqrt(n.toDouble)).toLong
+      val (drawn, reported) = got.getOrElse(src, (0L, quota))
+      assert(reported == quota, s"$src quota")
+      assert(drawn == math.min(quota, n), s"$src drawn $drawn")
+    }
+  }
 }
