@@ -35,17 +35,23 @@ object KMeans {
 
   private val Scale = 4503599627370496L // 2^52
 
-  /** Nearest-centroid id for an embedding column: min of (d, cid) structs —
+  /** Nearest centroid as a (d, cid) struct: min of per-centroid structs —
     * lexicographic struct order gives the tie-break for free, and each
-    * distance is evaluated exactly once. */
-  def assignExpr(embedding: Column, cents: Seq[Centroid]): Column = {
+    * distance is evaluated exactly once. Exposing the struct (not just
+    * the id) lets callers keep the winning distance without a second
+    * pass (SemDeDup-style representative selection needs it). */
+  def nearestExpr(embedding: Column, cents: Seq[Centroid]): Column = {
     require(cents.nonEmpty, "no centroids")
     array_min(array(cents.map(c =>
       struct(
         VectorOps.l2sq(embedding,
           array(c.cvec.map(lit): _*)).as("d"),
-        lit(c.cid).as("cid"))): _*)).getField("cid")
+        lit(c.cid).as("cid"))): _*))
   }
+
+  /** Nearest-centroid id for an embedding column. */
+  def assignExpr(embedding: Column, cents: Seq[Centroid]): Column =
+    nearestExpr(embedding, cents).getField("cid")
 
   /** Deterministic hash-sampled seeds: the k vectors with the smallest
     * `md5(vec_id)`-derived 60-bit hash. TakeOrdered (no global sort), and

@@ -51,6 +51,46 @@ object SimilarityQueries {
         s"x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])))"
   }
 
+  /** Shared k-means oracle replay, matching [[KMeans.fit]] +
+    * [[KMeans.nearestExpr]] bit-for-bit: CTEs `c0..c<iters>` (centroid
+    * tables per Lloyd iteration — md5-hash seeds, 2⁵²-exact means) and
+    * `af` (final assignment with the winning distance `d`). One source
+    * of truth for every query that trains a quantizer. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val scale = "4503599627370496" // 2^52
+    val seedCte =
+      s"""c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+         |  FROM (SELECT vec_id, embedding,
+         |          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |        FROM embeddings ORDER BY h, vec_id LIMIT $k))""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""a$i AS (SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${Sql.l2sq("e.embedding", "c.cvec")}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN c${i - 1} c) WHERE rn = 1),
+         |m$i AS (SELECT cid, pos,
+         |    CAST(SUM(CAST(CAST(v AS DOUBLE) * $scale AS DECIMAL(38,0))) AS DOUBLE)
+         |      / $scale / COUNT(*) AS comp
+         |  FROM (SELECT cid, unnest(embedding) AS v,
+         |          generate_subscripts(embedding, 1) AS pos FROM a$i)
+         |  GROUP BY cid, pos),
+         |c$i AS (SELECT cid, list(comp ORDER BY pos) AS cvec
+         |        FROM m$i GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    val af =
+      s"""af AS (SELECT vec_id, embedding, cid, d FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      ${Sql.l2sq("e.embedding", "c.cvec")} AS d,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${Sql.l2sq("e.embedding", "c.cvec")}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN c$iters c) WHERE rn = 1)"""
+        .stripMargin
+    s"$seedCte,\n$iterCtes,\n$af"
+  }
+
   val all: Seq[Q] = Seq(
     // --- per-vector L2 norm — deterministic row-local fold → oracle-able
     Q(
@@ -200,37 +240,8 @@ object SimilarityQueries {
     // of the corpus.
     Q(
       "emb_knn_ivf", {
-        val (k, iters) = (8, 3)
-        val scale = "4503599627370496" // 2^52
-        val seedCte =
-          s"""c0 AS (
-             |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid,
-             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-             |  FROM (SELECT vec_id, embedding,
-             |          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
-             |        FROM embeddings ORDER BY h, vec_id LIMIT $k))""".stripMargin
-        val iterCtes = (1 to iters).map { i =>
-          s"""a$i AS (SELECT vec_id, embedding, cid FROM (
-             |    SELECT e.vec_id, e.embedding, c.cid,
-             |      row_number() OVER (PARTITION BY e.vec_id
-             |        ORDER BY ${Sql.l2sq("e.embedding", "c.cvec")}, c.cid) AS rn
-             |    FROM embeddings e CROSS JOIN c${i - 1} c) WHERE rn = 1),
-             |m$i AS (SELECT cid, pos,
-             |    CAST(SUM(CAST(CAST(v AS DOUBLE) * $scale AS DECIMAL(38,0))) AS DOUBLE)
-             |      / $scale / COUNT(*) AS comp
-             |  FROM (SELECT cid, unnest(embedding) AS v,
-             |          generate_subscripts(embedding, 1) AS pos FROM a$i)
-             |  GROUP BY cid, pos),
-             |c$i AS (SELECT cid, list(comp ORDER BY pos) AS cvec
-             |        FROM m$i GROUP BY cid)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH $seedCte,
-           |$iterCtes,
-           |af AS (SELECT vec_id, embedding, cid FROM (
-           |    SELECT e.vec_id, e.embedding, c.cid,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${Sql.l2sq("e.embedding", "c.cvec")}, c.cid) AS rn
-           |    FROM embeddings e CROSS JOIN c$iters c) WHERE rn = 1),
+        val iters = 3
+        s"""WITH ${kmeansCtes(k = 8, iters = iters)},
            |q AS (SELECT vec_id AS q_id, embedding AS q_vec
            |      FROM embeddings WHERE vec_id < 10),
            |qd AS (SELECT q_id, cid, ${Sql.l2sq("q_vec", "cvec")} AS d
@@ -319,6 +330,49 @@ object SimilarityQueries {
         // cosine maxes out ≈0.5; a real near-dup corpus would use ≥0.95)
         .where(col("cos") >= 0.4)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // --- SemDeDup-style semantic coreset selection -----------------------
+    // The cluster-then-keep-representatives pass modern curation stacks
+    // run over embeddings (SemDeDup, SSL-prototype pruning): train a
+    // k-means quantizer (k=64 here — fine-grained cells), assign every
+    // vector, keep each cell's closest-to-centroid vector as the
+    // retained representative. Training replays engine-exact (shared
+    // kmeansCtes oracle); the winning distance comes free from the same
+    // (d, cid) struct the assignment takes its argmin over — one narrow
+    // pass, no second distance computation, no join. Per-cell argmin is
+    // a window over cid (≤ k groups of corpus/k rows); at 100 TB the
+    // assignment is still a broadcast map and the window shuffles once
+    // on cid.
+    Q(
+      "pipe_semantic_dedup", {
+        val iters = 2
+        s"""WITH ${kmeansCtes(k = 64, iters = iters)},
+           |r AS (SELECT cid, vec_id, d,
+           |        row_number() OVER (PARTITION BY cid
+           |          ORDER BY d, vec_id) AS rn,
+           |        COUNT(*) OVER (PARTITION BY cid) AS n
+           |      FROM af)
+           |SELECT cid, vec_id AS rep_id, ROUND(d, 6) AS rep_d,
+           |  CAST(n AS BIGINT) AS n_members
+           |FROM r WHERE rn = 1
+           |ORDER BY cid NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = KMeans.fit(emb, k = 64, iters = 2)
+      val best = KMeans.nearestExpr(col("embedding"), cents)
+      val assigned = emb.select(col("vec_id"),
+        best.getField("cid").as("cid"), best.getField("d").as("d"))
+      val byCell = Window.partitionBy(col("cid"))
+      val byDist = byCell.orderBy(col("d"), col("vec_id"))
+      assigned
+        .withColumn("rn", row_number().over(byDist))
+        .withColumn("n_members", count(lit(1)).over(byCell))
+        .where(col("rn") === 1)
+        .select(col("cid"), col("vec_id").as("rep_id"),
+          round(col("d"), 6).as("rep_d"), col("n_members"))
+        .orderBy(col("cid"))
     }
   )
 }
