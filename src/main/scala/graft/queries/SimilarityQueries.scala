@@ -332,6 +332,58 @@ object SimilarityQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // --- int8 embedding quantization (storage engineering) --------------
+    // Symmetric per-vector int8 quantization — the 4× storage cut every
+    // large embedding table takes before ANN serving: scale = max|x|/127,
+    // q_i = floor(x/scale + 0.5) (explicit half-up — engine-identical,
+    // unlike round()'s half-even/half-up split), plus the reconstruction
+    // error bound the format guarantees (max err ≤ scale/2). Everything
+    // is a narrow row-local projection (no shuffle, no join); the oracle
+    // replays the identical IEEE op sequence, and the quantized array is
+    // fingerprinted via its canonical string form (both engines render
+    // "[a, b, c]"). At 100 TB this is a map-only rewrite pass.
+    Q(
+      "emb_quantize_int8",
+      """WITH s AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, embedding, scale,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) AS qv
+        |  FROM s)
+        |SELECT vec_id, ROUND(scale, 6) AS scale,
+        |  md5(CAST(qv AS VARCHAR)) AS q_fp,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  ROUND(list_max(list_transform(list_zip(embedding, qv),
+        |    p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale))),
+        |    6) AS max_err
+        |FROM q ORDER BY vec_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val scale = array_max(transform(col("embedding"),
+        x => abs(x.cast("double")))) / 127.0
+      val qv = transform(col("embedding"),
+        x => floor(x.cast("double") / col("scale") + 0.5).cast("int"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), scale.as("scale"))
+        .select(col("vec_id"), col("embedding"), col("scale"), qv.as("qv"))
+        // err must be computed BEFORE the projection that re-aliases
+        // `scale` to its rounded form: Spark 4's lateral column alias
+        // resolution would otherwise bind col("scale") inside the
+        // lambda to the ROUNDED alias defined earlier in the same
+        // select (DuckDB binds to the CTE column — silent divergence)
+        .select(col("vec_id"), col("scale"), col("qv"),
+          array_max(zip_with(col("embedding"), col("qv"),
+            (x, q) => abs(x.cast("double") - q.cast("double") * col("scale"))))
+            .as("err"))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          md5(col("qv").cast("string")).as("q_fp"),
+          aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          round(col("err"), 6).as("max_err"))
+        .orderBy(col("vec_id"))
+    },
+
     // --- SemDeDup-style semantic coreset selection -----------------------
     // The cluster-then-keep-representatives pass modern curation stacks
     // run over embeddings (SemDeDup, SSL-prototype pruning): train a
