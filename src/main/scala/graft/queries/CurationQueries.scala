@@ -237,6 +237,41 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- deterministic train/val/test split ------------------------------
+    // The assignment every corpus needs before training: split decided
+    // by a hash of the STABLE document id (not rand() — reproducible
+    // across runs, engines, and re-partitioning; same conv-md5 bridge as
+    // the k-means seeds), 98/1/1 by hash bucket. Narrow projection +
+    // one combiner-friendly aggregate; at 100 TB the split column would
+    // simply be written back as a partition column.
+    Q(
+      "pipe_train_val_split",
+      """WITH d AS (SELECT source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 100 AS h,
+        |    len(string_split(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN h < 98 THEN 'train' WHEN h < 99 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY source, split
+        |ORDER BY source NULLS FIRST, split NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val h = pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(100L))
+      Tables.documents(s, d)
+        .select(col("source"),
+          when(h < 98, "train").when(h < 99, "val").otherwise("test")
+            .as("split"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .orderBy(col("source"), col("split"))
+    },
+
     // --- C4-style span-level dedup (keep first occurrence) ---------------
     // Fixed-width token spans (10 tokens, non-overlapping) dedup GLOBALLY:
     // any span seen earlier — in another doc or earlier in the same doc —
