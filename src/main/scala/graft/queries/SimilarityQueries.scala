@@ -55,41 +55,84 @@ object SimilarityQueries {
     * [[KMeans.nearestExpr]] bit-for-bit: CTEs `c0..c<iters>` (centroid
     * tables per Lloyd iteration — md5-hash seeds, 2⁵²-exact means) and
     * `af` (final assignment with the winning distance `d`). One source
-    * of truth for every query that trains a quantizer. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+    * of truth for every query that trains a quantizer.
+    *
+    * `src` names the CTE/table holding (vec_id, embedding) — product
+    * quantization trains one codebook per SLICED subspace, so it passes
+    * a sliced CTE; `p` prefixes every generated CTE name so several
+    * trainings coexist in one WITH clause (`s1c0`, `s1af`, ...). */
+  private def kmeansCtes(k: Int, iters: Int,
+      src: String = "embeddings", p: String = ""): String = {
     val scale = "4503599627370496" // 2^52
     val seedCte =
-      s"""c0 AS (
+      s"""${p}c0 AS (
          |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
          |  FROM (SELECT vec_id, embedding,
          |          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
-         |        FROM embeddings ORDER BY h, vec_id LIMIT $k))""".stripMargin
+         |        FROM $src ORDER BY h, vec_id LIMIT $k))""".stripMargin
     val iterCtes = (1 to iters).map { i =>
-      s"""a$i AS (SELECT vec_id, embedding, cid FROM (
+      s"""${p}a$i AS (SELECT vec_id, embedding, cid FROM (
          |    SELECT e.vec_id, e.embedding, c.cid,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${Sql.l2sq("e.embedding", "c.cvec")}, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN c${i - 1} c) WHERE rn = 1),
-         |m$i AS (SELECT cid, pos,
+         |    FROM $src e CROSS JOIN ${p}c${i - 1} c) WHERE rn = 1),
+         |${p}m$i AS (SELECT cid, pos,
          |    CAST(SUM(CAST(CAST(v AS DOUBLE) * $scale AS DECIMAL(38,0))) AS DOUBLE)
          |      / $scale / COUNT(*) AS comp
          |  FROM (SELECT cid, unnest(embedding) AS v,
-         |          generate_subscripts(embedding, 1) AS pos FROM a$i)
+         |          generate_subscripts(embedding, 1) AS pos FROM ${p}a$i)
          |  GROUP BY cid, pos),
-         |c$i AS (SELECT cid, list(comp ORDER BY pos) AS cvec
-         |        FROM m$i GROUP BY cid)""".stripMargin
+         |${p}c$i AS (SELECT cid, list(comp ORDER BY pos) AS cvec
+         |        FROM ${p}m$i GROUP BY cid)""".stripMargin
     }.mkString(",\n")
     val af =
-      s"""af AS (SELECT vec_id, embedding, cid, d FROM (
+      s"""${p}af AS (SELECT vec_id, embedding, cid, d FROM (
          |    SELECT e.vec_id, e.embedding, c.cid,
          |      ${Sql.l2sq("e.embedding", "c.cvec")} AS d,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${Sql.l2sq("e.embedding", "c.cvec")}, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN c$iters c) WHERE rn = 1)"""
+         |    FROM $src e CROSS JOIN ${p}c$iters c) WHERE rn = 1)"""
         .stripMargin
     s"$seedCte,\n$iterCtes,\n$af"
   }
+
+  /** Product-quantization geometry shared by `emb_pq_codes` /
+    * `emb_knn_pq` and their oracles: 64 dims → 4 contiguous subspaces of
+    * 16, one k=16 codebook per subspace (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011). 4 code
+    * bytes per vector vs 256 embedding bytes = 64× compression. */
+  private val PqM = 4
+  private val PqSubDim = Dim / PqM
+  private val PqK = 16
+  private val PqIters = 2
+
+  /** The 4 sliced-subspace CTEs + 4 per-subspace k-means trainings.
+    * Subspace s trains over `embedding[lo:hi]` (DuckDB list slices are
+    * 1-based inclusive) under CTE prefix `s<s>` → codebook `s<s>c2`,
+    * final assignment `s<s>af`. */
+  private def pqCtes: String =
+    (1 to PqM).map { s =>
+      val lo = (s - 1) * PqSubDim + 1
+      val hi = s * PqSubDim
+      s"""sub$s AS (SELECT vec_id, embedding[$lo:$hi] AS embedding
+         |          FROM embeddings),
+         |${kmeansCtes(PqK, PqIters, src = s"sub$s", p = s"s$s")}"""
+        .stripMargin
+    }.mkString(",\n")
+
+  /** Engine-side PQ training: one [[KMeans.fit]] per sliced subspace.
+    * Driver state is PqM × PqK × PqSubDim doubles — bounded, broadcast-
+    * sized, exactly what a FAISS-style trainer would hold. */
+  private def pqFit(emb: org.apache.spark.sql.DataFrame)
+      : Seq[Seq[KMeans.Centroid]] =
+    (0 until PqM).map { i =>
+      KMeans.fit(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), i * PqSubDim + 1, PqSubDim)
+            .as("embedding")),
+        k = PqK, iters = PqIters)
+    }
 
   val all: Seq[Q] = Seq(
     // --- per-vector L2 norm — deterministic row-local fold → oracle-able
@@ -425,6 +468,120 @@ object SimilarityQueries {
         .select(col("cid"), col("vec_id").as("rep_id"),
           round(col("d"), 6).as("rep_d"), col("n_members"))
         .orderBy(col("cid"))
+    },
+
+    // --- product-quantization codes ---------------------------------------
+    // The 100 TB embedding-compression path: each vector becomes PqM=4
+    // centroid ids (one per 16-dim subspace) + nothing else — 64×
+    // smaller than the float[64], small enough that the whole corpus's
+    // codes fit in cluster memory for ANN serving. ENCODING is a narrow
+    // map (codebooks are driver literals, k·m VectorL2Sq kernel calls per
+    // row, no join/shuffle); training is PqM independent KMeans.fit runs
+    // over sliced subvectors. recon_err = Σ_s d_s — the exact squared L2
+    // between the vector and its reconstruction (subspaces are disjoint
+    // coordinates, so sub-distances add; invariant spec-checked). Oracle
+    // replays all four trainings per-iteration in SQL.
+    Q(
+      "emb_pq_codes", {
+        s"""WITH $pqCtes
+           |SELECT a1.vec_id,
+           |  a1.cid AS code1, a2.cid AS code2,
+           |  a3.cid AS code3, a4.cid AS code4,
+           |  ROUND(a1.d + a2.d + a3.d + a4.d, 6) AS recon_err
+           |FROM s1af a1 JOIN s2af a2 USING (vec_id)
+           |  JOIN s3af a3 USING (vec_id) JOIN s4af a4 USING (vec_id)
+           |ORDER BY vec_id NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val books = pqFit(emb)
+      val near = books.zipWithIndex.map { case (cents, i) =>
+        KMeans.nearestExpr(
+          slice(col("embedding"), i * PqSubDim + 1, PqSubDim), cents)
+          .as(s"n${i + 1}")
+      }
+      emb.select(col("vec_id") +: near: _*)
+        .select(col("vec_id"),
+          col("n1.cid").as("code1"), col("n2.cid").as("code2"),
+          col("n3.cid").as("code3"), col("n4.cid").as("code4"),
+          round(col("n1.d") + col("n2.d") + col("n3.d") + col("n4.d"), 6)
+            .as("recon_err"))
+        .orderBy(col("vec_id"))
+    },
+
+    // --- PQ ANN via asymmetric distance computation (ADC) -----------------
+    // The serving-side half of PQ: per query, ONE distance table per
+    // subspace (k=16 exact sub-distances from the query's subvector to
+    // the codebook — k·m = 64 kernel calls TOTAL per query, not per
+    // candidate), then every candidate's distance is m map lookups + 3
+    // adds over its CODES — the corpus's float embeddings are never
+    // touched after encoding. The scan side is the narrow codes
+    // projection; the query side (10 rows carrying their lookup tables)
+    // broadcasts. Lookup keys are centroid IDS (not array positions) so
+    // a codebook that drops an empty cluster stays correct. Oracle
+    // computes the same ADC by joining codes back to the final codebook
+    // CTEs; the sub-distance sum order (s1+s2)+s3)+s4 matches the
+    // engine's left-assoc adds bit-for-bit.
+    Q(
+      "emb_knn_pq", {
+        val sub = (1 to PqM).map { s =>
+          val lo = (s - 1) * PqSubDim + 1
+          Sql.l2sq(s"q.q_vec[$lo:${s * PqSubDim}]", s"cc$s.cvec")
+        }.mkString("(", " + ", ")")
+        val joins = (1 to PqM)
+          .map(s => s"JOIN s${s}c$PqIters cc$s ON cc$s.cid = x.c$s")
+          .mkString("\n         ")
+        s"""WITH $pqCtes,
+           |codes AS (SELECT a1.vec_id, a1.cid AS c1, a2.cid AS c2,
+           |    a3.cid AS c3, a4.cid AS c4
+           |  FROM s1af a1 JOIN s2af a2 USING (vec_id)
+           |    JOIN s3af a3 USING (vec_id) JOIN s4af a4 USING (vec_id)),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_vec
+           |      FROM embeddings WHERE vec_id < 10),
+           |s AS (SELECT q.q_id, x.vec_id, $sub AS adc
+           |      FROM codes x
+           |         $joins
+           |         CROSS JOIN q
+           |      WHERE x.vec_id <> q.q_id)
+           |SELECT q_id, vec_id, ROUND(adc, 6) AS adc, rank FROM (
+           |  SELECT q_id, vec_id, adc,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |           ORDER BY adc, vec_id) AS INT) AS rank
+           |  FROM s) WHERE rank <= 5
+           |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val books = pqFit(emb)
+      val codes = emb.select(
+        col("vec_id") +: books.zipWithIndex.map { case (cents, i) =>
+          KMeans.assignExpr(
+            slice(col("embedding"), i * PqSubDim + 1, PqSubDim), cents)
+            .as(s"c${i + 1}")
+        }: _*)
+      // per-query ADC lookup tables: cid → exact sub-distance
+      val dtabs = books.zipWithIndex.map { case (cents, i) =>
+        map(cents.flatMap(c => Seq(
+          lit(c.cid),
+          VectorOps.l2sq(
+            slice(col("q_vec"), i * PqSubDim + 1, PqSubDim),
+            array(c.cvec.map(lit): _*)))): _*).as(s"dt${i + 1}")
+      }
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        .select(col("q_id") +: dtabs: _*)
+      val adc = (1 to PqM)
+        .map(i => element_at(col(s"dt$i"), col(s"c$i")))
+        .reduceLeft(_ + _)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc"), col("vec_id"))
+      codes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adc.as("adc"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"),
+          round(col("adc"), 6).as("adc"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
     }
   )
 }

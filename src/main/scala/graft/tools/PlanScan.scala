@@ -16,7 +16,8 @@ object PlanScan {
       "q22_global_sales" -> "1-row scalar subquery joined on >",
       "q_resample_hourly" -> "1-row bounds row exploded into the spine",
       "emb_knn_brute" -> "10-row query set vs corpus IS the brute baseline",
-      "emb_knn_ivf" -> "10-row query set x k centroids probe")
+      "emb_knn_ivf" -> "10-row query set x k centroids probe",
+      "emb_knn_pq" -> "10-row query set carrying ADC tables vs code table")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")

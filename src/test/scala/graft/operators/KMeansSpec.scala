@@ -59,4 +59,42 @@ class KMeansSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
     assert(!plan.toLowerCase.contains("join"), "assignment must not join")
   }
+
+  test("PQ invariant: winning sub-distances sum to the exact " +
+      "vector-to-reconstruction distance") {
+    // Product quantization trains one codebook per disjoint coordinate
+    // slice, so Σ_s l2sq(v_s, centroid_s) must equal l2sq(v, concat of
+    // the chosen sub-centroids) — exactly in real arithmetic, within one
+    // rounding regrouping in floats (the slices sum as partial folds).
+    val m = 4
+    val sub = 16
+    val books = (0 until m).map { i =>
+      KMeans.fit(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), i * sub + 1, sub).as("embedding")),
+        k = 8, iters = 1)
+    }
+    val near = books.zipWithIndex.map { case (c, i) =>
+      KMeans.nearestExpr(slice(col("embedding"), i * sub + 1, sub), c)
+        .as(s"n$i")
+    }
+    val rows =
+      emb.select(Seq(col("vec_id"), col("embedding")) ++ near: _*).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vec = r.getSeq[Float](1)
+      val recon = new Array[Double](m * sub)
+      var dsum = 0.0
+      (0 until m).foreach { i =>
+        val st = r.getStruct(2 + i)
+        dsum += st.getDouble(0)
+        val cv = books(i).find(_.cid == st.getInt(1)).get.cvec
+        cv.zipWithIndex.foreach { case (v, j) => recon(i * sub + j) = v }
+      }
+      val exact = vec.zip(recon)
+        .map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum
+      assert(math.abs(dsum - exact) <= 1e-9 * math.max(1.0, exact),
+        s"vec ${r.getLong(0)}: $dsum vs $exact")
+    }
+  }
 }
