@@ -1,9 +1,11 @@
 package graft.functions
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,8 +22,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * the per-row path is a static call with no serialization, null-handling
   * is inherited, and codegen splices it into the stage
   * (SURVEY §2.12 extension surface; preference order (b) of the build
-  * brief). Token hashing reuses Spark's XXH64 (same hash family as the
-  * built-in `xxhash64`).
+  * brief).
+  *
+  * Token hashing is the first 8 bytes of MD5, little-endian — a
+  * deliberate cross-engine choice: DuckDB's `md5_number_upper` computes
+  * the identical 64-bit value, so the full signature (and therefore the
+  * near-dup pair set) is replayable in the oracle bit-for-bit, upgrading
+  * `dedup_simhash` from rows-only to value-exact. MD5 costs ~5× XXH64
+  * per token, but the fingerprint is computed once per document behind
+  * its own exchange (never per pair), so hashing is a vanishing fraction
+  * of the query; exactness across engines is worth it.
   */
 case class SimHash(child: Expression) extends UnaryExpression {
 
@@ -51,15 +61,32 @@ case class SimHash(child: Expression) extends UnaryExpression {
 
 /** Static kernel shared by interpreted eval and generated code. */
 object SimHashImpl {
+
+  private val md5Local: ThreadLocal[MessageDigest] =
+    new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest =
+        MessageDigest.getInstance("MD5")
+    }
+
+  /** First 8 bytes of MD5(token), little-endian — equals DuckDB's
+    * `md5_number_upper(token)` reinterpreted as a signed long. */
+  def tokenHash(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    (d(0) & 0xffL) | ((d(1) & 0xffL) << 8) | ((d(2) & 0xffL) << 16) |
+      ((d(3) & 0xffL) << 24) | ((d(4) & 0xffL) << 32) |
+      ((d(5) & 0xffL) << 40) | ((d(6) & 0xffL) << 48) |
+      ((d(7) & 0xffL) << 56)
+  }
+
   def compute(tokens: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val s: UTF8String = tokens.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-          s.numBytes, 42L)
+        val h = tokenHash(tokens.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

@@ -297,9 +297,36 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
-    // --- SimHash near-dup pairs (custom Catalyst expression) — rows-only -
-    // candidate generation: 4×16-bit bands (Hamming ≤ 3 ⇒ ≥ 1 band equal)
-    Q.noOracle("dedup_simhash") { (s, d) =>
+    // --- SimHash near-dup pairs (custom Catalyst expression) -------------
+    // Candidate generation: 4×16-bit bands. The pigeonhole bound makes
+    // banded recall EXACT here (Hamming ≤ 3 over 4 bands ⇒ ≥ 1 band has
+    // zero differing bits ⇒ the pair collides), so the engine's banded
+    // output IS the all-pairs Hamming ≤ 3 set — which the oracle states
+    // directly. Token hashes are MD5-derived ([[graft.functions.SimHash]])
+    // so DuckDB replays the full 64-bit signature via md5_number_upper:
+    // per (doc, token) hash → ±1 vote per bit over range(64) → sign bits
+    // reassembled with shifts — value-exact, not rows-only.
+    Q(
+      "dedup_simhash",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |th AS (SELECT doc_id, md5_number_upper(g) AS h, COUNT(*) AS w
+        |       FROM (SELECT doc_id, unnest(toks) AS g FROM t)
+        |       GROUP BY doc_id, h),
+        |bits AS (SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS c
+        |  FROM th CROSS JOIN range(64) r(b) GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id,
+        |    SUM(CASE WHEN c > 0
+        |        THEN (CAST(1 AS UBIGINT) << CAST(b AS INT))
+        |        ELSE CAST(0 AS UBIGINT) END) AS sh
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
       // exchange boundary: fingerprint computed once per doc (without it,
       // projection collapse re-derives simhash(split(text)) per pair)
       val docs = Tables.documents(s, d).select(col("doc_id"),

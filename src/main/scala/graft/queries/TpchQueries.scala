@@ -618,6 +618,52 @@ object TpchQueries {
         .select(col("p_partkey"), col("p_brand"), col("s_name"),
           col("s_acctbal"), col("n_name"))
         .orderBy(col("s_acctbal").desc, col("p_partkey"))
+    },
+
+    // --- Q11 (adapted): important parts by one nation's supplied value ---
+    // No partsupp table: a part's "stock value" is the discounted revenue
+    // its NATION_3-based suppliers shipped (lineitem⋈supplier⋈nation).
+    // The classic Q11 shape survives intact — per-key aggregate compared
+    // against a scalar-subquery fraction of the grand total.
+    //
+    // Scale: one shuffle of lineitem on l_partkey after a broadcast
+    // supplier-filter semi-join; the grand total is a second aggregation
+    // over the (already tiny) per-part aggregate, broadcast back as a
+    // 1-row join — no second pass over the fact table. Exactness: the
+    // threshold compare is value×10000 > total in DECIMAL on both
+    // engines (value: DECIMAL(28,4) × DECIMAL(5,0) → DECIMAL(34,4),
+    // inside precision limits, so no rounding on either side — the
+    // fraction-as-multiplication form exists precisely to avoid the
+    // precision-overflow rounding that total×0.0001 would hit in Spark).
+    Q(
+      "q11_important_parts",
+      s"""WITH per_part AS (
+         |  SELECT l_partkey, SUM($Disc) AS value
+         |  FROM lineitem
+         |    JOIN supplier ON s_suppkey = l_suppkey
+         |    JOIN nation ON n_nationkey = s_nationkey
+         |  WHERE n_name = 'NATION_3'
+         |  GROUP BY l_partkey)
+         |SELECT l_partkey, CAST(value AS DOUBLE) AS value
+         |FROM per_part
+         |WHERE value * CAST(10000 AS DECIMAL(5,0)) >
+         |  (SELECT SUM(value) FROM per_part)
+         |ORDER BY value DESC, l_partkey NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val natSupp = broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .where(col("n_name") === "NATION_3").select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+      val perPart = Tables.lineitem(s, d)
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(discRev.as("value"))
+      val total = perPart.agg(sum(col("value")).as("tot"))
+      perPart.crossJoin(broadcast(total))
+        .where(col("value") * lit(10000).cast("decimal(5,0)") > col("tot"))
+        .select(col("l_partkey"), col("value").cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
     }
   )
 }

@@ -58,6 +58,15 @@ class TextOpsSpec extends SparkSpec {
     assert(ham(1L, 4L) > 12, s"far hamming ${ham(1L, 4L)}")
   }
 
+  test("simhash token hash equals DuckDB md5_number_upper (cross-engine pin)") {
+    // DuckDB: SELECT md5_number_upper('abc') → 12704604231530709392
+    // (first 8 MD5 bytes, little-endian, as unsigned); as a signed long
+    // that bit pattern is 12704604231530709392 - 2^64.
+    val expected = java.lang.Long.parseUnsignedLong("12704604231530709392")
+    assert(SimHashImpl.tokenHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")) == expected)
+  }
+
   test("simhash matches between interpreted eval and codegen path") {
     val df = docs((1L, "alpha beta gamma delta"))
     val viaCodegen = df
