@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.graft.rangeJoin.bucketWidth; see the rule's scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
 
+    // physical per-group top-k (two-phase bounded heaps; dormant unless
+    // a TopKPerGroupNode appears in the plan — see graft.operators.TopK)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+
     ext.injectFunction((
       new FunctionIdentifier("simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "simhash"),

@@ -1,0 +1,145 @@
+package graft.plans
+
+import java.util.{PriorityQueue => JPriorityQueue}
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Native per-group top-k: the whole-operator custom-plan path of the
+  * build brief (logical node + planner strategy + physical operator,
+  * registered through SparkSessionExtensions).
+  *
+  * Semantics: for each group (equality on `groupExprs`), emit the first
+  * `k` child rows under `ordering` — exactly
+  * `row_number() OVER (PARTITION BY g ORDER BY o) <= k` minus the `rn`
+  * column. Callers must make `ordering` total (tiebreak on a unique key)
+  * for a deterministic result, same as the window formulation.
+  *
+  * Why a physical operator instead of the window: Spark plans the window
+  * as exchange → full sort of EVERY row on (g, o) → running row_number →
+  * filter. All rows cross the wire and all rows get sorted, then all but
+  * k per group are discarded. This operator runs a bounded-heap pass on
+  * the MAP side first ([[TopKPerGroupPartialExec]]), so at most
+  * k·groups rows per input partition reach the exchange, and the reduce
+  * side ([[TopKPerGroupFinalExec]]) heap-merges instead of sorting —
+  * O(n log k) comparisons, no sort buffer, no row_number projection. At
+  * 100 TB with k=3 this is the difference between shuffling 100 TB and
+  * shuffling ~k·|groups| rows (the same asymmetry as partial aggregation
+  * — which is precisely what this is, with a bounded heap as the agg
+  * state).
+  *
+  * Memory: each task holds k row copies per distinct group in ITS input
+  * split — the same state the final window holds per partition, reached
+  * without the sort spill. The heaps store UnsafeRow copies, so state is
+  * compact and GC-cheap.
+  */
+case class TopKPerGroupNode(
+    k: Int,
+    groupExprs: Seq[Expression],
+    ordering: Seq[SortOrder],
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"topKPerGroup needs k > 0, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(c: LogicalPlan)
+      : TopKPerGroupNode = copy(child = c)
+}
+
+/** Shared bounded-heap kernel: one pass over a partition, keeping the
+  * first-k rows per group under `ordering`. The heap root is the WORST
+  * kept row (reverse ordering), so admission is one comparison and
+  * replacement is O(log k). */
+private[plans] object TopKKernel {
+  def topKPerPartition(
+      iter: Iterator[InternalRow],
+      k: Int,
+      groupExprs: Seq[Expression],
+      ordering: Seq[SortOrder],
+      output: Seq[Attribute]): Iterator[InternalRow] = {
+    val groupProj = UnsafeProjection.create(groupExprs, output)
+    val ord = new org.apache.spark.sql.catalyst.expressions.InterpretedOrdering(
+      ordering.map(BindReferences.bindReference(_, output)))
+    // reverse: heap root = last-in-sort-order among the kept rows
+    val heaps = mutable.HashMap.empty[UnsafeRow, JPriorityQueue[InternalRow]]
+    iter.foreach { row =>
+      val key = groupProj(row)
+      heaps.get(key) match {
+        case None =>
+          val h = new JPriorityQueue[InternalRow](k + 1, ord.reverse)
+          h.add(row.copy())
+          heaps.put(key.copy(), h)
+        case Some(h) =>
+          if (h.size < k) h.add(row.copy())
+          else if (ord.compare(row, h.peek()) < 0) { h.poll(); h.add(row.copy()) }
+      }
+    }
+    heaps.valuesIterator.flatMap { h =>
+      val buf = new Array[InternalRow](h.size)
+      var i = h.size - 1
+      while (i >= 0) { buf(i) = h.poll(); i -= 1 } // heap drains worst-first
+      buf.iterator
+    }
+  }
+}
+
+/** Map-side pass: per input partition, ≤ k rows per group survive to the
+  * exchange. No required distribution — runs on whatever the child
+  * produced (correct for any partitioning: the final pass re-applies the
+  * same bound after co-locating groups). */
+case class TopKPerGroupPartialExec(
+    k: Int,
+    groupExprs: Seq[Expression],
+    ordering: Seq[SortOrder],
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def doExecute(): RDD[InternalRow] = {
+    // locals only — the task closure must not drag the plan node along
+    val (k0, groups0, ord0, out0) = (k, groupExprs, ordering, child.output)
+    child.execute().mapPartitions(
+      TopKKernel.topKPerPartition(_, k0, groups0, ord0, out0),
+      preservesPartitioning = true)
+  }
+  override protected def withNewChildInternal(c: SparkPlan)
+      : TopKPerGroupPartialExec = copy(child = c)
+}
+
+/** Reduce-side pass: requires groups clustered (EnsureRequirements
+  * inserts the hash exchange on `groupExprs`), then the same bounded-heap
+  * kernel merges the per-partition survivors into the exact per-group
+  * top-k. */
+case class TopKPerGroupFinalExec(
+    k: Int,
+    groupExprs: Seq[Expression],
+    ordering: Seq[SortOrder],
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (groupExprs.isEmpty) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(groupExprs))
+  override protected def doExecute(): RDD[InternalRow] = {
+    // locals only — the task closure must not drag the plan node along
+    val (k0, groups0, ord0, out0) = (k, groupExprs, ordering, child.output)
+    child.execute().mapPartitions(
+      TopKKernel.topKPerPartition(_, k0, groups0, ord0, out0),
+      preservesPartitioning = true)
+  }
+  override protected def withNewChildInternal(c: SparkPlan)
+      : TopKPerGroupFinalExec = copy(child = c)
+}
+
+/** Planner strategy: one logical node → partial + final pair, mirroring
+  * HashAggregate's two-phase split. */
+object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(k, groups, ordering, child) =>
+      TopKPerGroupFinalExec(k, groups, ordering,
+        TopKPerGroupPartialExec(k, groups, ordering, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}

@@ -191,6 +191,39 @@ object StarQueries {
         .orderBy(col("o_custkey"), col("rn"))
     },
 
+    // --- native physical top-k per group ---------------------------------
+    // Same semantics as the window formulation above, executed by the
+    // custom two-phase bounded-heap operator ([[graft.plans
+    // .TopKPerGroupNode]]): the map side emits ≤ k rows per (group,
+    // input-partition) BEFORE the exchange, so the shuffle moves
+    // ~k·|groups| rows instead of every lineitem — the partial-
+    // aggregation asymmetry the window plan fundamentally can't have
+    // (row_number needs all rows of a group sorted in one place). The
+    // oracle states the row_number formulation; result parity IS the
+    // operator's correctness certificate.
+    Q(
+      "q_topk_per_group_native",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 2
+        |ORDER BY l_orderkey NULLS FIRST, l_extendedprice DESC,
+        |  l_linenumber NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      graft.operators.TopK.perGroup(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")),
+        2,
+        Seq("l_orderkey"),
+        Seq(graft.operators.TopK.desc("l_extendedprice"),
+          graft.operators.TopK.asc("l_linenumber")))
+        .orderBy(col("l_orderkey"), col("l_extendedprice").desc,
+          col("l_linenumber"))
+    },
+
     // --- window: running revenue per customer over time ------------------
     Q(
       "q_window_running_spend",
