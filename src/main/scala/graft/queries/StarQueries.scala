@@ -194,13 +194,12 @@ object StarQueries {
     // --- native physical top-k per group ---------------------------------
     // Same semantics as the window formulation above, executed by the
     // custom two-phase bounded-heap operator ([[graft.plans
-    // .TopKPerGroupNode]]): the map side emits ≤ k rows per (group,
-    // input-partition) BEFORE the exchange, so the shuffle moves
-    // ~k·|groups| rows instead of every lineitem — the partial-
-    // aggregation asymmetry the window plan fundamentally can't have
-    // (row_number needs all rows of a group sorted in one place). The
-    // oracle states the row_number formulation; result parity IS the
-    // operator's correctness certificate.
+    // .TopKPerGroupNode]] — see its scaladoc for the honest comparison
+    // against Spark's own WindowGroupLimit plan: equal shuffle volume,
+    // but heap SELECTION in O(n log k) instead of full per-partition
+    // SORTS on both sides of the exchange). The oracle states the
+    // row_number formulation; result parity IS the operator's
+    // correctness certificate.
     Q(
       "q_topk_per_group_native",
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (

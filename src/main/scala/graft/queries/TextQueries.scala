@@ -307,6 +307,108 @@ object TextQueries {
           sum(col("n_tokens")).over(Window.partitionBy())
             .as("corpus_tokens"))
         .orderBy(col("doc_id"))
+    },
+
+    // --- BPE merge candidates: tokenizer training, step one -------------
+    // The first merge selection of byte-pair-encoding training: count
+    // adjacent character pairs over the corpus, weighted by word
+    // frequency. The classic scale trick is load-bearing: pair counting
+    // runs over the VOCABULARY (distinct pre-tokenized words with their
+    // frequencies — one corpus-sized shuffle on the word key, the same
+    // exchange text_wordcount_topk pays), never over running text, so
+    // the char-pair explode + HOF lambda touch |vocab| rows, orders of
+    // magnitude below corpus size. Top-k via sort+limit
+    // (TakeOrderedAndProject), total order so the rank-20 boundary cuts
+    // deterministically.
+    Q(
+      "text_bpe_merges",
+      """WITH w AS (SELECT unnest(regexp_extract_all(text,
+        |             '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS word
+        |           FROM documents),
+        |v AS (SELECT word, COUNT(*) AS wf FROM w GROUP BY word),
+        |p AS (SELECT substring(word, CAST(i AS INT), 1) AS l,
+        |             substring(word, CAST(i AS INT) + 1, 1) AS r, wf
+        |      FROM v, UNNEST(range(1, length(word))) AS t(i)
+        |      WHERE length(word) >= 2)
+        |SELECT l || r AS merge, l, r, CAST(SUM(wf) AS BIGINT) AS pair_count
+        |FROM p GROUP BY l, r
+        |ORDER BY pair_count DESC, l NULLS FIRST, r NULLS FIRST
+        |LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val vocab = Tables.documents(s, d)
+        .select(explode(TextOps.regexTokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+        .where(length(col("word")) >= 2)
+      vocab
+        .select(col("wf"),
+          explode(transform(sequence(lit(1), length(col("word")) - 1),
+            i => struct(col("word").substr(i, lit(1)).as("l"),
+              col("word").substr(i + lit(1), lit(1)).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wf")).as("pair_count"))
+        .select(concat(col("l"), col("r")).as("merge"), col("l"), col("r"),
+          col("pair_count"))
+        .orderBy(col("pair_count").desc, col("l"), col("r"))
+        .limit(20)
+    },
+
+    // --- quality-model threshold sweep (operating curve) ----------------
+    // The go/no-go artifact every filtered pretraining corpus ships
+    // with: for each score threshold, how many documents and tokens
+    // survive. Reuses the text_quality_model scorer, buckets scores to
+    // a 500-wide grid (IEEE double divide + floor — correctly rounded,
+    // so both engines land on identical buckets), then one cumulative
+    // window DESC over the bucket table. The window is global but runs
+    // over |buckets| rows (~hundreds), the ref_rolling_baseline
+    // bounded-by-design shape — the corpus-sized work is the same
+    // per-doc scoring exchange the model query already pays.
+    Q(
+      "text_quality_threshold_sweep",
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |           FROM documents),
+         |b AS (SELECT doc_id,
+         |        ${ModelWeights.mkString("[", ",", "]")}[
+         |          (('0x' || substr(md5(word), 1, 15))::BIGINT % 1024) + 1]
+         |          AS wt
+         |      FROM w),
+         |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(wt) AS BIGINT) AS score
+         |       FROM b GROUP BY doc_id),
+         |bu AS (SELECT CAST(floor(score / 500) * 500 AS BIGINT) AS threshold,
+         |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_tokens) AS BIGINT) AS n_toks
+         |       FROM sc GROUP BY 1)
+         |SELECT threshold,
+         |  CAST(SUM(n_docs) OVER (ORDER BY threshold DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_docs_ge,
+         |  CAST(SUM(n_toks) OVER (ORDER BY threshold DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_tokens_ge
+         |FROM bu ORDER BY threshold DESC""".stripMargin
+    ) { (s, d) =>
+      val bucket = pmod(
+        conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"),
+        lit(1024L))
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+        .select(col("doc_id"),
+          element_at(typedlit(ModelWeights.toSeq), (bucket + 1).cast("int"))
+            .as("wt"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("score"))
+      val buckets = scored
+        .select((floor(col("score") / lit(500)) * 500).cast("long")
+          .as("threshold"), col("n_tokens"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_toks"))
+      val cum = Window.orderBy(col("threshold").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      buckets
+        .select(col("threshold"),
+          sum(col("n_docs")).over(cum).as("n_docs_ge"),
+          sum(col("n_toks")).over(cum).as("n_tokens_ge"))
+        .orderBy(col("threshold").desc)
     }
   )
 }
