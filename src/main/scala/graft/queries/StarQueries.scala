@@ -484,6 +484,60 @@ object StarQueries {
       graft.operators.Scd2.merge(dim, updates, "c_custkey",
           Seq("c_mktsegment", "c_nationkey"))
         .orderBy(col("c_custkey"), col("valid_from"))
+    },
+
+    // --- CDC MERGE-INTO apply (graft.operators.Merge) --------------------
+    // The warehouse write primitive as a batch transform: deterministic
+    // change batch derived from `customer` (keys ÷7 update acctbal,
+    // keys ≡3 mod 11 delete, keys ≡1 mod 13 insert under a shifted key),
+    // applied in ONE full-outer equi-join — deletes ride the same join,
+    // no second snapshot scan. The oracle restates the same derivation
+    // and join. acctbal+100 is exact double arithmetic on both engines.
+    Q(
+      "q_merge_upsert",
+      """WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal
+        |              FROM customer),
+        |chg AS (
+        |  SELECT c_custkey, 'U' AS op, c_mktsegment,
+        |         c_acctbal + 100 AS c_acctbal
+        |  FROM base WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'D', c_mktsegment, c_acctbal
+        |  FROM base WHERE c_custkey % 7 <> 0 AND c_custkey % 11 = 3
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'I', c_mktsegment || '_new', 0.5
+        |  FROM base WHERE c_custkey % 13 = 1)
+        |SELECT COALESCE(b.c_custkey, g.c_custkey) AS c_custkey,
+        |  CASE WHEN g.c_custkey IS NOT NULL THEN g.c_mktsegment
+        |       ELSE b.c_mktsegment END AS c_mktsegment,
+        |  CASE WHEN g.c_custkey IS NOT NULL THEN g.c_acctbal
+        |       ELSE b.c_acctbal END AS c_acctbal,
+        |  CASE WHEN g.c_custkey IS NULL THEN 'kept'
+        |       WHEN b.c_custkey IS NULL THEN 'inserted'
+        |       WHEN g.op = 'U' THEN 'updated'
+        |       ELSE 'inserted' END AS merge_status
+        |FROM base b FULL OUTER JOIN chg g ON b.c_custkey = g.c_custkey
+        |WHERE g.c_custkey IS NULL OR g.op <> 'D'
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val upd = base.where(pmod(col("c_custkey"), lit(7)) === 0)
+        .select(col("c_custkey"), lit("U").as("op"), col("c_mktsegment"),
+          (col("c_acctbal") + 100).as("c_acctbal"))
+      val del = base.where(pmod(col("c_custkey"), lit(7)) =!= 0
+          && pmod(col("c_custkey"), lit(11)) === 3)
+        .select(col("c_custkey"), lit("D").as("op"), col("c_mktsegment"),
+          col("c_acctbal"))
+      val ins = base.where(pmod(col("c_custkey"), lit(13)) === 1)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          lit("I").as("op"),
+          concat(col("c_mktsegment"), lit("_new")).as("c_mktsegment"),
+          lit(0.5).as("c_acctbal"))
+      graft.operators.Merge.upsert(base,
+          upd.unionByName(del).unionByName(ins), "c_custkey",
+          Seq("c_mktsegment", "c_acctbal"))
+        .orderBy(col("c_custkey"))
     }
   )
 }

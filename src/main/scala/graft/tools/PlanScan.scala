@@ -14,6 +14,7 @@ object PlanScan {
     // is a constant factor, not a scale hazard):
     val expected = Map(
       "q22_global_sales" -> "1-row scalar subquery joined on >",
+      "q11_important_parts" -> "1-row grand-total broadcast vs per-part agg",
       "q_resample_hourly" -> "1-row bounds row exploded into the spine",
       "emb_knn_brute" -> "10-row query set vs corpus IS the brute baseline",
       "emb_knn_ivf" -> "10-row query set x k centroids probe",
