@@ -17,12 +17,16 @@ import org.apache.spark.sql.functions._
   *                                to a missing key upserts, matching
   *                                MERGE ... WHEN NOT MATCHED behavior)
   *
-  * Shape at scale: ONE equi-shuffle of target ∪ changes on the key (or
-  * a broadcast join when the change batch is small — the planner
-  * decides from stats; daily CDC batches are typically ≪ the snapshot,
-  * so the snapshot usually does NOT shuffle at all). No window, no
-  * second pass; deletes ride the same join instead of a separate
-  * anti-join (which would scan the snapshot twice).
+  * Shape at scale: ONE equi-shuffle of target ∪ changes on the key —
+  * full-outer joins don't broadcast (Spark plans them sort-merge /
+  * shuffled-hash regardless of side sizes), so a naive apply against a
+  * 100 TB snapshot pays one full co-location of both sides. That cost
+  * is the storage layout's to kill, not this join's: keep the snapshot
+  * bucketed by key ([[graft.streaming.CdcView]] does exactly this) and
+  * the same one-join apply runs bucket-locally against only the buckets
+  * the batch touches. No window, no second pass; deletes ride the same
+  * join instead of a separate anti-join (which would scan the snapshot
+  * twice).
   *
   * Caller contract: at most one change row per key per batch
   * (pre-aggregate a multi-event feed to last-writer-wins upstream —
