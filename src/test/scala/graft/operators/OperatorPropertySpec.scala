@@ -97,4 +97,31 @@ class OperatorPropertySpec extends SparkSpec {
         s"n=$n tokens=$ts")
     }
   }
+
+  test("TopK.perGroup ≡ window row_number for arbitrary groups, values, k") {
+    val s = spark
+    import s.implicits._
+    val rowsGen: Gen[List[(String, Double)]] =
+      Gen.listOf(for {
+        g <- Gen.oneOf("a", "b", "c", "d")
+        v <- Gen.choose(0, 9).map(_.toDouble) // coarse values → many ties
+      } yield (g, v))
+    forAll(for { rs <- rowsGen; k <- Gen.choose(1, 4) } yield (rs, k)) {
+      case (rs, k) =>
+        val df = rs.zipWithIndex
+          .map { case ((g, v), i) => (g, i.toLong, v) }
+          .toDF("g", "id", "v").repartition(3, col("id"))
+        val native = TopK.perGroup(df, k, Seq("g"),
+            Seq(TopK.desc("v"), TopK.asc("id")))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .sorted.toSeq
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+        val naive = df.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= k).drop("rn")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .sorted.toSeq
+        assert(native == naive, s"k=$k native=$native naive=$naive")
+    }
+  }
 }
