@@ -78,6 +78,27 @@ class TopKSpec extends SparkSpec {
     assert(nativeTopK(empty, 2).collect().isEmpty)
   }
 
+  test("NULL order values follow window semantics (desc → nulls last)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(String, Long, Option[Double])](
+      ("a", 1L, Some(5.0)), ("a", 2L, None), ("a", 3L, Some(7.0)),
+      ("b", 4L, None), ("b", 5L, None),
+      ("c", 6L, None), ("c", 7L, Some(1.0)), ("c", 8L, Some(2.0))
+    ).toDF("g", "id", "v").repartition(3, col("id"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    val expected = df.select(col("g"), col("id"), col("v"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= 2).drop("rn")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = nativeTopK(df, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected, s"got $got expected $expected")
+    // group a: 7.0 and 5.0 beat the NULL; group b is all-NULL (both kept)
+    assert(got == Set(("a", 3L), ("a", 1L), ("b", 4L), ("b", 5L),
+      ("c", 8L), ("c", 7L)))
+  }
+
   test("strategy is available via GraftExtensions-free sessions (runtime registration)") {
     // TopK.perGroup registers the strategy on the session it sees — the
     // same mechanism the driver-created Verify/Bench sessions rely on
