@@ -8,7 +8,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 
 /** Native per-group top-k: the whole-operator custom-plan path of the
@@ -129,7 +129,10 @@ case class TopKPerGroupFinalExec(
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
-    if (groupExprs.isEmpty) Seq(UnspecifiedDistribution)
+    // empty grouping = GLOBAL top-k: the final pass must see every
+    // partial survivor in one place (AllTuples), else each partition
+    // would emit its own "top k" — the same rule global Aggregate uses
+    if (groupExprs.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(groupExprs))
   override protected def doExecute(): RDD[InternalRow] = {
     // locals only — the task closure must not drag the plan node along

@@ -78,6 +78,15 @@ class TopKSpec extends SparkSpec {
     assert(nativeTopK(empty, 2).collect().isEmpty)
   }
 
+  test("empty grouping = global top-k across all partitions") {
+    // regression guard: without the AllTuples requirement each
+    // partition would emit its own "top 2"
+    val got = TopK.perGroup(sample.repartition(4), 2, Seq.empty,
+        Seq(TopK.desc("v"), TopK.asc("id")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 2L), ("a", 3L))) // the two 30.0 rows
+  }
+
   test("NULL order values follow window semantics (desc → nulls last)") {
     val s = spark
     import s.implicits._
