@@ -40,6 +40,50 @@ object Anomaly {
             col("n") < col("baseline") * (1 - threshold)))
   }
 
+  /** Per-event-type distribution drift — the OTHER anomaly check the
+    * reference roadmap names (ref: docs/design.md:166-168, "per-event-
+    * type distribution checks"): a (day, type) whose share of the day's
+    * events is less than half or more than double the type's share of
+    * the trailing 7 calendar days is flagged.
+    *
+    * Exactness across engines: shares are never divided — the
+    * comparison cross-multiplies counts (n·base_total vs factor·base_n·
+    * total) in DECIMAL, so there is no float rounding for the oracle to
+    * disagree with (products of daily counts overflow DOUBLE's 2⁵³
+    * integer range at 100 TB volumes; DECIMAL(38,0) does not). The
+    * trailing window is RANGE over the day ordinal (calendar days, not
+    * row offsets), so a type that skips a day still gets the right
+    * 7-day baseline. Window cardinality is one row per (date, type) —
+    * bounded by calendar × type vocabulary, the dailyVolume argument.
+    * Days/types with no history are never flagged. */
+  def typeDrift(events: DataFrame, factor: Int = 2): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("ord",
+        datediff(col("event_date"), lit("1970-01-01").cast("date")))
+    val totals = daily.groupBy(col("event_date"), col("ord"))
+      .agg(sum(col("n")).as("total"))
+    val wBaseTot = Window.orderBy(col("ord")).rangeBetween(-7, -1)
+    val totalsWithBase = totals
+      .withColumn("base_total", sum(col("total")).over(wBaseTot))
+    val wBase = Window.partitionBy(col("event_type"))
+      .orderBy(col("ord")).rangeBetween(-7, -1)
+    val dec = "decimal(18,0)"
+    daily
+      .withColumn("base_n", sum(col("n")).over(wBase))
+      .join(totalsWithBase.select(col("event_date"), col("total"),
+        col("base_total")), Seq("event_date"))
+      .withColumn("is_drift",
+        col("base_n").isNotNull && col("base_total").isNotNull &&
+          (col("n").cast(dec) * col("base_total") >
+            (col("base_n") * factor).cast(dec) * col("total") ||
+           (col("n") * factor).cast(dec) * col("base_total") <
+            col("base_n").cast(dec) * col("total")))
+      .select(col("event_date"), col("event_type"), col("n"),
+        col("total"), col("base_n"), col("base_total"), col("is_drift"))
+  }
+
   /** Pipeline-shaped variant: compare ONE batch's row count (already in
     * hand from the DQ counter pass — no extra scan of the batch) against
     * the trailing week of CURATED partitions. Each history point is a

@@ -194,6 +194,45 @@ object RefQueries {
         .orderBy(col("event_date"))
     },
 
+    // --- per-event-type distribution drift -------------------------------
+    // The second anomaly check the reference roadmap names
+    // (docs/design.md:166-168): a (day, type) share vs the type's share
+    // of the trailing 7 calendar days, compared by DECIMAL cross-
+    // multiplication so no share is ever divided (exact on both engines
+    // at any count magnitude — double products clip past 2^53). Flag
+    // logic proven to fire in DqSpec on injected drift; this corpus's
+    // uniform generator keeps every share steady, which the oracle
+    // confirms row by row.
+    Q(
+      "ref_type_drift",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ord
+        |  FROM events GROUP BY 1, 2, 4),
+        |tot AS (SELECT event_date, ord, CAST(SUM(n) AS BIGINT) AS total
+        |        FROM daily GROUP BY 1, 2),
+        |tot2 AS (SELECT event_date, total,
+        |  CAST(SUM(total) OVER (ORDER BY ord
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+        |    AS base_total
+        |  FROM tot),
+        |d2 AS (SELECT event_date, event_type, n,
+        |  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY ord
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS base_n
+        |  FROM daily)
+        |SELECT event_date, event_type, n, total, base_n, base_total,
+        |  (base_n IS NOT NULL AND base_total IS NOT NULL AND
+        |   (CAST(n AS DECIMAL(18,0)) * base_total >
+        |      CAST(base_n * 2 AS DECIMAL(18,0)) * total
+        |    OR CAST(n * 2 AS DECIMAL(18,0)) * base_total <
+        |      CAST(base_n AS DECIMAL(18,0)) * total)) AS is_drift
+        |FROM d2 JOIN tot2 USING (event_date)
+        |ORDER BY event_date NULLS FIRST, event_type NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      graft.dq.Anomaly.typeDrift(Tables.events(s, d))
+        .orderBy(col("event_date"), col("event_type"))
+    },
+
     // --- JSON extraction over events.props ------------------------------
     Q(
       "ref_json_extract",

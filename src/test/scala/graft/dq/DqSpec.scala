@@ -131,6 +131,50 @@ class DqSpec extends SparkSpec {
     assert(!out("2025-01-10"), "return to normal passes (baseline 125)")
   }
 
+  test("typeDrift flags a type whose share of the day shifts >2x vs trailing week") {
+    val s = spark
+    import s.implicits._
+    // 8 days of steady 10/90 click/view, then a day where click takes
+    // 150 of 250 (share 0.6 = 6x its 0.1 baseline → flags high) and
+    // view drops to 100/250 (share 0.4 < half its 0.9 baseline → flags
+    // low). Note a MAJORITY type can never flag high under factor 2:
+    // shares cap at 1, so doubling is only possible from below 0.5 —
+    // which is exactly the "rare type exploded" signal the check wants.
+    val days = (1 to 8).map(d => (f"2025-01-$d%02d", 10, 90)) ++
+      Seq(("2025-01-09", 150, 100))
+    val events = days.flatMap { case (d, clicks, views) =>
+      (1 to clicks).map(i => (s"$d 12:00:00", "click")) ++
+        (1 to views).map(i => (s"$d 12:00:00", "view"))
+    }.toDF("ts_s", "event_type")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("event_type"))
+    val out = Anomaly.typeDrift(events).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getBoolean(6))
+      .toMap
+    assert(!out(("2025-01-01", "click")), "no baseline → never drifting")
+    assert((2 to 8).forall(d => !out((f"2025-01-0$d", "click"))
+      && !out((f"2025-01-0$d", "view"))), "steady shares pass")
+    assert(out(("2025-01-09", "click")), "click share 0.1 → 0.6 must flag")
+    assert(out(("2025-01-09", "view")), "view share 0.9 → 0.4 must flag")
+  }
+
+  test("typeDrift ignores pure volume spikes when shares are stable") {
+    val s = spark
+    import s.implicits._
+    // day 9 has 3x the volume but identical 50/50 shares → no drift
+    val days = (1 to 8).map(d => (f"2025-01-$d%02d", 100, 100)) ++
+      Seq(("2025-01-09", 300, 300))
+    val events = days.flatMap { case (d, clicks, views) =>
+      (1 to clicks).map(_ => (s"$d 12:00:00", "click")) ++
+        (1 to views).map(_ => (s"$d 12:00:00", "view"))
+    }.toDF("ts_s", "event_type")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("event_type"))
+    val out = Anomaly.typeDrift(events).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getBoolean(6))
+      .toMap
+    assert(!out(("2025-01-09", "click")) && !out(("2025-01-09", "view")),
+      "stable shares under a volume spike must NOT flag")
+  }
+
   test("volumeWarning: metadata-count baseline over curated history") {
     val s = spark
     import s.implicits._
