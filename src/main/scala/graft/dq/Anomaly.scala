@@ -84,6 +84,45 @@ object Anomaly {
         col("total"), col("base_n"), col("base_total"), col("is_drift"))
   }
 
+  /** Pipeline-shaped drift check: ONE batch's per-type counts against
+    * the trailing curated week's. History reads touch one
+    * dictionary-encoded column (`event_type`) per partition — a
+    * column-pruned aggregate, cheap at any partition size. The per-type
+    * maps live on the driver: the type VOCABULARY is bounded (a handful
+    * of event types), unlike row counts — this is a scalar-sized
+    * summary, not a row-set collect. Cross-multiplied compare in BigInt
+    * (no overflow, no shares divided — same exactness story as
+    * [[typeDrift]]). Types absent from the baseline or the batch are
+    * skipped: appearance/disappearance is a schema-ish event the domain
+    * counter D-checks own, drift is about SHARE shifts. */
+  def typeDriftWarning(spark: SparkSession, curatedBase: String,
+      ingestionDate: String, batchTypeCounts: Map[String, Long],
+      factor: Int = 2): Seq[String] = {
+    val date = java.time.LocalDate.parse(ingestionDate)
+    val hist = (1 to 7).flatMap { back =>
+      val d = date.minusDays(back.toLong).toString
+      val path = RawEvents.partitionPath(curatedBase, d)
+      if (graft.io.CuratedWriter.upstreamExists(spark, path))
+        spark.read.parquet(path).groupBy("event_type").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+      else Array.empty[(String, Long)]
+    }
+    if (hist.isEmpty) return Nil
+    val baseN = hist.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+    val baseTotal = BigInt(baseN.values.sum)
+    val total = BigInt(batchTypeCounts.values.sum)
+    batchTypeCounts.toSeq.sortBy(_._1).flatMap { case (t, n) =>
+      baseN.get(t).flatMap { bn =>
+        val high = BigInt(n) * baseTotal > factor * BigInt(bn) * total
+        val low = factor * BigInt(n) * baseTotal < BigInt(bn) * total
+        if (high || low)
+          Some(s"type-share drift: '$t' is $n of $total rows vs " +
+            s"trailing-week $bn of $baseTotal (>${factor}x share shift)")
+        else None
+      }
+    }
+  }
+
   /** Pipeline-shaped variant: compare ONE batch's row count (already in
     * hand from the DQ counter pass — no extra scan of the batch) against
     * the trailing week of CURATED partitions. Each history point is a

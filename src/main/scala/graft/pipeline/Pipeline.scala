@@ -62,8 +62,15 @@ object Pipeline {
     // counter pass's row count against the trailing curated week —
     // footer-metadata counts only — and WARNS without gating.
     val counters = graft.dq.DqCounters.compute(df)
+    // one extra column-pruned agg of the batch for per-type counts; the
+    // drift check itself reads only event_type pages from the trailing
+    // curated week (roadmap docs/design.md:166-168, second bullet)
+    val batchTypes = df.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val warnings = Anomaly.volumeWarning(spark, conf.curatedBase,
-      ingestionDate, counters.totalRows).toSeq
+      ingestionDate, counters.totalRows).toSeq ++
+      Anomaly.typeDriftWarning(spark, conf.curatedBase, ingestionDate,
+        batchTypes)
     val failures = graft.dq.DqCheck.all.flatMap(_.evaluate(counters))
     val report = DqReport(ingestionDate, rawPath, curatedPath, counters,
       failures, warnings)

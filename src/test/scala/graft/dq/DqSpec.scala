@@ -175,6 +175,33 @@ class DqSpec extends SparkSpec {
       "stable shares under a volume spike must NOT flag")
   }
 
+  test("typeDriftWarning: batch share vs trailing curated week") {
+    val s = spark
+    import s.implicits._
+    val base = tmpDir("graft-typedrift")
+    // two history days, steady 10/90 click/view
+    Seq("2025-01-06", "2025-01-07").foreach { d =>
+      val rows = (1 to 10).map(_ => "click") ++ (1 to 90).map(_ => "view")
+      rows.toDF("event_type").write
+        .parquet(graft.io.RawEvents.partitionPath(base, d))
+    }
+    // steady batch → no warning
+    assert(Anomaly.typeDriftWarning(s, base, "2025-01-08",
+      Map("click" -> 10L, "view" -> 90L)).isEmpty)
+    // click explodes to a 0.6 share (6x its 0.1 baseline) → warning for
+    // click (high) AND view (0.9 → 0.4, below half) — sorted by type
+    val w = Anomaly.typeDriftWarning(s, base, "2025-01-08",
+      Map("click" -> 150L, "view" -> 100L))
+    assert(w.size == 2 && w.head.contains("'click'")
+      && w(1).contains("'view'"), s"got $w")
+    // a type with no baseline is skipped, not flagged
+    assert(Anomaly.typeDriftWarning(s, base, "2025-01-08",
+      Map("click" -> 10L, "view" -> 90L, "novel" -> 5L)).isEmpty)
+    // no history at all → no warnings
+    assert(Anomaly.typeDriftWarning(s, tmpDir("graft-typedrift-empty"),
+      "2025-01-08", Map("click" -> 10L)).isEmpty)
+  }
+
   test("volumeWarning: metadata-count baseline over curated history") {
     val s = spark
     import s.implicits._
