@@ -135,4 +135,25 @@ object TextOps {
     // break on lang name, deterministic.
     array_max(array(scored: _*))
   }
+
+  /** Low 60 bits of MD5(s) read little-endian — the cross-engine uniform
+    * hash for sketch operators (KMV distinct, deterministic sampling).
+    *
+    * Equals DuckDB's `md5_number_upper(s) % 2^60`: that function takes
+    * the first 8 MD5 bytes little-endian as a UBIGINT; reassembling the
+    * same bytes from Spark's `md5` hex string (byte i lives at hex
+    * position 2i−1) and dropping the top nibble keeps the value under
+    * 2^60, so signed/unsigned never diverges and BIGINT holds it in both
+    * engines. Pure built-ins (md5/substring/concat/conv) → stays inside
+    * whole-stage codegen; [[SimHashImpl.tokenHash]] is the JVM-kernel
+    * sibling of the same byte order. */
+  def md5Low60(s: Column): Column = {
+    val hex = md5(s)
+    val le = concat((15 to 1 by -2).map(i => substring(hex, i, 2)): _*)
+    conv(substring(le, 2, 15), 16, 10).cast("long")
+  }
+
+  /** DuckDB expression equal to [[md5Low60]] over SQL fragment `s`. */
+  def md5Low60Sql(s: String): String =
+    s"CAST(md5_number_upper($s) % 1152921504606846976 AS BIGINT)"
 }

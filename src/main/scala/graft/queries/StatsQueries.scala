@@ -55,6 +55,91 @@ object StatsQueries {
         .orderBy(col("event_type"))
     },
 
+    // --- KMV approximate distinct — value-exact sketch --------------------
+    // The oracle-checkable counterpart to ref_approx_distinct_users (HLL,
+    // engine-internal): a k-minimum-values sketch (Bar-Yossef et al. 2002)
+    // over the cross-engine MD5 hash. Per event_type keep the k=128
+    // smallest distinct 60-bit hashes of user_id; if fewer than k exist
+    // the count is exact, else estimate (k−1)·2^60 / kth_min. Every step
+    // is engine-replayable: the hash is TextOps.md5Low60 ≡ DuckDB
+    // md5_number_upper mod 2^60, the k-smallest selection runs on the
+    // native bounded-heap TopK operator (shuffle carries ≤ k rows per
+    // group per map partition), and the estimate divides bit-identical
+    // doubles ((k−1)·2^60 has 7 significant bits — exact; both engines
+    // round kth to double the same IEEE way). Scale: dedup is one
+    // map-side-combined exchange, the top-k never materializes more than
+    // k·partitions rows — this is the mergeable-sketch shape HLL has,
+    // with an oracle HLL can't give.
+    Q(
+      "ref_approx_distinct_kmv",
+      s"""WITH h AS (SELECT DISTINCT event_type,
+        |    ${graft.functions.TextOps.md5Low60Sql("CAST(user_id AS VARCHAR)")} AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM h),
+        |k AS (SELECT event_type, COUNT(*) AS n_kept, MAX(hv) AS kth
+        |  FROM r WHERE rn <= 128 GROUP BY event_type)
+        |SELECT event_type,
+        |  CAST(CASE WHEN n_kept < 128 THEN n_kept
+        |    ELSE FLOOR(CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |               / CAST(kth AS DOUBLE)) END AS BIGINT) AS approx_users
+        |FROM k ORDER BY event_type NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val k = 128
+      val hashed = Tables.events(s, d)
+        .where(col("user_id").isNotNull)
+        .select(col("event_type"),
+          graft.functions.TextOps.md5Low60(col("user_id").cast("string"))
+            .as("hv"))
+        .dropDuplicates("event_type", "hv")
+      val kept = graft.operators.TopK.perGroup(hashed, k,
+        Seq("event_type"), Seq(graft.operators.TopK.asc("hv")))
+      kept.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("kth"))
+        .select(col("event_type"),
+          when(col("n_kept") < k, col("n_kept"))
+            .otherwise(floor(lit((k - 1).toDouble)
+              * lit(1152921504606846976L).cast("double")
+              / col("kth").cast("double")))
+            .cast("long").as("approx_users"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- deterministic hash-sampled quantiles ----------------------------
+    // The replayable scale path for quantiles, beside the GK sketch
+    // (q_value_percentiles_approx, rows-only by nature): a 1/8 Bernoulli
+    // sample drawn by the same cross-engine MD5 hash (keep rows whose
+    // 60-bit hash of event_id falls below 2^60/8), then EXACT percentiles
+    // over the sample. The sample is a fixed per-row decision — identical
+    // on retries, backfills, and in the oracle — so unlike rand()-based
+    // sampling the result is a value, not a distribution. At 100 TB the
+    // sort that exact percentile needs runs over 12.5% of the data; the
+    // hash filter is a narrow codegen'd projection that pushes nothing
+    // extra through the shuffle.
+    Q(
+      "q_value_percentiles_sampled",
+      s"""SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50_s,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS p90_s,
+        |  CAST(COUNT(*) AS BIGINT) AS sample_n
+        |FROM events
+        |WHERE ${graft.functions.TextOps.md5Low60Sql("CAST(event_id AS VARCHAR)")}
+        |      < 144115188075855872
+        |GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .where(graft.functions.TextOps.md5Low60(col("event_id").cast("string"))
+          < lit(144115188075855872L))
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50_s"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90_s"),
+          count(lit(1)).as("sample_n"))
+        .orderBy(col("event_type"))
+    },
+
     // --- histogram binning via width_bucket ------------------------------
     Q(
       "q_value_histogram",
