@@ -409,6 +409,74 @@ object TextQueries {
           sum(col("n_docs")).over(cum).as("n_docs_ge"),
           sum(col("n_toks")).over(cum).as("n_tokens_ge"))
         .orderBy(col("threshold").desc)
+    },
+
+    // --- URL canonicalization + canonical-URL dedup ----------------------
+    // The first dedup key of a web-corpus pipeline (UrlOps scaladoc). The
+    // test tables carry no URL column, so the query SYNTHESIZES a messy
+    // URL per document with engine-shared string arithmetic — mixed-case
+    // scheme/host, www. prefixes, default ports, trailing slashes,
+    // utm_/ref tracking params in shuffled order, fragments — such that
+    // distinct raw spellings collapse to the same canonical form exactly
+    // when (source, doc_id mod 40, scheme) agree. Both engines then run
+    // the IDENTICAL canonicalization pipeline (UrlOps.canonicalize ≡
+    // UrlOps.canonicalSql: regex + list-HOF built-ins, no UDF) and dedup
+    // on the canonical string. Scale: canonicalize is a narrow
+    // projection; the dedup is one hash aggregate on the canonical key —
+    // the same shape as dedup_exact_groups.
+    Q(
+      "text_url_dedup",
+      s"""WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END ||
+        |     '://' ||
+        |     CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+        |     source || '.Example.COM' ||
+        |     CASE WHEN doc_id % 5 = 0 THEN
+        |       CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+        |     ELSE '' END ||
+        |     '/docs/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |     CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+        |     CASE WHEN doc_id % 2 = 0
+        |       THEN '?utm_source=feed&b=2&a=' || CAST(doc_id % 40 AS VARCHAR)
+        |       ELSE '?a=' || CAST(doc_id % 40 AS VARCHAR) || '&b=2&ref=abc'
+        |     END ||
+        |     CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url,
+        |    ${graft.functions.UrlOps.canonicalSql("url")} AS canonical_url
+        |  FROM u)
+        |SELECT canonical_url,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_variants,
+        |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_spellings
+        |FROM c GROUP BY canonical_url
+        |ORDER BY canonical_url NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://"),
+        when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit(".Example.COM"),
+        when(id % 5 === 0,
+          when(id % 2 === 0, lit(":80")).otherwise(lit(":443")))
+          .otherwise(lit("")),
+        lit("/docs/"), (id % 40).cast("string"),
+        when(id % 4 === 0, lit("/")).otherwise(lit("")),
+        when(id % 2 === 0,
+          concat(lit("?utm_source=feed&b=2&a="), (id % 40).cast("string")))
+          .otherwise(concat(lit("?a="), (id % 40).cast("string"),
+            lit("&b=2&ref=abc"))),
+        when(id % 7 === 0, lit("#sec2")).otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(id, url.as("url"))
+        .withColumn("canonical_url",
+          graft.functions.UrlOps.canonicalize(col("url")))
+        .groupBy(col("canonical_url"))
+        .agg(min(id).cast("long").as("keep_id"),
+          count(lit(1)).as("n_variants"),
+          count_distinct(col("url")).as("n_spellings"))
+        .orderBy(col("canonical_url"))
     }
   )
 }
