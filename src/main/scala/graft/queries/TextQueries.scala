@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -39,6 +40,10 @@ object TextQueries {
     * stand-in (same contract as the multimodal decoder stub) — what is
     * being proven is the inference plumbing: featurize → broadcast
     * weight lookup → per-doc reduce, all in exact integer arithmetic. */
+  /** BM25 query vocabulary: three content terms plus one near-stopword
+    * ('the', df > N/2 → idf2 = 0) proving the suppression path. */
+  private val Bm25Terms = Seq("spark", "merge", "window", "the")
+
   private val ModelBuckets = 1024
   private[queries] val ModelWeights: Array[Long] =
     Array.tabulate(ModelBuckets)(b => ((b.toLong * 2654435761L) % 4096L) - 2048L)
@@ -409,6 +414,81 @@ object TextQueries {
           sum(col("n_docs")).over(cum).as("n_docs_ge"),
           sum(col("n_toks")).over(cum).as("n_tokens_ge"))
         .orderBy(col("threshold").desc)
+    },
+
+    // --- BM25 full-text relevance: integer-exact top-k --------------------
+    // Corpus search over `documents` for a fixed query-term set — the
+    // inverted-index aggregation shape (per-doc term frequencies → global
+    // document frequencies → length-normalized relevance → top-k). BM25
+    // (Robertson–Spärck Jones; public formula) with k1=3/2, b=3/4
+    // rationalized so every step is BIGINT:
+    //   idf2   = floor(log2 N) − floor(log2 df)   [= length(bin(x))−1,
+    //            exact in both engines — no float log]
+    //   score  = idf2 · 20·tf·avgdl·10^6 // (8·tf·avgdl + 3·avgdl + 9·dl)
+    //            [k1,b multiplied through; avgdl = Σdl // N]
+    // Per-term tf is size(filter(tokens, = term)) — a narrow codegen'd
+    // projection, NO explode: the classic explode→filter→groupBy plan
+    // multiplies every row by its token count before filtering; for a
+    // fixed query vocabulary the per-term counter touches each doc once.
+    // The one-row corpus stats frame broadcasts into the scoring pass;
+    // top-k is TakeOrderedAndProject. High-df terms ('the') get idf2=0
+    // and drop out — stopword suppression falls out of the formula.
+    Q(
+      "text_bm25_topk",
+      {
+        val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+          s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
+        }.mkString(",\n        ")
+        val dfs = Bm25Terms.indices.map { i =>
+          s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+        }.mkString(",\n        ")
+        val scores = Bm25Terms.indices.map { i =>
+          s"""CASE WHEN tf$i > 0 THEN
+             |  (length(bin(n_docs)) - length(bin(df$i)))
+             |  * (20 * tf$i * avgdl * 1000000)
+             |  // (8 * tf$i * avgdl + 3 * avgdl + 9 * dl) ELSE 0 END"""
+            .stripMargin
+        }.mkString(" +\n        ")
+        s"""WITH s AS (SELECT doc_id, len(toks) AS dl,
+           |        $tfs
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+           |        FROM documents)),
+           |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |        CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+           |          AS avgdl,
+           |        $dfs
+           |  FROM s)
+           |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+           |  CAST($scores AS BIGINT) AS score
+           |FROM s, g
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      }
+    ) { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        size(filter(toks, x => x === lit(t))).as(s"tf$i")
+      }
+      val base = Tables.documents(s, d)
+        .select(col("doc_id") +: size(toks).as("dl") +: tfCols: _*)
+      val dfAggs = Bm25Terms.indices.map { i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
+      }
+      val statAggs = count(lit(1)).as("n_docs") +:
+        expr("CAST(sum(dl) AS BIGINT) div count(1)").as("avgdl") +: dfAggs
+      val stats = base.agg(statAggs.head, statAggs.tail: _*)
+      def flog2(c: Column) = length(bin(c)) // floor(log2)+1; diffs cancel
+      val score = Bm25Terms.indices.map { i =>
+        when(col(s"tf$i") > 0,
+          (flog2(col("n_docs")) - flog2(col(s"df$i"))).cast("long")
+            * expr(s"(20 * tf$i * avgdl * 1000000) div " +
+              s"(8 * tf$i * avgdl + 3 * avgdl + 9 * dl)"))
+          .otherwise(0L)
+      }.reduce(_ + _)
+      base.crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("dl").cast("long").as("dl"),
+          score.cast("long").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
     },
 
     // --- URL canonicalization + canonical-URL dedup ----------------------
