@@ -513,6 +513,54 @@ object WindowingQueries {
           regexp_count(col("seq"), lit("v[^p]*c[^p]*p")).cast("long")
             .as("n_strict_funnels"))
         .orderBy(col("user_id"))
+    },
+
+    // --- Markov transition matrix over per-user event sequences ----------
+    // The sequence-analytics primitive behind session modeling and
+    // next-event prediction features: for each user's time-ordered event
+    // stream, count (previous type → next type) transitions and each
+    // row's share of its source state (ppm, integer-exact: n·10^6 div
+    // row-total via a window over the aggregate). Ordering is
+    // (second-truncated ts, event_id) — the repo's cross-engine tiebreak
+    // discipline: events.ts is ns in parquet and µs in Spark, so raw-ts
+    // ordering could legally differ between engines within a µs; the
+    // truncate+id pair is total and identical. Scale: one shuffle on
+    // user_id for the lag window, one hash aggregate on the (prev, next)
+    // pair — 25 output rows regardless of input size; the ppm window
+    // runs over those aggregated rows only.
+    Q(
+      "q_event_transitions",
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |            date_trunc('second', ts) AS ts
+        |          FROM events WHERE user_id IS NOT NULL),
+        |t AS (SELECT event_type AS next_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS prev_type
+        |      FROM e),
+        |g AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM t WHERE prev_type IS NOT NULL
+        |      GROUP BY prev_type, next_type)
+        |SELECT prev_type, next_type, n,
+        |  CAST(n * 1000000 // CAST(SUM(n) OVER (PARTITION BY prev_type)
+        |                          AS BIGINT) AS BIGINT) AS ppm
+        |FROM g
+        |ORDER BY prev_type NULLS FIRST, next_type NULLS FIRST"""
+        .stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val seq = W.partitionBy(col("user_id"))
+        .orderBy(date_trunc("second", col("ts")), col("event_id"))
+      Tables.events(s, d)
+        .where(col("user_id").isNotNull)
+        .select(col("event_type").as("next_type"),
+          lag(col("event_type"), 1).over(seq).as("prev_type"))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("ppm",
+          expr("n * 1000000 div sum(n) over (partition by prev_type)")
+            .cast("long"))
+        .orderBy(col("prev_type"), col("next_type"))
     }
   )
 }
