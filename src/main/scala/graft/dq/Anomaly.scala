@@ -84,6 +84,40 @@ object Anomaly {
         col("total"), col("base_n"), col("base_total"), col("is_drift"))
   }
 
+  /** Intra-day coverage gaps — the third monitoring shape after volume
+    * and share drift: a feed that stops mid-day keeps its daily count
+    * plausible long after delivery broke. Per day: event count, distinct
+    * hours with data (and the 24-complement), and the longest quiet
+    * interval between CONSECUTIVE events in seconds (day-boundary edges
+    * are not counted as gaps — a feed that starts at 09:00 every day is
+    * seasonality, not an outage; the hours_missing column catches
+    * chronically dark hours instead).
+    *
+    * Cross-engine exactness: timestamps are second-truncated before the
+    * epoch subtraction (ns parquet vs µs Spark can't diverge), ordering
+    * tiebreaks on event_id, and the hour() of a truncated ts never
+    * crosses an hour. Scale: one shuffle on event_date for the lag
+    * window — partition-parallel by calendar day (unlike the bounded
+    * global windows above, this one grows with history, so it
+    * partitions); the aggregate output is one row per day. */
+  def coverageGaps(events: DataFrame, alertGapSeconds: Long = 3600)
+      : DataFrame = {
+    val w = Window.partitionBy(col("event_date"))
+      .orderBy(col("ts_s"), col("event_id"))
+    events
+      .select(to_date(col("ts")).as("event_date"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_s"),
+        hour(col("ts")).as("h"), col("event_id"))
+      .withColumn("gap", col("ts_s") - lag(col("ts_s"), 1).over(w))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("h")).as("hours_observed"),
+        (lit(24) - count_distinct(col("h"))).cast("long")
+          .as("hours_missing"),
+        max(col("gap")).as("max_gap_s"))
+      .withColumn("is_gap_alert", col("max_gap_s") > alertGapSeconds)
+  }
+
   /** Pipeline-shaped drift check: ONE batch's per-type counts against
     * the trailing curated week's. History reads touch one
     * dictionary-encoded column (`event_type`) per partition — a

@@ -233,6 +233,35 @@ object RefQueries {
         .orderBy(col("event_date"), col("event_type"))
     },
 
+    // --- intra-day coverage gaps (third monitoring shape) ---------------
+    // Anomaly.coverageGaps under the oracle gate: per day, the distinct
+    // hours with data and the longest quiet interval between consecutive
+    // events — the check that catches a feed dying mid-day while its
+    // daily count still looks plausible. Alert threshold fires in DqSpec
+    // on injected sparse days; this corpus is dense, which the oracle
+    // confirms row by row.
+    Q(
+      "ref_gap_detection",
+      """WITH e AS (SELECT CAST(ts AS DATE) AS event_date,
+        |    epoch_us(date_trunc('second', ts)) // 1000000 AS ts_s,
+        |    hour(ts) AS h, event_id
+        |  FROM events),
+        |g AS (SELECT event_date, h,
+        |    ts_s - lag(ts_s) OVER (PARTITION BY event_date
+        |      ORDER BY ts_s, event_id) AS gap
+        |  FROM e)
+        |SELECT event_date, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT h) AS BIGINT) AS hours_observed,
+        |  CAST(24 - COUNT(DISTINCT h) AS BIGINT) AS hours_missing,
+        |  CAST(MAX(gap) AS BIGINT) AS max_gap_s,
+        |  (MAX(gap) > 3600) AS is_gap_alert
+        |FROM g GROUP BY event_date
+        |ORDER BY event_date NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      graft.dq.Anomaly.coverageGaps(Tables.events(s, d))
+        .orderBy(col("event_date"))
+    },
+
     // --- JSON extraction over events.props ------------------------------
     Q(
       "ref_json_extract",

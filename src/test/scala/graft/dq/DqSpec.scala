@@ -131,6 +131,30 @@ class DqSpec extends SparkSpec {
     assert(!out("2025-01-10"), "return to normal passes (baseline 125)")
   }
 
+  test("coverageGaps: mid-day outage flags, dense day and daily start edge don't") {
+    val s = spark
+    import s.implicits._
+    // day 1: events every hour 00..23 (dense). day 2: hourly 00..09,
+    // silence 10..15 (6 dark hours), hourly again 16..23 — max gap 7 h
+    // (09:10 → 16:10). day 3: first event at 09:00 (boundary edge — NOT
+    // a gap) then hourly to 23:00.
+    val rows =
+      (0 to 23).map(h => (f"2025-02-01 $h%02d:10:00", h.toLong)) ++
+        ((0 to 9) ++ (16 to 23)).map(h => (f"2025-02-02 $h%02d:10:00", 100L + h)) ++
+        (9 to 23).map(h => (f"2025-02-03 $h%02d:10:00", 200L + h))
+    val events = rows.toDF("ts_s", "event_id")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("event_id"))
+    val out = Anomaly.coverageGaps(events).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(out("2025-02-01") == ((24L, 0L, 3600L, false)),
+      "dense day: hourly cadence, no alert")
+    assert(out("2025-02-02") == ((18L, 6L, 7L * 3600, true)),
+      "mid-day outage: 6 dark hours, 7 h max gap, alert fires")
+    assert(out("2025-02-03") == ((15L, 9L, 3600L, false)),
+      "late daily start is an edge, not a gap — no alert")
+  }
+
   test("typeDrift flags a type whose share of the day shifts >2x vs trailing week") {
     val s = spark
     import s.implicits._
