@@ -140,6 +140,117 @@ object StatsQueries {
         .orderBy(col("event_type"))
     },
 
+    // --- robust outliers: median/MAD in exact integer cents --------------
+    // The robust-statistics cleaning pass (median + median-absolute-
+    // deviation beats mean/stddev under the heavy tails that motivate
+    // outlier removal in the first place). Exactness without rounding:
+    // `value` is cast to DECIMAL(18,2) and scaled to integer CENTS, so
+    // every percentile interpolation lands on an exact half (integers in
+    // doubles), and the flag test |cents−med| > 3·1.4826·mad is
+    // multiplied through to integers (×10⁴ both sides → strict integer
+    // compare, no float threshold). Two broadcast joins of 5-row stats
+    // frames; the corpus is scanned twice (med pass, then MAD+flag
+    // pass) — the unavoidable two-pass structure of exact MAD; the
+    // sampled-quantile trick above is the single-pass approximation.
+    Q(
+      "q_outlier_mad",
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DOUBLE) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med_c
+        |  FROM e GROUP BY event_type),
+        |d AS (SELECT e.event_type, cents, med_c,
+        |    abs(cents - med_c) AS adev
+        |  FROM e JOIN m USING (event_type)),
+        |s AS (SELECT event_type, med_c, quantile_cont(adev, 0.5) AS mad_c
+        |  FROM d GROUP BY event_type, med_c)
+        |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  s.med_c, s.mad_c,
+        |  CAST(COUNT(CASE WHEN abs(cents - s.med_c) * 10000
+        |                       > 44478 * s.mad_c
+        |                  THEN 1 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN s ON d.event_type = s.event_type
+        |GROUP BY d.event_type, s.med_c, s.mad_c
+        |ORDER BY d.event_type NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val e = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("double")
+            .as("cents"))
+      val med = e.groupBy(col("event_type"))
+        .agg(expr("percentile(cents, 0.5)").as("med_c"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("cents") - col("med_c")))
+      val mad = dev.groupBy(col("event_type"), col("med_c"))
+        .agg(expr("percentile(adev, 0.5)").as("mad_c"))
+      dev.drop("med_c")
+        .join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("med_c"), col("mad_c"))
+        .agg(count(lit(1)).as("n"),
+          count(when(abs(col("cents") - col("med_c")) * 10000
+            > lit(44478) * col("mad_c"), 1)).as("n_outliers"))
+        .select(col("event_type"), col("n"), col("med_c"), col("mad_c"),
+          col("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- per-group trend: integer-exact least-squares slope --------------
+    // Segment-level trend estimation (is spend per event type drifting?)
+    // as closed-form simple regression of cents on hours-since-epoch,
+    // computed ENTIRELY in integers: x is the hour-truncated epoch hour,
+    // y integer cents; slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with
+    // the sums in DECIMAL(38,0) (n·Σx² overflows int64; DuckDB's HUGEINT
+    // and Spark's decimal both hold it) and the result emitted in ppm by
+    // integer division. Numerator sign is routed through abs() because
+    // Spark's `div` truncates toward zero while DuckDB's `//` floors —
+    // they agree only on non-negative operands. One aggregate per type;
+    // a single scan, no joins.
+    Q(
+      "q_trend_slope",
+      // (sums stay HUGEINT in DuckDB — casting to DECIMAL(38,0) would
+      // make the products spill past precision 38 and silently degrade
+      // to DOUBLE; HUGEINT arithmetic is exact 128-bit)
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS x,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT event_type, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM e GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN n * sxy - sx * sy >= 0
+        |    THEN (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+        |    ELSE -((sx * sy - n * sxy) * 1000000 // (n * sxx - sx * sx))
+        |  END AS BIGINT) AS slope_ppm_cents_per_hour
+        |FROM a ORDER BY event_type NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val dec = "decimal(38,0)"
+      val e = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("x"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("y"))
+      val a = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).cast(dec).as("sx"),
+          sum(col("y")).cast(dec).as("sy"),
+          sum(col("x") * col("y")).cast(dec).as("sxy"),
+          sum(col("x") * col("x")).cast(dec).as("sxx"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      a.select(col("event_type"), col("n").cast("long").as("n"),
+          when(num >= 0, expr(
+            "CAST((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)" +
+              " AS DECIMAL(38,0))"))
+            .otherwise(-expr(
+              "CAST((sx * sy - n * sxy) * 1000000 div (n * sxx - sx * sx)" +
+                " AS DECIMAL(38,0))"))
+            .cast("long").as("slope_ppm_cents_per_hour"))
+        .orderBy(col("event_type"))
+    },
+
     // --- histogram binning via width_bucket ------------------------------
     Q(
       "q_value_histogram",
