@@ -416,6 +416,54 @@ object TextQueries {
         .orderBy(col("threshold").desc)
     },
 
+    // --- inverted index build: per-term stats + bounded posting heads ----
+    // The index-construction half of corpus search (text_bm25_topk is the
+    // serving half): explode documents into (term, doc) postings, then
+    // per term the document frequency, total occurrence count, and the
+    // FIRST 5 doc ids of the posting list. The head is capped through
+    // the native bounded-heap TopK operator — the full posting list of a
+    // stopword is O(corpus) and collect_list-ing it on one reducer is
+    // exactly the hot-key failure mode; the heap never holds more than
+    // 5 ids per term per map partition. collect_list then runs on ≤5
+    // rows per term. Scale: explode is the one row-multiplying step
+    // (inherent to index build); everything after shuffles (term, doc)
+    // pairs only.
+    Q(
+      "text_inverted_index",
+      """WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |stats AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+        |    CAST(COUNT(*) AS BIGINT) AS total_tf
+        |  FROM p GROUP BY term),
+        |d AS (SELECT DISTINCT term, doc_id FROM p),
+        |r AS (SELECT term, doc_id,
+        |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |  FROM d),
+        |posting AS (SELECT term,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |      AS posting_head
+        |  FROM r WHERE rn <= 5 GROUP BY term)
+        |SELECT term, df, total_tf, posting_head
+        |FROM stats JOIN posting USING (term)
+        |ORDER BY term NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+      val stats = pairs.groupBy(col("term"))
+        .agg(count_distinct(col("doc_id")).as("df"),
+          count(lit(1)).as("total_tf"))
+      val top5 = graft.operators.TopK.perGroup(
+        pairs.dropDuplicates("term", "doc_id"), 5,
+        Seq("term"), Seq(graft.operators.TopK.asc("doc_id")))
+      val posting = top5.groupBy(col("term"))
+        .agg(array_join(transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("posting_head"))
+      stats.join(posting, "term")
+        .select(col("term"), col("df"), col("total_tf"), col("posting_head"))
+        .orderBy(col("term"))
+    },
+
     // --- BM25 full-text relevance: integer-exact top-k --------------------
     // Corpus search over `documents` for a fixed query-term set — the
     // inverted-index aggregation shape (per-doc term frequencies → global
