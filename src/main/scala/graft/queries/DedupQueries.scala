@@ -71,6 +71,45 @@ object DedupQueries {
         s"Use dedup_minhash_lsh (the production path) at this scale.")
   }
 
+  /** Prefix-filtered exact set-similarity pipeline behind `dedup_ppjoin`
+    * (threshold ½ is baked into the ⌊n/2⌋+1 prefix length and the 2×
+    * length filter — see the query's scaladoc for the theorem). Input
+    * needs (doc_id, text); emits every verified candidate pair with its
+    * exact jaccard, unfiltered — the caller applies the threshold. */
+  private[queries] def ppjoinPairs(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = base.select(
+      col("doc_id"),
+      TextOps.sortedShingleSet(TextOps.tokens(col("text")), 3).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .repartition(col("doc_id"))
+    val ex = docs.select(col("doc_id"), col("n"),
+      explode(col("sh")).as("g"))
+    val gdf = ex.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("gdf"), col("g"))
+    val prefix = ex.join(gdf, "g")
+      .withColumn("rn", row_number().over(byRarity))
+      .where(col("rn") <= expr("n div 2 + 1"))
+      .select(col("g"), col("doc_id"), col("n"))
+    val cand = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.g") === col("y.g")
+          && col("x.doc_id") < col("y.doc_id")
+          && col("x.n") <= col("y.n") * 2
+          && col("y.n") <= col("x.n") * 2)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+        "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+        "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(graft.functions.TextKernels.sorted_jaccard(
+          col("a_sh"), col("b_sh")), 6).as("jac"))
+  }
+
   /** DuckDB CTEs computing the EXACT jac ≥ 0.5 near-dup pair set with an
     * inverted shingle index (unnest → self-join on shingle → common
     * count → jac = c/(na+nb−c)) — the same integers the engine's
@@ -212,6 +251,42 @@ object DedupQueries {
     ) { (s, d) =>
       verifiedNearDupPairs(s, d)
         .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
+        .where(col("jac") >= 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // --- prefix-filtered EXACT set-similarity join (AllPairs/PPJoin) ----
+    // The exact-at-scale third leg of the near-dup family: same jac ≥ 0.5
+    // pair set as dedup_minhash_lsh, but with NO probabilistic recall —
+    // prefix filtering (Chaudhuri/Ganti/Kaushik SSJoin 2006, Bayardo
+    // AllPairs WWW'07, Xiao PPJoin WWW'08; public algorithms) guarantees
+    // every qualifying pair surfaces as a candidate by construction.
+    //
+    // Under a GLOBAL shingle order (rarest-first: ascending global df,
+    // shingle as tiebreak — the order that minimizes candidates), each
+    // doc exposes only its first ⌊n/2⌋+1 shingles. Why that suffices at
+    // t = 0.5: jac ≥ ½ forces overlap i ≥ ⌈(nₐ+n_b)/3⌉ ≥ ⌈nₐ/2⌉ (using
+    // n_b ≥ nₐ/2, itself implied by jac ≥ ½ and enforced as the length
+    // filter in the join), and two sets whose (n−α+1)-prefixes are
+    // disjoint can share at most α−1 elements — every common element
+    // must sort after the smaller prefix boundary, landing in an
+    // (α−1)-sized suffix. Contrapositive: qualifying pairs collide on
+    // some prefix shingle.
+    //
+    // Scale shape: candidate generation is an equi-join on prefix
+    // shingles (rare by choice of order), never all-pairs; the length
+    // filter prunes inside the join; verification reuses the LSH path's
+    // merge-walk kernel once per distinct candidate. Cost is
+    // O(docs·prefix + collisions) — the exact-join sibling of the LSH
+    // bucket bound, with recall 1 as a theorem instead of a measurement.
+    Q(
+      "dedup_ppjoin",
+      s"""WITH $exactPairCtes
+         |SELECT a_id, b_id, ROUND(jac, 6) AS jac FROM p
+         |WHERE jac >= 0.5
+         |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      ppjoinPairs(Tables.documents(s, d))
         .where(col("jac") >= 0.5)
         .orderBy(col("a_id"), col("b_id"))
     },
