@@ -538,6 +538,53 @@ object StarQueries {
           upd.unionByName(del).unionByName(ins), "c_custkey",
           Seq("c_mktsegment", "c_acctbal"))
         .orderBy(col("c_custkey"))
+    },
+
+    // --- 2-D skyline (Pareto frontier) per brand -------------------------
+    // "Cheapest part at every size point that isn't beaten on both
+    // axes" — the multi-criteria-optimization operator. The ORACLE
+    // states the declarative dominance spec (NOT EXISTS a part of the
+    // same brand that is ≤ on both axes and < on one): O(n²) pairs and
+    // exactly how a user would write it. The ENGINE computes the same
+    // rows in O(n log n): sort each brand by size, then a point is on
+    // the frontier iff its price is (a) minimal within its size and
+    // (b) strictly below every smaller size's minimum — one window pass
+    // with a strict-predecessor RANGE frame, no self-join. Equal
+    // (size, price) ties dominate neither way and all surface, matching
+    // the spec. Scale: one shuffle on brand; frames are per-partition
+    // sorted streams.
+    Q(
+      "q_skyline_parts",
+      """SELECT p_brand, p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |  p_retailprice
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_brand = p.p_brand
+        |    AND q.p_size <= p.p_size
+        |    AND q.p_retailprice <= p.p_retailprice
+        |    AND (q.p_size < p.p_size
+        |         OR q.p_retailprice < p.p_retailprice))
+        |ORDER BY p_brand NULLS FIRST, p_size NULLS FIRST,
+        |  p_partkey NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val strictlySmaller = W.partitionBy(col("p_brand"))
+        .orderBy(col("p_size"))
+        .rangeBetween(W.unboundedPreceding, -1)
+      val sameSize = W.partitionBy(col("p_brand"), col("p_size"))
+      Tables.part(s, d)
+        .select(col("p_brand"), col("p_partkey"),
+          col("p_size").cast("long").as("p_size"), col("p_retailprice"))
+        .withColumn("min_prev",
+          min(col("p_retailprice")).over(strictlySmaller))
+        .withColumn("min_same", min(col("p_retailprice")).over(sameSize))
+        .where((col("min_prev").isNull
+            || col("min_prev") > col("p_retailprice"))
+          && col("p_retailprice") === col("min_same"))
+        .select(col("p_brand"), col("p_partkey"), col("p_size"),
+          col("p_retailprice"))
+        .orderBy(col("p_brand"), col("p_size"), col("p_partkey"))
     }
   )
 }
