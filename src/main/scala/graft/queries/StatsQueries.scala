@@ -251,6 +251,48 @@ object StatsQueries {
         .orderBy(col("event_type"))
     },
 
+    // --- equi-depth histogram via percentile boundaries ------------------
+    // The profiling sibling of the equi-WIDTH histogram below: ~10% of
+    // rows per bucket regardless of skew. Deliberately NOT ntile() — a
+    // global ntile needs one total ordering in a single window task (the
+    // known unbounded-cardinality window trap); instead the 9 decile
+    // boundaries come from one exact-percentile aggregate (engine-equal
+    // doubles, the q_value_percentiles precedent), broadcast into a
+    // second scan that assigns buckets by strict comparison. Two narrow
+    // passes, no global sort, no single-task stage. Bucket populations
+    // differ from ntile's only by boundary ties (documented, exact on
+    // both engines the same way).
+    Q(
+      "q_value_equidepth",
+      """WITH b AS (SELECT [
+        |    quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+        |    quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+        |    quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+        |    quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+        |    quantile_cont(value, 0.9)] AS bs
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT value, 1 + len(list_filter(bs, x -> x < value)) AS bucket
+        |  FROM events, b WHERE value IS NOT NULL)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(value) AS lo, MAX(value) AS hi
+        |FROM a GROUP BY bucket
+        |ORDER BY bucket NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+      val bounds = e.agg(expr(
+        "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("bs"))
+      e.crossJoin(broadcast(bounds))
+        .select(col("value"),
+          (lit(1) + size(filter(col("bs"), x => x < col("value"))))
+            .cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .orderBy(col("bucket"))
+    },
+
     // --- histogram binning via width_bucket ------------------------------
     Q(
       "q_value_histogram",
