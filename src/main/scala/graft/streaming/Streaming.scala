@@ -147,6 +147,52 @@ object Streaming {
   /** One open session interval; a user's state is ALL open intervals —
     * an interval only leaves state once the watermark proves nothing can
     * merge into it anymore. */
+  final case class KmvState(hashes: List[Long])
+  final case class TypeDistinct(event_type: String, n_kept: Int,
+      approx_users: Long)
+
+  /** Streaming k-minimum-values distinct estimate per event_type — the
+    * batch KMV sketch (`ref_approx_distinct_kmv`) maintained
+    * incrementally via mapGroupsWithState. The state per key is the k
+    * smallest DISTINCT 60-bit hashes seen so far: merging a micro-batch
+    * is a sorted-merge + truncate, so state is O(k) longs per key
+    * FOREVER — the sketch never grows with stream history, which is the
+    * whole point (an exact streaming count-distinct would hold every id
+    * in state). No timeout: the event-type vocabulary is bounded, and a
+    * KMV sketch has no window to expire — it estimates all-time
+    * cardinality. Estimates are IDENTICAL to the batch query on the
+    * same rows (same hash, same formula — deterministic, order-free),
+    * which the spec asserts literally.
+    *
+    * The hash column is computed BEFORE groupByKey with the same
+    * codegen'd built-ins as batch ([[graft.functions.TextOps.md5Low60]]);
+    * only the k-min merge runs in the stateful JVM function. */
+  def approxDistinctUsers(events: DataFrame, k: Int = 128)
+      : Dataset[TypeDistinct] = {
+    import events.sparkSession.implicits._
+    events
+      .where(col("user_id").isNotNull)
+      .select(col("event_type"),
+        graft.functions.TextOps.md5Low60(col("user_id").cast("string"))
+          .as("hv"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KmvState, TypeDistinct](
+        GroupStateTimeout.NoTimeout) {
+        (eventType, rows, state: GroupState[KmvState]) =>
+          val prior = state.getOption.map(_.hashes).getOrElse(Nil)
+          val merged = (prior ++ rows.map(_._2))
+            .distinct.sorted.take(k)
+          state.update(KmvState(merged))
+          val est =
+            if (merged.size < k) merged.size.toLong
+            else math.floor(
+              (k - 1).toDouble * 1152921504606846976.0 // 2^60, exact
+                / merged.last.toDouble).toLong
+          TypeDistinct(eventType, merged.size, est)
+      }
+  }
+
   final case class SessionState(sessions: List[(Long, Long, Int)])
   final case class UserSession(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Int)

@@ -45,6 +45,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("approxDistinctUsers: streaming KMV equals the batch sketch, " +
+      "state stays at k hashes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val k = 16
+    val input = MemoryStream[(String, java.lang.Long)]
+    val events = input.toDF().toDF("event_type", "user_id")
+    val q = Streaming.approxDistinctUsers(events, k)
+      .writeStream.format("memory").queryName("kmv")
+      .outputMode("update").start()
+    try {
+      // two micro-batches, overlapping ids + a null (must be ignored);
+      // 30 distinct users > k → estimate path, not exact path
+      input.addData((1L to 20L).map(i => ("click", java.lang.Long.valueOf(i)))
+        :+ (("click", null: java.lang.Long)): _*)
+      q.processAllAvailable()
+      input.addData((11L to 30L).map(i =>
+        ("click", java.lang.Long.valueOf(i))): _*)
+      q.processAllAvailable()
+      val last = s.table("kmv").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .lastOption.getOrElse(fail("no output"))
+      // batch-side expectation: same hash (low 60 bits of little-endian
+      // MD5 = SimHashImpl.tokenHash masked), same k-min formula
+      val hashes = (1L to 30L)
+        .map(i => graft.functions.SimHashImpl.tokenHash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(i.toString))
+          & 0xFFFFFFFFFFFFFFFL)
+        .distinct.sorted.take(k)
+      val expected =
+        math.floor((k - 1).toDouble * 1152921504606846976.0
+          / hashes.last.toDouble).toLong
+      assert(last == (("click", k, expected)),
+        s"stream sketch must equal batch sketch, got $last")
+    } finally q.stop()
+  }
+
   test("windowedDqCounters: per-window null counters match batch semantics") {
     val s = spark
     import s.implicits._
