@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -104,6 +105,84 @@ object StatsQueries {
               / col("kth").cast("double")))
             .cast("long").as("approx_users"))
         .orderBy(col("event_type"))
+    },
+
+    // --- KMV set algebra: union/intersection of sketches -----------------
+    // The property that makes sketches distributed-systems citizens:
+    // MERGEABILITY. Two per-type KMV sketches combine into the union's
+    // sketch by re-taking the k smallest of their concatenation (k-min
+    // of a union of k-mins ≡ k-min of the union — every global k-min
+    // hash survives in its own type's sketch), and the intersection
+    // estimate falls out by inclusion–exclusion. No re-scan of raw data
+    // is needed to answer a NEW question ("how many users clicked OR
+    // viewed?") — exactly how per-partition / per-day sketches roll up
+    // at 100 TB. Deterministic hashing keeps every estimate
+    // value-exact against the oracle replaying the same algebra.
+    Q(
+      "ref_kmv_set_algebra",
+      s"""WITH h AS (SELECT DISTINCT event_type,
+        |    ${graft.functions.TextOps.md5Low60Sql("CAST(user_id AS VARCHAR)")} AS hv
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM h),
+        |sk AS (SELECT event_type, hv FROM r WHERE rn <= 128),
+        |u AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+        |  FROM (SELECT DISTINCT hv FROM sk)),
+        |est AS (
+        |  SELECT event_type AS tag, COUNT(*) AS n_kept, MAX(hv) AS kth
+        |  FROM sk GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'union', COUNT(*), MAX(hv) FROM u WHERE rn <= 128),
+        |e2 AS (SELECT tag,
+        |  CAST(CASE WHEN n_kept < 128 THEN n_kept
+        |    ELSE FLOOR(CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |               / CAST(kth AS DOUBLE)) END AS BIGINT) AS est
+        |  FROM est)
+        |SELECT
+        |  (SELECT est FROM e2 WHERE tag = 'click') AS est_click,
+        |  (SELECT est FROM e2 WHERE tag = 'view') AS est_view,
+        |  (SELECT est FROM e2 WHERE tag = 'union') AS est_union,
+        |  (SELECT est FROM e2 WHERE tag = 'click')
+        |    + (SELECT est FROM e2 WHERE tag = 'view')
+        |    - (SELECT est FROM e2 WHERE tag = 'union') AS est_intersect"""
+        .stripMargin
+    ) { (s, d) =>
+      val k = 128
+      def estimate(nKept: Column, kth: Column): Column =
+        when(nKept < k, nKept)
+          .otherwise(floor(lit((k - 1).toDouble)
+            * lit(1152921504606846976L).cast("double")
+            / kth.cast("double")))
+          .cast("long")
+      val hashed = Tables.events(s, d)
+        .where(col("user_id").isNotNull
+          && col("event_type").isin("click", "view"))
+        .select(col("event_type"),
+          graft.functions.TextOps.md5Low60(col("user_id").cast("string"))
+            .as("hv"))
+        .dropDuplicates("event_type", "hv")
+      val sk = graft.operators.TopK.perGroup(hashed, k,
+        Seq("event_type"), Seq(graft.operators.TopK.asc("hv")))
+      val perType = sk.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("kth"))
+        .select(col("event_type"),
+          estimate(col("n_kept"), col("kth")).as("est"))
+      val unionSk = graft.operators.TopK.perGroup(
+        sk.select(col("hv")).dropDuplicates("hv"), k,
+        Seq.empty, Seq(graft.operators.TopK.asc("hv")))
+      val unionEst = unionSk
+        .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("kth"))
+        .select(estimate(col("n_kept"), col("kth")).as("est_union"))
+      val click = perType.where(col("event_type") === "click")
+        .select(col("est").as("est_click"))
+      val view = perType.where(col("event_type") === "view")
+        .select(col("est").as("est_view"))
+      click.crossJoin(view).crossJoin(broadcast(unionEst))
+        .select(col("est_click"), col("est_view"), col("est_union"),
+          (col("est_click") + col("est_view") - col("est_union"))
+            .as("est_intersect"))
     },
 
     // --- deterministic hash-sampled quantiles ----------------------------
