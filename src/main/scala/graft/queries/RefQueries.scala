@@ -262,6 +262,49 @@ object RefQueries {
         .orderBy(col("event_date"))
     },
 
+    // --- CUSUM changepoint score over daily volumes ----------------------
+    // Fourth monitoring shape: the rolling-baseline check reacts to one
+    // bad day; CUSUM localizes a LEVEL SHIFT (deploy that silently
+    // halved a feed) — the cumulative sum of deviations from the global
+    // mean drifts fastest at the shift point, so the |cusum| peak marks
+    // the candidate changepoint. Kept integer-exact by scaling: each
+    // term is n_day·D − T (D days, T total rows) instead of n_day − T/D,
+    // so no rational mean ever materializes. Windows are bounded by the
+    // calendar (one row per date — the ref_rolling_baseline argument).
+    Q(
+      "ref_changepoint_cusum",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS event_date,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_date),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS d FROM daily),
+        |c AS (SELECT event_date, n,
+        |    CAST(SUM(n * d - total) OVER (ORDER BY event_date)
+        |      AS BIGINT) AS cusum_scaled
+        |  FROM daily, t)
+        |SELECT event_date, n, cusum_scaled,
+        |  (abs(cusum_scaled) = MAX(abs(cusum_scaled)) OVER ()) AS is_peak
+        |FROM c ORDER BY event_date NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("n"))
+      val totals = daily.agg(sum(col("n")).cast("long").as("total"),
+        count(lit(1)).as("d"))
+      val cum = Window.orderBy(col("event_date"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy()
+      daily.crossJoin(broadcast(totals))
+        .withColumn("cusum_scaled",
+          sum(col("n") * col("d") - col("total")).over(cum))
+        .withColumn("is_peak",
+          abs(col("cusum_scaled"))
+            === max(abs(col("cusum_scaled"))).over(whole))
+        .select(col("event_date"), col("n"), col("cusum_scaled"),
+          col("is_peak"))
+        .orderBy(col("event_date"))
+    },
+
     // --- JSON extraction over events.props ------------------------------
     Q(
       "ref_json_extract",

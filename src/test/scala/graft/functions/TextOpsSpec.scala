@@ -116,4 +116,22 @@ class TextOpsSpec extends SparkSpec {
     // unrelated docs shouldn't flood the candidate set
     assert(pairs.size < 20, s"too many collisions: ${pairs.size}")
   }
+
+  test("md5Low60: SQL built-in pipeline equals the JVM kernel masked to " +
+      "60 bits (the cross-engine sketch-hash contract)") {
+    val s = spark
+    import s.implicits._
+    val inputs = (1 to 200).map(_.toString) ++
+      Seq("", "a", "hello world", "ünïcödé", "0", "-17")
+    val got = inputs.toDF("s")
+      .select(col("s"), TextOps.md5Low60(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inputs.foreach { in =>
+      val expected = SimHashImpl.tokenHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(in)) &
+        0xFFFFFFFFFFFFFFFL
+      assert(got(in) == expected, s"hash mismatch for '$in'")
+      assert(got(in) >= 0L && got(in) < (1L << 60))
+    }
+  }
 }
