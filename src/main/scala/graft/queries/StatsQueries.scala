@@ -330,6 +330,58 @@ object StatsQueries {
         .orderBy(col("event_type"))
     },
 
+    // --- chi-square independence scan (event_type × weekday) -------------
+    // The dependence detector behind "does the type mix shift by
+    // weekday?" — the same contingency arithmetic a feature-selection
+    // pass runs over (label × bucketed-feature) tables. The statistic is
+    // kept integer: per cell, observed o and expected e = r·c/N are
+    // compared via the scaled term (o·N − r·c)² // (r·c·N) — everything
+    // BIGINT-products-in-HUGEINT/DECIMAL(38), positive throughout, and
+    // the final Σ is the familiar N·χ² scaling (divide by N for χ²; the
+    // scale-free peak cell and per-cell ordering are what the monitor
+    // consumes). One aggregate for cells, two tiny margin aggregates
+    // broadcast back in.
+    Q(
+      "q_chisq_type_weekday",
+      // DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based
+      // (Sunday=1) — the +1 aligns them. The squared deviation tops
+      // BIGINT (~1e20), so it squares in HUGEINT.
+      """WITH cell AS (SELECT event_type, dayofweek(ts) + 1 AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY event_type, dow),
+        |r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt FROM cell
+        |      GROUP BY event_type),
+        |c AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS ct FROM cell
+        |      GROUP BY dow),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS nt FROM cell)
+        |SELECT cell.event_type, CAST(cell.dow AS BIGINT) AS dow, o,
+        |  CAST(CAST(o * nt - rt * ct AS HUGEINT)
+        |       * CAST(o * nt - rt * ct AS HUGEINT)
+        |       // (CAST(rt AS HUGEINT) * ct * nt) AS BIGINT)
+        |    AS chisq_term_scaled
+        |FROM cell JOIN r USING (event_type) JOIN c USING (dow), n
+        |ORDER BY event_type NULLS FIRST, dow NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val cell = Tables.events(s, d)
+        .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val r = cell.groupBy(col("event_type"))
+        .agg(sum(col("o")).cast("long").as("rt"))
+      val c = cell.groupBy(col("dow"))
+        .agg(sum(col("o")).cast("long").as("ct"))
+      val n = cell.agg(sum(col("o")).cast("long").as("nt"))
+      cell.join(broadcast(r), "event_type")
+        .join(broadcast(c), "dow")
+        .crossJoin(broadcast(n))
+        .select(col("event_type"), col("dow").cast("long").as("dow"),
+          col("o"),
+          expr("CAST((CAST(o AS DECIMAL(38,0)) * nt - CAST(rt AS DECIMAL(38,0)) * ct)" +
+            " * (CAST(o AS DECIMAL(38,0)) * nt - CAST(rt AS DECIMAL(38,0)) * ct)" +
+            " div (CAST(rt AS DECIMAL(38,0)) * ct * nt) AS DECIMAL(38,0))")
+            .cast("long").as("chisq_term_scaled"))
+        .orderBy(col("event_type"), col("dow"))
+    },
+
     // --- equi-depth histogram via percentile boundaries ------------------
     // The profiling sibling of the equi-WIDTH histogram below: ~10% of
     // rows per bucket regardless of skew. Deliberately NOT ntile() — a
