@@ -1,0 +1,129 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally maintained keyed aggregate — the batch view a daily
+  * pipeline serves dashboards from without rescanning history: state is
+  * (key, n, sum_cents) per key; applying a batch reads the CURRENT
+  * state (O(keys)) and the batch (O(batch)), never the raw history.
+  * `sum` is kept in integer cents (DECIMAL(18,2)·100 → LONG), so merge
+  * order can never change a result — the same additive-exactness rule
+  * the DQ counters follow.
+  *
+  * Durability is a miniature snapshot protocol (the poor man's table
+  * format, same family as the streaming CdcView's bucketed state):
+  *
+  *  - each update writes a COMPLETE new version directory `v{N+1}`
+  *    (aggregate parquet + `_applied` parquet of batch ids);
+  *  - `_CURRENT` (a one-line file naming the live version) is written
+  *    LAST via write-temp + rename — readers either see the old
+  *    complete version or the new complete version, never a partial;
+  *  - a crash mid-update leaves an orphan `v{N+1}` that the retry
+  *    simply overwrites (version numbers derive from `_CURRENT`, not
+  *    from directory listings).
+  *
+  * Exactly-once under at-least-once drivers: every batch carries an id;
+  * ids live in the state (`_applied`), and re-applying a known id is a
+  * NO-OP — the replayed batch cannot double-count (IncrementalAggSpec
+  * proves replay convergence and the crash window).
+  *
+  * At 100 TB: state is keyed and bucketable (one shuffle per update on
+  * the key), `_applied` is O(batches), and the version directories are
+  * O(keys) each — compaction of old versions is a delete of `v{i<N}`.
+  */
+object IncrementalAgg {
+
+  private def fs(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def currentVersion(spark: SparkSession, statePath: String): Int = {
+    val f = fs(spark, statePath)
+    val cur = new Path(statePath, "_CURRENT")
+    val tmp = new Path(statePath, "_CURRENT.tmp")
+    // self-heal the publish window: the tmp pointer is complete before
+    // the old pointer is deleted, so "tmp exists, cur doesn't" means a
+    // crash hit between delete and rename — finish the rename (same
+    // recovery discipline as Compaction.recover)
+    if (!f.exists(cur) && f.exists(tmp)) f.rename(tmp, cur)
+    if (!f.exists(cur)) 0
+    else {
+      val in = f.open(cur)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](256)
+        var r = in.read(chunk)
+        while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+        new String(buf.toByteArray, StandardCharsets.UTF_8)
+          .trim.stripPrefix("v").toInt
+      } finally in.close()
+    }
+  }
+
+  private def versionDir(statePath: String, v: Int) = s"$statePath/v$v"
+
+  /** Live aggregate (empty frame with the right schema at version 0). */
+  def read(spark: SparkSession, statePath: String, keys: Seq[String])
+      : DataFrame = {
+    val v = currentVersion(spark, statePath)
+    if (v == 0) {
+      val key = keys.map(k => s"'' AS $k").mkString(", ")
+      spark.sql(s"SELECT $key, 0L AS n, 0L AS sum_cents").limit(0)
+    } else spark.read.parquet(s"${versionDir(statePath, v)}/agg")
+  }
+
+  /** Batch ids already folded into the live state. */
+  def appliedBatches(spark: SparkSession, statePath: String): Set[String] = {
+    val v = currentVersion(spark, statePath)
+    if (v == 0) Set.empty
+    else spark.read.parquet(s"${versionDir(statePath, v)}/_applied")
+      .collect().map(_.getString(0)).toSet
+  }
+
+  /** Fold `batch` (keys + `valueCol`) into the state under `batchId`.
+    * Returns the live aggregate after the call — unchanged if the id
+    * was already applied. */
+  def update(spark: SparkSession, statePath: String, batch: DataFrame,
+      keys: Seq[String], valueCol: String, batchId: String): DataFrame = {
+    import spark.implicits._
+    if (appliedBatches(spark, statePath).contains(batchId))
+      return read(spark, statePath, keys)
+
+    val cur = read(spark, statePath, keys)
+    val delta = batch
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum((col(valueCol).cast("decimal(18,2)") * 100).cast("long"))
+          .as("sum_cents"))
+    val curK = keys.foldLeft(cur)((d, k) => d.withColumnRenamed(k, s"_$k"))
+      .withColumnRenamed("n", "_n").withColumnRenamed("sum_cents", "_s")
+    val joinCond = keys.map(k => col(s"_$k") <=> col(k)).reduce(_ && _)
+    val merged = curK.join(delta, joinCond, "full_outer")
+      .select(
+        keys.map(k => coalesce(col(k), col(s"_$k")).as(k)) ++ Seq(
+          (coalesce(col("_n"), lit(0L)) + coalesce(col("n"), lit(0L)))
+            .as("n"),
+          (coalesce(col("_s"), lit(0L)) + coalesce(col("sum_cents"), lit(0L)))
+            .as("sum_cents")): _*)
+
+    val v = currentVersion(spark, statePath)
+    val next = versionDir(statePath, v + 1)
+    merged.write.mode("overwrite").parquet(s"$next/agg")
+    (appliedBatches(spark, statePath) + batchId).toSeq.toDF("batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$next/_applied")
+    // publish: temp + rename, the all-or-nothing pointer flip
+    val f = fs(spark, statePath)
+    val tmp = new Path(statePath, "_CURRENT.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"v${v + 1}".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val curPath = new Path(statePath, "_CURRENT")
+    f.delete(curPath, false)
+    if (!f.rename(tmp, curPath))
+      throw new java.io.IOException(s"publish failed for $next")
+    read(spark, statePath, keys)
+  }
+}

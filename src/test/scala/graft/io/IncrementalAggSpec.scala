@@ -1,0 +1,88 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IncrementalAggSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("incr_agg").toString
+
+  private def batch(rows: (String, Double)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("event_type", "value")
+  }
+
+  private def snapshot(state: String): Map[String, (Long, Long)] =
+    IncrementalAgg.read(spark, state, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  test("state after N batches equals the full recompute; no history scan") {
+    val state = tmpDir()
+    val b1 = batch(("click", 1.10), ("click", 2.20), ("view", 5.00))
+    val b2 = batch(("click", 0.70), ("signup", 3.30))
+    IncrementalAgg.update(spark, state, b1, Seq("event_type"), "value", "d1")
+    IncrementalAgg.update(spark, state, b2, Seq("event_type"), "value", "d2")
+    val got = snapshot(state)
+    // full recompute over the union, in the same integer cents
+    val expected = b1.unionByName(b2)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == expected)
+    assert(got("click") == ((3L, 400L)), "1.10+2.20+0.70 = 4.00 = 400 cents")
+  }
+
+  test("replayed batch id is a no-op (exactly-once under retries)") {
+    val state = tmpDir()
+    val b1 = batch(("click", 1.00))
+    IncrementalAgg.update(spark, state, b1, Seq("event_type"), "value", "d1")
+    val before = snapshot(state)
+    // the at-least-once driver fires the same batch again
+    IncrementalAgg.update(spark, state, b1, Seq("event_type"), "value", "d1")
+    assert(snapshot(state) == before, "replay must not double-count")
+    assert(IncrementalAgg.appliedBatches(spark, state) == Set("d1"))
+  }
+
+  test("crash between pointer delete and rename self-heals on next read") {
+    val state = tmpDir()
+    IncrementalAgg.update(spark, state, batch(("click", 1.00)),
+      Seq("event_type"), "value", "d1")
+    // simulate the crash window: _CURRENT deleted, _CURRENT.tmp present
+    val fs = new Path(state).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(state, "_CURRENT")
+    val tmp = new Path(state, "_CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    out.write("v1".getBytes("UTF-8")); out.close()
+    fs.delete(cur, false)
+    // reader completes the rename and still sees version 1
+    assert(snapshot(state)("click") == ((1L, 100L)))
+    assert(fs.exists(cur) && !fs.exists(tmp), "pointer flip completed")
+  }
+
+  test("orphan version dir from a crashed update is overwritten on retry") {
+    val state = tmpDir()
+    IncrementalAgg.update(spark, state, batch(("click", 1.00)),
+      Seq("event_type"), "value", "d1")
+    // crashed update: complete v2 dir written but never published
+    batch(("garbage", 9.99))
+      .write.mode("overwrite").parquet(s"$state/v2/agg")
+    val after = IncrementalAgg.update(spark, state, batch(("view", 2.00)),
+      Seq("event_type"), "value", "d2")
+    assert(snapshot(state) ==
+      Map("click" -> ((1L, 100L)), "view" -> ((1L, 200L))),
+      "retry rebuilds v2 from the live v1, orphan data is gone")
+    assert(after.count() == 2)
+  }
+}
