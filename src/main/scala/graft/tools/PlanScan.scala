@@ -18,7 +18,12 @@ object PlanScan {
       "q_resample_hourly" -> "1-row bounds row exploded into the spine",
       "emb_knn_brute" -> "10-row query set vs corpus IS the brute baseline",
       "emb_knn_ivf" -> "10-row query set x k centroids probe",
-      "emb_knn_pq" -> "10-row query set carrying ADC tables vs code table")
+      "emb_knn_pq" -> "10-row query set carrying ADC tables vs code table",
+      "text_bm25_topk" -> "1-row corpus stats broadcast into the scoring scan",
+      "q_value_equidepth" -> "1-row decile-boundary array broadcast into the bucket scan",
+      "q_chisq_type_weekday" -> "1-row N total broadcast into the 35-cell frame",
+      "ref_changepoint_cusum" -> "1-row (total, days) broadcast into the daily spine",
+      "ref_kmv_set_algebra" -> "three 1-row sketch estimates cross-joined into one row")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
