@@ -515,6 +515,63 @@ object WindowingQueries {
         .orderBy(col("user_id"))
     },
 
+    // --- first-touch attribution over a 7-day lookback --------------------
+    // The marketing-analytics counterpart of the as-of join (last-touch):
+    // each purchase is credited to the FIRST event of its user inside
+    // the trailing week. A range window can't express this
+    // deterministically (ties within one second have no orderable
+    // tiebreak in a RANGE frame), so the engine uses the banded
+    // range-join shape: purchases × user events bounded to the lookback
+    // interval, then min_by over the packed ts_s·2³²+event_id key
+    // (lexicographic by construction while ids stay under 2³²; DuckDB's
+    // arg_min takes scalar keys only) — no window. Fanout is bounded by
+    // per-user
+    // activity inside the window (the stream-stream join argument);
+    // revenue stays in integer cents.
+    Q(
+      "q_attribution_first_touch",
+      """WITH s AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(date_trunc('second', ts)) // 1000000 AS ts_s, value
+        |  FROM events WHERE user_id IS NOT NULL),
+        |p AS (SELECT user_id, event_id AS pid, ts_s AS pts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM s WHERE event_type = 'purchase'),
+        |f AS (SELECT p.pid, p.cents,
+        |    arg_min(s.event_type, s.ts_s * 4294967296 + s.event_id)
+        |      AS first_touch_type
+        |  FROM p JOIN s ON s.user_id = p.user_id
+        |    AND s.ts_s <= p.pts AND s.ts_s >= p.pts - 604800
+        |  GROUP BY p.pid, p.cents)
+        |SELECT first_touch_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM f GROUP BY first_touch_type
+        |ORDER BY first_touch_type NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("ts_s"),
+          col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("pid"),
+          col("ts_s").as("pts"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      purchases
+        .join(ev, col("user_id") === col("p_user")
+          && col("ts_s") <= col("pts")
+          && col("ts_s") >= col("pts") - 604800L)
+        .groupBy(col("pid"), col("cents"))
+        .agg(min_by(col("event_type"),
+          col("ts_s") * lit(4294967296L) + col("event_id"))
+          .as("first_touch_type"))
+        .groupBy(col("first_touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .orderBy(col("first_touch_type"))
+    },
+
     // --- Markov transition matrix over per-user event sequences ----------
     // The sequence-analytics primitive behind session modeling and
     // next-event prediction features: for each user's time-ordered event
