@@ -330,6 +330,55 @@ object StatsQueries {
         .orderBy(col("event_type"))
     },
 
+    // --- revenue concentration: top-1% users' share ----------------------
+    // The whale-curve question ("how much revenue rides on the top 1%?")
+    // answered in exact integers: top-1% is RANK-defined (k = ⌈users/100⌉
+    // by spend desc, user_id tiebreak), NOT an interpolated p99 boundary
+    // — interpolation is float arithmetic two engines may round apart,
+    // and a membership comparison can't absorb that with ROUND the way
+    // the percentile queries do. The user count is a driver-side scalar
+    // pull (the Dq counter precedent) that sizes the native bounded-heap
+    // TopK; share is cents·10⁶ div cents, positive integer division.
+    Q(
+      "q_revenue_concentration",
+      """WITH u AS (SELECT user_id,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type = 'purchase'
+        |  GROUP BY user_id),
+        |r AS (SELECT cents, row_number()
+        |    OVER (ORDER BY cents DESC, user_id) AS rn FROM u),
+        |k AS (SELECT CAST((COUNT(*) + 99) // 100 AS BIGINT) AS k,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(cents) AS BIGINT) AS total_cents FROM u)
+        |SELECT n_users, k AS top_k, total_cents,
+        |  CAST(SUM(CASE WHEN rn <= k THEN cents ELSE 0 END) AS BIGINT)
+        |    AS top_cents,
+        |  CAST(SUM(CASE WHEN rn <= k THEN cents ELSE 0 END) * 1000000
+        |       // total_cents AS BIGINT) AS top_share_ppm
+        |FROM r, k GROUP BY n_users, k, total_cents""".stripMargin
+    ) { (s, d) =>
+      val u = Tables.events(s, d)
+        .where(col("user_id").isNotNull && col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .cast("long").as("cents"))
+      val totals = u.agg(count(lit(1)).as("n_users"),
+        sum(col("cents")).cast("long").as("total_cents")).head()
+      val nUsers = totals.getLong(0)
+      val totalCents = totals.getLong(1)
+      val k = ((nUsers + 99) / 100).toInt // ceil(n/100), driver scalar
+      val top = graft.operators.TopK.perGroup(u, k, Seq.empty,
+        Seq(graft.operators.TopK.desc("cents"),
+          graft.operators.TopK.asc("user_id")))
+      top.agg(sum(col("cents")).cast("long").as("top_cents"))
+        .select(lit(nUsers).as("n_users"), lit(k.toLong).as("top_k"),
+          lit(totalCents).as("total_cents"), col("top_cents"),
+          expr(s"CAST(top_cents * 1000000 div ${totalCents}L AS BIGINT)")
+            .as("top_share_ppm"))
+    },
+
     // --- chi-square independence scan (event_type × weekday) -------------
     // The dependence detector behind "does the type mix shift by
     // weekday?" — the same contingency arithmetic a feature-selection
