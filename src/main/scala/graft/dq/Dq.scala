@@ -185,4 +185,45 @@ object Dq {
     DqReport(ingestionDate, rawPath, curatedPath, counters, failures,
       warnings)
   }
+
+  /** Row-level quarantine split — the production evolution of the
+    * all-or-nothing gate: instead of failing the whole batch when a rule
+    * trips, each offending ROW is diverted with a `quarantine_reason`
+    * and the clean remainder flows on. Reasons mirror the gate's
+    * counters, first match wins (a row with a null event_id is
+    * `null_event_id` even if it is also a duplicate):
+    *
+    *   null_event_id / null_event_type / null_user_id — the three
+    *     nullability rules;
+    *   invalid_event_type — domain violation under the same negated-isin
+    *     3VL as the counter (a NULL type is null_event_type, never
+    *     invalid);
+    *   dup_event_id — every row past the FIRST per non-null event_id,
+    *     first = min by (event_ts, user_id, event_type) — a total order
+    *     over the payload, so identical full-row copies quarantine all
+    *     but one and the survivor is deterministic.
+    *
+    * One window over event_id (the dedup shuffle the keep-first dedup
+    * already pays) + a narrow reason projection; both outputs share the
+    * scan. Returns (valid, quarantined-with-reason). */
+  def splitQuarantine(df: DataFrame,
+      allowed: Seq[String] = graft.schema.EventSchema.allowedEventTypes)
+      : (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id"))
+      .orderBy(col("event_ts"), col("user_id"), col("event_type"))
+    val tagged = df
+      .withColumn("_rn",
+        when(col("event_id").isNull, lit(1))
+          .otherwise(row_number().over(w)))
+      .withColumn("quarantine_reason",
+        when(col("event_id").isNull, "null_event_id")
+          .when(col("event_type").isNull, "null_event_type")
+          .when(col("user_id").isNull, "null_user_id")
+          .when(!col("event_type").isin(allowed: _*), "invalid_event_type")
+          .when(col("_rn") > 1, "dup_event_id"))
+    (tagged.where(col("quarantine_reason").isNull)
+        .drop("_rn", "quarantine_reason"),
+      tagged.where(col("quarantine_reason").isNotNull).drop("_rn"))
+  }
 }

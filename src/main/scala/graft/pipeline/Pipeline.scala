@@ -81,6 +81,61 @@ object Pipeline {
     report
   }
 
+  /** Quarantine variant of [[runPartition]] — row-level diversion
+    * instead of the all-or-nothing gate: offending rows land in a
+    * `quarantine` zone partition (same purge+write idempotency contract
+    * as curated) with their `quarantine_reason`, the clean remainder is
+    * written to curated, and the batch fails ONLY when the quarantine
+    * rate crosses `maxQuarantineRate` — past that, the feed itself is
+    * broken and diversion would just hide it. The report keeps the
+    * ORIGINAL batch's counters (the honest diagnosis) with per-reason
+    * quarantine counts as warnings; the rate compare is integer
+    * cross-multiplication, no float thresholds. */
+  def runPartitionQuarantine(spark: SparkSession, conf: PipelineConfig,
+      ingestionDate: String, quarantineBase: String,
+      maxQuarantineRate: Double = 0.10): DqReport = {
+    require(validDate(ingestionDate),
+      "ingestion_date must be YYYY-MM-DD, e.g. 2025-01-02")
+    val rawPath = RawEvents.partitionPath(conf.rawBase, ingestionDate)
+    val curatedPath = RawEvents.partitionPath(conf.curatedBase, ingestionDate)
+    val metricsPath =
+      RawEvents.partitionPath(conf.metricsBase, ingestionDate) +
+        "data_quality.json"
+    if (!CuratedWriter.upstreamExists(spark, rawPath))
+      throw new MissingUpstreamException(rawPath)
+
+    val df = RawEvents.curate(
+      RawEvents.readPartition(spark, conf.rawBase, ingestionDate))
+    val (valid, quarantined) = graft.dq.Dq.splitQuarantine(df)
+
+    val counters = graft.dq.DqCounters.compute(df)
+    val reasons = quarantined.groupBy("quarantine_reason").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val nQuarantined = reasons.map(_._2).sum
+    val warnings = reasons.map { case (reason, n) =>
+      s"quarantined $n rows: $reason"
+    }.toSeq
+    // rate gate in integers: q / total > rate  ⇔  q * scale > total * (rate*scale)
+    val scale = 1000000L
+    val failures =
+      if (counters.totalRows > 0 &&
+          nQuarantined * scale > counters.totalRows *
+            (maxQuarantineRate * scale).toLong)
+        Seq(f"quarantine rate ${nQuarantined}/${counters.totalRows} " +
+          f"exceeds max $maxQuarantineRate%.2f — feed-level failure, " +
+          "not row noise")
+      else Nil
+    val report = DqReport(ingestionDate, rawPath, curatedPath, counters,
+      failures, warnings)
+    CuratedWriter.writeSingleFile(spark, metricsPath, report.toJson)
+    if (report.status == "FAIL") throw new DqFailedException(report)
+
+    CuratedWriter.overwritePartition(quarantined, quarantineBase,
+      ingestionDate)
+    CuratedWriter.overwritePartition(valid, conf.curatedBase, ingestionDate)
+    report
+  }
+
   def validDate(d: String): Boolean =
     d.matches("\\d{4}-\\d{2}-\\d{2}") &&
       scala.util.Try(LocalDate.parse(d)).isSuccess

@@ -131,6 +131,32 @@ class DqSpec extends SparkSpec {
     assert(!out("2025-01-10"), "return to normal passes (baseline 125)")
   }
 
+  test("splitQuarantine: first matching reason wins; dedup survivor is " +
+      "deterministic") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // (event_id, user_id, event_type, event_ts)
+      ("e1", null, "purchase", "2025-01-01 10:00:00"), // null user AND dup
+      ("e1", "u1", "purchase", "2025-01-01 09:00:00"), // earlier → survivor
+      ("e2", "u2", "login", "2025-01-01 11:00:00"),
+      ("e2", "u2", "login", "2025-01-01 11:00:00") // identical copy → dup
+    ).toDF("event_id", "user_id", "event_type", "event_ts")
+      .withColumn("event_ts", to_timestamp(col("event_ts")))
+    val (valid, quarantined) = Dq.splitQuarantine(df)
+    val reasons = quarantined
+      .select(col("event_id"), col("quarantine_reason")).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    // the null-user row reports null_user_id (priority), NOT dup;
+    // one identical e2 copy quarantines as dup
+    assert(reasons == Seq(("e1", "null_user_id"), ("e2", "dup_event_id")))
+    val survivors = valid.select("event_id", "event_ts")
+      .collect().map(r => r.getString(0) -> r.getTimestamp(1).toString).toMap
+    assert(survivors("e1") == "2025-01-01 09:00:00.0",
+      "keep-first by event_ts is the survivor")
+    assert(valid.count() == 2)
+  }
+
   test("coverageGaps: mid-day outage flags, dense day and daily start edge don't") {
     val s = spark
     import s.implicits._

@@ -114,6 +114,65 @@ class PipelineSpec extends SparkSpec {
     assert(json.contains("failures"))
   }
 
+  test("quarantine mode: bad rows divert with reasons, clean rows land, " +
+      "report PASSes with warnings") {
+    val conf = freshConf()
+    val qBase = s"${new File(conf.rawBase).getParent}/quarantine"
+    gen(conf, "2025-01-01")
+    // poison file: nulls + a domain violation (few enough to stay
+    // under the 10% quarantine-rate gate)
+    val bad = EventsGen.generateDay("2025-01-01", nEvents = 4)
+    val poisoned = Seq(
+      bad(0).copy(event_id = null),
+      bad(1).copy(user_id = None),
+      bad(2).copy(event_type = null),
+      bad(3).copy(event_type = "hack"))
+    EventsGen.writeNdjson(poisoned, conf.rawBase, "2025-01-01",
+      fileName = "poison.json")
+    val report = Pipeline.runPartitionQuarantine(spark, conf,
+      "2025-01-01", qBase)
+    assert(report.status == "PASS")
+    assert(report.warnings.exists(_.contains("null_event_id")))
+    assert(report.warnings.exists(_.contains("invalid_event_type")))
+    val q = spark.read.parquet(
+      RawEvents.partitionPath(qBase, "2025-01-01"))
+    val reasons = q.groupBy("quarantine_reason").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // generateDay injects ~1% duplicate ids (10 for n=1000) + the
+    // poison file's one dup of its own rows
+    assert(reasons("null_event_id") >= 1L)
+    assert(reasons("null_user_id") >= 1L)
+    assert(reasons("null_event_type") >= 1L)
+    assert(reasons("invalid_event_type") >= 1L)
+    assert(reasons("dup_event_id") >= 10L)
+    val out = curated(conf, "2025-01-01")
+    // clean output: no nulls, no dups, domain intact
+    assert(out.where("event_id IS NULL OR user_id IS NULL " +
+      "OR event_type IS NULL").count() == 0)
+    assert(out.count() ==
+      out.select("event_id").distinct().count())
+    // diversion is lossless: curated + quarantined = input
+    assert(out.count() + q.count() == report.counters.totalRows)
+  }
+
+  test("quarantine mode: a feed-level failure (rate > max) still gates") {
+    val conf = freshConf()
+    val qBase = s"${new File(conf.rawBase).getParent}/quarantine"
+    // 100% poison: every row has a null user
+    val bad = EventsGen.generateDay("2025-01-01", nEvents = 20)
+      .map(_.copy(user_id = None))
+    EventsGen.writeNdjson(bad, conf.rawBase, "2025-01-01")
+    val ex = intercept[DqFailedException] {
+      Pipeline.runPartitionQuarantine(spark, conf, "2025-01-01", qBase)
+    }
+    assert(ex.getMessage.contains("quarantine rate"))
+    // fail-safe: neither curated nor quarantine written
+    assert(!new File(
+      RawEvents.partitionPath(conf.curatedBase, "2025-01-01")).exists())
+    assert(!new File(
+      RawEvents.partitionPath(qBase, "2025-01-01")).exists())
+  }
+
   test("missing upstream partition fails distinctly (sensor C4)") {
     val conf = freshConf()
     intercept[MissingUpstreamException] {
