@@ -305,6 +305,50 @@ object RefQueries {
         .orderBy(col("event_date"))
     },
 
+    // --- order-insensitive content checksum (reconciliation) -------------
+    // "Did the rerun/replica produce the SAME table?" answered in one
+    // aggregate instead of a row-by-row diff: per ingestion day, the sum
+    // mod 2^60 of each row's cross-engine MD5 hash over a canonical
+    // column rendering. Addition commutes, so partitioning, shuffle
+    // order, and file layout can't move the checksum — two environments
+    // agree iff their row MULTISETS agree (mod the 2^60 collision bound).
+    // The NUL delimiter cannot appear in the data, so field boundaries
+    // can't alias ("ab","c" vs "a","bc"). This is the cheap cross-
+    // environment reconciliation a backfill verifies itself with.
+    Q(
+      "ref_table_checksum",
+      s"""WITH r AS (SELECT CAST(ts AS DATE) AS event_date,
+        |    ${graft.functions.TextOps.md5Low60Sql(
+                "concat_ws(chr(0), COALESCE(CAST(event_id AS VARCHAR), ''), " +
+                "COALESCE(CAST(user_id AS VARCHAR), ''), " +
+                "COALESCE(event_type, ''), " +
+                "COALESCE(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), ''))")}
+        |      AS h
+        |  FROM events)
+        |SELECT event_date, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(h) % 1152921504606846976 AS BIGINT) AS checksum
+        |FROM r GROUP BY event_date
+        |ORDER BY event_date NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      // decimal rendering: both engines print DECIMAL(18,2) with its full
+      // scale ("42.25"); the hash sum tops int64 (~2^60 x rows), so it
+      // accumulates in DECIMAL(38,0) - DuckDB's SUM is HUGEINT natively
+      val rendered = concat_ws("\u0000",
+        coalesce(col("event_id").cast("string"), lit("")),
+        coalesce(col("user_id").cast("string"), lit("")),
+        coalesce(col("event_type"), lit("")),
+        coalesce(col("value").cast("decimal(18,2)").cast("string"),
+          lit("")))
+      Tables.events(s, d)
+        .select(to_date(col("ts")).as("event_date"),
+          graft.functions.TextOps.md5Low60(rendered).as("h"))
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("h").cast("decimal(38,0)"))
+            % lit(1152921504606846976L)).cast("long").as("checksum"))
+        .orderBy(col("event_date"))
+    },
+
     // --- JSON extraction over events.props ------------------------------
     Q(
       "ref_json_extract",
