@@ -330,6 +330,47 @@ object StatsQueries {
         .orderBy(col("event_type"))
     },
 
+    // --- deterministic A/B assignment + conversion readout ---------------
+    // The experimentation primitive: users hash into arms (low bit of
+    // the cross-engine MD5 — the same salt-free deterministic bucketing
+    // online systems use so a user sees one arm forever, across
+    // services, with no assignment table to join), then per arm the
+    // user count, converters (≥1 purchase), and conversion ppm by
+    // integer division. The whole readout is two hash aggregates on
+    // user_id; assignment adds zero shuffles because it's a projection
+    // of the hash the aggregate already groups by.
+    Q(
+      "q_ab_assignment",
+      s"""WITH u AS (SELECT user_id,
+        |    ${graft.functions.TextOps.md5Low60Sql("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events WHERE user_id IS NOT NULL
+        |  GROUP BY user_id, arm)
+        |SELECT CAST(arm AS BIGINT) AS arm,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(converted) AS BIGINT) AS converters,
+        |  CAST(SUM(converted) * 1000000 // COUNT(*) AS BIGINT)
+        |    AS conversion_ppm
+        |FROM u GROUP BY arm
+        |ORDER BY arm NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .where(col("user_id").isNotNull)
+        .groupBy(col("user_id"),
+          (graft.functions.TextOps.md5Low60(col("user_id").cast("string"))
+            % 2).as("arm"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("converted"))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("converted")).cast("long").as("converters"))
+        .select(col("arm"), col("n_users"), col("converters"),
+          expr("CAST(converters * 1000000 div n_users AS BIGINT)")
+            .as("conversion_ppm"))
+        .orderBy(col("arm"))
+    },
+
     // --- revenue concentration: top-1% users' share ----------------------
     // The whale-curve question ("how much revenue rides on the top 1%?")
     // answered in exact integers: top-1% is RANK-defined (k = ⌈users/100⌉

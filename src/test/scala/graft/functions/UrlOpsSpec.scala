@@ -50,6 +50,20 @@ class UrlOpsSpec extends SparkSpec {
       Seq("http://example.com?a=1&b=2"))
   }
 
+  test("canonicalize is idempotent over generated messy URLs") {
+    // a normalizer must be a projection: applying it twice can't keep
+    // rewriting (if it does, "canonical" keys drift between passes)
+    val schemes = Seq("http", "HTTPS", "Http")
+    val hosts = Seq("WWW.Ex.COM", "ex.com", "sub.Ex.Com:8080", "ex.com:443")
+    val paths = Seq("", "/", "/a/b/", "/a//")
+    val queries = Seq("", "?utm_source=x", "?b=2&a=1&ref=z", "?z=1#f", "#f")
+    val urls = for (s <- schemes; h <- hosts; p <- paths; q <- queries)
+      yield s"$s://$h$p$q"
+    val once = canon(urls: _*)
+    val twice = canon(once: _*)
+    assert(once == twice, "second pass must be a no-op")
+  }
+
   test("distinct raw spellings of one page collapse") {
     val variants = Seq(
       "HTTP://WWW.Site.Com:80/docs/7?utm_source=feed&b=2&a=7",
