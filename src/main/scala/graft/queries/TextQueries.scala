@@ -416,6 +416,71 @@ object TextQueries {
         .orderBy(col("threshold").desc)
     },
 
+    // --- vocabulary drift: per-source L1 distance from the corpus --------
+    // The text-monitoring bridge: which source's word DISTRIBUTION
+    // diverges from the corpus (topic shift, spam injection, template
+    // leak)? L1 distance Σ_w |p_s(w) − p(w)| kept integer by cross-
+    // multiplication: each present word contributes |n_{w,s}·N − n_w·N_s|
+    // and the words ABSENT from the source close in closed form —
+    // Σ_{w∉s} n_w·N_s = (N − Σ_{w∈s} n_w)·N_s — so no (source × word)
+    // grid is ever materialized (the grid is |vocab|×|sources| rows; the
+    // closed form is one aggregate over present words). Result in ppm of
+    // the max distance 2 (disjoint vocabularies ⇒ 2 000 000). Sums ride
+    // DECIMAL(38)/HUGEINT; division is positive integer //.
+    Q(
+      "text_vocab_drift",
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS nws
+        |  FROM w GROUP BY source, word),
+        |gw AS (SELECT word, CAST(SUM(nws) AS BIGINT) AS nw FROM sw
+        |  GROUP BY word),
+        |st AS (SELECT source, CAST(SUM(nws) AS BIGINT) AS ns FROM sw
+        |  GROUP BY source),
+        |g AS (SELECT CAST(SUM(nws) AS BIGINT) AS n FROM sw),
+        |d AS (SELECT sw.source,
+        |    SUM(abs(CAST(nws AS HUGEINT) * n - CAST(nw AS HUGEINT) * ns))
+        |      AS present,
+        |    CAST(n AS HUGEINT) - SUM(CAST(nw AS HUGEINT)) AS absent_mass
+        |  FROM sw JOIN gw USING (word) JOIN st USING (source), g
+        |  GROUP BY sw.source, st.ns, g.n),
+        |f AS (SELECT d.source, st.ns,
+        |    present + absent_mass * st.ns AS l1_scaled
+        |  FROM d JOIN st USING (source))
+        |SELECT f.source, CAST(f.ns AS BIGINT) AS n_tokens,
+        |  CAST(l1_scaled * 1000000 // (CAST(f.ns AS HUGEINT) * g.n)
+        |    AS BIGINT) AS drift_ppm
+        |FROM f, g
+        |ORDER BY source NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val dec = "decimal(38,0)"
+      val w = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("word"))
+      val sw = w.groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("nws"))
+      val gw = sw.groupBy(col("word"))
+        .agg(sum(col("nws")).cast("long").as("nw"))
+      val st = sw.groupBy(col("source"))
+        .agg(sum(col("nws")).cast("long").as("ns"))
+      val g = sw.agg(sum(col("nws")).cast("long").as("n"))
+      val joined = sw.join(gw, "word").join(broadcast(st), "source")
+        .crossJoin(broadcast(g))
+      val perSource = joined
+        .groupBy(col("source"), col("ns"), col("n"))
+        .agg(
+          sum(abs(col("nws").cast(dec) * col("n")
+            - col("nw").cast(dec) * col("ns"))).as("present"),
+          (col("n").cast(dec)
+            - sum(col("nw").cast(dec))).as("absent_mass"))
+      perSource
+        .select(col("source"), col("ns").cast("long").as("n_tokens"),
+          expr("CAST((present + absent_mass * ns) * 1000000 div " +
+            "(CAST(ns AS DECIMAL(38,0)) * n) AS DECIMAL(38,0))")
+            .cast("long").as("drift_ppm"))
+        .orderBy(col("source"))
+    },
+
     // --- inverted index build: per-term stats + bounded posting heads ----
     // The index-construction half of corpus search (text_bm25_topk is the
     // serving half): explode documents into (term, doc) postings, then
