@@ -515,6 +515,43 @@ object WindowingQueries {
         .orderBy(col("user_id"))
     },
 
+    // --- unpivot (melt): wide measures → long (measure, value) -----------
+    // The inverse of q_pivot_user_events and the standard reshape before
+    // per-measure profiling: lineitem's four numeric measures unpivot to
+    // (measure, value) rows — Dataset.unpivot, Spark's native melt; the
+    // oracle states the equivalent UNION ALL (exactly unpivot's
+    // semantics, one branch per measure). The narrow 4× row expansion
+    // happens INSIDE the aggregate's scan stage (no shuffle carries the
+    // melted rows; partial aggregation collapses them map-side). Sums in
+    // DECIMAL for engine-exact doubles.
+    Q(
+      "q_unpivot_measures",
+      """SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT 'quantity' AS measure, l_quantity AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'price', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT 'tax', l_tax FROM lineitem)
+        |GROUP BY measure
+        |ORDER BY measure NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("price"),
+          col("l_discount").as("discount"), col("l_tax").as("tax"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("quantity"), col("price"), col("discount"),
+            col("tax")), "measure", "v")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("measure"))
+    },
+
     // --- first-touch attribution over a 7-day lookback --------------------
     // The marketing-analytics counterpart of the as-of join (last-touch):
     // each purchase is credited to the FIRST event of its user inside
