@@ -515,6 +515,59 @@ object WindowingQueries {
         .orderBy(col("user_id"))
     },
 
+    // --- gaps-and-islands: longest same-type streak per user -------------
+    // The classic sequence pattern the transition matrix doesn't answer:
+    // how LONG do users stay in one behavior? Islands form by the
+    // two-window trick — flag type changes with lag(), integrate the
+    // flags into island ids with a running sum, count per island, take
+    // the per-user max with a (len desc, type asc, start asc) row_number
+    // so equal-length streaks break ties deterministically. Ordering
+    // rides the second-truncated-ts + event_id discipline. Two shuffles
+    // on user_id (both windows share the partitioning — one exchange,
+    // Spark reuses it), one aggregate.
+    Q(
+      "q_longest_streak",
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    date_trunc('second', ts) AS ts
+        |  FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN event_type IS DISTINCT FROM
+        |      lag(event_type) OVER w THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, event_type,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS isl
+        |  FROM f),
+        |s AS (SELECT user_id, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM g GROUP BY user_id, event_type, isl),
+        |r AS (SELECT user_id, event_type, len, row_number()
+        |    OVER (PARTITION BY user_id
+        |          ORDER BY len DESC, event_type) AS rn
+        |  FROM s)
+        |SELECT user_id, len AS streak_len, event_type AS streak_type
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val seq = W.partitionBy(col("user_id"))
+        .orderBy(date_trunc("second", col("ts")), col("event_id"))
+      val byLen = W.partitionBy(col("user_id"))
+        .orderBy(col("len").desc, col("event_type"))
+      Tables.events(s, d)
+        .where(col("user_id").isNotNull)
+        .withColumn("brk",
+          when(!(col("event_type") <=> lag(col("event_type"), 1).over(seq)),
+            1).otherwise(0))
+        .withColumn("isl", sum(col("brk")).over(seq))
+        .groupBy(col("user_id"), col("event_type"), col("isl"))
+        .agg(count(lit(1)).as("len"))
+        .withColumn("rn", row_number().over(byLen))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("len").as("streak_len"),
+          col("event_type").as("streak_type"))
+        .orderBy(col("user_id"))
+    },
+
     // --- unpivot (melt): wide measures → long (measure, value) -----------
     // The inverse of q_pivot_user_events and the standard reshape before
     // per-measure profiling: lineitem's four numeric measures unpivot to

@@ -71,6 +71,35 @@ class IncrementalAggSpec extends SparkSpec {
     assert(fs.exists(cur) && !fs.exists(tmp), "pointer flip completed")
   }
 
+  test("property: random batch sequences with replays equal the full " +
+      "recompute over distinct batches") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val state = tmpDir()
+      val types = Seq("click", "view", "purchase", "signup")
+      val batches = (1 to 5).map { i =>
+        s"b$i" -> batch((1 to rnd.nextInt(20) + 1).map { _ =>
+          (types(rnd.nextInt(types.size)),
+            (rnd.nextInt(20000) + 1) / 100.0)
+        }: _*)
+      }
+      // apply with injected replays: every other batch fires twice
+      batches.zipWithIndex.foreach { case ((id, b), i) =>
+        IncrementalAgg.update(spark, state, b, Seq("event_type"), "value", id)
+        if (i % 2 == 0)
+          IncrementalAgg.update(spark, state, b, Seq("event_type"), "value", id)
+      }
+      val expected = batches.map(_._2).reduce(_ unionByName _)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(snapshot(state) == expected, s"trial $trial diverged")
+    }
+  }
+
   test("orphan version dir from a crashed update is overwritten on retry") {
     val state = tmpDir()
     IncrementalAgg.update(spark, state, batch(("click", 1.00)),
