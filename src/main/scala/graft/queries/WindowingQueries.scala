@@ -515,6 +515,89 @@ object WindowingQueries {
         .orderBy(col("user_id"))
     },
 
+    // --- week-over-week growth per event type ----------------------------
+    // The BI staple: weekly volumes with the previous week's count and
+    // the growth in ppm (integer cross-division; negative growth routes
+    // through the abs+sign discipline — Spark div truncates, DuckDB //
+    // floors). Weeks key on date_trunc('week', ts) rendered as a DATE —
+    // both engines are ISO-Monday — and the lag window is RANGE-free
+    // (rows offset 1 per (type, week) — one row per key by construction).
+    Q(
+      "q_wow_growth",
+      """WITH w AS (SELECT event_type,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week_start,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type, week_start),
+        |g AS (SELECT event_type, week_start, n,
+        |    lag(n) OVER (PARTITION BY event_type ORDER BY week_start)
+        |      AS prev_n
+        |  FROM w)
+        |SELECT event_type, week_start, n, prev_n,
+        |  CAST(CASE WHEN prev_n IS NULL THEN NULL
+        |    WHEN n >= prev_n THEN (n - prev_n) * 1000000 // prev_n
+        |    ELSE -((prev_n - n) * 1000000 // prev_n) END AS BIGINT)
+        |    AS growth_ppm
+        |FROM g
+        |ORDER BY event_type NULLS FIRST, week_start NULLS FIRST"""
+        .stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val byWeek = W.partitionBy(col("event_type"))
+        .orderBy(col("week_start"))
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("week", col("ts")).cast("date").as("week_start"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prev_n", lag(col("n"), 1).over(byWeek))
+        .withColumn("growth_ppm",
+          when(col("prev_n").isNull, lit(null).cast("long"))
+            .otherwise(when(col("n") >= col("prev_n"),
+              expr("(n - prev_n) * 1000000 div prev_n"))
+              .otherwise(-expr("(prev_n - n) * 1000000 div prev_n"))
+              .cast("long")))
+        .orderBy(col("event_type"), col("week_start"))
+    },
+
+    // --- inter-purchase intervals: retention-cadence distribution --------
+    // How often do converted users come back? Per user, the gaps between
+    // CONSECUTIVE purchases (second-truncated, event_id tiebreak), then
+    // the corpus-wide cadence distribution: gap count and exact p50/p90
+    // in seconds. p50 of integers lands on exact halves, but p90's 0.9
+    // fraction is float interpolation — ROUND(…,6) absorbs the last-ulp
+    // engine divergence (the q_value_percentiles precedent). One
+    // user_id-partitioned window over the purchase subset, one global
+    // aggregate.
+    Q(
+      "q_interpurchase_intervals",
+      """WITH p AS (SELECT user_id, event_id,
+        |    epoch_us(date_trunc('second', ts)) // 1000000 AS ts_s
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+        |g AS (SELECT user_id,
+        |    ts_s - lag(ts_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) AS gap_s
+        |  FROM p)
+        |SELECT CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_repeat_users,
+        |  ROUND(quantile_cont(gap_s, 0.5), 6) AS p50_gap_s,
+        |  ROUND(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s
+        |FROM g WHERE gap_s IS NOT NULL""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val seq = W.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("event_id"))
+      Tables.events(s, d)
+        .where(col("user_id").isNotNull && col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("ts_s"))
+        .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(seq))
+        .where(col("gap_s").isNotNull)
+        .agg(count(col("gap_s")).as("n_gaps"),
+          count_distinct(col("user_id")).as("n_repeat_users"),
+          round(expr("percentile(gap_s, 0.5)"), 6).as("p50_gap_s"),
+          round(expr("percentile(gap_s, 0.9)"), 6).as("p90_gap_s"))
+    },
+
     // --- gaps-and-islands: longest same-type streak per user -------------
     // The classic sequence pattern the transition matrix doesn't answer:
     // how LONG do users stay in one behavior? Islands form by the
