@@ -5,12 +5,29 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // Driver contract is exactly 2 args; extra args (local dev only)
-    // filter the inventory to the named queries for a fast
-    // Verify+selfcheck loop on just-changed entries.
+    // Driver contract is exactly 2 args. Local-dev filtering (fast
+    // Verify+selfcheck loop on just-changed entries) requires the
+    // EXPLICIT `--only=name,name` flag — a stray bare extra argument is
+    // an error, not a silent subset run that would dump a
+    // complete-looking oracle_sql.json over a fraction of the inventory.
     val Array(sfDir, outDir) = args.take(2)
-    val only = args.drop(2).toSet
+    val extra = args.drop(2)
+    val only: Set[String] = extra.toList match {
+      case Nil => Set.empty
+      case s :: Nil if s.startsWith("--only=") =>
+        s.stripPrefix("--only=").split(',').map(_.trim).filter(_.nonEmpty).toSet
+      case other =>
+        sys.error(s"unexpected args ${other.mkString(" ")}; " +
+          "use --only=name,name to filter the inventory")
+    }
     def keep(name: String) = only.isEmpty || only.contains(name)
+    if (only.nonEmpty) {
+      val total = SparkEntry.queries.size
+      val n = SparkEntry.queries.keys.count(keep)
+      System.err.println(
+        s"[verify] *** FILTERED RUN ($n of $total queries) — NOT a " +
+          "complete verification ***")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,6 +37,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    if (only.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/_FILTERED"),
+        only.toSeq.sorted.mkString("\n"))
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

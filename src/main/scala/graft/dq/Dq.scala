@@ -199,23 +199,35 @@ object Dq {
     *     3VL as the counter (a NULL type is null_event_type, never
     *     invalid);
     *   dup_event_id — every row past the FIRST per non-null event_id,
-    *     first = min by (event_ts, user_id, event_type) — a total order
-    *     over the payload, so identical full-row copies quarantine all
-    *     but one and the survivor is deterministic.
+    *     ranked ONLY among rows that pass the null/domain rules (a copy
+    *     quarantined for a null user_id must not "use up" the keep slot
+    *     and doom a clean later copy); among the clean copies, first =
+    *     min by (event_ts, user_id, event_type) — a total order over the
+    *     payload, so identical full-row copies quarantine all but one
+    *     and the survivor is deterministic.
     *
     * One window over event_id (the dedup shuffle the keep-first dedup
     * already pays) + a narrow reason projection; both outputs share the
-    * scan. Returns (valid, quarantined-with-reason). */
+    * scan. The clean-rank is a running sum of a clean-indicator under an
+    * order that sorts clean copies first — for a clean row that running
+    * sum IS its rank among clean copies, so no second pass / self-join
+    * is needed to rank a filtered subset. Returns
+    * (valid, quarantined-with-reason). */
   def splitQuarantine(df: DataFrame,
       allowed: Seq[String] = graft.schema.EventSchema.allowedEventTypes)
       : (DataFrame, DataFrame) = {
+    val clean = col("event_id").isNotNull && col("event_type").isNotNull &&
+      col("user_id").isNotNull && col("event_type").isin(allowed: _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_id"))
-      .orderBy(col("event_ts"), col("user_id"), col("event_type"))
+      .orderBy(clean.cast("int").desc,
+        col("event_ts"), col("user_id"), col("event_type"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val tagged = df
       .withColumn("_rn",
-        when(col("event_id").isNull, lit(1))
-          .otherwise(row_number().over(w)))
+        when(col("event_id").isNull, lit(1L))
+          .otherwise(sum(clean.cast("long")).over(w)))
       .withColumn("quarantine_reason",
         when(col("event_id").isNull, "null_event_id")
           .when(col("event_type").isNull, "null_event_type")

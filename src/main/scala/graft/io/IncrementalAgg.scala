@@ -65,13 +65,24 @@ object IncrementalAgg {
 
   private def versionDir(statePath: String, v: Int) = s"$statePath/v$v"
 
-  /** Live aggregate (empty frame with the right schema at version 0). */
-  def read(spark: SparkSession, statePath: String, keys: Seq[String])
-      : DataFrame = {
+  /** Live aggregate. At version 0 the empty frame's key columns take
+    * their types from `keyTemplate` when given (pass the batch — a
+    * hardcoded STRING key would otherwise coerce non-string batch keys
+    * to string in the first full_outer merge and freeze that type into
+    * every published snapshot); with no template, string is the only
+    * available guess. */
+  def read(spark: SparkSession, statePath: String, keys: Seq[String],
+      keyTemplate: Option[DataFrame] = None): DataFrame = {
     val v = currentVersion(spark, statePath)
     if (v == 0) {
-      val key = keys.map(k => s"'' AS $k").mkString(", ")
-      spark.sql(s"SELECT $key, 0L AS n, 0L AS sum_cents").limit(0)
+      keyTemplate match {
+        case Some(t) =>
+          t.select(keys.map(col): _*).limit(0)
+            .withColumn("n", lit(0L)).withColumn("sum_cents", lit(0L))
+        case None =>
+          val key = keys.map(k => s"'' AS $k").mkString(", ")
+          spark.sql(s"SELECT $key, 0L AS n, 0L AS sum_cents").limit(0)
+      }
     } else spark.read.parquet(s"${versionDir(statePath, v)}/agg")
   }
 
@@ -90,9 +101,9 @@ object IncrementalAgg {
       keys: Seq[String], valueCol: String, batchId: String): DataFrame = {
     import spark.implicits._
     if (appliedBatches(spark, statePath).contains(batchId))
-      return read(spark, statePath, keys)
+      return read(spark, statePath, keys, Some(batch))
 
-    val cur = read(spark, statePath, keys)
+    val cur = read(spark, statePath, keys, Some(batch))
     val delta = batch
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),

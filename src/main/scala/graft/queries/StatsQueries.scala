@@ -175,11 +175,15 @@ object StatsQueries {
       val unionEst = unionSk
         .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("kth"))
         .select(estimate(col("n_kept"), col("kth")).as("est_union"))
-      val click = perType.where(col("event_type") === "click")
-        .select(col("est").as("est_click"))
-      val view = perType.where(col("event_type") === "view")
-        .select(col("est").as("est_view"))
-      click.crossJoin(view).crossJoin(broadcast(unionEst))
+      // TOTAL per-type pivot: a global agg of conditional MAXes always
+      // yields exactly one row (absent type → NULL est, matching the
+      // oracle's scalar subqueries), where a filter+crossJoin of
+      // per-type 1-row frames would collapse to ZERO rows if either
+      // type were missing from the data — a shape mismatch.
+      val types = perType.agg(
+        max(when(col("event_type") === "click", col("est"))).as("est_click"),
+        max(when(col("event_type") === "view", col("est"))).as("est_view"))
+      types.crossJoin(broadcast(unionEst))
         .select(col("est_click"), col("est_view"), col("est_union"),
           (col("est_click") + col("est_view") - col("est_union"))
             .as("est_intersect"))
@@ -406,18 +410,30 @@ object StatsQueries {
         .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
           .cast("long").as("cents"))
       val totals = u.agg(count(lit(1)).as("n_users"),
-        sum(col("cents")).cast("long").as("total_cents")).head()
+        coalesce(sum(col("cents")), lit(0L)).cast("long").as("total_cents"))
+        .head()
       val nUsers = totals.getLong(0)
       val totalCents = totals.getLong(1)
-      val k = ((nUsers + 99) / 100).toInt // ceil(n/100), driver scalar
-      val top = graft.operators.TopK.perGroup(u, k, Seq.empty,
-        Seq(graft.operators.TopK.desc("cents"),
-          graft.operators.TopK.asc("user_id")))
-      top.agg(sum(col("cents")).cast("long").as("top_cents"))
-        .select(lit(nUsers).as("n_users"), lit(k.toLong).as("top_k"),
-          lit(totalCents).as("total_cents"), col("top_cents"),
-          expr(s"CAST(top_cents * 1000000 div ${totalCents}L AS BIGINT)")
-            .as("top_share_ppm"))
+      if (nUsers == 0L) {
+        // No purchases: the oracle's final FROM r, k is an empty cross
+        // join → 0 rows; match that shape instead of passing k=0 to the
+        // TopK and dividing by a zero total.
+        s.range(0).select(lit(0L).as("n_users"), lit(0L).as("top_k"),
+          lit(0L).as("total_cents"), lit(0L).as("top_cents"),
+          lit(0L).as("top_share_ppm"))
+      } else {
+        val k = ((nUsers + 99) / 100).toInt // ceil(n/100), driver scalar
+        val top = graft.operators.TopK.perGroup(u, k, Seq.empty,
+          Seq(graft.operators.TopK.desc("cents"),
+            graft.operators.TopK.asc("user_id")))
+        val ppm =
+          if (totalCents == 0L) lit(0L) // all-zero-value purchases
+          else expr(s"CAST(top_cents * 1000000 div ${totalCents}L AS BIGINT)")
+        top.agg(sum(col("cents")).cast("long").as("top_cents"))
+          .select(lit(nUsers).as("n_users"), lit(k.toLong).as("top_k"),
+            lit(totalCents).as("total_cents"), col("top_cents"),
+            ppm.as("top_share_ppm"))
+      }
     },
 
     // --- chi-square independence scan (event_type × weekday) -------------

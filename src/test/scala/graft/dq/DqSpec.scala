@@ -157,6 +157,33 @@ class DqSpec extends SparkSpec {
     assert(valid.count() == 2)
   }
 
+  test("splitQuarantine: clean later copy survives when the first-sorted " +
+      "copy is quarantined for another reason") {
+    val s = spark
+    import s.implicits._
+    // e3's EARLIEST copy has a null user (quarantined null_user_id);
+    // the later clean copy must NOT be flagged dup_event_id — dedup
+    // rank counts only rows passing the null/domain rules, so exactly
+    // one valid e3 row reaches curated.
+    val df = Seq(
+      ("e3", null, "purchase", "2025-01-01 08:00:00"), // first by ts, dirty
+      ("e3", "u9", "purchase", "2025-01-01 09:00:00"), // clean → survivor
+      ("e3", "u9", "purchase", "2025-01-01 10:00:00") // clean dup → flagged
+    ).toDF("event_id", "user_id", "event_type", "event_ts")
+      .withColumn("event_ts", to_timestamp(col("event_ts")))
+    val (valid, quarantined) = Dq.splitQuarantine(df)
+    val reasons = quarantined
+      .select(col("event_ts").cast("string"), col("quarantine_reason"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(reasons == Seq(
+      ("2025-01-01 08:00:00", "null_user_id"),
+      ("2025-01-01 10:00:00", "dup_event_id")))
+    val survivors = valid.select(col("event_ts").cast("string"))
+      .collect().map(_.getString(0)).toSeq
+    assert(survivors == Seq("2025-01-01 09:00:00"),
+      "the earliest CLEAN copy survives")
+  }
+
   test("coverageGaps: mid-day outage flags, dense day and daily start edge don't") {
     val s = spark
     import s.implicits._

@@ -43,6 +43,28 @@ class IncrementalAggSpec extends SparkSpec {
     assert(got("click") == ((3L, 400L)), "1.10+2.20+0.70 = 4.00 = 400 cents")
   }
 
+  test("non-string batch keys keep their type through the first merge") {
+    val s = spark
+    import s.implicits._
+    val state = tmpDir()
+    // LONG key: the v0 empty state must take the key type from the
+    // batch, not fabricate '' AS k (which would coerce the key to
+    // string in the first full_outer merge and freeze it forever)
+    val b = Seq((7L, 1.00), (7L, 2.00), (9L, 0.50)).toDF("bucket", "value")
+    val out = IncrementalAgg.update(spark, state, b,
+      Seq("bucket"), "value", "d1")
+    assert(out.schema("bucket").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "published snapshot key must stay LONG")
+    val persisted =
+      IncrementalAgg.read(spark, state, Seq("bucket"))
+    assert(persisted.schema("bucket").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val got = persisted.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(7L -> ((2L, 300L)), 9L -> ((1L, 50L))))
+  }
+
   test("replayed batch id is a no-op (exactly-once under retries)") {
     val state = tmpDir()
     val b1 = batch(("click", 1.00))
