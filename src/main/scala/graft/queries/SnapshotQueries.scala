@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.io.Snapshots
+
+/** Time-travel over the snapshot-versioned table ([[graft.io.Snapshots]])
+  * — the read half of the reference's Iceberg/Delta roadmap item
+  * (reference `docs/design.md:168`).
+  *
+  * The query builds a real two-version table from `events` inside a
+  * scratch dir, then answers from BOTH versions in one result:
+  * version 1 is the raw ingest, version 2 rewrites exactly one
+  * partition (purchases, cents doubled — an integer-exact transform
+  * both engines replay). The oracle never sees the snapshot dir: it
+  * recomputes each version's aggregate from the raw parquet, so a
+  * hash match proves `readAsOf` returns precisely the pre-rewrite
+  * rows and `read` precisely the post-rewrite ones.
+  */
+object SnapshotQueries {
+
+  private def scratch(sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_snapshot_q/$tag"
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q_time_travel",
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL)
+        |SELECT tag, event_type, n, sum_cents FROM (
+        |  SELECT 'v1' AS tag, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |  FROM e GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'v2_current' AS tag, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 2 * cents
+        |              ELSE cents END) AS BIGINT) AS sum_cents
+        |  FROM e GROUP BY event_type)
+        |ORDER BY tag, event_type""".stripMargin
+    ) { (s, d) =>
+      val table = scratch(d)
+      // clean slate → version numbers are deterministic per run
+      val p = new Path(table)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      val v1 = Snapshots.commitFull(ev, table, "event_type")
+      Snapshots.commitOverwritePartition(
+        ev.where(col("event_type") === "purchase")
+          .withColumn("cents", col("cents") * 2),
+        table, "event_type", "purchase")
+
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("sum_cents"))
+          .select(lit(tag).as("tag"), col("event_type"), col("n"),
+            col("sum_cents"))
+
+      // the PINNED pre-rewrite version and the current version, read
+      // AFTER the rewrite landed — time travel is the point
+      agg(Snapshots.readAsOf(s, table, v1), "v1")
+        .unionByName(agg(Snapshots.read(s, table), "v2_current"))
+        .orderBy(col("tag"), col("event_type"))
+    }
+  )
+}

@@ -1,0 +1,135 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SnapshotsSpec extends SparkSpec {
+
+  private def rows(part: String, ids: Range, v: Long): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (s"$part-$i", part, v + i)).toDF("id", "day", "cents")
+  }
+
+  private def snapshotMap(df: DataFrame): Map[String, Long] =
+    df.groupBy(col("day")).agg(sum(col("cents")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("reader pinned to version N is identical during and after a " +
+      "version N+1 partition rewrite") {
+    val t = tmpDir("snap_pin")
+    val v1 = Snapshots.commitFull(
+      rows("d1", 1 to 10, 0).unionByName(rows("d2", 1 to 10, 100)),
+      t, "day")
+    assert(v1 == 1)
+
+    // two readers resolve BEFORE the rewrite: one pinned explicitly,
+    // one via the default read (which pins the latest manifest at call)
+    val pinned = Snapshots.readAsOf(spark, t, 1)
+    val defaultRead = Snapshots.read(spark, t)
+    val before = snapshotMap(pinned)
+
+    // rewrite d2 wholesale in version 2 (different values AND row count)
+    val v2 = Snapshots.commitOverwritePartition(
+      rows("d2", 1 to 3, 9000), t, "day", "d2")
+    assert(v2 == 2)
+
+    // both pre-rewrite readers still answer with version 1, bit for bit
+    assert(snapshotMap(pinned) == before,
+      "pinned reader must not observe the rewrite")
+    assert(snapshotMap(defaultRead) == before,
+      "a default read resolved before the commit stays on its version")
+    assert(Snapshots.readAsOf(spark, t, 1).count() == 20)
+
+    // a FRESH default read sees version 2: d1 carried by reference,
+    // d2 replaced
+    val after = snapshotMap(Snapshots.read(spark, t))
+    assert(after("d1") == before("d1"), "untouched partition carried")
+    assert(after("d2") == (9001L + 9002L + 9003L))
+    assert(Snapshots.read(spark, t).count() == 13)
+  }
+
+  test("commit is atomic: no manifest version ever names a mix of old " +
+      "and new files for the rewritten partition") {
+    val t = tmpDir("snap_atomic")
+    Snapshots.commitFull(
+      rows("d1", 1 to 5, 0).unionByName(rows("d2", 1 to 5, 10)), t, "day")
+    Snapshots.commitOverwritePartition(rows("d2", 1 to 5, 500), t,
+      "day", "d2")
+    val m1 = Snapshots.readManifest(spark, t, 1)
+    val m2 = Snapshots.readManifest(spark, t, 2)
+    val d2v1 = m1.filter(_.partition == "d2").map(_.path).toSet
+    val d2v2 = m2.filter(_.partition == "d2").map(_.path).toSet
+    assert(d2v1.nonEmpty && d2v2.nonEmpty && d2v1.intersect(d2v2).isEmpty,
+      "rewritten partition's file sets must be disjoint across versions")
+    assert(m1.filter(_.partition == "d1").map(_.path).toSet ==
+      m2.filter(_.partition == "d1").map(_.path).toSet,
+      "untouched partition rides by reference")
+    assert(m2.forall(_.path.startsWith("data/c")))
+  }
+
+  test("manifest stats prune files at planning time (no footer reads)") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("snap_prune")
+    // 4 partitions with DISJOINT cents ranges → disjoint per-file stats
+    val df = (1 to 4).map { p =>
+      (1 to 50).map(i => (s"p$p-$i", s"p$p", p * 1000L + i))
+        .toDF("id", "day", "cents")
+    }.reduce(_ unionByName _)
+    Snapshots.commitFull(df, t, "day", statsCols = Seq("cents"))
+
+    val all = Snapshots.readManifest(spark, t, 1)
+    val hit = Snapshots.prunedFiles(spark, t, 1, "cents", "2001", "2050")
+    assert(hit.map(_.partition).toSet == Set("p2"),
+      s"stats must isolate p2's files; got ${hit.map(_.partition).toSet}")
+    assert(hit.size < all.size, "planning must skip files")
+
+    val read = Snapshots.readRange(spark, t, "cents", "2001", "2050")
+    assert(read.inputFiles.length == hit.size,
+      "the scan must open only the pruned file set")
+    assert(read.count() == 50)
+    assert(snapshotMap(read) == Map("p2" -> (1 to 50).map(2000L + _).sum))
+
+    // residual filter still exact WITHIN a kept file
+    val sub = Snapshots.readRange(spark, t, "cents", "2001", "2010")
+    assert(sub.count() == 10)
+  }
+
+  test("vacuum drops old versions' files but never the retained ones") {
+    val t = tmpDir("snap_vacuum")
+    Snapshots.commitFull(
+      rows("d1", 1 to 5, 0).unionByName(rows("d2", 1 to 5, 10)), t, "day")
+    Snapshots.commitOverwritePartition(rows("d2", 1 to 5, 100), t,
+      "day", "d2")
+    Snapshots.commitOverwritePartition(rows("d2", 1 to 5, 200), t,
+      "day", "d2")
+    val keepCount = Snapshots.read(spark, t).count()
+    val deleted = Snapshots.vacuum(spark, t, retainFrom = 3)
+    assert(deleted > 0, "v1/v2's d2 files must be reclaimed")
+    assert(Snapshots.read(spark, t).count() == keepCount,
+      "current version untouched by vacuum")
+    val err = intercept[IllegalArgumentException] {
+      Snapshots.readAsOf(spark, t, 1)
+    }
+    assert(err.getMessage.contains("vacuumed"))
+    // d1 was never rewritten: its v1 files are referenced by v3 and
+    // must survive the vacuum
+    assert(Snapshots.read(spark, t).where(col("day") === "d1").count() == 5)
+  }
+
+  test("crash window self-heals: tmp pointer without current completes") {
+    val t = tmpDir("snap_crash")
+    Snapshots.commitFull(rows("d1", 1 to 3, 0), t, "day")
+    // simulate the crash between delete(cur) and rename(tmp, cur)
+    val dir = new java.io.File(t)
+    val cur = new java.io.File(dir, "_CURRENT")
+    val tmp = new java.io.File(dir, "_CURRENT.tmp")
+    java.nio.file.Files.copy(cur.toPath, tmp.toPath)
+    assert(cur.delete())
+    assert(Snapshots.currentVersion(spark, t) == 1, "pointer recovered")
+    assert(Snapshots.read(spark, t).count() == 3)
+  }
+}
