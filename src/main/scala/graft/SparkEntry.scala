@@ -19,7 +19,8 @@ object SparkEntry {
     RefQueries.all ++ StarQueries.all ++ TpchQueries.all ++
       WindowingQueries.all ++ StatsQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      CurationQueries.all ++ GraphQueries.all ++ SnapshotQueries.all
+      CurationQueries.all ++ GraphQueries.all ++ SnapshotQueries.all ++
+      RecallQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q5-style 6-way star join — exercises scans, broadcasts, a
