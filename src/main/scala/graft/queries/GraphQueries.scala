@@ -22,6 +22,7 @@ import graft.Tables
 object GraphQueries {
 
   private val Iters = 5
+  private val CheckpointEvery = 2
 
   /** The oracle unrolls the same five integer iterations the engine
     * runs, CTE by CTE (aggregates are illegal in a recursive CTE term,
@@ -71,9 +72,24 @@ object GraphQueries {
     // localCheckpoint-per-iteration variant was ~40% SLOWER at this
     // node count (five job barriers dominate); it becomes the right
     // shape only when ranks outgrow a broadcast — billion-node graphs,
-    // where GraphX/Pregel or shuffle-join supersteps with periodic
-    // checkpoints take over.
+    // where the SHUFFLE-JOIN superstep below takes over.
+    //
+    // Beyond-broadcast regime: `spark.graft.pagerank.shuffle=true`
+    // switches every superstep to a shuffled hash join of a
+    // key-partitioned rank table against the (pre-partitioned, cached)
+    // edge relation — no broadcast of ranks anywhere in the plan — with
+    // an eager localCheckpoint every CheckpointEvery supersteps to
+    // truncate lineage (unbounded iteration lineage is what OOMs
+    // drivers on long power iterations). Crossover: ranks broadcast ≈
+    // 16 bytes/node; at ~26 MB per 10 M nodes the broadcast is still
+    // fine at sf10 (measured note in git history) but a billion-node
+    // graph needs ~16 GB on every executor — the shuffle variant keeps
+    // per-superstep memory at (edges+ranks)/partitions instead. Same
+    // integer arithmetic bit-for-bit: the flag changes the PLAN, never
+    // the result (GraphShuffleSpec proves both).
     Q("q_pagerank_copurchase", pagerankSql) { (s, d) =>
+      val shuffleRanks =
+        s.conf.getOption("spark.graft.pagerank.shuffle").contains("true")
       val pairs = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.lineitem(s, d)
@@ -85,15 +101,22 @@ object GraphQueries {
       val edges = pairs
         .union(pairs.select(col("b").as("a"), col("a").as("b")))
       val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("outdeg"))
-      val e = edges.join(deg, "a").persist()
+      val e0 = edges.join(deg, "a")
+      // shuffle mode: pin the edge partitioning on the join key so each
+      // superstep's join reshuffles only the (smaller) rank side
+      val e = (if (shuffleRanks) e0.repartition(col("a")) else e0).persist()
       var ranks = deg.select(col("a").as("node"), lit(1000000L).as("rank"))
-      (1 to Iters).foreach { _ =>
-        ranks = e.join(broadcast(ranks), col("a") === col("node"))
+      (1 to Iters).foreach { i =>
+        val rankSide =
+          if (shuffleRanks) ranks.hint("shuffle_hash") else broadcast(ranks)
+        ranks = e.join(rankSide, col("a") === col("node"))
           .select(col("b"),
             expr("(rank * 85) div (100 * outdeg)").as("contrib"))
           .groupBy(col("b"))
           .agg((lit(150000L) + sum(col("contrib"))).as("rank"))
           .select(col("b").as("node"), col("rank"))
+        if (shuffleRanks && i % CheckpointEvery == 0 && i < Iters)
+          ranks = ranks.localCheckpoint()
       }
       ranks.orderBy(col("rank").desc, col("node")).limit(50)
     }

@@ -1,0 +1,36 @@
+package graft.queries
+
+import graft.SparkSpec
+
+class GraphShuffleSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val flag = "spark.graft.pagerank.shuffle"
+
+  private def pagerank() =
+    GraphQueries.all.find(_.name == "q_pagerank_copurchase").get
+      .run(spark, sfDir)
+
+  test("shuffle-superstep flag keeps the result bit-identical and drops " +
+      "every broadcast of ranks from the plan") {
+    val baseline = pagerank().collect().map(_.toSeq).toSeq
+
+    spark.conf.set(flag, "true")
+    try {
+      val df = pagerank()
+      val plan = df.queryExecution.executedPlan.toString
+      // the edge-build lineage inside the cache legitimately broadcasts
+      // its dimension joins — only RANK-side joins (the ones keyed on
+      // `node`) must never broadcast
+      val rankBroadcasts = plan.linesIterator.filter(l =>
+        l.contains("BroadcastHashJoin") && l.contains("node#")).toSeq
+      assert(rankBroadcasts.isEmpty,
+        s"rank joins must be shuffled, not broadcast: $rankBroadcasts")
+      assert(plan.linesIterator.exists(l =>
+        l.contains("ShuffledHashJoin") && l.contains("node#")),
+        "the hint must materialize as a shuffled hash join on ranks")
+      assert(df.collect().map(_.toSeq).toSeq == baseline,
+        "the flag changes the plan, never the integer result")
+    } finally spark.conf.unset(flag)
+  }
+}
