@@ -149,6 +149,42 @@ object Pipeline {
     dateRange(start, end)
       .map(d => runPartition(spark, conf, d)) // throws on first failure
 
+  /** Opt-in bounded-parallel backfill. Sequential stays the default
+    * ([[backfill]] above = the reference's driver); this variant runs
+    * dates in WINDOWS of `maxParallel` concurrent partitions — Spark's
+    * scheduler interleaves the per-date jobs, and per-date isolation is
+    * free because every date owns disjoint raw/curated/metrics paths.
+    *
+    * Failure contract, precisely: dates in a LATER window than a
+    * failure never start (the window barrier is the bounded lookahead);
+    * dates in the SAME window may complete — their writes are the same
+    * idempotent purge+write a re-run would redo anyway. The exception
+    * rethrown is the EARLIEST failing date's (deterministic, not
+    * whichever thread lost the race), matching what a sequential run
+    * would have raised. Reports come back in date order. */
+  def backfill(spark: SparkSession, conf: PipelineConfig,
+      start: String, end: String, maxParallel: Int): Seq[DqReport] = {
+    require(maxParallel >= 1, "maxParallel must be >= 1")
+    if (maxParallel == 1) return backfill(spark, conf, start, end)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(maxParallel)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      dateRange(start, end).grouped(maxParallel)
+        .foldLeft(Vector.empty[DqReport]) { (acc, window) =>
+          val fs = window.map(d => scala.concurrent.Future(
+            scala.util.Try(runPartition(spark, conf, d))))
+          val done = fs.map(f => scala.concurrent.Await
+            .result(f, scala.concurrent.duration.Duration.Inf))
+          done.foreach { // window order = date order: earliest throw wins
+            case scala.util.Failure(e) => throw e
+            case _ => ()
+          }
+          acc ++ done.map(_.get)
+        }
+    } finally pool.shutdown()
+  }
+
   /** Inclusive date range, validated fail-fast (C1). */
   def dateRange(start: String, end: String): Seq[String] = {
     require(validDate(start) && validDate(end), "dates must be YYYY-MM-DD")

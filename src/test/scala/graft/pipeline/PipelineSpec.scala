@@ -228,6 +228,43 @@ class PipelineSpec extends SparkSpec {
     spark.sql("DROP TABLE curated_events_t")
   }
 
+  test("parallel backfill: reports in date order, every partition " +
+      "written, same rows as the sequential driver") {
+    val conf = freshConf()
+    val dates = Seq("2025-01-01", "2025-01-02", "2025-01-03", "2025-01-04")
+    dates.foreach(d => gen(conf, d))
+    val reports = Pipeline.backfill(spark, conf,
+      "2025-01-01", "2025-01-04", maxParallel = 3)
+    assert(reports.map(_.ingestionDate) == dates,
+      "reports must come back in date order, not completion order")
+    dates.foreach(d => assert(curated(conf, d).count() == 1010))
+    // per-date isolation + determinism: identical row sets to a
+    // sequential run over the same (seeded) raw inputs
+    val seqConf = freshConf()
+    dates.foreach(d => gen(seqConf, d))
+    Pipeline.backfill(spark, seqConf, "2025-01-01", "2025-01-04")
+    dates.foreach(d =>
+      assert(rowSet(curated(conf, d)) == rowSet(curated(seqConf, d))))
+  }
+
+  test("parallel backfill: a failure stops later windows and rethrows " +
+      "the earliest failing date's exception") {
+    val conf = freshConf()
+    // d3's raw partition is MISSING; windows at k=2 are
+    // (d1,d2) (d3,d4) (d5) — d5 must never start
+    Seq("2025-01-01", "2025-01-02", "2025-01-04").foreach(d => gen(conf, d))
+    val e = intercept[MissingUpstreamException] {
+      Pipeline.backfill(spark, conf, "2025-01-01", "2025-01-05",
+        maxParallel = 2)
+    }
+    assert(e.getMessage.contains("2025-01-03"))
+    assert(curated(conf, "2025-01-01").count() == 1010)
+    assert(curated(conf, "2025-01-02").count() == 1010)
+    assert(!new File(
+      RawEvents.partitionPath(conf.curatedBase, "2025-01-05")).exists(),
+      "a window past the failure must never start")
+  }
+
   test("recursive raw read recovers partition dates from file paths (S1/P4)") {
     val conf = freshConf()
     gen(conf, "2025-01-01", n = 50)
