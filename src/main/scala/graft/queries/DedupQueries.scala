@@ -23,6 +23,54 @@ object DedupQueries {
   private val Bands = 12
   private val RowsPerBand = 4
 
+  /** Skew ceiling for candidate generation: a band bucket (LSH) or
+    * prefix posting list (PPJoin) holding more than this many docs is
+    * DROPPED before the self-join — the same head-cap discipline
+    * `text_inverted_index` applies to posting lists. An over-full
+    * bucket is boilerplate by construction (hundreds of near-identical
+    * docs hashing together), and it is exactly the input that turns the
+    * bucket join quadratic: one 10⁵-doc bucket alone is 5·10⁹ candidate
+    * pairs in a single task. With the cap, per-bucket work is ≤ cap²/2
+    * regardless of corpus skew, so task time stays bounded (p99 ≈ p50).
+    * Recall contract: pairs colliding ONLY in over-full buckets are
+    * lost; genuinely near-dup pairs collide in multiple independent
+    * bands (LSH) / share rare shingles too (PPJoin), and boilerplate
+    * clusters past the cap are what exact dedup already catches.
+    * Default is far above any test-corpus occupancy (max observed ≈ 20
+    * at sf0.1), so the cap changes nothing below adversarial skew —
+    * DedupSkewSpec proves both sides. */
+  private[queries] val HotBucketCap = 1000
+
+  /** LSH candidate pairs for docs(doc_id, sh): band, cap hot buckets,
+    * self-join narrow columns, distinct. The occupancy window rides
+    * the same hash partitioning the self-join needs, so the cap adds
+    * no extra shuffle of the bucket stream. */
+  private[queries] def lshCandidatePairs(
+      docs: org.apache.spark.sql.DataFrame,
+      maxBucketOccupancy: Int = HotBucketCap)
+      : org.apache.spark.sql.DataFrame = {
+    val buckets = docs.select(col("doc_id"),
+      explode(TextOps.lshBands(
+        TextOps.minhashSignature(col("sh"), MinhashK),
+        Bands, RowsPerBand)).as("b"))
+    val kept = buckets
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("b"))))
+      .where(col("occ") <= maxBucketOccupancy)
+      .drop("occ")
+    kept.as("x")
+      .join(kept.as("y"),
+        col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  private[queries] def shingled(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    base.select(
+      col("doc_id"),
+      TextOps.sortedShingleSet(TextOps.tokens(col("text")), 3).as("sh"))
+      .repartition(col("doc_id"))
+
   /** Jaccard-verified near-dup pairs via MinHash+LSH — the shared
     * candidate pipeline behind `dedup_minhash_lsh` and `dedup_clusters`.
     * Three shuffle-isolated stages (see the scaladoc at the top of this
@@ -31,19 +79,16 @@ object DedupQueries {
     * shingles back and verify once per distinct pair. */
   private def verifiedNearDupPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val docs = Tables.documents(s, d).select(
-      col("doc_id"),
-      TextOps.sortedShingleSet(TextOps.tokens(col("text")), 3).as("sh"))
-      .repartition(col("doc_id"))
-    val buckets = docs.select(col("doc_id"),
-      explode(TextOps.lshBands(
-        TextOps.minhashSignature(col("sh"), MinhashK),
-        Bands, RowsPerBand)).as("b"))
-    val cand = buckets.as("x")
-      .join(buckets.as("y"),
-        col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
+    val docs = shingled(Tables.documents(s, d))
+    verifyPairs(lshCandidatePairs(docs), docs)
+  }
+
+  /** Exact-jaccard verification of a candidate pair stream: join the
+    * shingle table back by id, one merge-walk kernel call per distinct
+    * pair. */
+  private[queries] def verifyPairs(cand: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
     cand
       .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
         "a_id")
@@ -52,7 +97,6 @@ object DedupQueries {
       .select(col("a_id"), col("b_id"),
         graft.functions.TextKernels.sorted_jaccard(
           col("a_sh"), col("b_sh")).as("jac"))
-  }
 
   /** Hard ceiling on per-source document count for the exact-pair
     * baseline below: pairs grow as Σ n_source², so the guard bounds the
@@ -76,7 +120,8 @@ object DedupQueries {
     * length filter — see the query's scaladoc for the theorem). Input
     * needs (doc_id, text); emits every verified candidate pair with its
     * exact jaccard, unfiltered — the caller applies the threshold. */
-  private[queries] def ppjoinPairs(base: org.apache.spark.sql.DataFrame)
+  private[queries] def ppjoinPairs(base: org.apache.spark.sql.DataFrame,
+      maxPostingOccupancy: Int = HotBucketCap)
       : org.apache.spark.sql.DataFrame = {
     val docs = base.select(
       col("doc_id"),
@@ -88,9 +133,16 @@ object DedupQueries {
     val gdf = ex.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("gdf"), col("g"))
+    // Hot-posting cap (see HotBucketCap): under the rarest-first global
+    // order a stopword-class shingle sits at the END of prefixes, so on
+    // natural corpora prefix postings stay short; an adversarial corpus
+    // of near-identical docs floods even rare-first prefixes, and this
+    // cap is what keeps the prefix self-join from going quadratic on it.
     val prefix = ex.join(gdf, "g")
       .withColumn("rn", row_number().over(byRarity))
       .where(col("rn") <= expr("n div 2 + 1"))
+      .withColumn("pocc", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .where(col("pocc") <= maxPostingOccupancy)
       .select(col("g"), col("doc_id"), col("n"), col("rn"))
     // Positional filter (the PPJoin refinement over AllPairs): a match
     // at prefix positions (i, j) can extend to at most
