@@ -74,6 +74,44 @@ object SnapshotQueries {
       agg(Snapshots.readAsOf(s, table, v1), "v1")
         .unionByName(agg(Snapshots.read(s, table), "v2_current"))
         .orderBy(col("tag"), col("event_type"))
+    },
+
+    // --- manifest-pruned range read --------------------------------------
+    // The snapshot table is committed RANGE-SORTED on cents
+    // (repartitionByRange before the commit), so each data file covers a
+    // disjoint cents range and the manifest's per-file min/max stats
+    // make readRange skip most files at PLANNING time — no footer
+    // opened for a skipped file (SnapshotsSpec asserts the inputFiles
+    // count; this query proves the pruned read returns exactly the
+    // rows a full-scan filter would).
+    Q(
+      "q_snapshot_prune",
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM e WHERE cents BETWEEN 2500 AND 7500
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      val table = scratch(d) + "_prune"
+      val p = new Path(table)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .repartitionByRange(16, col("cents"))
+      Snapshots.commitFull(ev, table, "event_type",
+        statsCols = Seq("cents"))
+      Snapshots.readRange(s, table, "cents", "2500", "7500")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .orderBy(col("event_type"))
     }
   )
 }
