@@ -101,6 +101,40 @@ object Snapshots {
 
   private def manifestDir(table: String, v: Int) = s"$table/_manifests/v$v"
 
+  /** Another writer holds the next version slot; re-read the current
+    * version and retry AFTER it publishes (retrying before would base
+    * the new manifest on a stale file set — the lost-update anomaly the
+    * reservation exists to prevent). */
+  final class ConcurrentCommitException(table: String, v: Int)
+    extends RuntimeException(
+      s"version v$v of $table is reserved by another writer; " +
+        "retry after it publishes")
+
+  /** Optimistic concurrency: a commit must RESERVE currentVersion+1
+    * before writing anything. `create(path, overwrite=false)` is the
+    * filesystem's atomic test-and-set — exactly one writer per version
+    * slot, and only the slot directly above the published version can
+    * ever be reserved, so a racing writer can never base its manifest
+    * on a version that is about to be superseded. */
+  private[io] def reserve(spark: SparkSession, table: String, v: Int)
+      : Unit = {
+    val f = fs(spark, table)
+    val marker = new Path(table, s"_commits/v$v.reserved")
+    f.mkdirs(marker.getParent)
+    try f.create(marker, false).close()
+    catch {
+      case _: java.io.IOException =>
+        throw new ConcurrentCommitException(table, v)
+    }
+  }
+
+  /** Operator override for a reservation orphaned by a crashed writer
+    * (the writer is verifiably dead and never published). Until broken,
+    * an orphan blocks all commits — fail-stop beats silent lost
+    * updates. */
+  def breakReservation(spark: SparkSession, table: String, v: Int): Boolean =
+    fs(spark, table).delete(new Path(table, s"_commits/v$v.reserved"), false)
+
   def readManifest(spark: SparkSession, table: String, v: Int)
       : Seq[FileEntry] = {
     require(v >= 1 && v <= currentVersion(spark, table),
@@ -148,6 +182,7 @@ object Snapshots {
       statsCols: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     val v = currentVersion(spark, table) + 1
+    reserve(spark, table, v)
     // touched-partition values: bounded driver list (CdcView precedent)
     val rawParts = df.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0))
@@ -178,6 +213,7 @@ object Snapshots {
     val prev = currentVersion(spark, table)
     require(prev >= 1, s"Snapshots: no initial commit under $table")
     val v = prev + 1
+    reserve(spark, table, v)
     val dir = s"data/c$v/$partCol=$value"
     df.where(col(partCol).cast("string") === value)
       .write.mode("overwrite").parquet(s"$table/$dir")
@@ -189,6 +225,25 @@ object Snapshots {
     writeManifest(spark, table, v, carried ++ fresh)
     publish(spark, table, v)
     v
+  }
+
+  /** Snapshot-safe small-file compaction: rewrite one partition's
+    * current file set as `targetFiles` files in a NEW commit. Unlike
+    * the in-place [[Compaction]] swap, readers need no recovery
+    * reasoning at all — pinned readers keep their (uncompacted) file
+    * set, fresh readers plan over the compacted one, and the old files
+    * stay until [[vacuum]] drops their last referencing manifest.
+    * Returns the new version. */
+  def commitCompact(spark: SparkSession, table: String, partCol: String,
+      value: String, targetFiles: Int = 1,
+      statsCols: Seq[String] = Nil): Int = {
+    val cur = currentVersion(spark, table)
+    val mine = readManifest(spark, table, cur).filter(_.partition == value)
+    require(mine.nonEmpty,
+      s"Snapshots.commitCompact: no files for $partCol=$value")
+    commitOverwritePartition(
+      scan(spark, table, mine).coalesce(targetFiles),
+      table, partCol, value, statsCols)
   }
 
   // ---- reads ----------------------------------------------------------

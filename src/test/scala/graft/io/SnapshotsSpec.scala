@@ -120,6 +120,55 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).where(col("day") === "d1").count() == 5)
   }
 
+  test("a reserved version slot rejects a racing commit; breaking the " +
+      "orphaned reservation unblocks") {
+    val t = tmpDir("snap_occ")
+    Snapshots.commitFull(rows("d1", 1 to 5, 0), t, "day")
+    // another writer atomically takes the v2 slot and stalls
+    Snapshots.reserve(spark, t, 2)
+    intercept[Snapshots.ConcurrentCommitException] {
+      Snapshots.commitOverwritePartition(rows("d1", 1 to 5, 100), t,
+        "day", "d1")
+    }
+    assert(Snapshots.currentVersion(spark, t) == 1,
+      "the losing writer must not have published anything")
+    // the stalled writer is declared dead → operator breaks the lock
+    assert(Snapshots.breakReservation(spark, t, 2))
+    val v2 = Snapshots.commitOverwritePartition(rows("d1", 1 to 5, 100),
+      t, "day", "d1")
+    assert(v2 == 2)
+    assert(snapshotMap(Snapshots.read(spark, t)) ==
+      Map("d1" -> (101L to 105L).sum))
+  }
+
+  test("commitCompact shrinks the current file set without touching " +
+      "pinned history") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("snap_compact")
+    // 8 range partitions → 8 files for the single 'day' partition
+    val df = (1 to 80).map(i => (s"d1-$i", "d1", i.toLong))
+      .toDF("id", "day", "cents").repartitionByRange(8, col("cents"))
+    Snapshots.commitFull(df, t, "day", statsCols = Seq("cents"))
+    val before = Snapshots.readManifest(spark, t, 1)
+    assert(before.size > 1, "fixture must start multi-file")
+
+    val v2 = Snapshots.commitCompact(spark, t, "day", "d1",
+      targetFiles = 1, statsCols = Seq("cents"))
+    assert(v2 == 2)
+    val cur = Snapshots.read(spark, t)
+    assert(cur.inputFiles.length == 1, "current read plans over 1 file")
+    assert(cur.count() == 80)
+    assert(snapshotMap(cur) == Map("d1" -> (1L to 80L).sum))
+    // pinned history still answers from the uncompacted files
+    val pinned = Snapshots.readAsOf(spark, t, 1)
+    assert(pinned.inputFiles.length == before.size)
+    assert(snapshotMap(pinned) == Map("d1" -> (1L to 80L).sum))
+    // manifest stats survived the rewrite (whole range in one file)
+    val st = Snapshots.readManifest(spark, t, 2).head.stats("cents")
+    assert(st.lo == "1" && st.hi == "80")
+  }
+
   test("crash window self-heals: tmp pointer without current completes") {
     val t = tmpDir("snap_crash")
     Snapshots.commitFull(rows("d1", 1 to 3, 0), t, "day")
