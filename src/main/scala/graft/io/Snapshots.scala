@@ -116,7 +116,7 @@ object Snapshots {
     * slot, and only the slot directly above the published version can
     * ever be reserved, so a racing writer can never base its manifest
     * on a version that is about to be superseded. */
-  private[io] def reserve(spark: SparkSession, table: String, v: Int)
+  private[graft] def reserve(spark: SparkSession, table: String, v: Int)
       : Unit = {
     val f = fs(spark, table)
     val marker = new Path(table, s"_commits/v$v.reserved")
@@ -225,6 +225,54 @@ object Snapshots {
     writeManifest(spark, table, v, carried ++ fresh)
     publish(spark, table, v)
     v
+  }
+
+  /** Append-only commit — the streaming-sink building block: new files
+    * for the batch's touched partitions are ADDED to the carried
+    * manifest (nothing replaced). `tag`, when given, is recorded inside
+    * the manifest dir BEFORE the pointer publish, so "this batch is
+    * applied" and "this batch's rows are visible" become one atomic
+    * fact — the exactly-once hinge [[batchApplied]] reads. Works from
+    * an empty table (v1 = the first appended batch). */
+  def commitAppend(df: DataFrame, table: String, partCol: String,
+      statsCols: Seq[String] = Nil, tag: Option[String] = None): Int = {
+    val spark = df.sparkSession
+    val prev = currentVersion(spark, table)
+    val v = prev + 1
+    reserve(spark, table, v)
+    val rawParts = df.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    require(!rawParts.contains(null),
+      s"Snapshots.commitAppend: null $partCol is not a partitionable value")
+    val fresh = rawParts.sorted.flatMap { p =>
+      val dir = s"data/c$v/$partCol=$p"
+      df.where(col(partCol).cast("string") === p)
+        .write.mode("overwrite").parquet(s"$table/$dir")
+      fileStats(spark, table, dir, statsCols).map { case (rel, n, st) =>
+        FileEntry(rel, p, n, st)
+      }
+    }
+    val carried =
+      if (prev == 0) Nil else readManifest(spark, table, prev)
+    writeManifest(spark, table, v, carried ++ fresh)
+    tag.foreach { t =>
+      val f = fs(spark, table)
+      f.create(new Path(manifestDir(table, v), s"_applied_$t"), true).close()
+    }
+    publish(spark, table, v)
+    v
+  }
+
+  /** Has a [[commitAppend]] carrying `tag` already PUBLISHED? Scans the
+    * retained manifest dirs (O(versions) exists-checks — metadata
+    * only). Replay semantics: a foreachBatch retry re-offers only the
+    * last unconfirmed batch, so markers vacuumed with ancient history
+    * are long past the replay window. */
+  def batchApplied(spark: SparkSession, table: String, tag: String)
+      : Boolean = {
+    val f = fs(spark, table)
+    (1 to currentVersion(spark, table)).exists(v =>
+      f.exists(new Path(manifestDir(table, v), s"_applied_$tag")))
   }
 
   /** Snapshot-safe small-file compaction: rewrite one partition's
