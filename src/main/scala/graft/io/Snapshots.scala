@@ -314,6 +314,28 @@ object Snapshots {
   def read(spark: SparkSession, table: String): DataFrame =
     readAsOf(spark, table, currentVersion(spark, table))
 
+  /** Highest version published at or before `tsMillis` (wall-clock time
+    * travel — "what did the dashboard show yesterday 09:00"). Commit
+    * time is the manifest dir's filesystem mtime: set when the manifest
+    * finished writing, immediately before the pointer publish, and
+    * never touched again — no clock is stored in the data path. */
+  def versionAsOfTime(spark: SparkSession, table: String, tsMillis: Long)
+      : Int = {
+    val f = fs(spark, table)
+    val vs = (1 to currentVersion(spark, table)).filter { v =>
+      val p = new Path(manifestDir(table, v))
+      f.exists(p) && f.getFileStatus(p).getModificationTime <= tsMillis
+    }
+    require(vs.nonEmpty,
+      s"Snapshots: no version of $table existed at epoch-ms $tsMillis " +
+        "(or its manifest was vacuumed)")
+    vs.max
+  }
+
+  def readAsOfTime(spark: SparkSession, table: String, tsMillis: Long)
+      : DataFrame =
+    readAsOf(spark, table, versionAsOfTime(spark, table, tsMillis))
+
   // ---- manifest-level stats pruning -----------------------------------
 
   private def isNumeric(typ: String): Boolean =

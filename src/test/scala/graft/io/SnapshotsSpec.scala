@@ -169,6 +169,27 @@ class SnapshotsSpec extends SparkSpec {
     assert(st.lo == "1" && st.hi == "80")
   }
 
+  test("timestamp time travel resolves to the version live at that " +
+      "instant") {
+    val t = tmpDir("snap_time")
+    Snapshots.commitFull(rows("d1", 1 to 5, 0), t, "day")
+    Thread.sleep(150)
+    val betweenCommits = System.currentTimeMillis()
+    Thread.sleep(150)
+    Snapshots.commitOverwritePartition(rows("d1", 1 to 5, 1000), t,
+      "day", "d1")
+    assert(Snapshots.versionAsOfTime(spark, t, betweenCommits) == 1)
+    assert(snapshotMap(
+      Snapshots.readAsOfTime(spark, t, betweenCommits)) ==
+      Map("d1" -> (1L to 5L).sum))
+    assert(Snapshots.versionAsOfTime(spark, t,
+      System.currentTimeMillis()) == 2)
+    val err = intercept[IllegalArgumentException] {
+      Snapshots.versionAsOfTime(spark, t, 1000L) // 1970: before v1
+    }
+    assert(err.getMessage.contains("no version"))
+  }
+
   test("crash window self-heals: tmp pointer without current completes") {
     val t = tmpDir("snap_crash")
     Snapshots.commitFull(rows("d1", 1 to 3, 0), t, "day")
