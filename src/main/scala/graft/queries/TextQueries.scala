@@ -670,6 +670,47 @@ object TextQueries {
           count(lit(1)).as("n_variants"),
           count_distinct(col("url")).as("n_spellings"))
         .orderBy(col("canonical_url"))
+    },
+
+    // --- tokenizer fertility by language ---------------------------------
+    // The number that drives language-mix budgeting: subword tokens per
+    // word (and per 1000 chars) by language. A language whose fertility
+    // is 2× costs 2× the context window per word — mix weights and
+    // packing budgets ("how many docs fit a 4k-token sequence") both
+    // divide by it. Subword proxy = the BPE-ish regex token stream
+    // (letters / digit runs / single non-alphanumerics), the same
+    // kernel `text_token_counts` exposes per doc; ratios in integer ppm
+    // (div), so the rollup is engine-exact. One column-pruned scan, one
+    // combiner-friendly aggregate on a ~unit-cardinality key.
+    Q(
+      "text_token_fertility",
+      """SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS words,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+        |    AS subwords,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) * 1000000
+        |       // SUM(len(string_split(text, ' '))) AS BIGINT) AS fertility_ppm,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) * 1000
+        |       // SUM(length(text)) AS BIGINT) AS subwords_per_kchar
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text")))).cast("long").as("words"),
+          sum(size(TextOps.regexTokens(col("text")))).cast("long")
+            .as("subwords"),
+          sum(length(col("text"))).cast("long").as("chars"))
+        .select(col("lang"), col("n_docs"), col("words"), col("subwords"),
+          expr("CAST(subwords * 1000000 div words AS BIGINT)")
+            .as("fertility_ppm"),
+          expr("CAST(subwords * 1000 div chars AS BIGINT)")
+            .as("subwords_per_kchar"))
+        .orderBy(col("lang"))
     }
   )
 }
