@@ -183,23 +183,33 @@ object Snapshots {
     val spark = df.sparkSession
     val v = currentVersion(spark, table) + 1
     reserve(spark, table, v)
-    // touched-partition values: bounded driver list (CdcView precedent)
-    val rawParts = df.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0))
-    require(!rawParts.contains(null),
-      s"Snapshots.commitFull: null $partCol is not a partitionable value")
-    val parts = rawParts.sorted
-    val entries = parts.flatMap { p =>
-      val dir = s"data/c$v/$partCol=$p"
-      df.where(col(partCol).cast("string") === p)
-        .write.mode("overwrite").parquet(s"$table/$dir")
-      fileStats(spark, table, dir, statsCols).map { case (rel, n, st) =>
-        FileEntry(rel, p, n, st)
+    // pin the input for the loop: each partition's write + stats job
+    // re-references df, and without the cache every one re-runs the
+    // full upstream lineage (measured: the per-partition loop is the
+    // dominant cost of fixture-building queries like q_snapshot_prune)
+    val cached = df.persist()
+    try {
+      // touched-partition values: bounded driver list (CdcView precedent)
+      val rawParts = cached.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0))
+      require(rawParts.nonEmpty,
+        s"Snapshots.commitFull: refusing to publish an EMPTY version of " +
+          s"$table (no rows; a reader of it could never resolve a scan)")
+      require(!rawParts.contains(null),
+        s"Snapshots.commitFull: null $partCol is not a partitionable value")
+      val parts = rawParts.sorted
+      val entries = parts.flatMap { p =>
+        val dir = s"data/c$v/$partCol=$p"
+        cached.where(col(partCol).cast("string") === p)
+          .write.mode("overwrite").parquet(s"$table/$dir")
+        fileStats(spark, table, dir, statsCols).map { case (rel, n, st) =>
+          FileEntry(rel, p, n, st)
+        }
       }
-    }
-    writeManifest(spark, table, v, entries.toSeq)
-    publish(spark, table, v)
-    v
+      writeManifest(spark, table, v, entries.toSeq)
+      publish(spark, table, v)
+      v
+    } finally cached.unpersist()
   }
 
   /** Replace ONE partition with `df`'s rows (which must all carry
@@ -240,18 +250,21 @@ object Snapshots {
     val prev = currentVersion(spark, table)
     val v = prev + 1
     reserve(spark, table, v)
-    val rawParts = df.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0))
-    require(!rawParts.contains(null),
-      s"Snapshots.commitAppend: null $partCol is not a partitionable value")
-    val fresh = rawParts.sorted.flatMap { p =>
-      val dir = s"data/c$v/$partCol=$p"
-      df.where(col(partCol).cast("string") === p)
-        .write.mode("overwrite").parquet(s"$table/$dir")
-      fileStats(spark, table, dir, statsCols).map { case (rel, n, st) =>
-        FileEntry(rel, p, n, st)
+    val cached = df.persist() // see commitFull: one lineage run, N writes
+    val fresh = try {
+      val rawParts = cached.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0))
+      require(!rawParts.contains(null),
+        s"Snapshots.commitAppend: null $partCol is not a partitionable value")
+      rawParts.sorted.flatMap { p =>
+        val dir = s"data/c$v/$partCol=$p"
+        cached.where(col(partCol).cast("string") === p)
+          .write.mode("overwrite").parquet(s"$table/$dir")
+        fileStats(spark, table, dir, statsCols).map { case (rel, n, st) =>
+          FileEntry(rel, p, n, st)
+        }
       }
-    }
+    } finally cached.unpersist()
     val carried =
       if (prev == 0) Nil else readManifest(spark, table, prev)
     writeManifest(spark, table, v, carried ++ fresh)
