@@ -327,6 +327,32 @@ object Snapshots {
   def read(spark: SparkSession, table: String): DataFrame =
     readAsOf(spark, table, currentVersion(spark, table))
 
+  /** Incremental consumption — rows ADDED between two versions, found
+    * by manifest diff: scan exactly the files in version `toV`'s
+    * manifest that `fromV`'s lacks, nothing else. An incremental
+    * consumer at 100 TB reads only the delta, not the table.
+    *
+    * Semantics (the Iceberg incremental-append contract): appended
+    * files surface their rows once; a partition OVERWRITE surfaces the
+    * partition's full new file set (the consumer sees it as a
+    * refreshed partition — removed rows are not subtracted, this is an
+    * append-stream view, not a row-level CDC diff; row-level deltas
+    * are [[graft.streaming.CdcView]]'s job). */
+  def readChanges(spark: SparkSession, table: String, fromV: Int,
+      toV: Int): DataFrame = {
+    require(fromV >= 0 && fromV <= toV,
+      s"Snapshots.readChanges: need 0 <= fromV <= toV, got $fromV..$toV")
+    val base =
+      if (fromV == 0) Set.empty[String]
+      else readManifest(spark, table, fromV).map(_.path).toSet
+    val added = readManifest(spark, table, toV)
+      .filterNot(e => base.contains(e.path))
+    if (added.isEmpty) {
+      // nothing new: an empty frame with the table's schema
+      scan(spark, table, readManifest(spark, table, toV)).where(lit(false))
+    } else scan(spark, table, added)
+  }
+
   /** Highest version published at or before `tsMillis` (wall-clock time
     * travel — "what did the dashboard show yesterday 09:00"). Commit
     * time is the manifest dir's filesystem mtime: set when the manifest

@@ -190,6 +190,31 @@ class SnapshotsSpec extends SparkSpec {
     assert(err.getMessage.contains("no version"))
   }
 
+  test("readChanges scans only the files added between two versions") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("snap_changes")
+    Snapshots.commitFull(
+      rows("d1", 1 to 5, 0).unionByName(rows("d2", 1 to 5, 10)), t, "day")
+    // v2: append a new batch to d1
+    Snapshots.commitAppend(
+      Seq(("x1", "d1", 500L), ("x2", "d1", 501L))
+        .toDF("id", "day", "cents"), t, "day")
+    val delta = Snapshots.readChanges(spark, t, 1, 2)
+    val v1Files = Snapshots.readManifest(spark, t, 1).map(_.path).toSet
+    assert(delta.inputFiles.forall(f => !v1Files.exists(f.endsWith)),
+      "delta scan must touch no version-1 file")
+    assert(delta.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("x1", "x2"), "exactly the appended rows")
+    // v3: overwrite d2 → the refreshed partition surfaces wholesale
+    Snapshots.commitOverwritePartition(rows("d2", 1 to 2, 9000), t,
+      "day", "d2")
+    val d2delta = Snapshots.readChanges(spark, t, 2, 3)
+    assert(snapshotMap(d2delta) == Map("d2" -> (9001L + 9002L)))
+    // no-change window → empty frame, right schema
+    assert(Snapshots.readChanges(spark, t, 3, 3).count() == 0)
+  }
+
   test("crash window self-heals: tmp pointer without current completes") {
     val t = tmpDir("snap_crash")
     Snapshots.commitFull(rows("d1", 1 to 3, 0), t, "day")
