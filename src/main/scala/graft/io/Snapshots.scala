@@ -176,6 +176,39 @@ object Snapshots {
       .parquet(manifestDir(table, v))
   }
 
+  /** FUSED commit-dir write: every touched partition lands in ONE
+    * Spark job via `partitionBy` on a shadow string column (`gp` — the
+    * original `partCol` stays in the data files; the shadow is consumed
+    * by the directory layout), then one metadata job reads the commit
+    * dir back (partition discovery restores `gp`) and collects per-file
+    * stats + partition ownership. Two jobs total regardless of how many
+    * partitions the commit touches — the production shape the
+    * per-partition loop's scaladoc used to only point at. */
+  private def writeCommitData(df: DataFrame, table: String, v: Int,
+      partCol: String, statsCols: Seq[String]): Seq[FileEntry] = {
+    val spark = df.sparkSession
+    val dir = s"data/c$v"
+    df.withColumn("gp", col(partCol).cast("string"))
+      .write.partitionBy("gp").mode("overwrite").parquet(s"$table/$dir")
+    val typs = statsCols.map(c => c -> df.schema(c).dataType.typeName).toMap
+    val back = spark.read.parquet(s"$table/$dir")
+    val aggs = count(lit(1L)).as("_rows") +:
+      (max(col("gp").cast("string")).as("_gp") +:
+        statsCols.flatMap(c => Seq(
+          min(col(c)).cast("string").as(s"_lo_$c"),
+          max(col(c)).cast("string").as(s"_hi_$c"))))
+    back.groupBy(input_file_name().as("_path")).agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.map { r =>
+        val full = r.getString(0)
+        val rel = full.substring(full.indexOf(dir))
+        val stats = statsCols.map { c =>
+          c -> StatRange(typs(c),
+            r.getAs[String](s"_lo_$c"), r.getAs[String](s"_hi_$c"))
+        }.toMap
+        FileEntry(rel, r.getAs[String]("_gp"), r.getAs[Long]("_rows"), stats)
+      }
+  }
+
   /** Initial (or wholesale re-) commit of a full table, one immutable
     * dir per partition value. Returns the new version. */
   def commitFull(df: DataFrame, table: String, partCol: String,
@@ -183,33 +216,31 @@ object Snapshots {
     val spark = df.sparkSession
     val v = currentVersion(spark, table) + 1
     reserve(spark, table, v)
-    // pin the input for the loop: each partition's write + stats job
-    // re-references df, and without the cache every one re-runs the
-    // full upstream lineage (measured: the per-partition loop is the
-    // dominant cost of fixture-building queries like q_snapshot_prune)
-    val cached = df.persist()
-    try {
-      // touched-partition values: bounded driver list (CdcView precedent)
-      val rawParts = cached.select(col(partCol).cast("string")).distinct()
-        .collect().map(_.getString(0))
-      require(rawParts.nonEmpty,
-        s"Snapshots.commitFull: refusing to publish an EMPTY version of " +
-          s"$table (no rows; a reader of it could never resolve a scan)")
-      require(!rawParts.contains(null),
-        s"Snapshots.commitFull: null $partCol is not a partitionable value")
-      val parts = rawParts.sorted
-      val entries = parts.flatMap { p =>
-        val dir = s"data/c$v/$partCol=$p"
-        cached.where(col(partCol).cast("string") === p)
-          .write.mode("overwrite").parquet(s"$table/$dir")
-        fileStats(spark, table, dir, statsCols).map { case (rel, n, st) =>
-          FileEntry(rel, p, n, st)
-        }
-      }
-      writeManifest(spark, table, v, entries.toSeq)
-      publish(spark, table, v)
-      v
-    } finally cached.unpersist()
+    requireCommittable(df, partCol, "commitFull", allowEmpty = false)
+    val entries = writeCommitData(df, table, v, partCol, statsCols)
+    writeManifest(spark, table, v, entries)
+    publish(spark, table, v)
+    v
+  }
+
+  /** Fail-fast commit preconditions: a shadow-column collision, a null
+    * partition value (partitionBy would bury those rows in a
+    * HIVE_DEFAULT dir the manifest can't honestly describe), or —
+    * unless appending — an empty frame (a published empty version could
+    * never resolve a scan). One column-pruned distinct, bounded driver
+    * list (the CdcView precedent). */
+  private def requireCommittable(df: DataFrame, partCol: String,
+      op: String, allowEmpty: Boolean): Array[String] = {
+    require(!df.columns.contains("gp"),
+      s"Snapshots.$op: column name 'gp' is reserved for the commit layout")
+    val rawParts = df.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    require(allowEmpty || rawParts.nonEmpty,
+      s"Snapshots.$op: refusing to publish an EMPTY version " +
+        "(no rows; a reader of it could never resolve a scan)")
+    require(!rawParts.contains(null),
+      s"Snapshots.$op: null $partCol is not a partitionable value")
+    rawParts
   }
 
   /** Replace ONE partition with `df`'s rows (which must all carry
@@ -250,21 +281,13 @@ object Snapshots {
     val prev = currentVersion(spark, table)
     val v = prev + 1
     reserve(spark, table, v)
-    val cached = df.persist() // see commitFull: one lineage run, N writes
-    val fresh = try {
-      val rawParts = cached.select(col(partCol).cast("string")).distinct()
-        .collect().map(_.getString(0))
-      require(!rawParts.contains(null),
-        s"Snapshots.commitAppend: null $partCol is not a partitionable value")
-      rawParts.sorted.flatMap { p =>
-        val dir = s"data/c$v/$partCol=$p"
-        cached.where(col(partCol).cast("string") === p)
-          .write.mode("overwrite").parquet(s"$table/$dir")
-        fileStats(spark, table, dir, statsCols).map { case (rel, n, st) =>
-          FileEntry(rel, p, n, st)
-        }
-      }
-    } finally cached.unpersist()
+    // empty micro-batches are legal appends: the version still publishes
+    // (carrying the previous file set) so the batch tag lands atomically
+    val parts = requireCommittable(df, partCol, "commitAppend",
+      allowEmpty = true)
+    val fresh =
+      if (parts.isEmpty) Nil
+      else writeCommitData(df, table, v, partCol, statsCols)
     val carried =
       if (prev == 0) Nil else readManifest(spark, table, prev)
     writeManifest(spark, table, v, carried ++ fresh)
