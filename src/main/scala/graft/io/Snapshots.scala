@@ -376,6 +376,52 @@ object Snapshots {
     } else scan(spark, table, added)
   }
 
+  /** Row-level diff between two versions: (added, removed) frames via
+    * null-safe anti-joins on `keyCols` (use the full column list for
+    * whole-row semantics, or the primary key + changed columns for
+    * keyed tables). File-level [[readChanges]] is the cheap incremental
+    * path; this is the audit path — "exactly which rows did the rewrite
+    * change" — and it scans only the two manifests' file sets. */
+  def diff(spark: SparkSession, table: String, fromV: Int, toV: Int,
+      keyCols: Seq[String]): (DataFrame, DataFrame) = {
+    require(keyCols.nonEmpty, "Snapshots.diff: keyCols must be non-empty")
+    val a = readAsOf(spark, table, fromV)
+    val b = readAsOf(spark, table, toV)
+    def anti(left: DataFrame, right: DataFrame): DataFrame = {
+      val l = left.alias("l")
+      val r = right.alias("r")
+      val on = keyCols.map(c => col(s"l.$c") <=> col(s"r.$c"))
+        .reduce(_ && _)
+      l.join(r, on, "left_anti")
+    }
+    (anti(b, a), anti(a, b)) // (added in toV, removed since fromV)
+  }
+
+  /** Table history — the DESCRIBE HISTORY equivalent: one row per
+    * retained version with commit wall-clock, file count, row count,
+    * and touched partitions (diffed against the previous retained
+    * manifest). Driver-side metadata only. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, table)
+    val cur = currentVersion(spark, table)
+    val retained = (1 to cur).filter(v =>
+      f.exists(new Path(manifestDir(table, v))))
+    val rows = retained.map { v =>
+      val m = readManifest(spark, table, v)
+      val prev = retained.filter(_ < v).lastOption
+        .map(readManifest(spark, table, _)).getOrElse(Nil)
+      val prevPaths = prev.map(_.path).toSet
+      val touched = m.filterNot(e => prevPaths.contains(e.path))
+        .map(_.partition).distinct.sorted
+      (v, f.getFileStatus(new Path(manifestDir(table, v)))
+        .getModificationTime, m.size.toLong, m.map(_.rows).sum,
+        touched.mkString(","))
+    }
+    rows.toDF("version", "commit_ms", "n_files", "n_rows",
+      "touched_partitions")
+  }
+
   /** Highest version published at or before `tsMillis` (wall-clock time
     * travel — "what did the dashboard show yesterday 09:00"). Commit
     * time is the manifest dir's filesystem mtime: set when the manifest

@@ -215,6 +215,35 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readChanges(spark, t, 3, 3).count() == 0)
   }
 
+  test("row-level diff and table history report exactly what a rewrite " +
+      "changed") {
+    val t = tmpDir("snap_diff")
+    Snapshots.commitFull(
+      rows("d1", 1 to 3, 0).unionByName(rows("d2", 1 to 3, 10)), t, "day")
+    // v2 rewrites d2: drops id 3, changes id 2's cents, keeps id 1
+    val s = spark
+    import s.implicits._
+    val v2d2 = Seq(("d2-1", "d2", 11L), ("d2-2", "d2", 999L))
+      .toDF("id", "day", "cents")
+    Snapshots.commitOverwritePartition(v2d2, t, "day", "d2")
+
+    val (added, removed) = Snapshots.diff(spark, t, 1, 2,
+      Seq("id", "day", "cents"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cents").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ids(added) == Set(("d2-2", 999L)),
+      "only the changed row is 'added'")
+    assert(ids(removed) == Set(("d2-2", 12L), ("d2-3", 13L)),
+      "the old copy of the changed row and the dropped row are 'removed'")
+
+    val h = Snapshots.history(spark, t).collect()
+      .map(r => r.getInt(0) -> (r.getLong(3), r.getString(4))).toMap
+    assert(h(1)._1 == 6L && h(1)._2 == "d1,d2")
+    assert(h(2)._1 == 5L && h(2)._2 == "d2",
+      "v2 touched only the rewritten partition")
+  }
+
   test("crash window self-heals: tmp pointer without current completes") {
     val t = tmpDir("snap_crash")
     Snapshots.commitFull(rows("d1", 1 to 3, 0), t, "day")
