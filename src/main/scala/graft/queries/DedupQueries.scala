@@ -392,6 +392,58 @@ object DedupQueries {
         .orderBy(col("keep_id"))
     },
 
+    // --- quality-aware canonical selection: keep-BEST per dup cluster ---
+    // Production dedup keeps the best member of each near-dup group, not
+    // the arbitrary first: pretraining pipelines keep the longest /
+    // highest-quality copy (truncated mirrors and boilerplate-stripped
+    // variants lose to the full document). Composition of the shipped
+    // pieces: verified LSH pairs → connected components → argmax by
+    // (n_chars, doc_id) per cluster — one extra window over the
+    // cluster-id shuffle the summary already pays. Oracle extends the
+    // dedup_clusters recursive-CTE components with the same argmax.
+    Q(
+      "dedup_keep_best",
+      s"""WITH RECURSIVE $exactPairCtes,
+         |e AS (SELECT a_id AS u, b_id AS v FROM p WHERE jac >= 0.5
+         |      UNION ALL
+         |      SELECT b_id, a_id FROM p WHERE jac >= 0.5),
+         |cc AS (SELECT u AS node, u AS comp FROM e
+         |       UNION
+         |       SELECT e.v, cc.comp FROM cc JOIN e ON e.u = cc.node),
+         |comp AS (SELECT node AS doc_id, MIN(comp) AS cluster_id
+         |         FROM cc GROUP BY node),
+         |m AS (SELECT comp.doc_id, CAST(comp.cluster_id AS BIGINT)
+         |        AS cluster_id, d.n_chars
+         |      FROM comp JOIN documents d USING (doc_id)),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY n_chars DESC, doc_id) AS rn,
+         |        COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+         |      FROM m)
+         |SELECT cluster_id, doc_id AS keep_id,
+         |  CAST(n_chars AS BIGINT) AS kept_chars,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM r WHERE rn = 1
+         |ORDER BY cluster_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val verified = verifiedNearDupPairs(s, d)
+        .where(col("jac") >= 0.5)
+        .select(col("a_id"), col("b_id"))
+      val clusters = graft.operators.DedupClusters
+        .fromPairs(s, verified, "a_id", "b_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+      val byCluster = Window.partitionBy(col("cluster_id"))
+      clusters.join(docs, "doc_id")
+        .withColumn("rn", row_number().over(
+          byCluster.orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(byCluster))
+        .where(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_id"),
+          col("n_chars").cast("long").as("kept_chars"), col("n_members"))
+        .orderBy(col("cluster_id"))
+    },
+
     // --- incremental dedup: new batch vs existing corpus -----------------
     // THE daily-production shape at 100 TB: dedup an incoming delta
     // (docs with doc_id % 10 = 0 stand in for "today's batch") against
