@@ -473,15 +473,45 @@ object Snapshots {
     * predicate (stats prune at file granularity; the residual filter
     * still runs, pushed into the parquet reader as usual). */
   def readRange(spark: SparkSession, table: String, c: String,
-      lo: String, hi: String): DataFrame = {
+      lo: String, hi: String): DataFrame =
+    readWhere(spark, table, Map(c -> (lo, hi)))
+
+  /** Conjunctive multi-column pruned read: a file survives only if its
+    * stats overlap EVERY range — with independent clustering per
+    * column (e.g. range-sorted on one, partition-aligned on another)
+    * the surviving set is the intersection, each column knocking out
+    * files the others can't. */
+  def readWhere(spark: SparkSession, table: String,
+      ranges: Map[String, (String, String)]): DataFrame = {
+    require(ranges.nonEmpty, "Snapshots.readWhere: no ranges given")
     val v = currentVersion(spark, table)
-    val keep = prunedFiles(spark, table, v, c, lo, hi)
-    val all = scan(spark, table, readManifest(spark, table, v))
-    if (keep.isEmpty) all.where(lit(false))
-    else scan(spark, table, keep)
-      .where(col(c) >= lit(lo).cast(all.schema(c).dataType) &&
-        col(c) <= lit(hi).cast(all.schema(c).dataType))
+    val all = readManifest(spark, table, v)
+    val keep = all.filter { e =>
+      ranges.forall { case (c, (lo, hi)) =>
+        e.stats.get(c) match {
+          case Some(StatRange(typ, flo, fhi)) if flo != null && fhi != null =>
+            cmp(typ, fhi, lo) >= 0 && cmp(typ, flo, hi) <= 0
+          case _ => true
+        }
+      }
+    }
+    val full = scan(spark, table, all)
+    if (keep.isEmpty) full.where(lit(false))
+    else {
+      val residual = ranges.map { case (c, (lo, hi)) =>
+        col(c) >= lit(lo).cast(full.schema(c).dataType) &&
+          col(c) <= lit(hi).cast(full.schema(c).dataType)
+      }.reduce(_ && _)
+      scan(spark, table, keep).where(residual)
+    }
   }
+
+  /** Register the CURRENT snapshot as a temp view so `spark.sql` works
+    * over the table. Pinned at registration time (the snapshot
+    * contract): re-register to advance to a newer version. */
+  def registerView(spark: SparkSession, table: String, name: String)
+      : Unit =
+    read(spark, table).createOrReplaceTempView(name)
 
   // ---- retention ------------------------------------------------------
 

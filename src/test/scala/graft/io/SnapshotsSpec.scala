@@ -96,6 +96,18 @@ class SnapshotsSpec extends SparkSpec {
     // residual filter still exact WITHIN a kept file
     val sub = Snapshots.readRange(spark, t, "cents", "2001", "2010")
     assert(sub.count() == 10)
+
+    // conjunctive pruning: a second range knocks out what the first kept
+    val none = Snapshots.readWhere(spark, t,
+      Map("cents" -> (("2001", "2050")), "id" -> (("p9", "p9z"))))
+    assert(none.count() == 0)
+
+    // SQL surface over the pinned snapshot
+    Snapshots.registerView(spark, t, "snap_prune_t")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM snap_prune_t WHERE cents BETWEEN 2001 AND 2050")
+      .head().getLong(0) == 50L)
+    spark.catalog.dropTempView("snap_prune_t")
   }
 
   test("vacuum drops old versions' files but never the retained ones") {
