@@ -71,4 +71,41 @@ class SnapshotsPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("a reader hammering read() during live commits only ever " +
+      "observes complete published states") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("snap_race")
+    // state k = rows r1..r_k in one partition: every VALID observation
+    // is a prefix set, and a torn read (mixed manifests / partial data)
+    // could not be one
+    def rowsUpTo(k: Int) = (1 to k).map(i => (s"r$i", "d1", i.toLong))
+    Snapshots.commitFull(rowsUpTo(1).toDF("id", "day", "cents"), t, "day")
+
+    val observed =
+      new java.util.concurrent.ConcurrentLinkedQueue[Set[String]]()
+    @volatile var writerDone = false
+    val reader = new Thread(() => {
+      while (!writerDone) {
+        observed.add(
+          Snapshots.read(spark, t).select("id").collect()
+            .map(_.getString(0)).toSet)
+      }
+    })
+    reader.start()
+    try {
+      (2 to 12).foreach { k =>
+        Snapshots.commitOverwritePartition(
+          rowsUpTo(k).toDF("id", "day", "cents"), t, "day", "d1")
+      }
+    } finally { writerDone = true; reader.join(30000) }
+
+    val valid = (1 to 12).map(k => (1 to k).map(i => s"r$i").toSet).toSet
+    val seen = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(observed).asScala.toSet
+    assert(seen.nonEmpty, "the reader must have completed some reads")
+    val torn = seen -- valid
+    assert(torn.isEmpty, s"torn states observed: ${torn.take(3)}")
+  }
 }
