@@ -471,8 +471,15 @@ object DedupQueries {
         explode(TextOps.lshBands(
           TextOps.minhashSignature(col("sh"), MinhashK),
           Bands, RowsPerBand)).as("b"))
+      // corpus-side hot-bucket cap (see HotBucketCap): per-band work is
+      // bounded by batch_occ × cap instead of batch_occ × corpus_occ
+      val corpus = buckets.where(!col("is_new"))
+        .withColumn("occ",
+          count(lit(1)).over(Window.partitionBy(col("b"))))
+        .where(col("occ") <= HotBucketCap)
+        .drop("occ")
       val cand = buckets.where(col("is_new")).as("x")
-        .join(buckets.where(!col("is_new")).as("y"),
+        .join(corpus.as("y"),
           col("x.b") === col("y.b"))
         .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
           greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))

@@ -43,14 +43,25 @@ object StreamingDedup {
           TextOps.minhashSignature(col("sh"), MinhashK),
           Bands, RowsPerBand))
 
+  /** Per-band corpus occupancy above which the bucket is dropped from
+    * candidate generation — the `graft.queries` HotBucketCap discipline:
+    * a super-cap bucket is boilerplate, and capping bounds per-band join
+    * work at batch_occ × cap under any corpus skew. */
+  private val HotBucketCap = 1000
+
   /** Near-dup (a_id, b_id) pairs between left and right signed frames
-    * (bucket join on band keys, exact-jaccard verify). */
+    * (bucket join on band keys, hot right-side buckets capped,
+    * exact-jaccard verify). */
   private def nearDupPairs(left: DataFrame, right: DataFrame,
       threshold: Double): DataFrame = {
     val l = left.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
       explode(col("bands")).as("b"))
     val r = right.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
       explode(col("bands")).as("b"))
+      .withColumn("occ", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
+      .where(col("occ") <= HotBucketCap)
+      .drop("occ")
     l.join(r, "b")
       .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
       .distinct()
