@@ -237,6 +237,66 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- training-shard manifest (global token-budget assignment) --------
+    // The last hop before training: assign every document to a ~4096-
+    // token shard under the GLOBAL deterministic order (source, doc_id)
+    // and emit the per-shard manifest a data loader consumes. The
+    // global running token sum is the textbook scale trap (a single-
+    // partition window); this computes it as the two-phase form that
+    // survives 100 TB: per-source totals (a ~unit-cardinality frame)
+    // → exclusive running offsets over THAT tiny frame → broadcast
+    // offsets back and add the per-source partition-local running sum.
+    // A document is assigned by its START token, so a shard may
+    // overflow by at most one document's tail — the standard
+    // contract. Everything integer; `div` sharding is engine-exact.
+    Q(
+      "pipe_shard_manifest",
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+        |        ORDER BY source, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tok_start
+        |  FROM d)
+        |SELECT CAST(tok_start // 4096 AS BIGINT) AS shard_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  arg_min(doc_id, tok_start) AS first_doc,
+        |  arg_max(doc_id, tok_start) AS last_doc
+        |FROM c GROUP BY shard_id
+        |ORDER BY shard_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val nTok = size(graft.functions.TextOps.tokens(col("text")))
+        .cast("long")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), nTok.as("n_tokens"))
+      // phase 1: per-source totals → exclusive offsets (tiny frame; the
+      // global window here is over ~#sources rows, not the corpus)
+      val offsets = base.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("src_toks"))
+        .withColumn("src_offset",
+          coalesce(sum(col("src_toks")).over(
+            Window.orderBy(col("source"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .drop("src_toks")
+      // phase 2: partition-local running sum + broadcast offset
+      val local = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base
+        .withColumn("local_start",
+          coalesce(sum(col("n_tokens")).over(local), lit(0L)))
+        .join(broadcast(offsets), "source")
+        .withColumn("tok_start", col("local_start") + col("src_offset"))
+        .withColumn("shard_id", expr("tok_start div 4096"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"),
+          min_by(col("doc_id"), col("tok_start")).as("first_doc"),
+          max_by(col("doc_id"), col("tok_start")).as("last_doc"))
+        .orderBy(col("shard_id"))
+    },
+
     // --- deterministic train/val/test split ------------------------------
     // The assignment every corpus needs before training: split decided
     // by a hash of the STABLE document id (not rand() — reproducible
