@@ -547,6 +547,96 @@ object DedupQueries {
         .distinct()
         .where(col("hamming") <= 3)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // --- exact repeated-substring dedup (suffix-array semantics) ---------
+    // The ExactSubstr pass of Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better" (ACL 2022): drop every token span
+    // that occurs verbatim elsewhere in the corpus (any doc, or earlier
+    // in the same doc), keeping the globally first occurrence. The paper
+    // builds a suffix array; this plan gets the IDENTICAL coverage set
+    // from L-gram anchoring, exactly — a position lies inside a repeated
+    // substring of length ≥ L iff some repeated L-gram covers it (every
+    // L-window of a repeated substring repeats with it; a repeated
+    // L-gram IS a repeated substring) — so no suffix array and no
+    // pair enumeration are needed, just:
+    //   1. slide L=8 token windows (explode ≈ one row per token — the
+    //      same cost class as the shingle passes above);
+    //   2. per gram keep-first = one combiner-friendly MIN of the packed
+    //      (doc_id·1024 + pos) key — skew-safe where a row_number-per-
+    //      gram window would serialize hot grams onto one task (pack
+    //      constant: pos < 1024 ≫ max doc length here; at larger doc
+    //      lengths widen the shift, doc_id·2²⁰ still fits int64 to
+    //      ~10¹² docs);
+    //   3. non-first occurrences merge into maximal dropped spans with
+    //      one bounded window PER DOC (gaps-and-islands; fixed L makes
+    //      "previous max end" = lag(p)+L−1, so one lag suffices).
+    // Output: per affected doc, the maximal repeated-span count and
+    // dropped-token total — integers, replayed exactly by the oracle.
+    Q(
+      "dedup_substring",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+        |    array_to_string(list_slice(toks, p, p + 7), ' ') AS gram
+        |  FROM t, UNNEST(range(1, len(toks) - 6)) AS u(p)),
+        |m AS (SELECT gram, MIN(doc_id * 1024 + p) AS first_occ
+        |      FROM g GROUP BY gram),
+        |mk AS (SELECT doc_id, p FROM g JOIN m USING (gram)
+        |       WHERE doc_id * 1024 + p <> first_occ),
+        |isl AS (SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 7
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |isl2 AS (SELECT doc_id, p,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM isl),
+        |spans AS (SELECT doc_id, island, MIN(p) AS s, MAX(p) + 7 AS e
+        |          FROM isl2 GROUP BY doc_id, island)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rep_spans,
+        |  CAST(SUM(e - s + 1) AS BIGINT) AS toks_dropped
+        |FROM spans GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      substringDedupSpans(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** Maximal repeated-span summary per doc for `dedup_substring` (and
+    * direct unit tests): docs(doc_id, text) → (doc_id, n_rep_spans,
+    * toks_dropped), only docs with ≥ 1 non-first repeated L-gram. */
+  private[queries] def substringDedupSpans(
+      docs: org.apache.spark.sql.DataFrame, L: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col("doc_id"),
+      TextOps.tokens(col("text")).as("toks"))
+    val grams = base
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(toks) >= $L THEN transform(" +
+          s"sequence(1, size(toks) - ${L - 1}), " +
+          s"p -> concat_ws(' ', slice(toks, p, $L))) " +
+          "ELSE CAST(array() AS array<string>) END")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("gram"))
+    val firsts = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id") * 1024 + col("p")).as("first_occ"))
+    val marked = grams.join(firsts, "gram")
+      .where(col("doc_id") * 1024 + col("p") =!= col("first_occ"))
+      .select(col("doc_id"), col("p"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val isl = marked
+      .withColumn("brk", when(lag(col("p"), 1).over(w).isNull
+        || col("p") > lag(col("p"), 1).over(w) + (L - 1), 1)
+        .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + lit(L - 1)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rep_spans"),
+        sum(col("e") - col("s") + 1).as("toks_dropped"))
+  }
 }
