@@ -423,6 +423,78 @@ object CurationQueries {
         .where(col("rk") <= col("quota"))
         .select(col("doc_id"), col("source"), col("quota"))
         .orderBy(col("doc_id"))
+    },
+
+    // --- corpus-frequency line (boilerplate) removal ---------------------
+    // The CCNet/RefinedWeb pass that strips nav bars, cookie banners and
+    // license headers: segment every doc into lines, count each line's
+    // document frequency across the WHOLE corpus, and delete lines that
+    // appear in >= 2 distinct docs (any line shared across documents is
+    // template text, not content). The test corpus has no newlines, so a
+    // "line" is a fixed window of 8 tokens — the segmentation is what
+    // varies per corpus; the df-threshold machinery is the operator.
+    //
+    // Scale shape: segmentation is a narrow per-doc explode (~tokens/8
+    // rows); df is ONE combiner-friendly hash agg on the line text
+    // (partial distinct-by-doc inside each task); the boilerplate set is
+    // only the lines with df >= 2 — tiny relative to the corpus — so the
+    // subtraction is a left_anti hash join; reassembly is one groupBy
+    // doc_id whose state is bounded by doc length. No all-pairs step,
+    // no global window, no driver-side rows.
+    Q(
+      "pipe_boilerplate_lines",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |li AS (SELECT doc_id, toks,
+        |    unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)))
+        |      AS line_no
+        |  FROM t),
+        |l AS (SELECT doc_id, line_no,
+        |    array_to_string(toks[line_no*8+1 : line_no*8+8], ' ') AS line
+        |  FROM li),
+        |b AS (SELECT line FROM l GROUP BY line
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |k AS (SELECT l.* FROM l ANTI JOIN b USING (line)),
+        |n AS (SELECT doc_id,
+        |    CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_lines FROM t),
+        |ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(line, ' ' ORDER BY line_no) AS kept_text
+        |  FROM k GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_lines,
+        |  COALESCE(ka.n_kept, 0) AS n_kept,
+        |  COALESCE(ka.kept_text, '') AS kept_text
+        |FROM n LEFT JOIN ka USING (doc_id)
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextOps.tokens(col("text")).as("toks"))
+      val lines = docs.select(col("doc_id"),
+        posexplode(expr(
+          """transform(
+            |  sequence(0, cast(ceil(size(toks) / 8.0) as int) - 1),
+            |  i -> array_join(slice(toks, i*8 + 1, 8), ' '))""".stripMargin))
+          .as(Seq("line_no", "line")))
+      val boiler = lines.groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .where(col("df") >= 2)
+        .select(col("line"))
+      val kept = lines.join(boiler, Seq("line"), "left_anti")
+      // n_lines is arithmetic on the token count — no second explode/agg
+      val perDoc = docs.select(col("doc_id"),
+        expr("cast(ceil(size(toks) / 8.0) as bigint)").as("n_lines"))
+      val keptAgg = kept.groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("line_no"), col("line")))),
+              x => x.getField("line")), " ").as("kept_text"))
+      perDoc.join(keptAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_text"), lit("")).as("kept_text"))
+        .orderBy(col("doc_id"))
     }
   )
 }

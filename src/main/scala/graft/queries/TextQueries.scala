@@ -711,6 +711,73 @@ object TextQueries {
           expr("CAST(subwords * 1000 div chars AS BIGINT)")
             .as("subwords_per_kchar"))
         .orderBy(col("lang"))
+    },
+
+    // --- bigram language-model fluency scoring ---------------------------
+    // The CCNet-style LM quality filter: train an n-gram LM on the corpus,
+    // score every doc by how well the model predicts it, and gate on the
+    // score (high = fluent/common phrasing, low = gibberish or off-domain
+    // text). Here the model is the corpus's own bigram MLE — P(w2|w1) =
+    // c(w1,w2)/c(w1·) — and the doc score is the mean conditional
+    // probability of its bigrams, kept in integer ppm (floor division,
+    // all operands positive) so engine and oracle agree bit-for-bit —
+    // real pipelines use log-probs, whose float summation is
+    // order-dependent and would break cross-engine hashing.
+    //
+    // Scale shape: the bigram explode is ~tokens rows; the two count
+    // tables are combiner-friendly hash aggs whose OUTPUT is vocabulary-
+    // sized (vocab + vocab² entries ≪ corpus), so the score join streams
+    // the bigram stream past two small build sides (broadcastable on a
+    // real cluster; AQE picks that up from size stats); per-doc scoring
+    // is one more hash agg keyed by doc_id. The model never touches the
+    // driver and no step is quadratic in docs.
+    Q(
+      "text_lm_score",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |bi AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |  FROM t),
+        |b AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM bi),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY w1, w2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY w1),
+        |p AS (SELECT b.doc_id, (1000000 * c2.c2) // c1.c1 AS p_ppm
+        |  FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+        |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS score_ppm
+        |  FROM p GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(sc.score_ppm, 0) AS score_ppm
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      // slice-zip instead of sequence(1, n-1): sequence(1, 0) would run
+      // DESCENDING for a 1-token doc; slice with length 0 is just empty.
+      val bigrams = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(expr(
+            """arrays_zip(slice(toks, 1, size(toks) - 1),
+              |           slice(toks, 2, size(toks) - 1))""".stripMargin))
+            .as("z"))
+        .select(col("doc_id"), col("z.0").as("w1"), col("z.1").as("w2"))
+      val c2 = bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val c1 = bigrams.groupBy(col("w1"))
+        .agg(count(lit(1)).as("c1"))
+      val scored = bigrams
+        .join(c2, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .select(col("doc_id"), expr("(1000000 * c2) div c1").as("p_ppm"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p_ppm) div count(1)").as("score_ppm"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("score_ppm"), lit(0L)).as("score_ppm"))
+        .orderBy(col("doc_id"))
     }
   )
 }
