@@ -98,13 +98,18 @@ object SimilarityQueries {
   }
 
   /** Product-quantization geometry shared by `emb_pq_codes` /
-    * `emb_knn_pq` and their oracles: 64 dims → 4 contiguous subspaces of
-    * 16, one k=16 codebook per subspace (Jégou et al., "Product
-    * Quantization for Nearest Neighbor Search", TPAMI 2011). 4 code
-    * bytes per vector vs 256 embedding bytes = 64× compression. */
-  private val PqM = 4
+    * `emb_knn_pq` and their oracles: 64 dims → 8 contiguous subspaces of
+    * 8, one k=32 codebook per subspace (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011). 8 codes
+    * (5 bits each = 40 bits) per vector vs 256 embedding bytes ≈ 51×
+    * compression. r4 raised (M, k) from (4, 16) after emb_recall_at_k
+    * put that geometry's recall@5 at 0.12 — more/finer subspace
+    * codebooks are the PQ recall knobs that leave the serving plan
+    * (narrow ADC map over codes, no join) unchanged; all the SQL/code
+    * below is generated from these four constants. */
+  private val PqM = 8
   private val PqSubDim = Dim / PqM
-  private val PqK = 16
+  private val PqK = 32
   private val PqIters = 2
 
   /** The 4 sliced-subspace CTEs + 4 per-subspace k-means trainings.
@@ -123,16 +128,29 @@ object SimilarityQueries {
 
   /** Engine-side PQ training: one [[KMeans.fit]] per sliced subspace.
     * Driver state is PqM × PqK × PqSubDim doubles — bounded, broadcast-
-    * sized, exactly what a FAISS-style trainer would hold. */
+    * sized, exactly what a FAISS-style trainer would hold. The M
+    * trainings are independent (disjoint coordinate slices), so they run
+    * CONCURRENTLY — Spark's scheduler interleaves the small per-
+    * iteration jobs instead of leaving the cluster idle M−1 fits out of
+    * M (the FAISS trainer parallelizes subquantizers the same way).
+    * Determinism is untouched: each fit's result depends only on its own
+    * slice, never on scheduling order. */
   private def pqFit(emb: org.apache.spark.sql.DataFrame)
-      : Seq[Seq[KMeans.Centroid]] =
-    (0 until PqM).map { i =>
-      KMeans.fit(
-        emb.select(col("vec_id"),
-          slice(col("embedding"), i * PqSubDim + 1, PqSubDim)
-            .as("embedding")),
-        k = PqK, iters = PqIters)
+      : Seq[Seq[KMeans.Centroid]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // derive the sliced frames up front (plan construction on this
+    // thread); only job execution happens inside the futures
+    val sliced = (0 until PqM).map { i =>
+      emb.select(col("vec_id"),
+        slice(col("embedding"), i * PqSubDim + 1, PqSubDim)
+          .as("embedding"))
     }
+    val fits = sliced.map(s =>
+      Future(KMeans.fit(s, k = PqK, iters = PqIters)))
+    fits.map(Await.result(_, Duration.Inf))
+  }
 
   val all: Seq[Q] = Seq(
     // --- per-vector L2 norm — deterministic row-local fold → oracle-able
@@ -217,14 +235,16 @@ object SimilarityQueries {
     },
 
     // --- LSH-bucketed ANN (scale path) -----------------------------------
-    // multi-table random-hyperplane keys (6 bits × 8 tables): candidates
+    // multi-table random-hyperplane keys (6 bits × 16 tables): candidates
     // share ANY table's bucket with the query; top-3 by exact cosine over
     // the deduped candidate set. Bits tune bucket size (corpus/2^bits per
-    // table), tables tune recall — the two independent knobs at scale.
-    // Oracle rebuilds all 8 bucket keys from the serialized planes.
+    // table), tables tune recall — the two independent knobs at scale
+    // (r4 doubled tables 8→16 after emb_recall_at_k put 8-table recall@3
+    // at 0.33; more tables is the knob that preserves bucket size).
+    // Oracle rebuilds all 16 bucket keys from the serialized planes.
     Q(
       "emb_knn_lsh", {
-        val tables = (0 until 8).map { t =>
+        val tables = (0 until 16).map { t =>
           val planes = VectorOps.hyperplanes(Dim, 6, 7L + 1000L * t)
           s"struct_pack(tbl := $t, bucket := ${Sql.bucket("embedding", planes)})"
         }.mkString(",\n    ")
@@ -252,7 +272,7 @@ object SimilarityQueries {
     ) { (s, d) =>
       val emb = Tables.embeddings(s, d).withColumn("t",
         explode(VectorOps.lshTables(col("embedding"), Dim,
-          nBits = 6, nTables = 8)))
+          nBits = 6, nTables = 16)))
       val queries = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
           col("t").as("q_t"))
@@ -292,7 +312,7 @@ object SimilarityQueries {
            |probe AS (SELECT q_id, cid FROM (
            |    SELECT q_id, cid,
            |      row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS pr
-           |    FROM qd) WHERE pr <= 2),
+           |    FROM qd) WHERE pr <= 4),
            |cand AS (SELECT p.q_id, a.vec_id, a.embedding
            |         FROM af a JOIN probe p ON a.cid = p.cid
            |         WHERE a.vec_id <> p.q_id),
@@ -315,9 +335,11 @@ object SimilarityQueries {
         KMeans.assignExpr(col("embedding"), cents))
       val queries = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      // probe: nprobe=2 nearest centroids — array_sort of (d, cid)
-      // structs, lexicographic = (distance, id tie-break); per-row
-      // expression, no window, no shuffle
+      // probe: nprobe=4 nearest centroids (of k=8; r4 raised 2→4 after
+      // emb_recall_at_k put nprobe=2 recall@3 at 0.47 — recall tracks
+      // the probed corpus fraction) — array_sort of (d, cid) structs,
+      // lexicographic = (distance, id tie-break); per-row expression,
+      // no window, no shuffle
       val probeEntries = array_sort(array(cents.map(c =>
         struct(
           graft.functions.VectorOps.l2sq(col("q_vec"),
@@ -325,7 +347,7 @@ object SimilarityQueries {
           lit(c.cid).as("cid"))): _*))
       val probe = queries
         .select(col("q_id"), col("q_vec"),
-          explode(slice(probeEntries, 1, 2)).as("pc"))
+          explode(slice(probeEntries, 1, 4)).as("pc"))
         .select(col("q_id"), col("q_vec"), col("pc.cid").as("probe_cid"))
       // exact rerank within the probed lists only
       val wRank = Window.partitionBy(col("q_id"))
@@ -471,9 +493,9 @@ object SimilarityQueries {
     },
 
     // --- product-quantization codes ---------------------------------------
-    // The 100 TB embedding-compression path: each vector becomes PqM=4
-    // centroid ids (one per 16-dim subspace) + nothing else — 64×
-    // smaller than the float[64], small enough that the whole corpus's
+    // The 100 TB embedding-compression path: each vector becomes PqM
+    // centroid ids (one per subspace) + nothing else — ~51× smaller
+    // than the float[64], small enough that the whole corpus's
     // codes fit in cluster memory for ANN serving. ENCODING is a narrow
     // map (codebooks are driver literals, k·m VectorL2Sq kernel calls per
     // row, no join/shuffle); training is PqM independent KMeans.fit runs
@@ -483,13 +505,16 @@ object SimilarityQueries {
     // replays all four trainings per-iteration in SQL.
     Q(
       "emb_pq_codes", {
+        val codeCols = (1 to PqM).map(s => s"a$s.cid AS code$s")
+          .mkString(", ")
+        val errSum = (1 to PqM).map(s => s"a$s.d").mkString(" + ")
+        val joins = (2 to PqM)
+          .map(s => s"JOIN s${s}af a$s USING (vec_id)").mkString(" ")
         s"""WITH $pqCtes
            |SELECT a1.vec_id,
-           |  a1.cid AS code1, a2.cid AS code2,
-           |  a3.cid AS code3, a4.cid AS code4,
-           |  ROUND(a1.d + a2.d + a3.d + a4.d, 6) AS recon_err
-           |FROM s1af a1 JOIN s2af a2 USING (vec_id)
-           |  JOIN s3af a3 USING (vec_id) JOIN s4af a4 USING (vec_id)
+           |  $codeCols,
+           |  ROUND($errSum, 6) AS recon_err
+           |FROM s1af a1 $joins
            |ORDER BY vec_id NULLS FIRST""".stripMargin
       }
     ) { (s, d) =>
@@ -501,20 +526,19 @@ object SimilarityQueries {
           .as(s"n${i + 1}")
       }
       emb.select(col("vec_id") +: near: _*)
-        .select(col("vec_id"),
-          col("n1.cid").as("code1"), col("n2.cid").as("code2"),
-          col("n3.cid").as("code3"), col("n4.cid").as("code4"),
-          round(col("n1.d") + col("n2.d") + col("n3.d") + col("n4.d"), 6)
-            .as("recon_err"))
+        .select(col("vec_id") +:
+          (1 to PqM).map(i => col(s"n$i.cid").as(s"code$i")) :+
+          round((1 to PqM).map(i => col(s"n$i.d")).reduceLeft(_ + _), 6)
+            .as("recon_err"): _*)
         .orderBy(col("vec_id"))
     },
 
     // --- PQ ANN via asymmetric distance computation (ADC) -----------------
     // The serving-side half of PQ: per query, ONE distance table per
-    // subspace (k=16 exact sub-distances from the query's subvector to
-    // the codebook — k·m = 64 kernel calls TOTAL per query, not per
-    // candidate), then every candidate's distance is m map lookups + 3
-    // adds over its CODES — the corpus's float embeddings are never
+    // subspace (k exact sub-distances from the query's subvector to
+    // the codebook — k·m kernel calls TOTAL per query, not per
+    // candidate), then every candidate's distance is m map lookups +
+    // m−1 adds over its CODES — the corpus's float embeddings are never
     // touched after encoding. The scan side is the narrow codes
     // projection; the query side (10 rows carrying their lookup tables)
     // broadcasts. Lookup keys are centroid IDS (not array positions) so
@@ -531,11 +555,13 @@ object SimilarityQueries {
         val joins = (1 to PqM)
           .map(s => s"JOIN s${s}c$PqIters cc$s ON cc$s.cid = x.c$s")
           .mkString("\n         ")
+        val codeCols = (1 to PqM).map(s => s"a$s.cid AS c$s")
+          .mkString(", ")
+        val codeJoins = (2 to PqM)
+          .map(s => s"JOIN s${s}af a$s USING (vec_id)").mkString(" ")
         s"""WITH $pqCtes,
-           |codes AS (SELECT a1.vec_id, a1.cid AS c1, a2.cid AS c2,
-           |    a3.cid AS c3, a4.cid AS c4
-           |  FROM s1af a1 JOIN s2af a2 USING (vec_id)
-           |    JOIN s3af a3 USING (vec_id) JOIN s4af a4 USING (vec_id)),
+           |codes AS (SELECT a1.vec_id, $codeCols
+           |  FROM s1af a1 $codeJoins),
            |q AS (SELECT vec_id AS q_id, embedding AS q_vec
            |      FROM embeddings WHERE vec_id < 10),
            |s AS (SELECT q.q_id, x.vec_id, $sub AS adc
