@@ -126,31 +126,15 @@ object SimilarityQueries {
         .stripMargin
     }.mkString(",\n")
 
-  /** Engine-side PQ training: one [[KMeans.fit]] per sliced subspace.
-    * Driver state is PqM × PqK × PqSubDim doubles — bounded, broadcast-
-    * sized, exactly what a FAISS-style trainer would hold. The M
-    * trainings are independent (disjoint coordinate slices), so they run
-    * CONCURRENTLY — Spark's scheduler interleaves the small per-
-    * iteration jobs instead of leaving the cluster idle M−1 fits out of
-    * M (the FAISS trainer parallelizes subquantizers the same way).
-    * Determinism is untouched: each fit's result depends only on its own
-    * slice, never on scheduling order. */
+  /** Engine-side PQ training: the M per-subspace k-means fits FUSED
+    * into one corpus scan + one aggregate per Lloyd iteration
+    * ([[KMeans.fitMulti]] — bit-identical to M separate fits, spec-
+    * proven). Driver state is PqM × PqK × PqSubDim doubles — bounded,
+    * broadcast-sized, exactly what a FAISS-style trainer would hold. */
   private def pqFit(emb: org.apache.spark.sql.DataFrame)
-      : Seq[Seq[KMeans.Centroid]] = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    // derive the sliced frames up front (plan construction on this
-    // thread); only job execution happens inside the futures
-    val sliced = (0 until PqM).map { i =>
-      emb.select(col("vec_id"),
-        slice(col("embedding"), i * PqSubDim + 1, PqSubDim)
-          .as("embedding"))
-    }
-    val fits = sliced.map(s =>
-      Future(KMeans.fit(s, k = PqK, iters = PqIters)))
-    fits.map(Await.result(_, Duration.Inf))
-  }
+      : Seq[Seq[KMeans.Centroid]] =
+    KMeans.fitMulti(emb, m = PqM, subDim = PqSubDim, k = PqK,
+      iters = PqIters)
 
   val all: Seq[Q] = Seq(
     // --- per-vector L2 norm — deterministic row-local fold → oracle-able
@@ -520,15 +504,17 @@ object SimilarityQueries {
     ) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val books = pqFit(emb)
-      val near = books.zipWithIndex.map { case (cents, i) =>
-        KMeans.nearestExpr(
-          slice(col("embedding"), i * PqSubDim + 1, PqSubDim), cents)
-          .as(s"n${i + 1}")
-      }
-      emb.select(col("vec_id") +: near: _*)
+      // one compiled all-subspace kernel call per row (PqNearestAll);
+      // the m-struct projection form builds a 100s-of-node expression
+      // tree that falls out of codegen — measured 4-5x slower
+      emb.select(col("vec_id"),
+          KMeans.nearestAllExpr(col("embedding"), PqSubDim, books)
+            .as("pq"))
         .select(col("vec_id") +:
-          (1 to PqM).map(i => col(s"n$i.cid").as(s"code$i")) :+
-          round((1 to PqM).map(i => col(s"n$i.d")).reduceLeft(_ + _), 6)
+          (1 to PqM).map(i =>
+            element_at(col("pq"), i).getField("cid").as(s"code$i")) :+
+          round((1 to PqM).map(i =>
+            element_at(col("pq"), i).getField("d")).reduceLeft(_ + _), 6)
             .as("recon_err"): _*)
         .orderBy(col("vec_id"))
     },

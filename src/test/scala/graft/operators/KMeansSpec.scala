@@ -97,4 +97,54 @@ class KMeansSpec extends SparkSpec {
         s"vec ${r.getLong(0)}: $dsum vs $exact")
     }
   }
+
+  test("fitMulti is bit-identical to m independent per-slice fits") {
+    val e = emb
+    val m = 4; val subDim = 16
+    val fused = KMeans.fitMulti(e, m = m, subDim = subDim, k = 5, iters = 2)
+    val separate = (0 until m).map { i =>
+      KMeans.fit(
+        e.select(col("vec_id"),
+          slice(col("embedding"), i * subDim + 1, subDim).as("embedding")),
+        k = 5, iters = 2)
+    }
+    assert(fused == separate,
+      "fusing the m trainings into one scan must not change any centroid")
+  }
+
+  test("PqNearestAll kernel is bit-identical to the compositional " +
+      "slice+nearestExpr form, both modes") {
+    val e = emb
+    val m = 4; val subDim = 16
+    val books = KMeans.fitMulti(e, m = m, subDim = subDim, k = 5, iters = 1)
+    // compositional reference: m independent slice->nearestExpr structs
+    val refCols = books.zipWithIndex.map { case (c, i) =>
+      KMeans.nearestExpr(slice(col("embedding"), i * subDim + 1, subDim), c)
+        .as(s"r$i")
+    }
+    val kernel = KMeans.nearestAllExpr(col("embedding"), subDim, books)
+    val rows = e.select(
+      Seq(col("vec_id"), kernel.as("pq")) ++ refCols: _*).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pq = r.getSeq[org.apache.spark.sql.Row](1)
+      (0 until m).foreach { i =>
+        val ref = r.getStruct(2 + i)
+        assert(pq(i).getDouble(0) == ref.getDouble(0) &&
+          pq(i).getInt(1) == ref.getInt(1),
+          s"vec ${r.getLong(0)} subspace $i: ${pq(i)} vs $ref")
+      }
+    }
+    // cid-only mode agrees with the struct mode
+    val both = e.select(
+      KMeans.nearestAllExpr(col("embedding"), subDim, books).as("pq"),
+      graft.functions.VectorOps.pqAssignAll(col("embedding"), subDim,
+        books.map(_.map(c => (c.cid, c.cvec.toArray)))).as("cids"))
+      .collect()
+    both.foreach { r =>
+      val pq = r.getSeq[org.apache.spark.sql.Row](0).map(_.getInt(1))
+      val cids = r.getSeq[Int](1)
+      assert(pq == cids)
+    }
+  }
 }
