@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet test tables (TESTDATA.md).
   *
@@ -22,20 +23,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects by default; read nanos as long and rebuild a µs-precision
-    * timestamp (same truncation DuckDB applies when comparing at µs).
-    * The legacy flag is restored after building the frame — schema
-    * resolution happens eagerly at read time, so the plan keeps its long
-    * view of `ts` while OTHER nanos-parquet reads in the session are not
-    * silently switched to LongType. */
+  /** events.parquet's `ts` encoding has varied across driver testdata
+    * generations — TIMESTAMP(NANOS) originally, TIMESTAMP_MICROS (naive)
+    * today — so branch on the RESOLVED dtype instead of hard-assuming one:
+    *   - LongType: the nanosAsLong escape hatch fired on a NANOS file;
+    *     rebuild a µs-precision timestamp (same truncation DuckDB applies).
+    *   - TimestampNTZType: naive µs file; cast to session-TZ TimestampType
+    *     (sessions run UTC, so the value is preserved and downstream
+    *     queries keep the TimestampType semantics the oracle SQL expects).
+    *   - TimestampType: already the shape we want.
+    * The legacy flag is restored after the read — schema resolution is
+    * eager, so the plan keeps its view of `ts` while OTHER parquet reads
+    * in the session are unaffected. */
   def events(s: SparkSession, d: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "true")
-    try load(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    finally prev match {
+    try {
+      val raw = load(s, d, "events")
+      raw.schema("ts").dataType match {
+        case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType    => raw
+        case other =>
+          sys.error(s"events.ts resolved to unsupported type $other; " +
+            "expected nanos-as-long, TIMESTAMP_NTZ, or TIMESTAMP")
+      }
+    } finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
     }

@@ -40,11 +40,18 @@ object Verify {
     if (only.nonEmpty)
       Files.writeString(Paths.get(s"$outDir/_FILTERED"),
         only.toSeq.sorted.mkString("\n"))
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+    // Failures must be LOUD in the artifact: a swallowed exception here
+    // silently shrinks CORRECTNESS (round 5 lost 56 entries with rc=0).
+    // Collect per-query errors into outDir/_ERRORS.json alongside the dumps.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val selected = SparkEntry.queries.filter(kv => keep(kv._1))
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg.take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -62,6 +69,18 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (errors.nonEmpty) {
+      val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/_ERRORS.json"), errJson)
+    }
+    val ok = selected.size - errors.size
+    System.err.println(
+      s"[verify] $ok of ${selected.size} queries dumped" +
+        (if (errors.nonEmpty)
+           s"; ${errors.size} FAILED (see $outDir/_ERRORS.json): " +
+             errors.keys.mkString(", ")
+         else ""))
     spark.stop()
   }
 }

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * The tiny fixed dims (region, nation) are copied once — scaling a
   * 25-row dim would change plan shapes (broadcastability) rather than
   * stress them. Every synthetic key sits far below `Stride`, so offset
-  * key spaces never collide. `events.ts` is read nanos-as-long and
-  * written as INT64 — [[graft.Tables.events]] applies the same
-  * `div 1000 → timestamp_micros` path either way.
+  * key spaces never collide. `events.ts` round-trips as-is for the
+  * current TIMESTAMP_MICROS fixtures (NTZ in → NTZ out); for a legacy
+  * TIMESTAMP(NANOS) source the nanosAsLong conf below reads it as long
+  * and writes INT64 — [[graft.Tables.events]] branches on the resolved
+  * type and handles both.
   *
   * Usage: `runMain graft.gen.ScaleUp <srcDir> <dstDir> [factor]`
   */

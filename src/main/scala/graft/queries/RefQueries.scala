@@ -377,11 +377,31 @@ object RefQueries {
         .orderBy(col("event_type"))
     },
 
-    // --- approximate distinct (HLL) — algorithm-specific, rows-only -----
-    Q.noOracle("ref_approx_distinct_users") { (s, d) =>
+    // --- approximate distinct (HLL) — error-bound-checked ----------------
+    // HLL register layouts and hashes differ across engines, so the sketch
+    // VALUE is not oracle-comparable; what IS comparable is the accuracy
+    // CONTRACT. Emit the exact count plus a boolean asserting the HLL
+    // estimate landed within tolerance (5× the 2% target rsd, floor of 2
+    // for tiny groups — robust to fixture regeneration, still a real
+    // quality gate); the oracle recomputes the exact count and asserts
+    // the boolean is always TRUE.
+    Q(
+      "ref_approx_distinct_users",
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_tol
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    ) { (s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count_distinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= greatest(lit(2L), (col("exact_users") * 0.10).cast("long")))
+            .as("within_tol"))
         .orderBy(col("event_type"))
     },
 
