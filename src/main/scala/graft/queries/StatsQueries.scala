@@ -206,6 +206,64 @@ object StatsQueries {
             .as("est_intersect"))
     },
 
+    // --- mergeable HLL sketch columns (DataSketches) ---------------------
+    // The store-sketches-merge-at-read pattern a 100 TB lake runs on:
+    // each partition (here: event day) aggregates its users into ONE
+    // binary HLL sketch; any rollup (month, all-time, ad-hoc day ranges)
+    // is a cheap union of those sketches — no rescan of the raw rows.
+    // Like the KMV/GK entries above, the sketch VALUE is engine-specific,
+    // so the oracle asserts the accuracy CONTRACT: estimate within 5× the
+    // lgK=12 target rsd (~1.6%) of the exact count, floor 2 for tiny
+    // partitions. Exact counts ride along in the same single-shuffle agg.
+    Q(
+      "q_hll_daily_users",
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_tol
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY event_date
+        |ORDER BY event_date NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .where(col("user_id").isNotNull)
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"),
+          count_distinct(col("user_id")).as("exact_users"))
+        .select(col("event_date"), col("exact_users"),
+          (abs(col("est") - col("exact_users"))
+            <= greatest(lit(2L), (col("exact_users") * 0.08).cast("long")))
+            .as("within_tol"))
+        .orderBy(col("event_date"))
+    },
+
+    // The merge leg: union the per-day sketches into an all-time
+    // estimate WITHOUT touching the raw rows again (the daily sketch
+    // frame is the only input to the union). The exact all-time count —
+    // one extra scan here — exists purely as the oracle's yardstick; at
+    // scale the union-of-sketches IS the answer.
+    Q(
+      "q_hll_mergeable_total",
+      """SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_total,
+        |  TRUE AS within_tol
+        |FROM events WHERE user_id IS NOT NULL""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d).where(col("user_id").isNotNull)
+      val daily = ev
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = daily.agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev.agg(count_distinct(col("user_id")).as("exact_total"))
+      merged.crossJoin(broadcast(exact))
+        .select(col("n_days"), col("exact_total"),
+          (abs(col("est") - col("exact_total"))
+            <= greatest(lit(2L), (col("exact_total") * 0.08).cast("long")))
+            .as("within_tol"))
+    },
+
     // --- deterministic hash-sampled quantiles ----------------------------
     // The replayable scale path for quantiles, beside the GK sketch
     // (q_value_percentiles_approx, rows-only by nature): a 1/8 Bernoulli

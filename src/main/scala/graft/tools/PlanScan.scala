@@ -25,7 +25,8 @@ object PlanScan {
       "ref_changepoint_cusum" -> "1-row (total, days) broadcast into the daily spine",
       "ref_kmv_set_algebra" -> "three 1-row sketch estimates cross-joined into one row",
       "text_vocab_drift" -> "1-row corpus token total broadcast into per-source terms",
-      "emb_recall_at_k" -> "1-row n_queries total broadcast into three 1-row hit counts")
+      "emb_recall_at_k" -> "1-row n_queries total broadcast into three 1-row hit counts",
+      "q_hll_mergeable_total" -> "1-row exact-total yardstick cross-joined into the 1-row sketch union")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
