@@ -146,6 +146,45 @@ case class TokensInSet(child: Expression, words: Seq[String])
       : TokensInSet = copy(child = newChild)
 }
 
+/** Count of pre-tokenizer tokens — semantically `size(regexp_extract_all(
+  * text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))` (maximal lowercase runs, maximal
+  * digit runs, every other non-space code point as its own token) as ONE
+  * UTF-8 byte walk with no regex machinery and no token-array
+  * materialization. The counting paths (`text_token_counts`, the
+  * fertility denominator) only ever take the SIZE of that array; at the
+  * 100× bench tier the regex formulation was the single most linear cost
+  * in the inventory (21× for 100× characters), all of it allocation +
+  * java.util.regex overhead this kernel avoids. The regex form stays in
+  * place where the tokens themselves are consumed (`explode`).
+  *
+  * Byte-walk correctness: the three classes are pure ASCII, and every
+  * non-ASCII code point falls in `[^a-z0-9 ]` — so continuation bytes
+  * are skipped via UTF8String.numBytesForFirstByte and each multi-byte
+  * code point counts exactly once, matching code-point-aware regex
+  * engines (java.util.regex here, RE2 in the DuckDB oracle). */
+case class PreTokenCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pre_token_count requires string, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.preTokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.preTokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PreTokenCount = copy(child = newChild)
+}
+
 object TextKernels {
 
   private val Space = UTF8String.fromString(" ")
@@ -244,6 +283,36 @@ object TextKernels {
     }
     c
   }
+
+  /** Static kernel for [[PreTokenCount]] — shared by interpreted eval
+    * and generated code. Single pass; state is which run class the walk
+    * is inside (0 = none/space, 1 = lowercase run, 2 = digit run). */
+  def preTokenCount(s: UTF8String): Long = {
+    val n = s.numBytes
+    var count = 0L
+    var cls = 0
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if ((b & 0x80) == 0) { // ASCII
+        if (b >= 'a' && b <= 'z') {
+          if (cls != 1) { count += 1; cls = 1 }
+        } else if (b >= '0' && b <= '9') {
+          if (cls != 2) { count += 1; cls = 2 }
+        } else if (b == ' ') cls = 0
+        else { count += 1; cls = 0 }
+        i += 1
+      } else { // any non-ASCII code point is one [^a-z0-9 ] token
+        count += 1
+        cls = 0
+        i += UTF8String.numBytesForFirstByte(b)
+      }
+    }
+    count
+  }
+
+  def pre_token_count(text: Column): Column =
+    column(PreTokenCount(expression(text)))
 
   def minhash_sig(tokens: Column, k: Int): Column =
     column(MinHashSig(expression(tokens), k))

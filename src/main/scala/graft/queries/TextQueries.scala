@@ -64,8 +64,8 @@ object TextQueries {
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         size(toks).cast("long").as("n_tokens"),
-        size(TextOps.regexTokens(col("text")))
-          .cast("long").as("n_regex_tokens"))
+        graft.functions.TextKernels.pre_token_count(col("text"))
+          .as("n_regex_tokens"))
         .orderBy(col("doc_id"))
     },
 
@@ -702,8 +702,8 @@ object TextQueries {
         .agg(
           count(lit(1)).as("n_docs"),
           sum(size(TextOps.tokens(col("text")))).cast("long").as("words"),
-          sum(size(TextOps.regexTokens(col("text")))).cast("long")
-            .as("subwords"),
+          sum(graft.functions.TextKernels.pre_token_count(col("text")))
+            .cast("long").as("subwords"),
           sum(length(col("text"))).cast("long").as("chars"))
         .select(col("lang"), col("n_docs"), col("words"), col("subwords"),
           expr("CAST(subwords * 1000000 div words AS BIGINT)")

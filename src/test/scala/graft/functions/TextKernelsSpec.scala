@@ -113,4 +113,38 @@ class TextKernelsSpec extends SparkSpec {
       assert(r.getSeq[String](0).head == "a b c")
     }
   }
+
+  test("pre_token_count equals size(regexp_extract_all) on edge and " +
+      "random strings") {
+    val edge = Seq(
+      "", " ", "   ", "abc", "abc def", "a1b2", "123 456", "A", "AA a",
+      "hello, world!", "tab\there", "line\nbreak", "mixed CASE text 42",
+      "éclair café", "日本語 text", "emoji 😀 here",
+      "a  double  spaces", "!!!", "a!b?c", "trailing space ", " leading")
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abc XYZ019 .,!é日"
+    val fuzz = (1 to 200).map(_ =>
+      (1 to rnd.nextInt(60)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = docs((edge ++ fuzz).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }: _*)
+    val out = df.select(col("doc_id"), col("text"),
+        TextKernels.pre_token_count(col("text")).as("fast"),
+        size(TextOps.regexTokens(col("text"))).cast("long").as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getLong(2) == r.getLong(3),
+      s"mismatch on ${r.getString(1)}: " +
+        s"kernel ${r.getLong(2)} != regex ${r.getLong(3)}"))
+    // interpreted path matches codegen
+    withInterpretedEval {
+      val i = df.orderBy(col("doc_id"))
+        .select(TextKernels.pre_token_count(col("text")))
+        .collect().map(_.getLong(0))
+      assert(i.toSeq ==
+        out.sortBy(_.getLong(0)).map(_.getLong(2)).toSeq)
+    }
+    // null text → null
+    assert(df.limit(1).select(TextKernels.pre_token_count(
+      lit(null).cast("string"))).head().isNullAt(0))
+  }
 }
