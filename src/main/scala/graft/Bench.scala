@@ -69,7 +69,10 @@ object Bench {
     // The driver keeps only a truncated stdout tail in its artifact; also
     // persist the full line so per-query timings stay machine-readable
     // (BENCH_r05.json lost all but the last ~60 entries to truncation).
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    // Absolute default: a cwd-relative path would scatter artifacts per
+    // launch directory and let a stale earlier run shadow the latest.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/graft_bench_last.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       line + "\n")
     catch { case e: Throwable =>

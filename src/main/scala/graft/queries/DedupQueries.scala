@@ -120,14 +120,22 @@ object DedupQueries {
     * length filter — see the query's scaladoc for the theorem). Input
     * needs (doc_id, text); emits every verified candidate pair with its
     * exact jaccard, unfiltered — the caller applies the threshold. */
-  private[queries] def ppjoinPairs(base: org.apache.spark.sql.DataFrame,
-      maxPostingOccupancy: Int = HotBucketCap)
-      : org.apache.spark.sql.DataFrame = {
-    val docs = base.select(
+  /** Stage 1 of the PPJoin pipeline: (doc_id, sorted shingle set, size).
+    * Exposed separately so the profiler measures EXACTLY the shipped
+    * stages — a tuned threshold or cap changes both in one place. */
+  private[queries] def ppjoinDocs(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    base.select(
       col("doc_id"),
       TextOps.sortedShingleSet(TextOps.tokens(col("text")), 3).as("sh"))
       .withColumn("n", size(col("sh")))
       .repartition(col("doc_id"))
+
+  /** Stage 2: rarest-first prefix occurrences under the ⌊n/2⌋+1 prefix
+    * length and the hot-posting occupancy cap (see [[ppjoinPairs]]). */
+  private[queries] def ppjoinPrefix(docs: org.apache.spark.sql.DataFrame,
+      maxPostingOccupancy: Int = HotBucketCap)
+      : org.apache.spark.sql.DataFrame = {
     val ex = docs.select(col("doc_id"), col("n"),
       explode(col("sh")).as("g"))
     val gdf = ex.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
@@ -138,12 +146,29 @@ object DedupQueries {
     // natural corpora prefix postings stay short; an adversarial corpus
     // of near-identical docs floods even rare-first prefixes, and this
     // cap is what keeps the prefix self-join from going quadratic on it.
-    val prefix = ex.join(gdf, "g")
+    ex.join(gdf, "g")
       .withColumn("rn", row_number().over(byRarity))
       .where(col("rn") <= expr("n div 2 + 1"))
       .withColumn("pocc", count(lit(1)).over(Window.partitionBy(col("g"))))
       .where(col("pocc") <= maxPostingOccupancy)
       .select(col("g"), col("doc_id"), col("n"), col("rn"))
+  }
+
+  /** The length + positional candidate filters as a reusable join
+    * condition over two aliased prefix frames (x, y). */
+  private[queries] def ppjoinCandCond: org.apache.spark.sql.Column =
+    col("x.g") === col("y.g") &&
+      col("x.doc_id") < col("y.doc_id") &&
+      col("x.n") <= col("y.n") * 2 &&
+      col("y.n") <= col("x.n") * 2 &&
+      lit(3) * (lit(1) + least(col("x.n") - col("x.rn"),
+        col("y.n") - col("y.rn"))) >= col("x.n") + col("y.n")
+
+  private[queries] def ppjoinPairs(base: org.apache.spark.sql.DataFrame,
+      maxPostingOccupancy: Int = HotBucketCap)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = ppjoinDocs(base)
+    val prefix = ppjoinPrefix(docs, maxPostingOccupancy)
     // Positional filter (the PPJoin refinement over AllPairs): a match
     // at prefix positions (i, j) can extend to at most
     // 1 + min(nₐ−i, n_b−j) common shingles — everything before the
@@ -155,14 +180,7 @@ object DedupQueries {
     // filtering before the distinct loses no pair. Measured at sf0.1:
     // 310k → 125k candidates on this shingle-dense corpus.
     val cand = prefix.as("x")
-      .join(prefix.as("y"),
-        col("x.g") === col("y.g")
-          && col("x.doc_id") < col("y.doc_id")
-          && col("x.n") <= col("y.n") * 2
-          && col("y.n") <= col("x.n") * 2
-          && lit(3) * (lit(1) + least(col("x.n") - col("x.rn"),
-              col("y.n") - col("y.rn")))
-            >= col("x.n") + col("y.n"))
+      .join(prefix.as("y"), ppjoinCandCond)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
     cand

@@ -2,16 +2,16 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.functions.TextOps
 
 /** Stage-by-stage profile of the PPJoin pipeline (`dedup_ppjoin`) — run
   * when its wall-clock moves between rounds to attribute the change to
   * corpus statistics (candidate counts are data-dependent) vs a plan
-  * regression. Lives in this package for access to [[DedupQueries]]'
-  * internals; it is a measurement harness, not part of the inventory.
+  * regression. Consumes the SAME stage builders as the shipped query
+  * ([[DedupQueries.ppjoinDocs]] / [[DedupQueries.ppjoinPrefix]] /
+  * [[DedupQueries.ppjoinCandCond]]), so a tuned threshold or cap can
+  * never make the profiler silently measure a different pipeline.
   *
   * usage: SPARK_GRAFT_SF_DIR=... runMain graft.queries.PpjoinProfile
   */
@@ -26,47 +26,36 @@ object PpjoinProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      TextOps.sortedShingleSet(TextOps.tokens(col("text")), 3).as("sh"))
-      .withColumn("n", size(col("sh")))
-      .repartition(col("doc_id"))
+    val docs = DedupQueries.ppjoinDocs(Tables.documents(spark, sfDir))
     docs.persist()
-    val stats = docs.agg(count(lit(1)), avg(col("n")), max(col("n"))).head()
-    println(s"docs=${stats.getLong(0)} avg_shingles=${stats.getDouble(1)}" +
-      f" max_shingles=${stats.getInt(2)}")
+    // getAs[Any] + Option: avg/max over an EMPTY corpus are NULL — report
+    // zeros instead of an opaque driver NPE
+    val st = docs.agg(count(lit(1)).as("c"), avg(col("n")).as("a"),
+      max(col("n")).as("m")).head()
+    println(s"docs=${st.getLong(0)}" +
+      s" avg_shingles=${Option(st.getAs[Any]("a")).getOrElse(0)}" +
+      s" max_shingles=${Option(st.getAs[Any]("m")).getOrElse(0)}")
 
     val ex = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
     val gdf = ex.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
     println("distinct shingles: " + gdf.count())
-    println("hot shingles (df>100): " +
-      gdf.where(col("gdf") > 100).count())
+    println("hot shingles (df>100): " + gdf.where(col("gdf") > 100).count())
 
-    val byRarity = Window.partitionBy(col("doc_id"))
-      .orderBy(col("gdf"), col("g"))
-    val prefix = ex.join(gdf, "g")
-      .withColumn("rn", row_number().over(byRarity))
-      .where(col("rn") <= expr("n div 2 + 1"))
-      .withColumn("pocc", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .where(col("pocc") <= DedupQueries.HotBucketCap)
-      .select(col("g"), col("doc_id"), col("n"), col("rn"))
+    val prefix = DedupQueries.ppjoinPrefix(docs)
     prefix.persist()
     println("prefix occurrences: " + prefix.count())
+    val occMax = prefix.groupBy(col("g")).count()
+      .agg(max(col("count")).as("m")).head()
     println("max posting occupancy kept: " +
-      prefix.groupBy(col("g")).count().agg(max(col("count"))).head().getLong(0))
+      Option(occMax.getAs[Any]("m")).getOrElse(0))
 
-    val occ = prefix.as("x")
-      .join(prefix.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+    val occ = prefix.as("x").join(prefix.as("y"),
+      col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
     println("occurrence pairs (no filters): " + occ.count())
-    val lenF = occ.where(col("x.n") <= col("y.n") * 2
-      && col("y.n") <= col("x.n") * 2)
-    println("after length filter: " + lenF.count())
-    val posF = lenF.where(lit(3) * (lit(1) + least(
-      col("x.n") - col("x.rn"), col("y.n") - col("y.rn")))
-      >= col("x.n") + col("y.n"))
-    println("after positional filter: " + posF.count())
-    val cand = posF.select(col("x.doc_id").as("a_id"),
+    val filtered = prefix.as("x")
+      .join(prefix.as("y"), DedupQueries.ppjoinCandCond)
+    println("after length+positional filters: " + filtered.count())
+    val cand = filtered.select(col("x.doc_id").as("a_id"),
       col("y.doc_id").as("b_id")).distinct()
     println("distinct candidates: " + cand.count())
 

@@ -44,32 +44,52 @@ object StatsQueries {
     // --- approximate quantiles (mergeable sketch) — rank-bound-checked ---
     // GK-sketch values are algorithm-specific, so the approx VALUE is not
     // oracle-comparable; the rank-error CONTRACT is. accuracy=10000 bounds
-    // rank error at n/10000; assert each approx quantile lies between the
-    // EXACT quantile values one rank percent either side (100× the
-    // guarantee — robust to fixture regeneration, still far tighter than a
-    // rows-only check). The oracle enumerates the groups and asserts the
-    // booleans are always TRUE.
+    // rank error at n/10000; the check verifies it in RANK space: the
+    // returned value v must have #{x < v} ≤ q·n + slack and
+    // #{x ≤ v} ≥ q·n − slack, slack = 0.01·n + 1 (100× the guarantee,
+    // +1 absorbs rounding at tiny n). Counting ranks — rather than
+    // bracketing v between interpolated exact percentiles — stays correct
+    // for ANY group size (a 2-row group's interpolated p50 brackets no
+    // data value at all) and avoids the exact-percentile aggregate's
+    // buffer-everything memory cost: the second pass is a narrow
+    // conditional count against the broadcast 3-value sketch row. The
+    // oracle enumerates the groups and asserts the booleans are TRUE.
     Q(
       "q_value_percentiles_approx",
       """SELECT event_type, TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
         |FROM (SELECT DISTINCT event_type FROM events)
         |ORDER BY event_type NULLS FIRST""".stripMargin
     ) { (s, d) =>
-      def ok(i: Int) = {
-        val (lo, hi) = (element_at(col("ex"), 2 * i - 1), element_at(col("ex"), 2 * i))
-        val aq = element_at(col("aq"), i)
-        // all-NULL value group: both sketches return NULL — that's a pass
-        when(aq.isNull, lo.isNull).otherwise(aq >= lo && aq <= hi)
-      }
-      Tables.events(s, d)
+      val ev = Tables.events(s, d)
+      val aq = ev.groupBy(col("event_type"))
+        .agg(expr("percentile_approx(value, array(0.5, 0.9, 0.99), 10000)")
+          .as("aq"))
+        .select(col("event_type").as("et"),
+          element_at(col("aq"), 1).as("a50"),
+          element_at(col("aq"), 2).as("a90"),
+          element_at(col("aq"), 3).as("a99"))
+      val counted = ev
+        .join(broadcast(aq), col("event_type") <=> col("et"), "left")
         .groupBy(col("event_type"))
         .agg(
-          expr("percentile_approx(value, array(0.5, 0.9, 0.99), 10000)")
-            .as("aq"),
-          expr("percentile(value, array(0.49, 0.51, 0.89, 0.91, 0.98, 1.0))")
-            .as("ex"))
-        .select(col("event_type"),
-          ok(1).as("ok50"), ok(2).as("ok90"), ok(3).as("ok99"))
+          count(col("value")).as("n"),
+          count(when(col("value") < col("a50"), 1)).as("lt50"),
+          count(when(col("value") <= col("a50"), 1)).as("le50"),
+          count(when(col("value") < col("a90"), 1)).as("lt90"),
+          count(when(col("value") <= col("a90"), 1)).as("le90"),
+          count(when(col("value") < col("a99"), 1)).as("lt99"),
+          count(when(col("value") <= col("a99"), 1)).as("le99"))
+      def ok(q: Double, lt: String, le: String) = {
+        val slack = col("n") * 0.01 + 1
+        val target = col("n") * q
+        // all-NULL value group: sketch returns NULL, n = 0 — that's a pass
+        when(col("n") === 0, lit(true))
+          .otherwise(col(lt) <= target + slack && col(le) >= target - slack)
+      }
+      counted.select(col("event_type"),
+        ok(0.5, "lt50", "le50").as("ok50"),
+        ok(0.9, "lt90", "le90").as("ok90"),
+        ok(0.99, "lt99", "le99").as("ok99"))
         .orderBy(col("event_type"))
     },
 
@@ -259,8 +279,12 @@ object StatsQueries {
       val exact = ev.agg(count_distinct(col("user_id")).as("exact_total"))
       merged.crossJoin(broadcast(exact))
         .select(col("n_days"), col("exact_total"),
-          (abs(col("est") - col("exact_total"))
-            <= greatest(lit(2L), (col("exact_total") * 0.08).cast("long")))
+          // zero qualifying rows: the union over an empty frame is NULL,
+          // which must read as a pass against an exact count of 0 (the
+          // oracle's aggregates are total and emit one TRUE row)
+          when(col("est").isNull, col("exact_total") === 0)
+            .otherwise(abs(col("est") - col("exact_total"))
+              <= greatest(lit(2L), (col("exact_total") * 0.08).cast("long")))
             .as("within_tol"))
     },
 

@@ -22,8 +22,13 @@ class TablesEncodingSpec extends SparkSpec {
     "2024-06-15 12:34:56.789012",
     "2025-12-31 23:59:59.999999")
 
+  // Parse as UTC instants explicitly: the SESSION TZ is UTC, but
+  // Timestamp.valueOf would use the JVM default TZ — on a non-UTC
+  // machine that shifts every expectation by the zone offset.
   private def expected: Seq[Timestamp] =
-    instants.map(Timestamp.valueOf) // session TZ is UTC in SparkSpec
+    instants.map(s => Timestamp.from(
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC)))
 
   private def readBack(dir: String): Seq[Timestamp] = {
     val df = Tables.events(spark, dir)

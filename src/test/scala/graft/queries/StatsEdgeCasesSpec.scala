@@ -76,4 +76,33 @@ class StatsEdgeCasesSpec extends SparkSpec {
     assert(out.head.isNullAt(out.head.fieldIndex("est_click")))
     assert(out.head.isNullAt(out.head.fieldIndex("est_view")))
   }
+
+  test("q_value_percentiles_approx: tiny groups pass the rank-bound check") {
+    // a 2-value group has NO data value inside interpolated p50±1% bounds
+    // — the rank-space check must still pass (review finding, round 6)
+    val d = eventsDir(Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "click", 1.0),
+      (2L, "2024-01-01 00:01:00", 11L, "click", 100.0),
+      (3L, "2024-01-01 00:02:00", 12L, "view", 7.0)))
+    val out = q("q_value_percentiles_approx")(spark, d).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      Seq("ok50", "ok90", "ok99").foreach(c =>
+        assert(r.getAs[Boolean](c),
+          s"$c false for ${r.getString(0)} on a tiny group"))
+    }
+  }
+
+  test("q_hll_mergeable_total: zero qualifying rows -> within_tol TRUE, not NULL") {
+    val d = eventsDir(Seq(
+      (1L, "2024-01-01 00:00:00", null, "click", 1.0),
+      (2L, "2024-01-01 00:01:00", null, "view", 2.0)))
+    val r = q("q_hll_mergeable_total")(spark, d).head()
+    assert(r.getAs[Long]("n_days") === 0L)
+    assert(r.getAs[Long]("exact_total") === 0L)
+    assert(!r.isNullAt(r.fieldIndex("within_tol")) &&
+      r.getAs[Boolean]("within_tol"))
+    // the per-day leg on the same fixture: zero groups on both sides
+    assert(q("q_hll_daily_users")(spark, d).count() === 0L)
+  }
 }
