@@ -1,8 +1,5 @@
 package graft.io
 
-import java.nio.charset.StandardCharsets
-
-import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,33 +34,12 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
-  private def fs(spark: SparkSession, p: String): FileSystem =
-    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  // version/publish protocol shared with IncrementalDistinct
+  private def currentVersion(spark: SparkSession, statePath: String): Int =
+    VersionedState.currentVersion(spark, statePath)
 
-  private def currentVersion(spark: SparkSession, statePath: String): Int = {
-    val f = fs(spark, statePath)
-    val cur = new Path(statePath, "_CURRENT")
-    val tmp = new Path(statePath, "_CURRENT.tmp")
-    // self-heal the publish window: the tmp pointer is complete before
-    // the old pointer is deleted, so "tmp exists, cur doesn't" means a
-    // crash hit between delete and rename — finish the rename (same
-    // recovery discipline as Compaction.recover)
-    if (!f.exists(cur) && f.exists(tmp)) f.rename(tmp, cur)
-    if (!f.exists(cur)) 0
-    else {
-      val in = f.open(cur)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](256)
-        var r = in.read(chunk)
-        while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
-        new String(buf.toByteArray, StandardCharsets.UTF_8)
-          .trim.stripPrefix("v").toInt
-      } finally in.close()
-    }
-  }
-
-  private def versionDir(statePath: String, v: Int) = s"$statePath/v$v"
+  private def versionDir(statePath: String, v: Int) =
+    VersionedState.versionDir(statePath, v)
 
   /** Live aggregate. At version 0 the empty frame's key columns take
     * their types from `keyTemplate` when given (pass the batch — a
@@ -125,16 +101,7 @@ object IncrementalAgg {
     merged.write.mode("overwrite").parquet(s"$next/agg")
     (appliedBatches(spark, statePath) + batchId).toSeq.toDF("batch_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$next/_applied")
-    // publish: temp + rename, the all-or-nothing pointer flip
-    val f = fs(spark, statePath)
-    val tmp = new Path(statePath, "_CURRENT.tmp")
-    val out = f.create(tmp, true)
-    try out.write(s"v${v + 1}".getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val curPath = new Path(statePath, "_CURRENT")
-    f.delete(curPath, false)
-    if (!f.rename(tmp, curPath))
-      throw new java.io.IOException(s"publish failed for $next")
+    VersionedState.publish(spark, statePath, v + 1)
     read(spark, statePath, keys)
   }
 }

@@ -288,6 +288,47 @@ object StatsQueries {
             .as("within_tol"))
     },
 
+    // --- incremental distinct maintenance through the oracle gate --------
+    // Exercises io.IncrementalDistinct END-TO-END inside the correctness
+    // gate (IncrementalAgg's machinery is spec-only; this one is also
+    // oracle-checked): the events are split by user-id parity into two
+    // batches, folded through the versioned sketch state — so the HLL
+    // UNION of partial per-key sketches across batches is what's being
+    // verified, not a single-shot aggregation — and the served estimates
+    // are tolerance-checked against exact counts, same contract as
+    // q_hll_daily_users.
+    Q(
+      "q_incremental_distinct_users",
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_tol
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY event_date
+        |ORDER BY event_date NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .where(col("user_id").isNotNull)
+        .select(to_date(col("ts")).as("event_date"), col("user_id"))
+      val statePath = java.nio.file.Files
+        .createTempDirectory("incdist-q").toString
+      graft.io.IncrementalDistinct.update(s, statePath,
+        ev.where(pmod(col("user_id"), lit(2)) === 0),
+        Seq("event_date"), "user_id", "even")
+      graft.io.IncrementalDistinct.update(s, statePath,
+        ev.where(pmod(col("user_id"), lit(2)) =!= 0),
+        Seq("event_date"), "user_id", "odd")
+      val est = graft.io.IncrementalDistinct.estimates(
+        s, statePath, Seq("event_date"), Some(ev))
+      val exact = ev.groupBy(col("event_date"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      exact.join(est, Seq("event_date"))
+        .select(col("event_date"), col("exact_users"),
+          (abs(col("distinct_est") - col("exact_users"))
+            <= greatest(lit(2L), (col("exact_users") * 0.08).cast("long")))
+            .as("within_tol"))
+        .orderBy(col("event_date"))
+    },
+
     // --- deterministic hash-sampled quantiles ----------------------------
     // The replayable scale path for quantiles, beside the GK sketch
     // (q_value_percentiles_approx, rows-only by nature): a 1/8 Bernoulli
