@@ -71,8 +71,15 @@ object Bench {
     // (BENCH_r05.json lost all but the last ~60 entries to truncation).
     // Absolute default: a cwd-relative path would scatter artifacts per
     // launch directory and let a stale earlier run shadow the latest.
+    // The sf tier is baked into the name so runs at different tiers
+    // (sf0.01 iteration vs the driver's sf0.1 pass) never clobber each
+    // other's full per-query timing line.
+    val sfName = new java.io.File(sfDir).getName match {
+      case "" | "." | ".." => "default"
+      case n => n.replaceAll("[^A-Za-z0-9._-]", "_")
+    }
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/tmp/graft_bench_last.json")
+      s"/tmp/graft_bench_$sfName.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       line + "\n")
     catch { case e: Throwable =>

@@ -69,11 +69,15 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    if (errors.nonEmpty) {
-      val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
-        .mkString("{", ",", "}")
-      Files.writeString(Paths.get(s"$outDir/_ERRORS.json"), errJson)
-    }
+    // ALWAYS written — an empty object on success — so a missing
+    // _ERRORS.json is distinguishable from "Verify crashed before the
+    // error pass". The exit code intentionally stays 0 even on partial
+    // failure: if the driver aborted its DuckDB compare on a nonzero rc,
+    // one flaky query would zero the whole round's CORRECTNESS instead
+    // of costing one entry; the artifact, not the rc, carries the signal.
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_ERRORS.json"), errJson)
     val ok = selected.size - errors.size
     System.err.println(
       s"[verify] $ok of ${selected.size} queries dumped" +

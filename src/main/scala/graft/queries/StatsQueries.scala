@@ -317,12 +317,30 @@ object StatsQueries {
       graft.io.IncrementalDistinct.update(s, statePath,
         ev.where(pmod(col("user_id"), lit(2)) =!= 0),
         Seq("event_date"), "user_id", "odd")
-      val est = graft.io.IncrementalDistinct.estimates(
+      // Materialize the served estimates (one row per date — bounded
+      // small) so the temp state dirs can be reclaimed NOW rather than
+      // leaking one pair of parquet generations per Verify/Bench
+      // invocation; the returned plan then reads a local frame, not the
+      // deleted path.
+      import scala.jdk.CollectionConverters._
+      val estDf = graft.io.IncrementalDistinct.estimates(
         s, statePath, Seq("event_date"), Some(ev))
+      val estSchema = estDf.schema
+      val estRows = estDf.collect().toIndexedSeq
+      locally {
+        import java.nio.file.{Files, Path, Paths}
+        Files.walk(Paths.get(statePath)).iterator().asScala.toSeq.reverse
+          .foreach((p: Path) => Files.deleteIfExists(p))
+      }
+      val est = s.createDataFrame(estRows.asJava, estSchema)
       val exact = ev.groupBy(col("event_date"))
         .agg(count_distinct(col("user_id")).as("exact_users"))
-      exact.join(est, Seq("event_date"))
-        .select(col("event_date"), col("exact_users"),
+      // Null-safe on the date key: a NULL ts (with non-null user_id)
+      // groups under a NULL event_date in BOTH frames and in the
+      // oracle's GROUP BY — an inner equi-join would silently drop it.
+      exact.as("x").join(est.as("e"),
+          col("x.event_date") <=> col("e.event_date"))
+        .select(col("x.event_date").as("event_date"), col("exact_users"),
           (abs(col("distinct_est") - col("exact_users"))
             <= greatest(lit(2L), (col("exact_users") * 0.08).cast("long")))
             .as("within_tol"))
