@@ -3,31 +3,62 @@ package graft.gen
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Deterministic testdata scale-up: writes `factor` key-offset copies of
-  * a source scale-factor directory, preserving referential integrity
-  * (each copy's orders point at the same copy's customers, etc.) and all
-  * value distributions. Joins and aggregates therefore scale exactly by
-  * `factor` — the point of the tier: catch plans whose cost bends
+/** Deterministic testdata scale-up: writes key-offset copies of a source
+  * scale-factor directory, preserving referential integrity (each copy's
+  * orders point at the same copy's customers, etc.) and all value
+  * distributions. Joins and aggregates therefore scale exactly by the
+  * copy count — the point of the tier: catch plans whose cost bends
   * super-linearly when shuffles stop fitting where they used to.
   *
-  * The tiny fixed dims (region, nation) are copied once — scaling a
-  * 25-row dim would change plan shapes (broadcastability) rather than
-  * stress them. Every synthetic key sits far below `Stride`, so offset
-  * key spaces never collide. `events.ts` round-trips as-is for the
-  * current TIMESTAMP_MICROS fixtures (NTZ in → NTZ out); for a legacy
-  * TIMESTAMP(NANOS) source the nanosAsLong conf below reads it as long
-  * and writes INT64 — [[graft.Tables.events]] branches on the resolved
-  * type and handles both.
+  * Copies are produced by a crossJoin with a broadcast `range(n)` index
+  * frame — ONE scan of the source regardless of n — so dim factors in
+  * the hundreds don't build an n-way union plan. Every synthetic key
+  * sits far below `Stride`, so offset key spaces never collide.
   *
-  * Usage: `runMain graft.gen.ScaleUp <srcDir> <dstDir> [factor]`
+  * Two knobs beyond the base `factor`:
+  *
+  *  - `dimFactor` (4th arg, default 1): extra multiplier applied to the
+  *    SCALABLE dims (customer/supplier/part) on top of `factor`. The
+  *    fact tables keep referencing the first `factor` copies — extra dim
+  *    rows are simply unmatched, the classic "big dimension, selective
+  *    fact" lake shape — which is exactly what the big-dim bench tier
+  *    needs: dims large enough that the stats-driven star joins demote
+  *    from broadcast to shuffled strategies under AQE. The tiny fixed
+  *    enums (region, nation) are still copied once: scaling a 25-row dim
+  *    would change join RESULTS, not just plan shapes.
+  *
+  *  - `--fresh-text`: rewrites `documents.text` per copy by suffixing
+  *    every whitespace token with the copy index (copy 0 stays
+  *    pristine). Token sets of different copies become disjoint, so a
+  *    doc is never a near-dup of its own copy in another replica, while
+  *    WITHIN a copy every token set is renamed injectively — Jaccard
+  *    similarity, set overlaps, and therefore the MinHash/PPJoin
+  *    near-dup pair structure of the original corpus are preserved
+  *    verbatim per copy. Total near-dup pairs scale ×n (density
+  *    constant) instead of the ×n² blow-up verbatim copies produce
+  *    (n key-offset copies of one dup group → C(n·g,2) true pairs) —
+  *    the honest way to scale-bench `dedup_minhash_lsh` / `dedup_ppjoin`
+  *    / `dedup_simhash`.
+  *
+  * `events.ts` round-trips as-is for the current TIMESTAMP_MICROS
+  * fixtures (NTZ in → NTZ out); for a legacy TIMESTAMP(NANOS) source the
+  * nanosAsLong conf below reads it as long and writes INT64 —
+  * [[graft.Tables.events]] branches on the resolved type and handles
+  * both.
+  *
+  * Usage: `runMain graft.gen.ScaleUp <srcDir> <dstDir> [factor]
+  *         [dimFactor] [--fresh-text]`
   */
 object ScaleUp {
 
   private val Stride = 10000000L
 
   def main(args: Array[String]): Unit = {
-    val Array(src, dst) = args.take(2)
-    val factor = if (args.length > 2) args(2).toInt else 10
+    val freshText = args.contains("--fresh-text")
+    val pos = args.filterNot(_.startsWith("--"))
+    val Array(src, dst) = pos.take(2)
+    val factor = if (pos.length > 2) pos(2).toInt else 10
+    val dimFactor = if (pos.length > 3) pos(3).toInt else 1
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", 16)
@@ -37,14 +68,16 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def copies(t: String, keyCols: Seq[String]): Unit = {
+    def copies(t: String, keyCols: Seq[String], n: Int,
+        perturb: DataFrame => DataFrame = identity): Unit = {
       val base = spark.read.parquet(s"$src/$t.parquet")
-      val out = (0 until factor).map { i =>
-        keyCols.foldLeft(base)((d, k) =>
-          d.withColumn(k, col(k) + lit(i * Stride)))
-      }.reduce(_ unionByName _)
-      out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
-      println(s"[scaleup] $t x$factor")
+      val idx = spark.range(n.toLong).select(col("id").as("_copy_idx"))
+      val out = keyCols
+        .foldLeft(base.crossJoin(broadcast(idx)))((d, k) =>
+          d.withColumn(k, col(k) + col("_copy_idx") * Stride))
+      perturb(out).drop("_copy_idx")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scaleup] $t x$n")
     }
     def once(t: String): Unit = {
       spark.read.parquet(s"$src/$t.parquet")
@@ -52,15 +85,26 @@ object ScaleUp {
       println(s"[scaleup] $t x1 (fixed dim)")
     }
 
+    // copy 0 pristine; other copies' tokens suffixed with the copy index
+    // (injective per copy → within-copy similarity structure unchanged,
+    // cross-copy token sets disjoint → no synthetic cross-copy near-dups)
+    val freshen: DataFrame => DataFrame = df =>
+      df.withColumn("text",
+        when(col("_copy_idx") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1~"), col("_copy_idx")))))
+
+    val dimN = factor * dimFactor
     once("region"); once("nation")
-    copies("customer", Seq("c_custkey"))
-    copies("supplier", Seq("s_suppkey"))
-    copies("part", Seq("p_partkey"))
-    copies("orders", Seq("o_orderkey", "o_custkey"))
-    copies("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
-    copies("events", Seq("event_id", "user_id"))
-    copies("documents", Seq("doc_id"))
-    copies("embeddings", Seq("vec_id"))
+    copies("customer", Seq("c_custkey"), dimN)
+    copies("supplier", Seq("s_suppkey"), dimN)
+    copies("part", Seq("p_partkey"), dimN)
+    copies("orders", Seq("o_orderkey", "o_custkey"), factor)
+    copies("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), factor)
+    copies("events", Seq("event_id", "user_id"), factor)
+    copies("documents", Seq("doc_id"), factor,
+      if (freshText) freshen else identity)
+    copies("embeddings", Seq("vec_id"), factor)
     spark.stop()
   }
 }

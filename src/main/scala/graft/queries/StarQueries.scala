@@ -10,8 +10,12 @@ import graft.Tables
   * test tables.
   *
   * Scale design (100 TB):
-  *  - dimension tables (region/nation/customer/supplier) are broadcast
-  *    explicitly — no shuffle of the fact table for dim joins;
+  *  - the bounded dims (region/nation — fixed 25-row enums) are broadcast
+  *    explicitly; the SCALABLE dims (customer/supplier/part) carry no
+  *    hint — parquet size stats auto-broadcast them below the threshold,
+  *    and AQE demotes to a shuffled join when a big-dim tier outgrows it
+  *    (a forced hint would instead OOM the driver at 100 TB dim sizes;
+  *    BigDimPlanSpec pins both directions);
   *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key once and
   *    group on the same key where possible, so the exchange is reused;
   *  - top-k goes through TakeOrderedAndProject (no global sort);
@@ -74,8 +78,10 @@ object StarQueries {
         |ORDER BY revenue DESC, o_orderkey NULLS FIRST
         |LIMIT 10""".stripMargin
     ) { (s, d) =>
-      // customer is a dimension at any scale → broadcast: the lineitem ⋈
-      // orders shuffle is the only exchange in this plan.
+      // customer joins on parquet size stats + AQE (no forced hint):
+      // under the broadcast threshold the lineitem ⋈ orders shuffle stays
+      // the only exchange; past it (big-dim tier) AQE demotes to a
+      // shuffled join instead of a multi-GB driver broadcast.
       Tables.lineitem(s, d)
         .where(col("l_shipdate") > lit("1996-03-15 00:00:00").cast("timestamp"))
         .join(
@@ -83,8 +89,8 @@ object StarQueries {
             .where(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
         .join(
-          broadcast(Tables.customer(s, d)
-            .where(col("c_mktsegment") === "BUILDING")),
+          Tables.customer(s, d)
+            .where(col("c_mktsegment") === "BUILDING"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(
           col("o_orderkey"),
@@ -125,9 +131,9 @@ object StarQueries {
             .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
               && col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)),
+        .join(Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(Tables.supplier(s, d),
           col("l_suppkey") === col("s_suppkey")
             && col("c_nationkey") === col("s_nationkey"))
         .join(nationAsia, col("s_nationkey") === col("n_nationkey"))
@@ -325,7 +331,7 @@ object StarQueries {
         .where(col("total_qty") > 250)
       qtyPerOrder
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)),
+        .join(Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("o_orderkey"), col("total_qty"))
         .orderBy(col("total_qty").desc, col("o_orderkey"))

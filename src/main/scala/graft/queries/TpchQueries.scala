@@ -10,12 +10,22 @@ import graft.Tables
   * from lineitem; no shipmode/commitdate — Q12's bucket classifies the
   * order→ship delay instead).
   *
-  * Scale design mirrors StarQueries: dims broadcast, fact-fact joins
-  * shuffle once on the join key, money sums go through DECIMAL (exact,
+  * Scale design mirrors StarQueries: fact-fact joins shuffle once on
+  * the join key, money sums go through DECIMAL (exact,
   * order-independent — correct under any partitioning), top-k via sort+
   * limit (TakeOrderedAndProject), correlated EXISTS/NOT EXISTS as
   * left-semi/left-anti joins (shuffle-hash on the equi component; the
   * inequality rides along as a join residual, never a cross product).
+  *
+  * Dim-join strategy is STATS-DRIVEN, not hint-forced: only the
+  * genuinely bounded dims (nation/region — fixed 25-row enums) and
+  * provably tiny derived frames (1-row scalar subqueries, top-k
+  * results, whose post-agg sizes Catalyst can't estimate) carry
+  * explicit `broadcast()` hints. customer/supplier/part joins rely on
+  * parquet size stats + AQE: under the 10 MB threshold they broadcast
+  * exactly as before; when a 100 TB lake's dims outgrow it, the plan
+  * demotes to SMJ/shuffled-hash instead of OOM-ing the driver on a
+  * forced multi-GB broadcast (BigDimPlanSpec pins both directions).
   *
   * Oracle-parity notes: prices/discounts are 2-dp decimals stored as
   * double, so products have ≤4 decimal digits and the double sits ~1e-13
@@ -76,10 +86,10 @@ object TpchQueries {
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
       val n2 = broadcast(Tables.nation(s, d)
         .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
-      val supp = broadcast(Tables.supplier(s, d)
-        .select(col("s_suppkey"), col("s_nationkey")))
-      val cust = broadcast(Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_nationkey")))
+      val supp = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
@@ -120,12 +130,12 @@ object TpchQueries {
          |GROUP BY o_year
          |ORDER BY o_year NULLS FIRST""".stripMargin
     ) { (s, d) =>
-      val part = broadcast(Tables.part(s, d)
-        .where(col("p_type") === "PROMO").select(col("p_partkey")))
-      val supp = broadcast(Tables.supplier(s, d)
-        .select(col("s_suppkey"), col("s_nationkey")))
-      val cust = broadcast(Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_nationkey")))
+      val part = Tables.part(s, d)
+        .where(col("p_type") === "PROMO").select(col("p_partkey"))
+      val supp = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
       val n1 = broadcast(Tables.nation(s, d)
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
       val euroNations = broadcast(Tables.nation(s, d)
@@ -172,11 +182,11 @@ object TpchQueries {
         |GROUP BY nation, o_year
         |ORDER BY nation NULLS FIRST, o_year DESC""".stripMargin
     ) { (s, d) =>
-      val part = broadcast(Tables.part(s, d)
+      val part = Tables.part(s, d)
         .where(col("p_type") === "ECONOMY")
-        .select(col("p_partkey"), col("p_retailprice")))
-      val supp = broadcast(Tables.supplier(s, d)
-        .select(col("s_suppkey"), col("s_nationkey")))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supp = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
       val nation = broadcast(Tables.nation(s, d)
         .select(col("n_nationkey"), col("n_name").as("nation")))
       Tables.lineitem(s, d)
@@ -209,9 +219,9 @@ object TpchQueries {
          |ORDER BY revenue DESC, c_custkey NULLS FIRST
          |LIMIT 20""".stripMargin
     ) { (s, d) =>
-      val cust = broadcast(Tables.customer(s, d)
+      val cust = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
-          col("c_nationkey")))
+          col("c_nationkey"))
       val nation = broadcast(Tables.nation(s, d))
       Tables.lineitem(s, d)
         .where(col("l_returnflag") === "R")
@@ -307,7 +317,7 @@ object TpchQueries {
       Tables.lineitem(s, d)
         .where(col("l_shipdate") >= lit("1997-09-01 00:00:00").cast("timestamp")
           && col("l_shipdate") < lit("1997-10-01 00:00:00").cast("timestamp"))
-        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
           col("l_partkey") === col("p_partkey"))
         .agg(round(lit(100.0)
           * sum(when(col("p_type") === "PROMO", disc).otherwise(zero))
@@ -340,8 +350,8 @@ object TpchQueries {
       val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
       rev.join(broadcast(top),
           col("total_revenue") === col("max_revenue"))
-        .join(broadcast(Tables.supplier(s, d)
-          .select(col("s_suppkey"), col("s_name"))),
+        .join(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name")),
           col("supplier_no") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
           col("total_revenue").cast("double").as("total_revenue"))
@@ -361,9 +371,9 @@ object TpchQueries {
         |  p_type NULLS FIRST, p_size NULLS FIRST""".stripMargin
     ) { (s, d) =>
       Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
-        .join(broadcast(Tables.part(s, d)
+        .join(Tables.part(s, d)
           .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
-            && col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))),
+            && col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
@@ -385,8 +395,8 @@ object TpchQueries {
          |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
     ) { (s, d) =>
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)
-          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        .join(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_size")),
           col("l_partkey") === col("p_partkey"))
         .where((col("p_brand") === "Brand#12"
             && col("p_size").between(1, 5) && col("l_quantity").between(1, 11))
@@ -413,8 +423,8 @@ object TpchQueries {
         |ORDER BY s_suppkey NULLS FIRST""".stripMargin
     ) { (s, d) =>
       val excess = Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)
-          .where(col("p_type") === "ECONOMY").select(col("p_partkey"))),
+        .join(Tables.part(s, d)
+          .where(col("p_type") === "ECONOMY").select(col("p_partkey")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("l_quantity")).as("qty"))
@@ -482,11 +492,11 @@ object TpchQueries {
               || col("other_max") <= col("l_shipdate"))
             .otherwise(col("l_shipdate") === col("mx.d")))
       qualified
-        .join(broadcast(Tables.supplier(s, d)
+        .join(Tables.supplier(s, d)
           .join(broadcast(Tables.nation(s, d)
             .where(col("n_name") === "NATION_7")),
             col("s_nationkey") === col("n_nationkey"))
-          .select(col("s_suppkey"), col("s_name"))),
+          .select(col("s_suppkey"), col("s_name")),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
@@ -599,16 +609,16 @@ object TpchQueries {
     ) { (s, d) =>
       val ps = Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_suppkey")).distinct()
-      val part = broadcast(Tables.part(s, d).where(col("p_size") === 15)
-        .select(col("p_partkey"), col("p_brand")))
-      val euroSupp = broadcast(Tables.supplier(s, d)
+      val part = Tables.part(s, d).where(col("p_size") === 15)
+        .select(col("p_partkey"), col("p_brand"))
+      val euroSupp = Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d)
           .join(broadcast(Tables.region(s, d)
             .where(col("r_name") === "EUROPE")),
             col("n_regionkey") === col("r_regionkey"))),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
-          col("n_name")))
+          col("n_name"))
       val w = Window.partitionBy(col("p_partkey"))
         .orderBy(col("s_acctbal").desc, col("s_suppkey"))
       ps.join(part, col("l_partkey") === col("p_partkey"))
@@ -650,11 +660,11 @@ object TpchQueries {
          |  (SELECT SUM(value) FROM per_part)
          |ORDER BY value DESC, l_partkey NULLS FIRST""".stripMargin
     ) { (s, d) =>
-      val natSupp = broadcast(Tables.supplier(s, d)
+      val natSupp = Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d)
           .where(col("n_name") === "NATION_3").select(col("n_nationkey"))),
           col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey")))
+        .select(col("s_suppkey"))
       val perPart = Tables.lineitem(s, d)
         .join(natSupp, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"))
