@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -131,10 +132,117 @@ object SimilarityQueries {
     * ([[KMeans.fitMulti]] — bit-identical to M separate fits, spec-
     * proven). Driver state is PqM × PqK × PqSubDim doubles — bounded,
     * broadcast-sized, exactly what a FAISS-style trainer would hold. */
-  private def pqFit(emb: org.apache.spark.sql.DataFrame)
-      : Seq[Seq[KMeans.Centroid]] =
+  private def pqFit(emb: DataFrame): Seq[Seq[KMeans.Centroid]] =
     KMeans.fitMulti(emb, m = PqM, subDim = PqSubDim, k = PqK,
       iters = PqIters)
+
+  /** The four index builds, parameterized by the corpus frame: the Q
+    * entries below pass the plain loader, while `emb_recall_at_k`
+    * ([[RecallQueries]]) passes ONE persisted corpus so the ground
+    * truth + three index builds (and their k-means trainings) share a
+    * single scan instead of four full re-reads. */
+  def knnBrute(emb: DataFrame): DataFrame = {
+    val queries = broadcast(
+      emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb.join(queries, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.cosine(col("q_vec"), col("embedding")), 6)
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def knnLsh(emb0: DataFrame): DataFrame = {
+    val emb = emb0.withColumn("t",
+      explode(VectorOps.lshTables(col("embedding"), Dim,
+        nBits = 6, nTables = 16)))
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("t").as("q_t"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb.join(queries,
+        col("t") === col("q_t") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("q_vec"), col("embedding"))
+      .distinct() // union of per-table collisions
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.cosine(col("q_vec"), col("embedding")), 6)
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def knnIvf(emb: DataFrame): DataFrame = {
+    // train the coarse quantizer (bounded driver state: k × dim doubles)
+    val cents = KMeans.fit(emb, k = 8, iters = 3)
+    // inverted lists: narrow assignment, no join
+    val assigned = emb.withColumn("cid",
+      KMeans.assignExpr(col("embedding"), cents))
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // probe: nprobe=4 nearest centroids (of k=8; r4 raised 2→4 after
+    // emb_recall_at_k put nprobe=2 recall@3 at 0.47 — recall tracks
+    // the probed corpus fraction) — array_sort of (d, cid) structs,
+    // lexicographic = (distance, id tie-break); per-row expression,
+    // no window, no shuffle
+    val probeEntries = array_sort(array(cents.map(c =>
+      struct(
+        graft.functions.VectorOps.l2sq(col("q_vec"),
+          array(c.cvec.map(lit): _*)).as("d"),
+        lit(c.cid).as("cid"))): _*))
+    val probe = queries
+      .select(col("q_id"), col("q_vec"),
+        explode(slice(probeEntries, 1, 4)).as("pc"))
+      .select(col("q_id"), col("q_vec"), col("pc.cid").as("probe_cid"))
+    // exact rerank within the probed lists only
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probe), col("cid") === col("probe_cid")
+        && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.cosine(col("q_vec"), col("embedding")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 3)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def knnPq(emb: DataFrame): DataFrame = {
+    val books = pqFit(emb)
+    val codes = emb.select(
+      col("vec_id") +: books.zipWithIndex.map { case (cents, i) =>
+        KMeans.assignExpr(
+          slice(col("embedding"), i * PqSubDim + 1, PqSubDim), cents)
+          .as(s"c${i + 1}")
+      }: _*)
+    // per-query ADC lookup tables: cid → exact sub-distance
+    val dtabs = books.zipWithIndex.map { case (cents, i) =>
+      map(cents.flatMap(c => Seq(
+        lit(c.cid),
+        VectorOps.l2sq(
+          slice(col("q_vec"), i * PqSubDim + 1, PqSubDim),
+          array(c.cvec.map(lit): _*)))): _*).as(s"dt${i + 1}")
+    }
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .select(col("q_id") +: dtabs: _*)
+    val adc = (1 to PqM)
+      .map(i => element_at(col(s"dt$i"), col(s"c$i")))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    codes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adc.as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"),
+        round(col("adc"), 6).as("adc"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
 
   val all: Seq[Q] = Seq(
     // --- per-vector L2 norm — deterministic row-local fold → oracle-able
@@ -202,21 +310,7 @@ object SimilarityQueries {
          |FROM s
          |QUALIFY rank <= 5
          |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
-    ) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val queries = broadcast(
-        emb.where(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      emb.join(queries, col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          round(VectorOps.cosine(col("q_vec"), col("embedding")), 6)
-            .as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 5)
-        .orderBy(col("q_id"), col("rank"))
-    },
+    ) { (s, d) => knnBrute(Tables.embeddings(s, d)) },
 
     // --- LSH-bucketed ANN (scale path) -----------------------------------
     // multi-table random-hyperplane keys (6 bits × 16 tables): candidates
@@ -253,26 +347,7 @@ object SimilarityQueries {
            |QUALIFY rank <= 3
            |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
       }
-    ) { (s, d) =>
-      val emb = Tables.embeddings(s, d).withColumn("t",
-        explode(VectorOps.lshTables(col("embedding"), Dim,
-          nBits = 6, nTables = 16)))
-      val queries = emb.where(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-          col("t").as("q_t"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      emb.join(queries,
-          col("t") === col("q_t") && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), col("q_vec"), col("embedding"))
-        .distinct() // union of per-table collisions
-        .select(col("q_id"), col("vec_id"),
-          round(VectorOps.cosine(col("q_vec"), col("embedding")), 6)
-            .as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 3)
-        .orderBy(col("q_id"), col("rank"))
-    },
+    ) { (s, d) => knnLsh(Tables.embeddings(s, d)) },
 
     // --- IVF ANN (inverted-file index, the other classic scale path) -----
     // Coarse quantizer → inverted lists → probe nprobe nearest lists →
@@ -310,40 +385,7 @@ object SimilarityQueries {
            |QUALIFY rank <= 3
            |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
       }
-    ) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      // train the coarse quantizer (bounded driver state: k × dim doubles)
-      val cents = KMeans.fit(emb, k = 8, iters = 3)
-      // inverted lists: narrow assignment, no join
-      val assigned = emb.withColumn("cid",
-        KMeans.assignExpr(col("embedding"), cents))
-      val queries = emb.where(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      // probe: nprobe=4 nearest centroids (of k=8; r4 raised 2→4 after
-      // emb_recall_at_k put nprobe=2 recall@3 at 0.47 — recall tracks
-      // the probed corpus fraction) — array_sort of (d, cid) structs,
-      // lexicographic = (distance, id tie-break); per-row expression,
-      // no window, no shuffle
-      val probeEntries = array_sort(array(cents.map(c =>
-        struct(
-          graft.functions.VectorOps.l2sq(col("q_vec"),
-            array(c.cvec.map(lit): _*)).as("d"),
-          lit(c.cid).as("cid"))): _*))
-      val probe = queries
-        .select(col("q_id"), col("q_vec"),
-          explode(slice(probeEntries, 1, 4)).as("pc"))
-        .select(col("q_id"), col("q_vec"), col("pc.cid").as("probe_cid"))
-      // exact rerank within the probed lists only
-      val wRank = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      assigned.join(broadcast(probe), col("cid") === col("probe_cid")
-          && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          round(VectorOps.cosine(col("q_vec"), col("embedding")), 6).as("cos"))
-        .withColumn("rank", row_number().over(wRank))
-        .where(col("rank") <= 3)
-        .orderBy(col("q_id"), col("rank"))
-    },
+    ) { (s, d) => knnIvf(Tables.embeddings(s, d)) },
 
     // --- embedding-cosine near-duplicate pairs ---------------------------
     // same LSH bucketing, self-join, high-threshold filter: the
@@ -562,38 +604,6 @@ object SimilarityQueries {
            |  FROM s) WHERE rank <= 5
            |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
       }
-    ) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val books = pqFit(emb)
-      val codes = emb.select(
-        col("vec_id") +: books.zipWithIndex.map { case (cents, i) =>
-          KMeans.assignExpr(
-            slice(col("embedding"), i * PqSubDim + 1, PqSubDim), cents)
-            .as(s"c${i + 1}")
-        }: _*)
-      // per-query ADC lookup tables: cid → exact sub-distance
-      val dtabs = books.zipWithIndex.map { case (cents, i) =>
-        map(cents.flatMap(c => Seq(
-          lit(c.cid),
-          VectorOps.l2sq(
-            slice(col("q_vec"), i * PqSubDim + 1, PqSubDim),
-            array(c.cvec.map(lit): _*)))): _*).as(s"dt${i + 1}")
-      }
-      val queries = emb.where(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        .select(col("q_id") +: dtabs: _*)
-      val adc = (1 to PqM)
-        .map(i => element_at(col(s"dt$i"), col(s"c$i")))
-        .reduceLeft(_ + _)
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("adc"), col("vec_id"))
-      codes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), adc.as("adc"))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 5)
-        .select(col("q_id"), col("vec_id"),
-          round(col("adc"), 6).as("adc"), col("rank"))
-        .orderBy(col("q_id"), col("rank"))
-    }
+    ) { (s, d) => knnPq(Tables.embeddings(s, d)) }
   )
 }
