@@ -3,7 +3,7 @@ package graft.io
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Snapshot-versioned table on plain parquet — the table-format half of
@@ -44,12 +44,15 @@ import org.apache.spark.sql.functions._
   * can match?" into one metadata read ([[readRange]]).
   *
   * Scale shape: a commit's cost is the rewritten partition plus an
-  * O(files) metadata job; the manifest is O(files) rows of metadata
-  * (read+collected on the driver — bounded, same class as CdcView's
-  * bucket listing); unchanged partitions are carried by reference. The
-  * per-partition-value write loop below mirrors CdcView's per-bucket
-  * loop; a production tier would fuse it into one job with dynamic
-  * partition overwrite — same contract, noted not built.
+  * O(files) metadata job, and the carried-forward manifest flows
+  * manifest→manifest INSIDE a DataFrame plan — pruning, version
+  * diffs, and history aggregates likewise run plan-side over
+  * [[manifestDF]], so the driver materializes only pruned file lists,
+  * per-version summaries, and the commit's own fresh entries, never
+  * the full file history (ManifestScaleSpec pins this on a 100k-file
+  * manifest). The irreducible driver lists are the path array a
+  * full-version scan hands to the parquet reader (Spark's own
+  * InMemoryFileIndex class of cost) and vacuum's live-path set.
   */
 object Snapshots {
 
@@ -135,15 +138,40 @@ object Snapshots {
   def breakReservation(spark: SparkSession, table: String, v: Int): Boolean =
     fs(spark, table).delete(new Path(table, s"_commits/v$v.reserved"), false)
 
-  def readManifest(spark: SparkSession, table: String, v: Int)
-      : Seq[FileEntry] = {
+  /** The manifest as a LAZY relation — the planning surface every
+    * heavy path below builds on: pruning, version diffs, and history
+    * aggregates run inside the DataFrame plan, and only their
+    * (pruned/diffed/aggregated) RESULTS are collected. At 100 TB with
+    * years of commits the manifest union is O(total files); holding it
+    * as a plan instead of a driver Seq is what keeps driver memory
+    * bounded by the answer, not the history (the Iceberg
+    * distributed-manifest-read shape). */
+  def manifestDF(spark: SparkSession, table: String, v: Int): DataFrame = {
     require(v >= 1 && v <= currentVersion(spark, table),
       s"Snapshots: version $v does not exist under $table")
     val dir = manifestDir(table, v)
     require(fs(spark, table).exists(new Path(dir)),
       s"Snapshots: manifest v$v has been vacuumed from $table")
+    spark.read.parquet(dir)
+  }
+
+  /** Full manifest materialized to the driver — the debug/API surface
+    * (specs, operator tooling). Internal planning paths use
+    * [[manifestDF]] + targeted collects instead. */
+  def readManifest(spark: SparkSession, table: String, v: Int)
+      : Seq[FileEntry] = {
     import spark.implicits._
-    spark.read.parquet(dir).as[FileEntry].collect().toSeq
+    manifestDF(spark, table, v).as[FileEntry].collect().toSeq
+  }
+
+  /** Data-file paths of one version — the minimal driver
+    * materialization a full-version scan needs (Spark's reader takes a
+    * path list; its own InMemoryFileIndex is the same O(files) class).
+    * Stats maps stay out of driver memory. */
+  private def manifestPaths(spark: SparkSession, table: String, v: Int)
+      : Seq[String] = {
+    import spark.implicits._
+    manifestDF(spark, table, v).select("path").as[String].collect().toSeq
   }
 
   // ---- commits --------------------------------------------------------
@@ -172,9 +200,15 @@ object Snapshots {
   private def writeManifest(spark: SparkSession, table: String, v: Int,
       entries: Seq[FileEntry]): Unit = {
     import spark.implicits._
-    entries.toDS().coalesce(1).write.mode("overwrite")
-      .parquet(manifestDir(table, v))
+    writeManifestDF(spark, entries.toDS().toDF(), table, v)
   }
+
+  /** Manifest write from a PLAN (carried-forward rows read lazily from
+    * the previous manifest union'd with the commit's fresh entries) —
+    * the carried file set never round-trips through the driver. */
+  private def writeManifestDF(spark: SparkSession, df: DataFrame,
+      table: String, v: Int): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(manifestDir(table, v))
 
   /** FUSED commit-dir write: every touched partition lands in ONE
     * Spark job via `partitionBy` on a shadow string column (`gp` — the
@@ -261,9 +295,13 @@ object Snapshots {
     val fresh = fileStats(spark, table, dir, statsCols).map {
       case (rel, n, st) => FileEntry(rel, value, n, st)
     }
-    val carried = readManifest(spark, table, prev)
-      .filterNot(_.partition == value)
-    writeManifest(spark, table, v, carried ++ fresh)
+    // carried partitions flow manifest→manifest inside the plan; only
+    // the commit's own (bounded) fresh entries touch the driver
+    import spark.implicits._
+    val carried = manifestDF(spark, table, prev)
+      .where(col("partition") =!= lit(value))
+    writeManifestDF(spark, carried.unionByName(fresh.toDS().toDF()),
+      table, v)
     publish(spark, table, v)
     v
   }
@@ -288,9 +326,11 @@ object Snapshots {
     val fresh =
       if (parts.isEmpty) Nil
       else writeCommitData(df, table, v, partCol, statsCols)
-    val carried =
-      if (prev == 0) Nil else readManifest(spark, table, prev)
-    writeManifest(spark, table, v, carried ++ fresh)
+    import spark.implicits._
+    if (prev == 0) writeManifest(spark, table, v, fresh)
+    else writeManifestDF(spark,
+      manifestDF(spark, table, prev).unionByName(fresh.toDS().toDF()),
+      table, v)
     tag.foreach { t =>
       val f = fs(spark, table)
       f.create(new Path(manifestDir(table, v), s"_applied_$t"), true).close()
@@ -321,28 +361,31 @@ object Snapshots {
   def commitCompact(spark: SparkSession, table: String, partCol: String,
       value: String, targetFiles: Int = 1,
       statsCols: Seq[String] = Nil): Int = {
+    import spark.implicits._
     val cur = currentVersion(spark, table)
-    val mine = readManifest(spark, table, cur).filter(_.partition == value)
+    val mine = manifestDF(spark, table, cur)
+      .where(col("partition") === lit(value))
+      .select("path").as[String].collect().toSeq
     require(mine.nonEmpty,
       s"Snapshots.commitCompact: no files for $partCol=$value")
     commitOverwritePartition(
-      scan(spark, table, mine).coalesce(targetFiles),
+      scanPaths(spark, table, mine).coalesce(targetFiles),
       table, partCol, value, statsCols)
   }
 
   // ---- reads ----------------------------------------------------------
 
-  private def scan(spark: SparkSession, table: String,
-      entries: Seq[FileEntry]): DataFrame = {
-    require(entries.nonEmpty, s"Snapshots: empty file set under $table")
-    spark.read.parquet(entries.map(e => s"$table/${e.path}"): _*)
+  private def scanPaths(spark: SparkSession, table: String,
+      paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, s"Snapshots: empty file set under $table")
+    spark.read.parquet(paths.map(p => s"$table/$p"): _*)
   }
 
   /** Read as of a PINNED version: the file set is resolved here, once,
     * so the returned frame keeps answering with version `v`'s rows no
     * matter how many commits land afterwards. */
   def readAsOf(spark: SparkSession, table: String, v: Int): DataFrame =
-    scan(spark, table, readManifest(spark, table, v))
+    scanPaths(spark, table, manifestPaths(spark, table, v))
 
   /** Read the latest snapshot — pinned at CALL time (the manifest is
     * resolved now), so a concurrent commit cannot make this frame see
@@ -365,15 +408,21 @@ object Snapshots {
       toV: Int): DataFrame = {
     require(fromV >= 0 && fromV <= toV,
       s"Snapshots.readChanges: need 0 <= fromV <= toV, got $fromV..$toV")
-    val base =
-      if (fromV == 0) Set.empty[String]
-      else readManifest(spark, table, fromV).map(_.path).toSet
-    val added = readManifest(spark, table, toV)
-      .filterNot(e => base.contains(e.path))
+    import spark.implicits._
+    val to = manifestDF(spark, table, toV)
+    // the version diff is a left-anti join INSIDE the plan — neither
+    // manifest materializes on the driver, only the added paths do
+    val added = (
+      if (fromV == 0) to
+      else to.join(manifestDF(spark, table, fromV).select("path"),
+        Seq("path"), "left_anti")
+      ).select("path").as[String].collect().toSeq
     if (added.isEmpty) {
-      // nothing new: an empty frame with the table's schema
-      scan(spark, table, readManifest(spark, table, toV)).where(lit(false))
-    } else scan(spark, table, added)
+      // nothing new: an empty frame with the table's schema (one file
+      // is enough to resolve it — all files share the table schema)
+      val one = to.select("path").limit(1).as[String].collect().toSeq
+      scanPaths(spark, table, one).where(lit(false))
+    } else scanPaths(spark, table, added)
   }
 
   /** Row-level diff between two versions: (added, removed) frames via
@@ -407,15 +456,23 @@ object Snapshots {
     val cur = currentVersion(spark, table)
     val retained = (1 to cur).filter(v =>
       f.exists(new Path(manifestDir(table, v))))
+    // per-version counts aggregate INSIDE the plan; the driver sees one
+    // summary row plus the touched-partition list (bounded by the
+    // partition count, not the file count) per version
     val rows = retained.map { v =>
-      val m = readManifest(spark, table, v)
-      val prev = retained.filter(_ < v).lastOption
-        .map(readManifest(spark, table, _)).getOrElse(Nil)
-      val prevPaths = prev.map(_.path).toSet
-      val touched = m.filterNot(e => prevPaths.contains(e.path))
-        .map(_.partition).distinct.sorted
+      val m = manifestDF(spark, table, v)
+      val summary = m.agg(count(lit(1)).as("nf"),
+        coalesce(sum(col("rows")), lit(0L)).as("nr")).head()
+      val fresh = retained.filter(_ < v).lastOption match {
+        case Some(p) => m.join(
+          manifestDF(spark, table, p).select("path"), Seq("path"),
+          "left_anti")
+        case None => m
+      }
+      val touched = fresh.select("partition").distinct()
+        .as[String].collect().sorted
       (v, f.getFileStatus(new Path(manifestDir(table, v)))
-        .getModificationTime, m.size.toLong, m.map(_.rows).sum,
+        .getModificationTime, summary.getLong(0), summary.getLong(1),
         touched.mkString(","))
     }
     rows.toDF("version", "commit_ms", "n_files", "n_rows",
@@ -446,27 +503,41 @@ object Snapshots {
 
   // ---- manifest-level stats pruning -----------------------------------
 
-  private def isNumeric(typ: String): Boolean =
-    Set("byte", "short", "integer", "long", "float", "double")
-      .contains(typ) || typ.startsWith("decimal")
-
-  private def cmp(typ: String, a: String, b: String): Int =
-    if (isNumeric(typ)) BigDecimal(a).compare(BigDecimal(b))
-    else a.compareTo(b) // string / date / timestamp: ISO order = value order
+  /** Plan-side survival predicate for one column range over manifest
+    * rows: numeric stats compare in DECIMAL(38,18) — covers the full
+    * long range exactly (19 integer digits + 18 fractional ≤ 38); a
+    * magnitude that overflows the cast yields NULL and the file is
+    * conservatively KEPT, as is any sub-1e-18 distinction the scale
+    * rounds away (rounding is monotone, so collapsing toward equality
+    * only ever widens the kept set — pruning can lose a sliver of
+    * sharpness in pathological ranges, never a row). Strings / dates /
+    * timestamps compare lexicographically (ISO order = value order).
+    * Files with no stats for the column, or all-null stats, are kept. */
+  private def overlapCol(c: String, lo: String, hi: String): Column = {
+    val st = col("stats").getItem(c)
+    val typ = st.getField("typ")
+    val flo = st.getField("lo")
+    val fhi = st.getField("hi")
+    val numeric = typ.isin("byte", "short", "integer", "long",
+      "float", "double") || typ.startsWith("decimal")
+    val dec = "decimal(38,18)"
+    val numOv = fhi.cast(dec) >= lit(lo).cast(dec) &&
+      flo.cast(dec) <= lit(hi).cast(dec)
+    val strOv = fhi >= lit(lo) && flo <= lit(hi)
+    st.isNull || flo.isNull || fhi.isNull ||
+      coalesce(when(numeric, numOv).otherwise(strOv), lit(true))
+  }
 
   /** Files of version `v` that COULD hold rows with `c` in [lo, hi] —
-    * decided from manifest stats alone, no footer opened. Files with
-    * no recorded stats for `c` (or all-null stats) are conservatively
-    * kept. */
+    * decided from manifest stats alone, no footer opened, and filtered
+    * INSIDE the manifest plan: the driver materializes only the
+    * surviving entries, never the full file list. */
   def prunedFiles(spark: SparkSession, table: String, v: Int, c: String,
-      lo: String, hi: String): Seq[FileEntry] =
-    readManifest(spark, table, v).filter { e =>
-      e.stats.get(c) match {
-        case Some(StatRange(typ, flo, fhi)) if flo != null && fhi != null =>
-          cmp(typ, fhi, lo) >= 0 && cmp(typ, flo, hi) <= 0
-        case _ => true
-      }
-    }
+      lo: String, hi: String): Seq[FileEntry] = {
+    import spark.implicits._
+    manifestDF(spark, table, v).where(overlapCol(c, lo, hi))
+      .as[FileEntry].collect().toSeq
+  }
 
   /** Range read with planning-time file skipping: scans only the files
     * whose manifest stats overlap [lo, hi], then re-applies the exact
@@ -484,25 +555,25 @@ object Snapshots {
   def readWhere(spark: SparkSession, table: String,
       ranges: Map[String, (String, String)]): DataFrame = {
     require(ranges.nonEmpty, "Snapshots.readWhere: no ranges given")
+    import spark.implicits._
     val v = currentVersion(spark, table)
-    val all = readManifest(spark, table, v)
-    val keep = all.filter { e =>
-      ranges.forall { case (c, (lo, hi)) =>
-        e.stats.get(c) match {
-          case Some(StatRange(typ, flo, fhi)) if flo != null && fhi != null =>
-            cmp(typ, fhi, lo) >= 0 && cmp(typ, flo, hi) <= 0
-          case _ => true
-        }
-      }
-    }
-    val full = scan(spark, table, all)
-    if (keep.isEmpty) full.where(lit(false))
-    else {
+    val mdf = manifestDF(spark, table, v)
+    val pred = ranges.map { case (c, (lo, hi)) => overlapCol(c, lo, hi) }
+      .reduce(_ && _)
+    // pruning runs inside the manifest plan; the driver holds only the
+    // surviving paths (and, on a fully-pruned read, the single path
+    // needed to resolve the table schema)
+    val keep = mdf.where(pred).select("path").as[String].collect().toSeq
+    if (keep.isEmpty) {
+      val one = mdf.select("path").limit(1).as[String].collect().toSeq
+      scanPaths(spark, table, one).where(lit(false))
+    } else {
+      val kept = scanPaths(spark, table, keep)
       val residual = ranges.map { case (c, (lo, hi)) =>
-        col(c) >= lit(lo).cast(full.schema(c).dataType) &&
-          col(c) <= lit(hi).cast(full.schema(c).dataType)
+        col(c) >= lit(lo).cast(kept.schema(c).dataType) &&
+          col(c) <= lit(hi).cast(kept.schema(c).dataType)
       }.reduce(_ && _)
-      scan(spark, table, keep).where(residual)
+      kept.where(residual)
     }
   }
 
@@ -524,9 +595,11 @@ object Snapshots {
     val cur = currentVersion(spark, table)
     require(retainFrom <= cur,
       s"Snapshots.vacuum: retainFrom=$retainFrom > current=$cur")
+    // paths only (no stats maps) — the live set is the one driver
+    // materialization a delete-compare walk genuinely needs
     val live = (retainFrom to cur).flatMap { v =>
       if (f.exists(new Path(manifestDir(table, v))))
-        readManifest(spark, table, v).map(_.path)
+        manifestPaths(spark, table, v)
       else Nil
     }.toSet
     (1 until retainFrom).foreach(v =>
