@@ -30,11 +30,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, org.apache.spark.sql.DataFrame) = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val df = fn(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      ((System.nanoTime() - t0) / 1e9, df)
+    }
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = runOnce(fn)._1
+
+    // Per-query plan fingerprint (join strategies + shuffle count),
+    // taken from the warm-up run's POST-EXECUTION plan so AQE's final
+    // choices — not the tentative initial plan — are what's recorded.
+    // Lets the next regeneration attribute bench drift automatically:
+    // same fingerprint → machine noise; changed fingerprint → replan.
+    def fingerprint(df: org.apache.spark.sql.DataFrame): String = {
+      val p = df.queryExecution.executedPlan.toString
+      def n(tok: String) = p.linesIterator.count(_.contains(tok))
+      val xchg = p.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("Broadcast"))
+      s"bhj=${n("BroadcastHashJoin")},smj=${n("SortMergeJoin")}," +
+        s"shj=${n("ShuffledHashJoin")},bnl=${n("BroadcastNestedLoopJoin")}," +
+        s"xchg=$xchg,agg=${n("HashAggregate")},scan=${n("FileScan")}"
     }
 
     // optional args: restrict to named queries (debug/iteration aid)
@@ -43,28 +61,33 @@ object Bench {
       else SparkEntry.inventory.filter(q => args.contains(q.name))
 
     val results = selected.map { q =>
-      val t =
+      val (t, fp) =
         try {
-          timeOnce(q.run) // warm-up: plan + code cache + page cache
+          val (_, warmDf) = runOnce(q.run) // warm-up: plan + code + page cache
+          val fp = fingerprint(warmDf)
           val s3 = Seq.fill(3)(timeOnce(q.run)).sorted
-          if (s3.last <= 2 * s3.head) s3(1) // stable → median of 3
-          else { // noisy → widen to median of 5
-            val s5 = (s3 ++ Seq.fill(2)(timeOnce(q.run))).sorted
-            s5(2)
-          }
+          val med =
+            if (s3.last <= 2 * s3.head) s3(1) // stable → median of 3
+            else { // noisy → widen to median of 5
+              val s5 = (s3 ++ Seq.fill(2)(timeOnce(q.run))).sorted
+              s5(2)
+            }
+          (med, fp)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-            -1.0
+            (-1.0, "err")
         }
-      q.name -> t
+      (q.name, t, fp)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val plans = results.map { case (k, _, fp) => "\"" + k + "\":\"" + fp + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plans,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only a truncated stdout tail in its artifact; also
     // persist the full line so per-query timings stay machine-readable

@@ -47,7 +47,9 @@ import org.apache.spark.sql.functions._
   * both.
   *
   * Usage: `runMain graft.gen.ScaleUp <srcDir> <dstDir> [factor]
-  *         [dimFactor] [--fresh-text]`
+  *         [dimFactor] [--fresh-text] [--tables=a,b,c]`
+  * (`--tables=` restricts generation — spot tiers that bench a single
+  * table's queries need not copy the whole directory)
   */
 object ScaleUp {
 
@@ -55,6 +57,11 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val freshText = args.contains("--fresh-text")
+    val onlyTables: Set[String] = args
+      .collectFirst { case a if a.startsWith("--tables=") =>
+        a.stripPrefix("--tables=").split(',').map(_.trim).toSet }
+      .getOrElse(Set.empty)
+    def wanted(t: String) = onlyTables.isEmpty || onlyTables.contains(t)
     val pos = args.filterNot(_.startsWith("--"))
     val Array(src, dst) = pos.take(2)
     val factor = if (pos.length > 2) pos(2).toInt else 10
@@ -69,7 +76,7 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def copies(t: String, keyCols: Seq[String], n: Int,
-        perturb: DataFrame => DataFrame = identity): Unit = {
+        perturb: DataFrame => DataFrame = identity): Unit = if (wanted(t)) {
       val base = spark.read.parquet(s"$src/$t.parquet")
       val idx = spark.range(n.toLong).select(col("id").as("_copy_idx"))
       val out = keyCols
@@ -79,7 +86,7 @@ object ScaleUp {
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scaleup] $t x$n")
     }
-    def once(t: String): Unit = {
+    def once(t: String): Unit = if (wanted(t)) {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scaleup] $t x1 (fixed dim)")

@@ -36,7 +36,8 @@ object ExplainAudit {
         org.apache.spark.sql.execution.FormattedMode)
       println(s"\n========== ${q.name} ==========")
       println(plan)
-      val scans = plan.linesIterator.filter(_.contains("PushedFilters")).toSeq
+      val scans = plan.linesIterator.filter(l =>
+        l.contains("PushedFilters") || l.contains("PartitionFilters")).toSeq
       val broadcasts = plan.linesIterator
         .filter(_.contains("BroadcastHashJoin")).size
       val sortMerge = plan.linesIterator
