@@ -559,11 +559,19 @@ object DedupQueries {
         col("sh").as("a_sh"))
       val b = banded.select(col("b").as("bb"), col("doc_id").as("b_id"),
         col("sh").as("b_sh"))
+      // hamming filter BEFORE the pair-dedup distinct: the xor+popcount
+      // is one codegen'd op per candidate, while distinct() is a shuffle
+      // of the whole candidate stream — and band-bucket candidates grow
+      // superlinearly once 2^16 buckets saturate (at 500k docs each
+      // 16-bit band holds ~8 docs/bucket). Filtering first shuffles
+      // O(matches), not O(candidates); distinct-then-filter and
+      // filter-then-distinct are equivalent because hamming is a pure
+      // function of the pair.
       a.join(b, col("ab") === col("bb") && col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
           TextOps.hamming64(col("a_sh"), col("b_sh")).as("hamming"))
-        .distinct()
         .where(col("hamming") <= 3)
+        .distinct()
         .orderBy(col("a_id"), col("b_id"))
     },
 
