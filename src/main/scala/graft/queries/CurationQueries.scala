@@ -495,6 +495,88 @@ object CurationQueries {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("kept_text"), lit("")).as("kept_text"))
         .orderBy(col("doc_id"))
+    },
+
+    // --- DSIR importance resampling -------------------------------------
+    // Data Selection via Importance Resampling (Xie et al. 2023,
+    // arXiv:2302.03169 — public): score every raw document by how much
+    // more likely its hashed n-gram features are under a target
+    // distribution than under the raw pool, then keep the top slice.
+    // Features are unigram buckets b = md5Low60(token) % 256 (the
+    // cross-engine MD5 hash [[graft.functions.TextOps.md5Low60]]; 256 is
+    // a power of two so the low bits agree between engines regardless of
+    // sign). The target here is the quality slice lang='en' AND
+    // n_chars>=300 — DSIR's "formal text" target stated as a predicate.
+    //
+    // Engine-exactness: the paper's weight is Σ log p_t(b)/p_r(b); a
+    // float log-sum is accumulation-order-dependent, so following the
+    // repo's fixed-point convention ([[TextQueries]] text_lm_score) the
+    // weight is the add-1-smoothed likelihood RATIO per token in exact
+    // ppm integers — (ct+1)(Nr+B) // (cr+1)(Nt+B) — averaged per token
+    // with floor division. Monotone in the per-bucket ratio, value-exact
+    // in both engines (products in DECIMAL(38,0)/HUGEINT, never double).
+    // Selection is the ε→0 temperature limit of the paper's Gumbel
+    // top-k: deterministic top 20% by (score, doc_id).
+    //
+    // Scale shape: token→bucket is a narrow projection; the two count
+    // tables are combiner-friendly aggregates on a 256-value key; the
+    // per-token scoring join broadcasts a 256-row table; the final
+    // selection is orderBy+limit = TakeOrderedAndProject (per-partition
+    // top-k, then k-merge on the driver — never a global sort). The one
+    // driver-side step is count()/5 to size k: a metadata-cheap job, and
+    // the shape a real pipeline uses to pin the output budget.
+    Q(
+      "pipe_dsir_resample",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |bk AS (SELECT doc_id,
+        |    CAST(md5_number_upper(tok) % 1152921504606846976 AS BIGINT)
+        |      % 256 AS b
+        |  FROM t),
+        |cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bk GROUP BY b),
+        |tgt AS (SELECT doc_id FROM documents
+        |        WHERE lang = 'en' AND n_chars >= 300),
+        |ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+        |       FROM bk JOIN tgt USING (doc_id) GROUP BY b),
+        |tot AS (SELECT (SELECT SUM(cr) FROM cr) AS nr,
+        |               (SELECT COALESCE(SUM(ct), 0) FROM ct) AS nt),
+        |lr AS (SELECT cr.b,
+        |    CAST((1000000::HUGEINT * (COALESCE(ct.ct, 0) + 1) * (tot.nr + 256))
+        |         // ((cr.cr + 1) * (tot.nt + 256)) AS BIGINT) AS lr_ppm
+        |  FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot),
+        |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |    CAST(SUM(lr_ppm) // COUNT(*) AS BIGINT) AS score_ppm
+        |  FROM bk JOIN lr USING (b) GROUP BY doc_id)
+        |SELECT doc_id, n_toks, score_ppm FROM sc
+        |ORDER BY score_ppm DESC, doc_id
+        |LIMIT (SELECT COUNT(*) // 5 FROM documents)""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.TextOps
+      val docs = Tables.documents(s, d)
+      val bk = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), (TextOps.md5Low60(col("tok")) % 256).as("b"))
+      val cr = bk.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val ct = bk
+        .join(docs.where(col("lang") === "en" && col("n_chars") >= 300)
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val tot = cr.agg(sum(col("cr")).as("nr"))
+        .crossJoin(ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt")))
+      val lr = cr.join(ct, Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("b"), expr(
+          """(cast(1000000 as decimal(38,0)) * (coalesce(ct, 0) + 1)
+            |   * (nr + 256))
+            | div ((cr + 1) * (nt + 256))""".stripMargin).as("lr_ppm"))
+      val sc = bk.join(lr, Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          expr("sum(lr_ppm) div count(1)").as("score_ppm"))
+      val k = (docs.count() / 5).toInt
+      sc.select(col("doc_id"), col("n_toks"), col("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+        .limit(k)
     }
   )
 }

@@ -119,6 +119,78 @@ object GraphQueries {
           ranks = ranks.localCheckpoint()
       }
       ranks.orderBy(col("rank").desc, col("node")).limit(50)
+    },
+
+    // --- Triangle counting on the part co-purchase graph ----------------
+    // Parts are linked when they ship together in >= 2 distinct orders
+    // (the weight floor prunes the heavy tail of one-off co-occurrence —
+    // same densification the pagerank edge relation would need at scale).
+    // Per-part triangle participation is the classic local clustering
+    // signal (recommendation candidates, community seeds).
+    //
+    // Scale shape — "compact-forward" (Schank & Wagner 2005, public):
+    // orient every edge from its lower-(degree, id) endpoint to the
+    // higher one. Orientation caps out-degree at O(sqrt(m)) on any
+    // graph, so the wedge join (e1.dst = e2.src) generates
+    // O(m^1.5) candidate wedges instead of Σ deg² — the difference
+    // between hours and minutes on a skewed 100 TB co-purchase graph.
+    // Each triangle u≺v≺w survives exactly once (as wedge u→v→w closed
+    // by u→w), so no post-hoc de-dup. All three steps are equi-joins
+    // on part keys; the closure check is a LEFT SEMI join (no payload
+    // moves). The oracle counts the same triangle set with simple id
+    // orientation — the per-part counts are orientation-invariant.
+    Q(
+      "q_triangle_copurchase",
+      """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+        |      FROM p a JOIN p b
+        |        ON a.l_orderkey = b.l_orderkey
+        |       AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |vx AS (SELECT u AS part_id FROM tri
+        |       UNION ALL SELECT v FROM tri
+        |       UNION ALL SELECT w FROM tri)
+        |SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM vx GROUP BY part_id
+        |ORDER BY n_tri DESC, part_id""".stripMargin
+    ) { (s, d) =>
+      val p = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = p.as("x")
+        .join(p.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+        .select(col("a"), col("b"))
+      val deg = edges.select(col("a").as("pid"))
+        .union(edges.select(col("b").as("pid")))
+        .groupBy(col("pid")).agg(count(lit(1)).as("deg"))
+      // orient low-(deg, id) -> high-(deg, id); ids break degree ties
+      val oriented = edges
+        .join(deg.select(col("pid").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("pid").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("src"), col("b").as("dst")))
+            .otherwise(struct(col("b").as("src"), col("a").as("dst")))
+            .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+        .select(col("e1.src").as("u"), col("e1.dst").as("v"),
+          col("e2.dst").as("tw"))
+      val tri = wedges.join(oriented.as("e3"),
+        col("u") === col("e3.src") && col("tw") === col("e3.dst"),
+        "left_semi")
+      tri.select(explode(array(col("u"), col("v"), col("tw"))).as("part_id"))
+        .groupBy(col("part_id")).agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("n_tri").desc, col("part_id"))
     }
   )
 }
