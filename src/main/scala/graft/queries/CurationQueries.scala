@@ -553,26 +553,32 @@ object CurationQueries {
     ) { (s, d) =>
       import graft.functions.TextOps
       val docs = Tables.documents(s, d)
+      // target membership is a row-local predicate, so BOTH count tables
+      // fall out of ONE token pass (count / conditional count on the
+      // 256-value bucket key — combiner-friendly, no semi-join shuffle)
       val bk = docs
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), (TextOps.md5Low60(col("tok")) % 256).as("b"))
-      val cr = bk.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-      val ct = bk
-        .join(docs.where(col("lang") === "en" && col("n_chars") >= 300)
-          .select(col("doc_id")), Seq("doc_id"), "left_semi")
-        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-      val tot = cr.agg(sum(col("cr")).as("nr"))
-        .crossJoin(ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt")))
-      val lr = cr.join(ct, Seq("b"), "left")
-        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          (col("lang") === "en" && col("n_chars") >= 300).as("tgt"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("tgt"),
+          (TextOps.md5Low60(col("tok")) % 256).as("b"))
+      val counts = bk.groupBy(col("b"))
+        .agg(count(lit(1)).as("cr"),
+          count_if(col("tgt")).as("ct"))
+      val tot = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+      val lr = counts.crossJoin(broadcast(tot))
         .select(col("b"), expr(
-          """(cast(1000000 as decimal(38,0)) * (coalesce(ct, 0) + 1)
-            |   * (nr + 256))
+          """(cast(1000000 as decimal(38,0)) * (ct + 1) * (nr + 256))
             | div ((cr + 1) * (nt + 256))""".stripMargin).as("lr_ppm"))
-      val sc = bk.join(lr, Seq("b"))
+      // second (and last) token pass: per-(doc, bucket) partial counts
+      // ride the map-side combine, then score against the broadcast
+      // 256-row ratio table
+      val sc = bk.groupBy(col("doc_id"), col("b"))
+        .agg(count(lit(1)).as("n"))
+        .join(lr, Seq("b"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_toks"),
-          expr("sum(lr_ppm) div count(1)").as("score_ppm"))
+        .agg(sum(col("n")).as("n_toks"),
+          expr("sum(n * lr_ppm) div sum(n)").as("score_ppm"))
       val k = (docs.count() / 5).toInt
       sc.select(col("doc_id"), col("n_toks"), col("score_ppm"))
         .orderBy(col("score_ppm").desc, col("doc_id"))

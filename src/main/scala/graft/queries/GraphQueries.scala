@@ -181,6 +181,12 @@ object GraphQueries {
             .otherwise(struct(col("b").as("src"), col("a").as("dst")))
             .as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        // referenced three times below (both wedge sides + closure);
+        // without persist each reference re-derives the edge list from
+        // the order-pair self-join — three copies of the most expensive
+        // subtree in one plan (same working-set discipline as the
+        // pagerank edge relation above)
+        .persist()
       val wedges = oriented.as("e1")
         .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
         .select(col("e1.src").as("u"), col("e1.dst").as("v"),
