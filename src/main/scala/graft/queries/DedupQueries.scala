@@ -628,6 +628,100 @@ object DedupQueries {
       substringDedupSpans(
         Tables.documents(s, d).select(col("doc_id"), col("text")))
         .orderBy(col("doc_id"))
+    },
+
+    // --- Record linkage: segment-blocked edit-distance matching ----------
+    // Entity resolution for dirty records: link each corrupted key string
+    // back to its best canonical record. Candidate generation is
+    // PassJoin-style segment blocking (Li, Deng, Feng 2011 — public):
+    // split the fixed-length key into 3 segments; any single-substitution
+    // corruption leaves >= 2 segments intact (pigeonhole), so an
+    // equi-join on (segment_index, segment_value) finds every such pair
+    // exactly — recall is a THEOREM for the substitution class, and a
+    // stated contract for insert/delete shifts (PassJoin's shifted
+    // segments would close those; the verifier below already scores them
+    // when blocking surfaces the pair).
+    //
+    // The fixture plants the dirty side deterministically (same
+    // augmentation pattern as pipe_pii_redact): every 7th customer's
+    // zero-padded key, digits REVERSED so the uniform low-order digits
+    // lead the string (segment blocks stay small), one digit at position
+    // key%9 shifted +5 mod 10. Hot blocks — the shared high-order-zero
+    // segment — are dropped by an occupancy cap (<= 1000), the same skew
+    // discipline as the MinHash LSH band caps; a planted pair always
+    // retains one uniform intact segment, so cap recall stays 100%
+    // (spec-proven). Verification is levenshtein <= 2 on candidates
+    // only; best match per dirty record = MIN over the packed
+    // (dist * 1e10 + key) integer — an exact argmin with deterministic
+    // ties, combiner-friendly, identical in both engines.
+    Q(
+      "q_record_linkage",
+      """WITH clean AS (SELECT c_custkey AS key,
+        |    reverse(lpad(CAST(c_custkey AS VARCHAR), 9, '0')) AS rid
+        |  FROM customer),
+        |dirty AS (SELECT key,
+        |    concat(substr(rid, 1, CAST(key % 9 AS INT)),
+        |      CAST((CAST(substr(rid, CAST(key % 9 AS INT) + 1, 1) AS INT)
+        |            + 5) % 10 AS VARCHAR),
+        |      substr(rid, CAST(key % 9 AS INT) + 2)) AS rid
+        |  FROM clean WHERE key % 7 = 0),
+        |cb AS (SELECT key, rid, s, substr(rid, s * 3 + 1, 3) AS seg
+        |       FROM clean CROSS JOIN range(3) r(s)),
+        |db AS (SELECT key, rid, s, substr(rid, s * 3 + 1, 3) AS seg
+        |       FROM dirty CROSS JOIN range(3) r(s)),
+        |occ AS (SELECT s, seg FROM cb GROUP BY s, seg
+        |        HAVING COUNT(*) <= 1000),
+        |cand AS (SELECT DISTINCT db.key AS b_key, cb.key AS a_key,
+        |                db.rid AS b_rid, cb.rid AS a_rid
+        |         FROM db JOIN occ USING (s, seg) JOIN cb USING (s, seg)),
+        |m AS (SELECT a_key, b_key,
+        |        CAST(levenshtein(a_rid, b_rid) AS BIGINT) AS dist
+        |      FROM cand WHERE levenshtein(a_rid, b_rid) <= 2),
+        |best AS (SELECT b_key, MIN(dist * 10000000000 + a_key) AS enc
+        |         FROM m GROUP BY b_key)
+        |SELECT b_key, CAST(enc % 10000000000 AS BIGINT) AS a_key,
+        |  CAST(enc // 10000000000 AS INT) AS dist
+        |FROM best ORDER BY b_key NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val clean = Tables.customer(s, d).select(
+        col("c_custkey").as("key"),
+        reverse(lpad(col("c_custkey").cast("string"), 9, "0")).as("rid"))
+      val dirty = clean.where(col("key") % 7 === 0)
+        .select(col("key"), expr(
+          """concat(substring(rid, 1, cast(key % 9 as int)),
+            |  cast((cast(substring(rid, cast(key % 9 as int) + 1, 1)
+            |        as int) + 5) % 10 as string),
+            |  substring(rid, cast(key % 9 as int) + 2))""".stripMargin)
+          .as("rid"))
+      def segmented(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("key"), col("rid"),
+          explode(array((0 until 3).map(i =>
+            struct(lit(i).as("s"),
+              substring(col("rid"), i * 3 + 1, 3).as("seg"))): _*)).as("x"))
+        .select(col("key"), col("rid"), col("x.s").as("s"),
+          col("x.seg").as("seg"))
+      val cb = segmented(clean)
+      val db = segmented(dirty)
+      val occ = cb.groupBy(col("s"), col("seg"))
+        .agg(count(lit(1)).as("n")).where(col("n") <= 1000)
+        .select(col("s"), col("seg"))
+      val cand = db
+        .join(occ, Seq("s", "seg"), "left_semi")
+        .join(cb.select(col("s"), col("seg"), col("key").as("a_key"),
+          col("rid").as("a_rid")), Seq("s", "seg"))
+        .select(col("key").as("b_key"), col("a_key"),
+          col("rid").as("b_rid"), col("a_rid"))
+        .distinct()
+      cand
+        .where(levenshtein(col("a_rid"), col("b_rid")) <= 2)
+        .select(col("a_key"), col("b_key"),
+          levenshtein(col("a_rid"), col("b_rid")).cast("long").as("dist"))
+        .groupBy(col("b_key"))
+        .agg(min(col("dist") * lit(10000000000L) + col("a_key")).as("enc"))
+        .select(col("b_key"),
+          (col("enc") % lit(10000000000L)).as("a_key"),
+          expr("enc div 10000000000").cast("int").as("dist"))
+        .orderBy(col("b_key"))
     }
   )
 
