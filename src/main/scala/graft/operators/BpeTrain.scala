@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative BPE tokenizer training (Sennrich et al. 2016) — the full
+  * merge LOOP, extending the single-round candidate count
+  * (`text_bpe_merges`): each round counts adjacent symbol pairs over
+  * the vocabulary, selects the most frequent pair (deterministic
+  * tiebreak), rewrites every word's symbol sequence with that merge,
+  * and repeats. The learned merge table IS the tokenizer.
+  *
+  * Scale shape: the corpus is touched ONCE (the word-count shuffle that
+  * builds the vocabulary); every training round after that is
+  * vocabulary-sized — pair explode + one small aggregation + a 1-row
+  * argmax collect — which is the published way to train BPE on
+  * terabyte corpora (Heaps' law keeps |vocab| orders of magnitude under
+  * corpus tokens). Rounds are O(R) chained jobs like the PageRank
+  * supersteps; per-round state is the rewritten vocab frame, cached and
+  * released generation-by-generation.
+  *
+  * Merge application is the greedy leftmost non-overlapping rewrite
+  * (re.sub semantics in the reference implementation), expressed as a
+  * fold: a just-merged symbol (l+r) can never re-merge as `l` within
+  * the same round because r is non-empty, so plain equality on the
+  * accumulator's last element reproduces the scan-resumes-after-match
+  * behavior exactly. The DuckDB oracle replays the identical fold via
+  * `list_reduce` with a string accumulator.
+  */
+object BpeTrain {
+
+  /** One learned merge: at round `round`, (l, r) → l+r with the pair's
+    * weighted frequency at selection time. */
+  final case class Merge(round: Int, l: String, r: String, pairCount: Long) {
+    def merged: String = l + r
+  }
+
+  /** Greedy leftmost application of one merge to a symbol array — the
+    * fold described in the header. `get` (null on out-of-range) keeps
+    * the empty-accumulator probe safe under ANSI mode. */
+  def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) =>
+        when(get(acc, size(acc) - 1) === lit(l) && s === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Adjacent symbol-pair counts weighted by word frequency. Words of
+    * one symbol are filtered BEFORE the position sequence: Spark's
+    * `sequence(1, 0)` steps DOWNWARD ([1, 0]), it is not empty like
+    * DuckDB's range(1, 1). */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .where(size(col("syms")) >= 2)
+      .select(col("wf"),
+        explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + lit(1)).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("wf")).as("pair_count"))
+
+  /** Train `rounds` merges over a (syms: array&lt;string&gt;, wf: long)
+    * vocabulary. Stops early if the pair table drains (every word down
+    * to one symbol). The per-round collect is the 1-row argmax —
+    * bounded, like PageRank's convergence probe. */
+  def train(vocab0: DataFrame, rounds: Int): Seq[Merge] = {
+    var vocab = vocab0.cache()
+    val merges = Seq.newBuilder[Merge]
+    try {
+      var k = 1
+      var drained = false
+      while (k <= rounds && !drained) {
+        val top = pairCounts(vocab)
+          .orderBy(col("pair_count").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) drained = true
+        else {
+          val (l, r, c) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += Merge(k, l, r, c)
+          if (k < rounds) {
+            val next = vocab
+              .withColumn("syms", applyMerge(col("syms"), l, r))
+              .cache()
+            next.count() // materialize before releasing the parent gen
+            vocab.unpersist()
+            vocab = next
+          }
+          k += 1
+        }
+      }
+      merges.result()
+    } finally vocab.unpersist()
+  }
+}

@@ -16,6 +16,44 @@ import graft.functions.{HeavyHitters, TextOps}
   */
 object TextQueries {
 
+  /** Training rounds for `text_bpe_train` — enough that later merges
+    * provably compose earlier ones (round 6 merges "m"+"er"). */
+  private val BpeRounds = 6
+
+  /** The BPE oracle: one WITH block per round — pair counts from the
+    * previous vocabulary generation, the 1-row argmax (same tiebreak as
+    * the engine: count DESC, l, r), and the rewritten generation via the
+    * same greedy leftmost fold the engine applies (list_reduce over the
+    * symbol list; accumulator = space-joined symbols). */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val roundBlocks = (1 to rounds).map { k =>
+      s"""p$k AS (SELECT list_extract(syms, CAST(i AS INT)) AS l,
+         |        list_extract(syms, CAST(i AS INT) + 1) AS r, wf
+         |      FROM v${k - 1}, UNNEST(range(1, len(syms))) AS t(i)),
+         |b$k AS (SELECT l, r, l || r AS m,
+         |        CAST(SUM(wf) AS BIGINT) AS pair_count
+         |      FROM p$k GROUP BY l, r
+         |      ORDER BY pair_count DESC, l, r LIMIT 1),
+         |v$k AS (SELECT string_split(list_reduce(syms,
+         |        (acc, s) -> CASE
+         |          WHEN regexp_extract(acc, '[^ ]*$$') = b$k.l AND s = b$k.r
+         |          THEN CASE WHEN strpos(acc, ' ') = 0 THEN b$k.m
+         |               ELSE regexp_replace(acc, ' [^ ]*$$', '') ||
+         |            ' ' || b$k.m END
+         |          ELSE acc || ' ' || s END), ' ') AS syms, wf
+         |      FROM v${k - 1}, b$k)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds)
+      .map(k => s"SELECT $k AS round, m AS merge, l, r, pair_count FROM b$k")
+      .mkString(" UNION ALL ")
+    s"""WITH w AS (SELECT unnest(regexp_extract_all(text,
+       |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS word FROM documents),
+       |v0 AS (SELECT string_split(word, '') AS syms, COUNT(*) AS wf
+       |      FROM w GROUP BY word),
+       |$roundBlocks
+       |SELECT * FROM ($out) ORDER BY round""".stripMargin
+  }
+
   /** DuckDB list literal of the English stopwords (shared by quality +
     * langid + pipeline oracles — one source, no drift). */
   private def stopwordsSql: String =
@@ -355,6 +393,29 @@ object TextQueries {
           col("pair_count"))
         .orderBy(col("pair_count").desc, col("l"), col("r"))
         .limit(20)
+    },
+
+    // --- iterative BPE training: the full merge loop ---------------------
+    // text_bpe_merges is round 1's candidate table; this is the actual
+    // trainer (operators.BpeTrain): 6 rounds of count → argmax → greedy
+    // leftmost rewrite over the vocabulary, each later round seeing the
+    // merged symbols of the earlier ones (the sf0.01 corpus learns
+    // "m"+"er"→"mer" at round 6 on top of round 1's "e"+"r"). One
+    // corpus-sized shuffle builds the vocab; every round after is
+    // vocab-sized. The oracle replays the identical fold per round via
+    // list_reduce with a string accumulator (symbols never contain
+    // spaces, so join-on-space is a faithful codec).
+    Q("text_bpe_train", bpeTrainOracle(BpeRounds)) { (s, d) =>
+      val vocab = Tables.documents(s, d)
+        .select(explode(TextOps.regexTokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+        .select(filter(split(col("word"), ""), x => x =!= "").as("syms"),
+          col("wf"))
+      val merges = graft.operators.BpeTrain.train(vocab, BpeRounds)
+      import s.implicits._
+      merges.map(m => (m.round, m.merged, m.l, m.r, m.pairCount))
+        .toDF("round", "merge", "l", "r", "pair_count")
+        .orderBy(col("round"))
     },
 
     // --- quality-model threshold sweep (operating curve) ----------------
