@@ -54,4 +54,53 @@ class DedupClustersSpec extends SparkSpec {
     assert(!summary.exists(_.getSeq[Long](3).contains(50L)),
       "unrelated doc must not join any cluster")
   }
+
+  private def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("alternating-star labels == GraphX Pregel labels on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 120 + trial * 40
+      val pairs = Seq.fill(n)(
+        (rng.nextInt(200).toLong, rng.nextInt(200).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("a_id", "b_id")
+      val stars = labels(
+        DedupClusters.fromPairsStars(s, pairs, "a_id", "b_id"))
+      val pregel = labels(
+        DedupClusters.fromPairsGraphX(s, pairs, "a_id", "b_id"))
+      assert(stars == pregel, s"trial $trial: label maps differ")
+    }
+  }
+
+  test("path graph (worst diameter) converges and labels with the min") {
+    val s = spark
+    import s.implicits._
+    // a 60-node chain: diameter 59, but star rounds halve heights —
+    // converges well inside the O(log n) bound enforced by MaxRounds
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = labels(DedupClusters.fromPairsStars(s, pairs, "a_id", "b_id"))
+    assert(got.size == 60 && got.values.forall(_ == 1L))
+  }
+
+  test("empty pair set yields an empty labeling") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(DedupClusters.fromPairsStars(s, pairs, "a_id", "b_id").isEmpty)
+  }
+
+  test("spark.graft.cc.stars=true routes fromPairs to the stars path") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((5L, 9L), (9L, 7L)).toDF("a_id", "b_id")
+    s.conf.set("spark.graft.cc.stars", "true")
+    try {
+      val got = labels(DedupClusters.fromPairs(s, pairs, "a_id", "b_id"))
+      assert(got == Map(5L -> 5L, 9L -> 5L, 7L -> 5L))
+    } finally s.conf.unset("spark.graft.cc.stars")
+  }
 }
