@@ -423,6 +423,63 @@ object SimilarityQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // --- contrastive hard-negative mining (triplet construction) --------
+    // The training-data artifact contrastive/embedding finetuning runs
+    // on: per anchor, ONE positive (nearest neighbor — the retrieval
+    // proxy label) and the top-3 HARD negatives — the highest-cosine
+    // candidates strictly below the near-dup threshold (0.4, the same
+    // corpus-calibrated line dedup_embedding_cosine draws: anything
+    // above it is a probable duplicate, i.e. a FALSE negative that
+    // would poison the loss) and excluding the chosen positive. One
+    // broadcast of the anchor set × one corpus scan, then two
+    // row_number windows over the per-anchor partitions — at 100 TB the
+    // candidate generation swaps to the LSH/IVF index scan (same
+    // downstream shape), which is why the mining threshold + ranking
+    // live separately from candidate generation here.
+    Q(
+      "pipe_hard_negatives",
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT q_id, vec_id,
+         |        ROUND(${Sql.cos("q_vec", "embedding")}, 6) AS cos
+         |      FROM embeddings CROSS JOIN q WHERE vec_id <> q_id),
+         |r AS (SELECT q_id, vec_id, cos, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |      FROM c),
+         |pos AS (SELECT q_id, 'positive' AS role, CAST(1 AS INT) AS rank,
+         |          vec_id, cos
+         |        FROM r WHERE rn = 1),
+         |n AS (SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |      FROM r WHERE rn <> 1 AND cos < 0.4),
+         |neg AS (SELECT q_id, 'negative' AS role, rank, vec_id, cos
+         |        FROM n WHERE rank <= 3)
+         |SELECT * FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+         |ORDER BY q_id NULLS FIRST, role NULLS FIRST, rank NULLS FIRST"""
+        .stripMargin
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = broadcast(
+        emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val ranked = emb.join(queries, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(VectorOps.cosine(col("q_vec"), col("embedding")), 6)
+            .as("cos"))
+        .withColumn("rn", row_number().over(w))
+      val pos = ranked.where(col("rn") === 1)
+        .select(col("q_id"), lit("positive").as("role"),
+          lit(1).as("rank"), col("vec_id"), col("cos"))
+      val neg = ranked.where(col("rn") =!= 1 && col("cos") < 0.4)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("q_id"), lit("negative").as("role"), col("rank"),
+          col("vec_id"), col("cos"))
+      pos.union(neg).orderBy(col("q_id"), col("role"), col("rank"))
+    },
+
     // --- int8 embedding quantization (storage engineering) --------------
     // Symmetric per-vector int8 quantization — the 4× storage cut every
     // large embedding table takes before ANN serving: scale = max|x|/127,
