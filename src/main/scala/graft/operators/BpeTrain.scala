@@ -64,32 +64,40 @@ object BpeTrain {
     * to one symbol). The per-round collect is the 1-row argmax —
     * bounded, like PageRank's convergence probe. */
   def train(vocab0: DataFrame, rounds: Int): Seq[Merge] = {
+    val (merges, vocab) = trainWithVocab(vocab0, rounds)
+    vocab.unpersist()
+    merges
+  }
+
+  /** [[train]] plus the final vocabulary generation — every word's
+    * symbol sequence WITH all learned merges applied, i.e. the encoded
+    * vocabulary a tokenizer-application pass joins against. Extra
+    * columns on `vocab0` (the word itself) flow through untouched. The
+    * returned frame is cached; the caller releases it. */
+  def trainWithVocab(vocab0: DataFrame, rounds: Int)
+      : (Seq[Merge], DataFrame) = {
     var vocab = vocab0.cache()
     val merges = Seq.newBuilder[Merge]
-    try {
-      var k = 1
-      var drained = false
-      while (k <= rounds && !drained) {
-        val top = pairCounts(vocab)
-          .orderBy(col("pair_count").desc, col("l"), col("r"))
-          .limit(1).collect()
-        if (top.isEmpty) drained = true
-        else {
-          val (l, r, c) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += Merge(k, l, r, c)
-          if (k < rounds) {
-            val next = vocab
-              .withColumn("syms", applyMerge(col("syms"), l, r))
-              .cache()
-            next.count() // materialize before releasing the parent gen
-            vocab.unpersist()
-            vocab = next
-          }
-          k += 1
-        }
+    var k = 1
+    var drained = false
+    while (k <= rounds && !drained) {
+      val top = pairCounts(vocab)
+        .orderBy(col("pair_count").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) drained = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(k, l, r, c)
+        val next = vocab
+          .withColumn("syms", applyMerge(col("syms"), l, r))
+          .cache()
+        next.count() // materialize before releasing the parent gen
+        vocab.unpersist()
+        vocab = next
+        k += 1
       }
-      merges.result()
-    } finally vocab.unpersist()
+    }
+    (merges.result(), vocab)
   }
 }

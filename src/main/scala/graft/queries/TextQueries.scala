@@ -20,12 +20,14 @@ object TextQueries {
     * provably compose earlier ones (round 6 merges "m"+"er"). */
   private val BpeRounds = 6
 
-  /** The BPE oracle: one WITH block per round — pair counts from the
-    * previous vocabulary generation, the 1-row argmax (same tiebreak as
-    * the engine: count DESC, l, r), and the rewritten generation via the
-    * same greedy leftmost fold the engine applies (list_reduce over the
-    * symbol list; accumulator = space-joined symbols). */
-  private def bpeTrainOracle(rounds: Int): String = {
+  /** Shared BPE oracle WITH-chain: one block per round — pair counts
+    * from the previous vocabulary generation, the 1-row argmax (same
+    * tiebreak as the engine: count DESC, l, r), and the rewritten
+    * generation via the same greedy leftmost fold the engine applies
+    * (list_reduce over the symbol list; accumulator = space-joined
+    * symbols — symbols never contain spaces). Each generation carries
+    * the word itself so the encode oracle can join back to documents. */
+  private def bpeWithChain(rounds: Int): String = {
     val roundBlocks = (1 to rounds).map { k =>
       s"""p$k AS (SELECT list_extract(syms, CAST(i AS INT)) AS l,
          |        list_extract(syms, CAST(i AS INT) + 1) AS r, wf
@@ -34,7 +36,7 @@ object TextQueries {
          |        CAST(SUM(wf) AS BIGINT) AS pair_count
          |      FROM p$k GROUP BY l, r
          |      ORDER BY pair_count DESC, l, r LIMIT 1),
-         |v$k AS (SELECT string_split(list_reduce(syms,
+         |v$k AS (SELECT word, string_split(list_reduce(syms,
          |        (acc, s) -> CASE
          |          WHEN regexp_extract(acc, '[^ ]*$$') = b$k.l AND s = b$k.r
          |          THEN CASE WHEN strpos(acc, ' ') = 0 THEN b$k.m
@@ -43,16 +45,28 @@ object TextQueries {
          |          ELSE acc || ' ' || s END), ' ') AS syms, wf
          |      FROM v${k - 1}, b$k)""".stripMargin
     }.mkString(",\n")
+    s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text,
+       |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS word FROM documents),
+       |v0 AS (SELECT word, string_split(word, '') AS syms, COUNT(*) AS wf
+       |      FROM tok GROUP BY word),
+       |$roundBlocks""".stripMargin
+  }
+
+  private def bpeTrainOracle(rounds: Int): String = {
     val out = (1 to rounds)
       .map(k => s"SELECT $k AS round, m AS merge, l, r, pair_count FROM b$k")
       .mkString(" UNION ALL ")
-    s"""WITH w AS (SELECT unnest(regexp_extract_all(text,
-       |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS word FROM documents),
-       |v0 AS (SELECT string_split(word, '') AS syms, COUNT(*) AS wf
-       |      FROM w GROUP BY word),
-       |$roundBlocks
+    s"""${bpeWithChain(rounds)}
        |SELECT * FROM ($out) ORDER BY round""".stripMargin
   }
+
+  private def bpeEncodeOracle(rounds: Int): String =
+    s"""${bpeWithChain(rounds)},
+       |enc AS (SELECT word, len(syms) AS n_sub FROM v$rounds)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+       |FROM tok JOIN enc USING (word)
+       |GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin
 
   /** DuckDB list literal of the English stopwords (shared by quality +
     * langid + pipeline oracles — one source, no drift). */
@@ -416,6 +430,36 @@ object TextQueries {
       merges.map(m => (m.round, m.merged, m.l, m.r, m.pairCount))
         .toDF("round", "merge", "l", "r", "pair_count")
         .orderBy(col("round"))
+    },
+
+    // --- tokenizer application: encode the corpus with learned merges ---
+    // The second half of the tokenizer lifecycle: per-document subword
+    // counts under the merges text_bpe_train just learned — the number
+    // that prices a corpus in tokens for a GIVEN tokenizer (fertility =
+    // n_subwords/n_words; text_token_fertility measures a fixed scheme,
+    // this measures the learned one). Encoding is the vocab trick again:
+    // every DISTINCT word is encoded once (R narrow rewrites over the
+    // vocab — no shuffle), then one corpus-sized join word→subword-count
+    // and a per-doc sum. At 100 TB the encoded vocab broadcasts and the
+    // join is map-side.
+    Q("text_bpe_encode", bpeEncodeOracle(BpeRounds)) { (s, d) =>
+      val docsW = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.regexTokens(col("text"))).as("word"))
+      val vocab = docsW.groupBy(col("word")).agg(count(lit(1)).as("wf"))
+        .select(col("word"),
+          filter(split(col("word"), ""), x => x =!= "").as("syms"),
+          col("wf"))
+      // cached final generation stays resident until the plan is
+      // consumed (O(vocab) rows; released by LRU churn thereafter)
+      val (_, encoded) =
+        graft.operators.BpeTrain.trainWithVocab(vocab, BpeRounds)
+      val perWord = broadcast(
+        encoded.select(col("word"), size(col("syms")).as("n_sub")))
+      docsW.join(perWord, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+        .orderBy(col("doc_id"))
     },
 
     // --- quality-model threshold sweep (operating curve) ----------------

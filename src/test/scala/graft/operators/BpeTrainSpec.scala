@@ -44,6 +44,21 @@ class BpeTrainSpec extends SparkSpec {
       (3, "ab", "d", 2L)))
   }
 
+  test("trainWithVocab returns the fully-rewritten final generation") {
+    val s = spark
+    import s.implicits._
+    val vocab = Seq(
+      (Seq("a", "b", "c"), 3L),
+      (Seq("a", "b", "d"), 2L)).toDF("syms", "wf")
+    val (merges, encoded) = BpeTrain.trainWithVocab(vocab, 2)
+    // after (a,b) then (ab,c): "abc" is ONE symbol, "abd" is two
+    val got = encoded.collect()
+      .map(r => r.getSeq[String](0) -> r.getLong(1)).toMap
+    encoded.unpersist()
+    assert(merges.size == 2)
+    assert(got == Map(Seq("abc") -> 3L, Seq("ab", "d") -> 2L))
+  }
+
   test("train stops when the pair table drains") {
     val s = spark
     import s.implicits._
