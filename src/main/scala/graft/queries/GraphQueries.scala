@@ -121,6 +121,52 @@ object GraphQueries {
       ranks.orderBy(col("rank").desc, col("node")).limit(50)
     },
 
+    // --- Connected components on the part co-purchase graph -------------
+    // The alternating large-star/small-star rounds
+    // (operators.DedupClusters.fromPairsStars — Kiveris et al. 2014)
+    // run oracle-checked here, on a graph with real structure: the
+    // sf0.01 co-purchase graph has one giant 1860-member component plus
+    // a fringe of pairs/triples, so the rounds must collapse a large
+    // shallow tree, not just the tiny dedup clusters the spec exercises.
+    // Oracle: min-label propagation as a recursive CTE over the same
+    // edge set. Component summary (min id, size, max member) is the
+    // stable projection — labels themselves are the min ids.
+    Q(
+      "q_components_copurchase",
+      """WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey, l_partkey
+        |                      FROM lineitem),
+        |e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |cc AS (SELECT u AS node, u AS comp FROM e
+        |       UNION
+        |       SELECT e.v, cc.comp FROM cc JOIN e ON e.u = cc.node),
+        |lab AS (SELECT node, MIN(comp) AS cluster_id FROM cc GROUP BY node)
+        |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(MAX(node) AS BIGINT) AS max_member
+        |FROM lab GROUP BY cluster_id
+        |ORDER BY cluster_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val p = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = p.as("x")
+        .join(p.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+        .select(col("a"), col("b"))
+      graft.operators.DedupClusters.fromPairsStars(s, edges, "a", "b")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(col("doc_id")).as("max_member"))
+        .orderBy(col("cluster_id"))
+    },
+
     // --- Triangle counting on the part co-purchase graph ----------------
     // Parts are linked when they ship together in >= 2 distinct orders
     // (the weight floor prunes the heavy tail of one-off co-occurrence —
