@@ -440,8 +440,12 @@ object TextQueries {
     // this measures the learned one). Encoding is the vocab trick again:
     // every DISTINCT word is encoded once (R narrow rewrites over the
     // vocab — no shuffle), then one corpus-sized join word→subword-count
-    // and a per-doc sum. At 100 TB the encoded vocab broadcasts and the
-    // join is map-side.
+    // and a per-doc sum. The vocab join is stats-driven, NOT hinted:
+    // vocabulary grows with the corpus (Heaps' law — the ×100
+    // fresh-text tier has 2.7M distinct words), so a forced broadcast
+    // would ship an ever-growing table to every executor; small vocabs
+    // broadcast from size stats anyway, large ones correctly demote to
+    // a shuffle join on the word key (the big-dim lesson applied).
     Q("text_bpe_encode", bpeEncodeOracle(BpeRounds)) { (s, d) =>
       val docsW = Tables.documents(s, d)
         .select(col("doc_id"),
@@ -454,8 +458,8 @@ object TextQueries {
       // consumed (O(vocab) rows; released by LRU churn thereafter)
       val (_, encoded) =
         graft.operators.BpeTrain.trainWithVocab(vocab, BpeRounds)
-      val perWord = broadcast(
-        encoded.select(col("word"), size(col("syms")).as("n_sub")))
+      val perWord =
+        encoded.select(col("word"), size(col("syms")).as("n_sub"))
       docsW.join(perWord, "word")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
