@@ -63,17 +63,21 @@ object BpeTrain {
     * vocabulary. Stops early if the pair table drains (every word down
     * to one symbol). The per-round collect is the 1-row argmax —
     * bounded, like PageRank's convergence probe. */
-  def train(vocab0: DataFrame, rounds: Int): Seq[Merge] = {
-    val (merges, vocab) = trainWithVocab(vocab0, rounds)
-    vocab.unpersist()
-    merges
-  }
+  def train(vocab0: DataFrame, rounds: Int): Seq[Merge] =
+    trainWithVocab(vocab0, rounds)._1
 
   /** [[train]] plus the final vocabulary generation — every word's
     * symbol sequence WITH all learned merges applied, i.e. the encoded
     * vocabulary a tokenizer-application pass joins against. Extra
-    * columns on `vocab0` (the word itself) flow through untouched. The
-    * returned frame is cached; the caller releases it. */
+    * columns on `vocab0` (the word itself) flow through untouched.
+    *
+    * The returned frame is localCheckpointed, not cached: a cached
+    * generation would enter the cache registry with its full R-deep
+    * plan, and every LATER query planned in the session pays a
+    * canonicalized-plan comparison against it (measured: a 3×
+    * slowdown on an iteration-heavy query benched after this one).
+    * The checkpoint keeps the data hot but the plan shallow, and its
+    * blocks free on GC — no caller-side release contract. */
   def trainWithVocab(vocab0: DataFrame, rounds: Int)
       : (Seq[Merge], DataFrame) = {
     var vocab = vocab0.cache()
@@ -98,6 +102,8 @@ object BpeTrain {
         k += 1
       }
     }
-    (merges.result(), vocab)
+    val finalGen = vocab.localCheckpoint()
+    vocab.unpersist()
+    (merges.result(), finalGen)
   }
 }

@@ -454,8 +454,7 @@ object TextQueries {
         .select(col("word"),
           filter(split(col("word"), ""), x => x =!= "").as("syms"),
           col("wf"))
-      // cached final generation stays resident until the plan is
-      // consumed (O(vocab) rows; released by LRU churn thereafter)
+      // checkpointed final generation (shallow plan, blocks freed on GC)
       val (_, encoded) =
         graft.operators.BpeTrain.trainWithVocab(vocab, BpeRounds)
       val perWord =

@@ -54,7 +54,6 @@ class BpeTrainSpec extends SparkSpec {
     // after (a,b) then (ab,c): "abc" is ONE symbol, "abd" is two
     val got = encoded.collect()
       .map(r => r.getSeq[String](0) -> r.getLong(1)).toMap
-    encoded.unpersist()
     assert(merges.size == 2)
     assert(got == Map(Seq("abc") -> 3L, Seq("ab", "d") -> 2L))
   }
