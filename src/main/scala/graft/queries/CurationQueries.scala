@@ -583,6 +583,46 @@ object CurationQueries {
       sc.select(col("doc_id"), col("n_toks"), col("score_ppm"))
         .orderBy(col("score_ppm").desc, col("doc_id"))
         .limit(k)
+    },
+
+    // --- weighted sampling without replacement (A-Res) -------------------
+    // Efraimidis–Spirakis 2006 (public): draw k docs with inclusion odds
+    // proportional to a weight by ranking on key = u^(1/w), u uniform.
+    // The twist that makes it a VALUE, not a distribution: u comes from
+    // the cross-engine md5 hash of the doc id ((h+1)/2^60 ∈ (0,1]), so
+    // the sample is identical on retries, backfills, and in the oracle —
+    // the same fixed-per-row-decision discipline as the hash-Bernoulli
+    // percentile sample. Weight = n_chars (length-weighted corpus
+    // draw). Keys are rounded to 6 dp BEFORE ranking on both engines
+    // (libm pow may differ in final ulps; ranking on the rounded value
+    // with doc_id tiebreak makes the order engine-exact) — the same
+    // round-then-rank device the cosine top-k family uses. One narrow
+    // projection + a top-k TakeOrderedAndProject: no shuffle beyond the
+    // k-row result at any corpus size.
+    Q(
+      "pipe_weighted_sample",
+      s"""WITH k AS (SELECT doc_id, n_chars,
+         |    ROUND(pow(CAST(${graft.functions.TextOps.md5Low60Sql(
+                 "CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+         |        / 1152921504606846976.0, 1.0 / n_chars), 6) AS samp_key
+         |  FROM documents)
+         |SELECT doc_id, n_chars, samp_key,
+         |  CAST(row_number() OVER (ORDER BY samp_key DESC, doc_id) AS INT)
+         |    AS rank
+         |FROM k
+         |QUALIFY rank <= 20
+         |ORDER BY rank""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.TextOps
+      val u = (TextOps.md5Low60(col("doc_id").cast("string")) + 1)
+        .cast("double") / lit(1152921504606846976.0) // 2^60, exact
+      val w = Window.orderBy(col("samp_key").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          round(pow(u, lit(1.0) / col("n_chars")), 6).as("samp_key"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 20)
+        .orderBy(col("rank"))
     }
   )
 }
