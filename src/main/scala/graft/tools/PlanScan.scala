@@ -26,7 +26,9 @@ object PlanScan {
       "ref_kmv_set_algebra" -> "three 1-row sketch estimates cross-joined into one row",
       "text_vocab_drift" -> "1-row corpus token total broadcast into per-source terms",
       "emb_recall_at_k" -> "1-row n_queries total broadcast into three 1-row hit counts",
-      "q_hll_mergeable_total" -> "1-row exact-total yardstick cross-joined into the 1-row sketch union")
+      "q_hll_mergeable_total" -> "1-row exact-total yardstick cross-joined into the 1-row sketch union",
+      "pipe_dsir_resample" -> "1-row (nr, nt) corpus totals broadcast into the 256-bucket ratio table",
+      "pipe_hard_negatives" -> "10-row anchor set vs corpus is the brute candidate baseline (ANN index at scale)")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
