@@ -616,12 +616,16 @@ object CurationQueries {
       import graft.functions.TextOps
       val u = (TextOps.md5Low60(col("doc_id").cast("string")) + 1)
         .cast("double") / lit(1152921504606846976.0) // 2^60, exact
+      // top-k FIRST (TakeOrderedAndProject — per-partition heaps, no
+      // global sort); the unpartitioned rank window then runs over the
+      // 20 survivors, not the corpus
       val w = Window.orderBy(col("samp_key").desc, col("doc_id"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"),
           round(pow(u, lit(1.0) / col("n_chars")), 6).as("samp_key"))
+        .orderBy(col("samp_key").desc, col("doc_id"))
+        .limit(20)
         .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 20)
         .orderBy(col("rank"))
     }
   )
