@@ -585,6 +585,57 @@ object CurationQueries {
         .limit(k)
     },
 
+    // --- sliding-window chunking for retrieval corpora -------------------
+    // The doc→chunk explode every embedding/retrieval pipeline runs
+    // before encoding: fixed 32-token windows at stride 24 (8-token
+    // overlap keeps boundary context in both neighbors), short docs one
+    // chunk, the tail chunk truncated, never dropped. A narrow per-row
+    // explode — chunk count is arithmetic on the token count, chunk
+    // boundaries are element_at probes — no shuffle at all until the
+    // final presentation sort; at 100 TB this is a map-only pass that
+    // multiplies rows by ~n/stride.
+    Q(
+      "pipe_chunk_overlap",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |c AS (SELECT doc_id, toks, n,
+        |        CASE WHEN n <= 32 THEN 1
+        |             ELSE 1 + (n - 32 + 23) // 24 END AS n_chunks
+        |      FROM n),
+        |x AS (SELECT doc_id, toks, n, CAST(i AS INT) AS chunk_idx
+        |      FROM c, UNNEST(range(0, n_chunks)) AS u(i)),
+        |s AS (SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_tok,
+        |        LEAST(32, n - chunk_idx * 24) AS chunk_len, toks
+        |      FROM x)
+        |SELECT doc_id, chunk_idx, CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(chunk_len AS BIGINT) AS chunk_len,
+        |  list_extract(toks, start_tok + 1) AS first_word,
+        |  list_extract(toks, start_tok + chunk_len) AS last_word
+        |FROM s
+        |ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val C = 32
+      val S = 24
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("n_chunks", when(col("n") <= C, lit(1))
+          // positive operands: double-div + int cast truncates = floor
+          .otherwise(lit(1) + ((col("n") - C + (S - 1)) / S).cast("int")))
+      t.select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+        .withColumn("start_tok", col("chunk_idx") * S)
+        .withColumn("chunk_len", least(lit(C), col("n") - col("start_tok")))
+        .select(col("doc_id"), col("chunk_idx"),
+          col("start_tok").cast("long").as("start_tok"),
+          col("chunk_len").cast("long").as("chunk_len"),
+          element_at(col("toks"), col("start_tok") + 1).as("first_word"),
+          element_at(col("toks"), col("start_tok") + col("chunk_len"))
+            .as("last_word"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // --- weighted sampling without replacement (A-Res) -------------------
     // Efraimidis–Spirakis 2006 (public): draw k docs with inclusion odds
     // proportional to a weight by ranking on key = u^(1/w), u uniform.

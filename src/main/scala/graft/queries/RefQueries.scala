@@ -339,6 +339,53 @@ object RefQueries {
     // order, and file layout can't move the checksum — two environments
     // agree iff their row MULTISETS agree (mod the 2^60 collision bound).
     // The NUL delimiter cannot appear in the data, so field boundaries
+    // --- join-key skew audit ---------------------------------------------
+    // The pre-join diagnostic a 100 TB pipeline runs BEFORE shuffling on
+    // a key: per-key counts (one combiner-friendly aggregation), then
+    // three exact integer skew signals — max occupancy, the top-5 keys'
+    // share, and max-over-mean — that decide between a plain shuffle,
+    // AQE skew splitting, or the Salting operator. No global window and
+    // no sort of the key histogram: top-5 rides a TakeOrdered heap, the
+    // rest is one more aggregate, so the audit costs one pass over the
+    // histogram regardless of key cardinality. Ratios in ppm via
+    // DECIMAL cross-multiplication (exact at any magnitude — the
+    // type-drift discipline); top-5 tie-breaks can differ between
+    // engines but equal counts sum equally, so the share is stable.
+    Q(
+      "ref_key_skew",
+      """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events
+        |           GROUP BY user_id),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |          CAST(SUM(cnt) AS BIGINT) AS total_rows,
+        |          CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        |        FROM c),
+        |top5 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS top5_rows FROM
+        |         (SELECT cnt FROM c ORDER BY cnt DESC LIMIT 5)),
+        |j AS (SELECT * FROM tot CROSS JOIN top5)
+        |SELECT n_keys, total_rows, max_cnt,
+        |  CAST(CAST(top5_rows AS HUGEINT) * 1000000
+        |    // total_rows AS BIGINT) AS top5_share_ppm,
+        |  CAST(CAST(max_cnt AS HUGEINT) * 1000000 * n_keys
+        |    // total_rows AS BIGINT) AS max_over_mean_ppm
+        |FROM j ORDER BY n_keys""".stripMargin
+    ) { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val tot = c.agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total_rows"), max(col("cnt")).as("max_cnt"))
+      val top5 = c.orderBy(col("cnt").desc).limit(5)
+        .agg(sum(col("cnt")).as("top5_rows"))
+      tot.crossJoin(broadcast(top5))
+        .select(col("n_keys"), col("total_rows"), col("max_cnt"),
+          expr("""CAST(CAST(top5_rows AS DECIMAL(38,0)) * 1000000
+            | div total_rows AS BIGINT)""".stripMargin)
+            .as("top5_share_ppm"),
+          expr("""CAST(CAST(max_cnt AS DECIMAL(38,0)) * 1000000 * n_keys
+            | div total_rows AS BIGINT)""".stripMargin)
+            .as("max_over_mean_ppm"))
+        .orderBy(col("n_keys"))
+    },
+
     // can't alias ("ab","c" vs "a","bc"). This is the cheap cross-
     // environment reconciliation a backfill verifies itself with.
     Q(
