@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{TextKernels, TextOps, VectorOps}
+
+/** Hybrid retrieval over the aligned `documents`/`embeddings` pair
+  * (doc_id ≡ vec_id): a lexical ranker and a semantic ranker fused by
+  * reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR'09) — the
+  * standard first-stage shape of a RAG corpus-serving stack, and the
+  * natural companion to the chunking (`pipe_chunk_overlap`) and BM25
+  * (`text_bm25_topk`) entries.
+  *
+  * Scale design: both rankers are broadcast-queries × corpus-scan with
+  * per-query bounded heads (row_number ≤ K under a deterministic
+  * tiebreak), so the fusion join moves O(queries × K) rows — never the
+  * corpus. At 100 TB the brute scans swap for the LSH/IVF index scans
+  * (`emb_knn_lsh`/`emb_knn_ivf`) and the PPJoin prefix index
+  * (`dedup_ppjoin`) with the SAME fused head downstream; RRF only ever
+  * sees (q_id, doc_id, rank) triples, which is what makes it the
+  * index-agnostic fusion layer.
+  *
+  * RRF arithmetic is rank-derived (1/(60+rank) in IEEE double, lexical
+  * term + semantic term in fixed order), so the oracle reproduces the
+  * scores bit-for-bit from the same small integers.
+  */
+object RetrievalQueries {
+
+  private val NQueries = 5 // anchor docs: doc_id < 5
+  private val HeadK = 20 // per-ranker head size
+  private val FuseK = 10 // fused results served per query
+  private val RrfK = 60 // the canonical RRF dampening constant
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "retr_hybrid_rrf",
+      s"""WITH dt AS (SELECT doc_id,
+         |    list_distinct(string_split(text, ' ')) AS toks
+         |  FROM documents),
+         |qd AS (SELECT doc_id AS q_id, toks AS q_toks FROM dt
+         |       WHERE doc_id < $NQueries),
+         |lexall AS (SELECT qd.q_id, d.doc_id,
+         |    ROUND(CAST(len(list_intersect(qd.q_toks, d.toks)) AS DOUBLE)
+         |      / (len(qd.q_toks) + len(d.toks)
+         |         - len(list_intersect(qd.q_toks, d.toks))), 6) AS jac
+         |  FROM dt d CROSS JOIN qd WHERE d.doc_id <> qd.q_id),
+         |lex AS (SELECT q_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |           ORDER BY jac DESC, doc_id) AS INT) AS lex_rank
+         |  FROM lexall WHERE jac > 0 QUALIFY lex_rank <= $HeadK),
+         |qe AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |       FROM embeddings WHERE vec_id < $NQueries),
+         |semall AS (SELECT q_id, vec_id AS doc_id,
+         |    ROUND(${SimilarityQueries.Sql.cos("q_vec", "embedding")}, 6)
+         |      AS cos
+         |  FROM embeddings CROSS JOIN qe WHERE vec_id <> q_id),
+         |sem AS (SELECT q_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos DESC, doc_id) AS INT) AS sem_rank
+         |  FROM semall WHERE cos > 0 QUALIFY sem_rank <= $HeadK),
+         |f AS (SELECT COALESCE(lex.q_id, sem.q_id) AS q_id,
+         |    COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         |    lex_rank, sem_rank,
+         |    ROUND(COALESCE(CAST(1 AS DOUBLE) / ($RrfK + lex_rank), 0)
+         |      + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + sem_rank), 0), 6)
+         |      AS rrf
+         |  FROM lex FULL OUTER JOIN sem
+         |    ON lex.q_id = sem.q_id AND lex.doc_id = sem.doc_id)
+         |SELECT q_id, doc_id, rank, rrf, lex_rank, sem_rank FROM (
+         |  SELECT q_id, doc_id, rrf, lex_rank, sem_rank,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |           ORDER BY rrf DESC, doc_id) AS INT) AS rank
+         |  FROM f) WHERE rank <= $FuseK
+         |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      // Lexical leg: unigram-jaccard against the broadcast anchors. The
+      // token-set projection is computed once per doc behind its own
+      // exchange (same narrow-pairs discipline as dedup_ngram_jaccard);
+      // the merge-walk jaccard kernel runs once per (anchor, doc).
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.sortedShingleSet(TextOps.tokens(col("text")), 1)
+            .as("toks"))
+      val qDocs = broadcast(
+        docs.where(col("doc_id") < NQueries)
+          .select(col("doc_id").as("q_id"), col("toks").as("q_toks")))
+      val wLex = Window.partitionBy(col("q_id"))
+        .orderBy(col("jac").desc, col("doc_id"))
+      val lex = docs.join(qDocs, col("doc_id") =!= col("q_id"))
+        .select(col("q_id"), col("doc_id"),
+          round(TextKernels.sorted_jaccard(col("q_toks"), col("toks")), 6)
+            .as("jac"))
+        // a ranker only returns positively-scored documents — without
+        // this, zero-overlap docs occupy head slots by id order and
+        // crowd genuine matches out of the fused top-k
+        .where(col("jac") > 0)
+        .withColumn("lex_rank", row_number().over(wLex))
+        .where(col("lex_rank") <= HeadK)
+        .select(col("q_id"), col("doc_id"), col("lex_rank"))
+      // Semantic leg: brute cosine against the same broadcast anchors
+      // (the correctness baseline; the index scan swaps in at scale).
+      val emb = Tables.embeddings(s, d)
+      val qVecs = broadcast(
+        emb.where(col("vec_id") < NQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+      val wSem = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("doc_id"))
+      val sem = emb.join(qVecs, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("doc_id"),
+          round(VectorOps.cosine(col("q_vec"), col("embedding")), 6)
+            .as("cos"))
+        .where(col("cos") > 0)
+        .withColumn("sem_rank", row_number().over(wSem))
+        .where(col("sem_rank") <= HeadK)
+        .select(col("q_id"), col("doc_id"), col("sem_rank"))
+      // Fusion: full-outer on the two bounded heads (O(queries × K)
+      // rows), rank-only arithmetic, re-rank, serve the top FuseK.
+      val wRrf = Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+        .select(col("q_id"), col("doc_id"), col("lex_rank"),
+          col("sem_rank"),
+          round(
+            coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")),
+                lit(0.0)), 6).as("rrf"))
+        .withColumn("rank", row_number().over(wRrf))
+        .where(col("rank") <= FuseK)
+        .select(col("q_id"), col("doc_id"), col("rank"), col("rrf"),
+          col("lex_rank"), col("sem_rank"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+  )
+}

@@ -28,7 +28,7 @@ object SimilarityQueries {
     * bit-identical and survive the driver's value hash. The LSH planes
     * are serialized as float literals (exact shortest-round-trip reprs),
     * making bucket assignment itself cross-engine reproducible. */
-  private object Sql {
+  private[queries] object Sql {
     def floatList(p: Array[Float]): String =
       p.map(_.toDouble.toString).mkString("CAST([", ",", "] AS FLOAT[])")
 
