@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -347,6 +347,57 @@ object StatsQueries {
         .orderBy(col("event_date"))
     },
 
+    // --- incremental view maintenance: delta-join algebra ----------------
+    // Classic IVM over a JOIN view (Blakeley et al., SIGMOD'86): the
+    // per-customer revenue view V = γ(O ⋈ L) is refreshed from deltas as
+    //   ΔV = γ(ΔO ⋈ L_old) ⊎ γ(O_old ⋈ ΔL) ⊎ γ(ΔO ⋈ ΔL)
+    // and merged into the stored view by re-aggregating partial SUM/COUNT
+    // (the self-maintainable aggregates — AVG et al. must be derived from
+    // them, never stored). The query splits both base tables, computes
+    // the base view and all three delta legs, merges, and the oracle — a
+    // flat join+group over the FULL inputs — certifies the algebra is
+    // exact: every delta leg joins O(|Δ|·fanout) rows, never re-scans
+    // the base-× -base pairing. At 100 TB this is the difference between
+    // a nightly view refresh costing O(new data) and O(lake); it is the
+    // join-view counterpart of io.IncrementalAgg's snapshot-state
+    // protocol (which owns WHERE partials live between refreshes).
+    // Decimal-exact partials make the merge order-insensitive.
+    Q(
+      "q_incremental_join_view",
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)").as("rev"))
+      // the "already loaded" bases and the two incoming deltas
+      val oBase = o.where(pmod(col("o_orderkey"), lit(4)) =!= 0)
+      val oDelta = o.where(pmod(col("o_orderkey"), lit(4)) === 0)
+      val lBase = l.where(col("l_linenumber") <= 4)
+      val lDelta = l.where(col("l_linenumber") > 4)
+      def partial(odf: DataFrame, ldf: DataFrame): DataFrame =
+        odf.join(ldf, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("rev")).as("rev_part"),
+            count(lit(1)).as("n_part"))
+      val baseView = partial(oBase, lBase)
+      val deltaView = partial(oDelta, lBase)
+        .unionByName(partial(oBase, lDelta))
+        .unionByName(partial(oDelta, lDelta))
+      baseView.unionByName(deltaView)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev_part")).cast("double").as("revenue"),
+          sum(col("n_part")).as("n_items"))
+        .orderBy(col("o_custkey"))
+    },
+
     // --- deterministic hash-sampled quantiles ----------------------------
     // The replayable scale path for quantiles, beside the GK sketch
     // (q_value_percentiles_approx, rows-only by nature): a 1/8 Bernoulli
@@ -379,6 +430,67 @@ object StatsQueries {
           round(expr("percentile(value, 0.9)"), 6).as("p90_s"),
           count(lit(1)).as("sample_n"))
         .orderBy(col("event_type"))
+    },
+
+    // --- mergeable bottom-k quantile sample ------------------------------
+    // Fixed-SIZE counterpart to the fixed-RATE hash sample above, and the
+    // quantile analogue of the KMV distinct sketch: keep the K=256 rows
+    // with the smallest MD5(event_id) per DAY (bounded heaps in the
+    // native TopK operator — no per-day sort, no collect_list), then
+    // merge partitions at read by keeping the bottom K of the union.
+    // Merge is EXACT by construction: any row in the global bottom-K is
+    // in its own day's bottom-K, so bottom-K(union of per-day bottom-Ks)
+    // ≡ bottom-K(all rows) — the query computes both legs and asserts
+    // equality in `merge_matches_direct`. That containment is what makes
+    // the per-day sketch a mergeable rollup: store 256 rows per
+    // partition, serve corpus-wide quantiles from any subset of days by
+    // re-merging O(days×K) rows — state never grows with data, unlike
+    // the 1/8 rate sample whose sort input scales with the corpus. The
+    // hash ordering makes the sample a per-row deterministic VALUE
+    // (replayed verbatim by the oracle), not a distribution.
+    Q(
+      "q_bottomk_mergeable_percentiles",
+      s"""WITH ev AS (SELECT
+        |    ${graft.functions.TextOps.md5Low60Sql("CAST(event_id AS VARCHAR)")}
+        |      AS h, value
+        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |m AS (SELECT value FROM (
+        |    SELECT value, row_number() OVER (ORDER BY h, value) AS rn
+        |    FROM ev) WHERE rn <= 256)
+        |SELECT ROUND(quantile_cont(value, 0.5), 6) AS p50_m,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS p90_m,
+        |  CAST(COUNT(*) AS BIGINT) AS sample_n,
+        |  TRUE AS merge_matches_direct
+        |FROM m""".stripMargin
+    ) { (s, d) =>
+      import graft.operators.TopK
+      val k = 256
+      val ev = Tables.events(s, d)
+        .where(col("value").isNotNull && col("event_id").isNotNull)
+        .select(to_date(col("ts")).as("event_date"),
+          graft.functions.TextOps.md5Low60(col("event_id").cast("string"))
+            .as("h"),
+          col("value"))
+      // store leg: bounded per-day heaps (the per-partition sketch)
+      val daily = TopK.perGroup(ev, k, Seq("event_date"),
+        Seq(TopK.asc("h"), TopK.asc("value")))
+      // serve leg: re-merge the per-day samples (O(days×K) rows)
+      val merged = TopK.perGroup(
+        daily.select(col("h"), col("value")).withColumn("g", lit(1)),
+        k, Seq("g"), Seq(TopK.asc("h"), TopK.asc("value")))
+      // direct leg: the oracle's formulation, straight off the raw rows
+      val direct = TopK.perGroup(
+        ev.select(col("h"), col("value")).withColumn("g", lit(1)),
+        k, Seq("g"), Seq(TopK.asc("h"), TopK.asc("value")))
+      def stats(df: DataFrame, suffix: String): DataFrame =
+        df.agg(
+          round(expr("percentile(value, 0.5)"), 6).as(s"p50$suffix"),
+          round(expr("percentile(value, 0.9)"), 6).as(s"p90$suffix"),
+          count(lit(1)).as(s"n$suffix"))
+      stats(merged, "_m").crossJoin(broadcast(stats(direct, "_d")))
+        .select(col("p50_m"), col("p90_m"), col("n_m").as("sample_n"),
+          (col("p50_m") <=> col("p50_d") && col("p90_m") <=> col("p90_d")
+            && col("n_m") === col("n_d")).as("merge_matches_direct"))
     },
 
     // --- robust outliers: median/MAD in exact integer cents --------------
