@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{HeavyHitters, MinHashSig, SimHash, SortedJaccard, SortedShingles, VectorDot, VectorL2Sq}
+import graft.functions.{HeavyHitters, MinHashSig, SimHash, SortedJaccard, SortedShingles, TDigestAgg, TDigestQuantile, VectorDot, VectorL2Sq}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql("SELECT simhash(...)...")`
@@ -82,6 +82,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(item, Literal(k: Int, _)) => HeavyHitters(item, k)
         case _ => throw new IllegalArgumentException(
           "heavy_hitters(string, capacity literal int)")
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("tdigest"),
+      new ExpressionInfo(classOf[TDigestAgg].getName, "tdigest"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => TDigestAgg(v, 200, mergeInput = false)
+        case Seq(v, Literal(c: Int, _)) => TDigestAgg(v, c, mergeInput = false)
+        case _ => throw new IllegalArgumentException(
+          "tdigest(double[, compression literal int])")
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("tdigest_merge"),
+      new ExpressionInfo(classOf[TDigestAgg].getName, "tdigest_merge"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => TDigestAgg(v, 200, mergeInput = true)
+        case Seq(v, Literal(c: Int, _)) => TDigestAgg(v, c, mergeInput = true)
+        case _ => throw new IllegalArgumentException(
+          "tdigest_merge(binary[, compression literal int])")
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("tdigest_quantile"),
+      new ExpressionInfo(classOf[TDigestQuantile].getName, "tdigest_quantile"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sk, Literal(q: Double, _)) => TDigestQuantile(sk, q)
+        case _ => throw new IllegalArgumentException(
+          "tdigest_quantile(binary, q literal double)")
       }))
 
     ext.injectFunction((

@@ -493,6 +493,60 @@ object StatsQueries {
             && col("n_m") === col("n_d")).as("merge_matches_direct"))
     },
 
+    // --- mergeable t-digest quantile rollup ------------------------------
+    // The sketch-family counterpart of the bottom-k sample above and of
+    // q_hll_daily_users/q_hll_mergeable_total: a per-DAY t-digest of
+    // `value` (graft.functions.TDigest, the k₁-scale merging digest) is
+    // the stored rollup state; the corpus-wide quantiles are served by
+    // UNIONING the daily digests — O(days × δ) bytes — without touching
+    // the raw rows again. Unlike the bottom-k sample (exact replay,
+    // fixed 256 rows, accuracy O(1/√K) everywhere) the digest spends its
+    // δ centroids tail-heavy, so p99 holds up where a uniform sample
+    // thins out; the price is run-to-run layout variance, so correctness
+    // is asserted in RANK space against exact counts (same contract as
+    // q_value_percentiles_approx for Spark's own GK sketch): the count
+    // of rows below the served estimate must land within 2% + 1 of the
+    // target rank, checked at p50/p90/p99.
+    Q(
+      "q_tdigest_mergeable_quantiles",
+      """SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
+        |FROM events WHERE value IS NOT NULL""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.TDigest
+      val ev = Tables.events(s, d).where(col("value").isNotNull)
+      val daily = ev
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(TDigest.sketch_agg(col("value")).as("sk"))
+      val served = daily.agg(
+        count(col("event_date")).as("n_days"), // null-date group excluded
+        TDigest.merge_agg(col("sk")).as("msk"))
+        .select(col("n_days"),
+          TDigest.quantile(col("msk"), 0.5).as("e50"),
+          TDigest.quantile(col("msk"), 0.9).as("e90"),
+          TDigest.quantile(col("msk"), 0.99).as("e99"))
+      val counted = ev.crossJoin(broadcast(served))
+        .agg(
+          first(col("n_days")).as("n_days"),
+          count(lit(1)).as("n"),
+          count(when(col("value") < col("e50"), 1)).as("lt50"),
+          count(when(col("value") <= col("e50"), 1)).as("le50"),
+          count(when(col("value") < col("e90"), 1)).as("lt90"),
+          count(when(col("value") <= col("e90"), 1)).as("le90"),
+          count(when(col("value") < col("e99"), 1)).as("lt99"),
+          count(when(col("value") <= col("e99"), 1)).as("le99"))
+      def ok(q: Double, lt: String, le: String) = {
+        val slack = col("n") * 0.02 + 1
+        val target = col("n") * q
+        col(lt) <= target + slack && col(le) >= target - slack
+      }
+      counted.select(col("n_days"), col("n"),
+        ok(0.5, "lt50", "le50").as("ok50"),
+        ok(0.9, "lt90", "le90").as("ok90"),
+        ok(0.99, "lt99", "le99").as("ok99"))
+    },
+
     // --- robust outliers: median/MAD in exact integer cents --------------
     // The robust-statistics cleaning pass (median + median-absolute-
     // deviation beats mean/stddev under the heavy tails that motivate

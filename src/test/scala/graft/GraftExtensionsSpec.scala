@@ -53,6 +53,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got.size <= 4)
   }
 
+  test("tdigest / tdigest_merge / tdigest_quantile work from SQL") {
+    val est = spark.sql(
+      """SELECT tdigest_quantile(tdigest_merge(sk), 0.5D) AS p50 FROM (
+        |  SELECT g, tdigest(CAST(v AS DOUBLE)) AS sk
+        |  FROM VALUES (0,1),(0,2),(0,3),(1,4),(1,5),(1,6),(1,7) AS t(g, v)
+        |  GROUP BY g)
+        |""".stripMargin).head().getDouble(0)
+    assert(est >= 1.0 && est <= 7.0 && math.abs(est - 4.0) <= 1.0,
+      s"merged p50 estimate $est")
+  }
+
   test("SQL and Column API agree on simhash") {
     import org.apache.spark.sql.functions._
     val viaSql = spark.sql("SELECT simhash(array('x','y')) AS s").head().getLong(0)
