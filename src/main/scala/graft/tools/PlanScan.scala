@@ -28,7 +28,11 @@ object PlanScan {
       "emb_recall_at_k" -> "1-row n_queries total broadcast into three 1-row hit counts",
       "q_hll_mergeable_total" -> "1-row exact-total yardstick cross-joined into the 1-row sketch union",
       "pipe_dsir_resample" -> "1-row (nr, nt) corpus totals broadcast into the 256-bucket ratio table",
-      "pipe_hard_negatives" -> "10-row anchor set vs corpus is the brute candidate baseline (ANN index at scale)")
+      "pipe_hard_negatives" -> "10-row anchor set vs corpus is the brute candidate baseline (ANN index at scale)",
+      "ref_key_skew" -> "1-row key-stats frame cross-joined into the 1-row top5 sum",
+      "q_bottomk_mergeable_percentiles" -> "1-row direct-leg stats cross-joined into the 1-row merged-leg stats",
+      "q_tdigest_mergeable_quantiles" -> "1-row served-quantile frame broadcast into the rank-counting scan",
+      "retr_hybrid_rrf" -> "5-row anchor sets vs corpus scans are the brute ranker baselines (index scans at scale)")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
