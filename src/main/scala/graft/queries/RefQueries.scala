@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -328,6 +329,62 @@ object RefQueries {
             === max(abs(col("cusum_scaled"))).over(whole))
         .select(col("event_date"), col("n"), col("cusum_scaled"),
           col("is_peak"))
+        .orderBy(col("event_date"))
+    },
+
+    // --- exponentially weighted volume baseline --------------------------
+    // Completes the anomaly-baseline trio (trailing-mean, CUSUM, and now
+    // EWMA): ewma_t = 0.3·n_t + 0.7·ewma_{t−1}, seeded with the first
+    // day — the standard drift-tolerant baseline that discounts old
+    // volume geometrically instead of cliff-dropping it like the 7-day
+    // window. The recurrence is inherently sequential, but it runs on
+    // the DAILY ROLLUP (one row per calendar day — O(days), bounded by
+    // the calendar, never by data); the distributed work is only the
+    // per-day count. Per-row prefix folds keep the fold order explicit
+    // (oldest→current), so the oracle's list_reduce replays the exact
+    // IEEE sequence: identical init, identical 0.3·x + 0.7·acc per step,
+    // bit-identical doubles. A day is flagged when its count exceeds
+    // 1.5× yesterday's EWMA (the baseline must not absorb today's spike
+    // before judging it).
+    Q(
+      "ref_ewma_baseline",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS event_date,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY event_date),
+        |h AS (SELECT event_date, n,
+        |    list(CAST(n AS DOUBLE)) OVER (ORDER BY event_date
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+        |    list(CAST(n AS DOUBLE)) OVER (ORDER BY event_date
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hist
+        |  FROM daily)
+        |SELECT event_date, n,
+        |  ROUND(list_reduce(hist, (acc, x) -> 0.3 * x + 0.7 * acc), 6)
+        |    AS ewma,
+        |  (COALESCE(len(prev), 0) > 0 AND n > ROUND(list_reduce(prev,
+        |     (acc, x) -> 0.3 * x + 0.7 * acc), 6) * 1.5) AS is_spike
+        |FROM h ORDER BY event_date NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .where(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("n"))
+      val cum = Window.orderBy(col("event_date"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prevW = Window.orderBy(col("event_date"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      def fold(histCol: Column): Column =
+        round(aggregate(
+          slice(histCol, lit(2), greatest(size(histCol) - 1, lit(0))),
+          element_at(histCol, 1),
+          (acc, x) => lit(0.3) * x + lit(0.7) * acc), 6)
+      daily
+        .withColumn("hist", collect_list(col("n").cast("double")).over(cum))
+        .withColumn("prev",
+          collect_list(col("n").cast("double")).over(prevW))
+        .select(col("event_date"), col("n"),
+          fold(col("hist")).as("ewma"),
+          (size(col("prev")) > 0
+            && col("n") > fold(col("prev")) * 1.5).as("is_spike"))
         .orderBy(col("event_date"))
     },
 
