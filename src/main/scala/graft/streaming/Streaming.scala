@@ -193,6 +193,48 @@ object Streaming {
       }
   }
 
+  final case class TDigestState(sketch: Array[Byte])
+  final case class TypeQuantiles(event_type: String, n_total: Long,
+      p50: Double, p99: Double)
+
+  /** Streaming quantiles per event_type — the batch t-digest rollup
+    * (`q_tdigest_mergeable_quantiles`) maintained incrementally via
+    * mapGroupsWithState. State per key is ONE serialized digest
+    * (O(compression) centroids forever, regardless of stream history) —
+    * each micro-batch's values are absorbed through the same merge pass
+    * the batch aggregate uses, so the streaming state IS a batch sketch
+    * at every point in time: served estimates carry the identical
+    * rank-error envelope (order of arrival shifts centroid layout within
+    * it, which is the documented t-digest contract, not a streaming
+    * artifact). No timeout for the same reason as the KMV sketch above:
+    * all-time quantiles have no window to expire.
+    *
+    * Values reach the stateful function raw, but the digest buffers and
+    * compresses every [[graft.functions.TDigest.BufferCap]] points, so
+    * per-batch cost is O(rows + δ log δ) per key — the same amortized
+    * shape as the batch update path. */
+  def streamingQuantiles(events: DataFrame, compression: Int = 200)
+      : Dataset[TypeQuantiles] = {
+    import events.sparkSession.implicits._
+    events
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[TDigestState, TypeQuantiles](
+        GroupStateTimeout.NoTimeout) {
+        (eventType, rows, state: GroupState[TDigestState]) =>
+          val digest = state.getOption
+            .map(s => graft.functions.TDigest.fromBytes(s.sketch))
+            .getOrElse(new graft.functions.TDigest.State(compression))
+          rows.foreach(r => digest.add(r._2, 1L))
+          state.update(TDigestState(digest.serialized))
+          TypeQuantiles(eventType, digest.totalWeight,
+            digest.quantile(0.5).getOrElse(Double.NaN),
+            digest.quantile(0.99).getOrElse(Double.NaN))
+      }
+  }
+
   final case class SessionState(sessions: List[(Long, Long, Int)])
   final case class UserSession(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Int)

@@ -83,6 +83,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingQuantiles: digest state serves in-envelope estimates " +
+      "across micro-batches, count exact") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rnd = new scala.util.Random(19)
+    val data = Array.fill(6000)(math.exp(rnd.nextGaussian()))
+    val input = MemoryStream[(String, java.lang.Double)]
+    val events = input.toDF().toDF("event_type", "value")
+    val q = Streaming.streamingQuantiles(events)
+      .writeStream.format("memory").queryName("tdq")
+      .outputMode("update").start()
+    try {
+      // three micro-batches plus a null (ignored); state must absorb
+      // each batch into ONE digest, never re-see prior raw rows
+      data.grouped(2000).foreach { chunk =>
+        input.addData(chunk.map(v =>
+          ("click", java.lang.Double.valueOf(v))).toSeq
+          :+ (("click", null: java.lang.Double)): _*)
+        q.processAllAvailable()
+      }
+      val last = s.table("tdq").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).lastOption.getOrElse(fail("no output"))
+      assert(last._1 == "click" && last._2 == 6000L,
+        s"count must be exact: $last")
+      for ((est, qq) <- Seq(last._3 -> 0.5, last._4 -> 0.99)) {
+        val below = data.count(_ < est).toDouble
+        val atOrBelow = data.count(_ <= est).toDouble
+        val target = qq * data.length
+        val d = if (target < below) below - target
+                else if (target > atOrBelow) target - atOrBelow else 0.0
+        assert(d / data.length <= 0.015,
+          s"streaming rank error ${d / data.length} at q=$qq")
+      }
+    } finally q.stop()
+  }
+
   test("windowedDqCounters: per-window null counters match batch semantics") {
     val s = spark
     import s.implicits._
