@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -177,6 +177,63 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The IVF pipeline split into its production halves: BUILD commits
+    * the trained index as a snapshot table (one immutable dir per cell,
+    * per-file `cell` min/max stats in the manifest), SERVE answers from
+    * the STORED index reading only the probed cells — manifest pruning
+    * skips every other cell's files at planning time, so the serve scan
+    * is O(probed lists), never O(corpus). The inline `knnIvf` path
+    * fuses both halves into one plan for the oracle's sake; this one is
+    * the shape a 100 TB vector store actually runs: train/assign once,
+    * commit, then every query session reads lists straight off the
+    * manifest (rebuild only on index refresh, exactly like the HLL /
+    * t-digest store-sketches-serve-later rollups).
+    * Same result as [[knnIvf]] by construction — both share IvfOracle. */
+  def knnIvfPersisted(s: SparkSession, d: String, table: String)
+      : DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // clean slate so version numbers are deterministic per run
+    val p = new org.apache.hadoop.fs.Path(table)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    // BUILD half
+    val cents = KMeans.fit(emb, k = 8, iters = 3)
+    val assigned = emb
+      .withColumn("cid", KMeans.assignExpr(col("embedding"), cents))
+      .withColumn("cell", col("cid")) // partition value also as DATA, for stats
+    graft.io.Snapshots.commitFull(assigned, table, "cid",
+      statsCols = Seq("cell"))
+    // PROBE: same nprobe=4 expression as the inline path
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val probeEntries = array_sort(array(cents.map(c =>
+      struct(
+        graft.functions.VectorOps.l2sq(col("q_vec"),
+          array(c.cvec.map(lit): _*)).as("d"),
+        lit(c.cid).as("cid"))): _*))
+    val probe = queries
+      .select(col("q_id"), col("q_vec"),
+        explode(slice(probeEntries, 1, 4)).as("pc"))
+      .select(col("q_id"), col("q_vec"), col("pc.cid").as("probe_cid"))
+    // bounded driver list: ≤ k distinct probed cells
+    val probedCells = probe.select(col("probe_cid")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    // SERVE half: one stats-pruned read per probed cell
+    val index = probedCells.map(c =>
+        graft.io.Snapshots.readRange(s, table, "cell",
+          c.toString, c.toString))
+      .reduce(_.unionByName(_))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    index.join(broadcast(probe),
+        col("cell") === col("probe_cid") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.cosine(col("q_vec"), col("embedding")), 6)
+          .as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= 3)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   def knnIvf(emb: DataFrame): DataFrame = {
     // train the coarse quantizer (bounded driver state: k × dim doubles)
     val cents = KMeans.fit(emb, k = 8, iters = 3)
@@ -242,6 +299,35 @@ object SimilarityQueries {
       .select(col("q_id"), col("vec_id"),
         round(col("adc"), 6).as("adc"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Shared oracle of the IVF pipeline (train + probe + rerank): used
+    * verbatim by emb_knn_ivf (inline build) and emb_ivf_persist (the
+    * same result served from a committed snapshot index table — the
+    * storage layer must be invisible to the answer). */
+  private lazy val IvfOracle: String = {
+    val iters = 3
+    s"""WITH ${kmeansCtes(k = 8, iters = iters)},
+       |q AS (SELECT vec_id AS q_id, embedding AS q_vec
+       |      FROM embeddings WHERE vec_id < 10),
+       |qd AS (SELECT q_id, cid, ${Sql.l2sq("q_vec", "cvec")} AS d
+       |       FROM q CROSS JOIN c$iters),
+       |probe AS (SELECT q_id, cid FROM (
+       |    SELECT q_id, cid,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS pr
+       |    FROM qd) WHERE pr <= 4),
+       |cand AS (SELECT p.q_id, a.vec_id, a.embedding
+       |         FROM af a JOIN probe p ON a.cid = p.cid
+       |         WHERE a.vec_id <> p.q_id),
+       |s AS (SELECT cand.q_id, cand.vec_id,
+       |        ROUND(${Sql.cos("q.q_vec", "cand.embedding")}, 6) AS cos
+       |      FROM cand JOIN q ON q.q_id = cand.q_id)
+       |SELECT q_id, vec_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY q_id
+       |         ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |FROM s
+       |QUALIFY rank <= 3
+       |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -360,32 +446,20 @@ object SimilarityQueries {
     // At 100 TB: centroids broadcast (k × dim doubles), assignment is a
     // narrow map (no join), each query touches nprobe lists ≈ nprobe/k
     // of the corpus.
-    Q(
-      "emb_knn_ivf", {
-        val iters = 3
-        s"""WITH ${kmeansCtes(k = 8, iters = iters)},
-           |q AS (SELECT vec_id AS q_id, embedding AS q_vec
-           |      FROM embeddings WHERE vec_id < 10),
-           |qd AS (SELECT q_id, cid, ${Sql.l2sq("q_vec", "cvec")} AS d
-           |       FROM q CROSS JOIN c$iters),
-           |probe AS (SELECT q_id, cid FROM (
-           |    SELECT q_id, cid,
-           |      row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS pr
-           |    FROM qd) WHERE pr <= 4),
-           |cand AS (SELECT p.q_id, a.vec_id, a.embedding
-           |         FROM af a JOIN probe p ON a.cid = p.cid
-           |         WHERE a.vec_id <> p.q_id),
-           |s AS (SELECT cand.q_id, cand.vec_id,
-           |        ROUND(${Sql.cos("q.q_vec", "cand.embedding")}, 6) AS cos
-           |      FROM cand JOIN q ON q.q_id = cand.q_id)
-           |SELECT q_id, vec_id, cos,
-           |  CAST(row_number() OVER (PARTITION BY q_id
-           |         ORDER BY cos DESC, vec_id) AS INT) AS rank
-           |FROM s
-           |QUALIFY rank <= 3
-           |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
-      }
-    ) { (s, d) => knnIvf(Tables.embeddings(s, d)) },
+    Q("emb_knn_ivf", IvfOracle) { (s, d) =>
+      knnIvf(Tables.embeddings(s, d))
+    },
+
+    // --- IVF index persisted as a snapshot table, then served ------------
+    // Identical answer to emb_knn_ivf (same oracle, by design): what
+    // changes is the execution shape — build/commit once, serve from
+    // the stored per-cell files with manifest pruning. IvfPersistSpec
+    // asserts the serve scan touches ONLY probed-cell files.
+    Q("emb_ivf_persist", IvfOracle) { (s, d) =>
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      knnIvfPersisted(s, d,
+        s"${sys.props("java.io.tmpdir")}/graft_ivf_index/$tag")
+    },
 
     // --- embedding-cosine near-duplicate pairs ---------------------------
     // same LSH bucketing, self-join, high-threshold filter: the
