@@ -202,7 +202,14 @@ object SimilarityQueries {
       .withColumn("cell", col("cid")) // partition value also as DATA, for stats
     graft.io.Snapshots.commitFull(assigned, table, "cid",
       statsCols = Seq("cell"))
-    // PROBE: same nprobe=4 expression as the inline path
+    ivfServe(s, emb, cents, table)
+  }
+
+  /** SERVE half of the persisted-IVF pipeline: probe nprobe=4 nearest
+    * centroids per query, read ONLY the probed cells off the snapshot
+    * manifest (one stats-pruned read per cell), exact-rerank, top-3. */
+  private def ivfServe(s: SparkSession, emb: DataFrame,
+      cents: Seq[KMeans.Centroid], table: String): DataFrame = {
     val queries = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val probeEntries = array_sort(array(cents.map(c =>
@@ -217,7 +224,6 @@ object SimilarityQueries {
     // bounded driver list: ≤ k distinct probed cells
     val probedCells = probe.select(col("probe_cid")).distinct()
       .collect().map(_.getInt(0)).sorted
-    // SERVE half: one stats-pruned read per probed cell
     val index = probedCells.map(c =>
         graft.io.Snapshots.readRange(s, table, "cell",
           c.toString, c.toString))
@@ -232,6 +238,33 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= 3)
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Incremental index maintenance: train on the BASE half only, commit,
+    * then assign the arriving DELTA with the STORED centroids (no
+    * retrain) and commitAppend its cells — the index stays fresh for the
+    * cost of assigning new rows, the retrain is deferred to an index
+    * refresh. Serving is oblivious to the generation split: the manifest
+    * union of both commits IS the index. The oracle trains k-means on
+    * the base subset and assigns everything with those centroids, so a
+    * hash match proves the no-retrain append changed nothing about the
+    * answer's semantics. */
+  def knnIvfAppended(s: SparkSession, d: String, table: String)
+      : DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val p = new org.apache.hadoop.fs.Path(table)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val base = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val delta = emb.where(pmod(col("vec_id"), lit(2)) =!= 0)
+    val cents = KMeans.fit(base, k = 8, iters = 3)
+    def assign(df: DataFrame): DataFrame = df
+      .withColumn("cid", KMeans.assignExpr(col("embedding"), cents))
+      .withColumn("cell", col("cid"))
+    graft.io.Snapshots.commitFull(assign(base), table, "cid",
+      statsCols = Seq("cell"))
+    graft.io.Snapshots.commitAppend(assign(delta), table, "cid",
+      statsCols = Seq("cell"))
+    ivfServe(s, emb, cents, table)
   }
 
   def knnIvf(emb: DataFrame): DataFrame = {
@@ -459,6 +492,51 @@ object SimilarityQueries {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       knnIvfPersisted(s, d,
         s"${sys.props("java.io.tmpdir")}/graft_ivf_index/$tag")
+    },
+
+    // --- incremental index maintenance: append without retrain -----------
+    // Base half trains + commits; delta half is assigned with the STORED
+    // centroids and appended as a second snapshot generation. The oracle
+    // trains on the base subset and assigns all vectors with those
+    // centroids — a hash match proves the no-retrain append is
+    // semantically invisible to serving.
+    Q(
+      "emb_ivf_append", {
+        val iters = 3
+        s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+           |  WHERE vec_id % 2 = 0),
+           |${kmeansCtes(k = 8, iters = iters, src = "base")},
+           |alla AS (SELECT vec_id, embedding, cid FROM (
+           |    SELECT e.vec_id, e.embedding, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${Sql.l2sq("e.embedding", "c.cvec")}, c.cid)
+           |        AS rn
+           |    FROM embeddings e CROSS JOIN c$iters c) WHERE rn = 1),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_vec
+           |      FROM embeddings WHERE vec_id < 10),
+           |qd AS (SELECT q_id, cid, ${Sql.l2sq("q_vec", "cvec")} AS d
+           |       FROM q CROSS JOIN c$iters),
+           |probe AS (SELECT q_id, cid FROM (
+           |    SELECT q_id, cid,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS pr
+           |    FROM qd) WHERE pr <= 4),
+           |cand AS (SELECT p.q_id, a.vec_id, a.embedding
+           |         FROM alla a JOIN probe p ON a.cid = p.cid
+           |           AND a.vec_id <> p.q_id),
+           |sc AS (SELECT cand.q_id, cand.vec_id,
+           |        ROUND(${Sql.cos("q.q_vec", "cand.embedding")}, 6) AS cos
+           |      FROM cand JOIN q ON q.q_id = cand.q_id)
+           |SELECT q_id, vec_id, cos,
+           |  CAST(row_number() OVER (PARTITION BY q_id
+           |         ORDER BY cos DESC, vec_id) AS INT) AS rank
+           |FROM sc
+           |QUALIFY rank <= 3
+           |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) =>
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      knnIvfAppended(s, d,
+        s"${sys.props("java.io.tmpdir")}/graft_ivf_append/$tag")
     },
 
     // --- embedding-cosine near-duplicate pairs ---------------------------

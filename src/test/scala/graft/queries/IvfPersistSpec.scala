@@ -61,4 +61,18 @@ class IvfPersistSpec extends SparkSpec {
     assert(scanned.nonEmpty && scanned.length < committed.size,
       s"expected pruned scan: read ${scanned.length} of ${committed.size}")
   }
+
+  test("appended generation is served without retrain") {
+    val table = tmpDir("ivf-append-table") + "/index"
+    val rows = SimilarityQueries.knnIvfAppended(spark, dir, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // cluster 0 holds ids 0..9; the odd ones arrive in the APPENDED
+    // generation, and as same-cluster twins they must rank in the
+    // served top-3 — proving serve reads the manifest union, not just
+    // the base commit
+    assert(rows.exists { case (_, neighbor) => neighbor % 2 == 1 },
+      s"no appended (odd) vector served: ${rows.toSeq}")
+    assert(graft.io.Snapshots.currentVersion(spark, table) == 2)
+  }
 }
