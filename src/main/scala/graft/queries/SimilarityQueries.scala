@@ -494,6 +494,49 @@ object SimilarityQueries {
         s"${sys.props("java.io.tmpdir")}/graft_ivf_index/$tag")
     },
 
+    // --- filtered vector search (predicate + similarity) -----------------
+    // The serving shape RAG metadata filters need: top-k restricted to
+    // vectors satisfying a predicate (here: the query's OWN label — a
+    // per-query filter value, the hard case, since a static pre-filter
+    // can't precompute it). PRE-filter semantics: restrict the corpus
+    // first, then rank — so k results are guaranteed whenever the
+    // filtered set has k members, unlike post-filtering a top-k' head
+    // which silently under-returns on selective predicates. Brute scan
+    // is the oracle-checkable baseline; at scale the same filter drops
+    // into the IVF cell scan (predicate pushdown inside probed lists —
+    // emb_ivf_persist's serve leg composes with .where unchanged).
+    Q(
+      "emb_knn_filtered",
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+         |           FROM embeddings WHERE vec_id < 10),
+         |sc AS (SELECT q_id, vec_id,
+         |        ROUND(${Sql.cos("q_vec", "embedding")}, 6) AS cos, label
+         |      FROM embeddings JOIN q ON label = q_label
+         |        AND vec_id <> q_id)
+         |SELECT q_id, vec_id, label, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |         ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |FROM sc
+         |QUALIFY rank <= 3
+         |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = broadcast(
+        emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("label").as("q_label")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      emb.join(queries,
+          col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("label"),
+          round(VectorOps.cosine(col("q_vec"), col("embedding")), 6)
+            .as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     // --- incremental index maintenance: append without retrain -----------
     // Base half trains + commits; delta half is assigned with the STORED
     // centroids and appended as a second snapshot generation. The oracle

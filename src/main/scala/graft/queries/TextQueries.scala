@@ -100,6 +100,38 @@ object TextQueries {
   private[queries] val ModelWeights: Array[Long] =
     Array.tabulate(ModelBuckets)(b => ((b.toLong * 2654435761L) % 4096L) - 2048L)
 
+  /** Shared BM25 oracle (see text_bm25_topk's scaladoc for the
+    * integer-exact formula) — reused verbatim by text_bm25_persist: the
+    * posting-list storage layer must be invisible to the ranking. */
+  private lazy val Bm25Oracle: String = {
+    val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
+    }.mkString(",\n        ")
+    val dfs = Bm25Terms.indices.map { i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(",\n        ")
+    val scores = Bm25Terms.indices.map { i =>
+      s"""CASE WHEN tf$i > 0 THEN
+         |  (length(bin(n_docs)) - length(bin(df$i)))
+         |  * (20 * tf$i * avgdl * 1000000)
+         |  // (8 * tf$i * avgdl + 3 * avgdl + 9 * dl) ELSE 0 END"""
+        .stripMargin
+    }.mkString(" +\n        ")
+    s"""WITH s AS (SELECT doc_id, len(toks) AS dl,
+       |        $tfs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents)),
+       |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |        CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+       |          AS avgdl,
+       |        $dfs
+       |  FROM s)
+       |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+       |  CAST($scores AS BIGINT) AS score
+       |FROM s, g
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     // --- token counting: whitespace + regex (BPE-ish pre-tokenizer) ----
     Q(
@@ -656,34 +688,7 @@ object TextQueries {
     // and drop out — stopword suppression falls out of the formula.
     Q(
       "text_bm25_topk",
-      {
-        val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
-          s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
-        }.mkString(",\n        ")
-        val dfs = Bm25Terms.indices.map { i =>
-          s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
-        }.mkString(",\n        ")
-        val scores = Bm25Terms.indices.map { i =>
-          s"""CASE WHEN tf$i > 0 THEN
-             |  (length(bin(n_docs)) - length(bin(df$i)))
-             |  * (20 * tf$i * avgdl * 1000000)
-             |  // (8 * tf$i * avgdl + 3 * avgdl + 9 * dl) ELSE 0 END"""
-            .stripMargin
-        }.mkString(" +\n        ")
-        s"""WITH s AS (SELECT doc_id, len(toks) AS dl,
-           |        $tfs
-           |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
-           |        FROM documents)),
-           |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-           |        CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
-           |          AS avgdl,
-           |        $dfs
-           |  FROM s)
-           |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
-           |  CAST($scores AS BIGINT) AS score
-           |FROM s, g
-           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-      }
+      Bm25Oracle
     ) { (s, d) =>
       val toks = TextOps.tokens(col("text"))
       val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
@@ -708,6 +713,80 @@ object TextQueries {
       base.crossJoin(broadcast(stats))
         .select(col("doc_id"), col("dl").cast("long").as("dl"),
           score.cast("long").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // --- BM25 served from a PERSISTED posting-list table -----------------
+    // text_bm25_topk fused index-build and serve into one plan; this is
+    // the production split (the text twin of emb_ivf_persist): commit
+    // the postings (term, doc_id, tf, dl) RANGE-SORTED on term — each
+    // file covers a disjoint term range, recorded as manifest min/max —
+    // plus a 1-row corpus-stats table, then serve the query by reading
+    // ONLY the query terms' posting files: O(postings of query terms),
+    // never O(corpus). df per term comes from the read postings
+    // themselves (exact); n_docs/avgdl from the stats row. Serving
+    // covers every doc holding ≥1 query term — standard IR semantics
+    // (a doc with no query term is not retrievable) — and matches the
+    // fused oracle whenever ≥ k docs score positive, which holds at
+    // every doc carrying one.
+    //
+    // The declared semantic difference from the fused query: the fused
+    // oracle's LIMIT 20 back-fills with score-0 docs drawn from the
+    // WHOLE corpus (even docs containing no query term — an artifact of
+    // ranking everything), which a posting serve cannot and should not
+    // see. This oracle therefore adds the retrievability predicate
+    // (≥ 1 query-term occurrence) — the definition of a posting-list
+    // search — and the two queries agree on every positively-scored
+    // rank.
+    Q(
+      "text_bm25_persist",
+      Bm25Oracle.replace(
+        "FROM s, g\nORDER BY",
+        "FROM s, g\nWHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0 OR tf3 > 0\nORDER BY")
+    ) { (s, d) =>
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"${sys.props("java.io.tmpdir")}/graft_bm25_index/$tag"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val toksCol = TextOps.tokens(col("text"))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), size(toksCol).as("dl"),
+          explode(toksCol).as("term"))
+      // BUILD: postings carry dl so scoring never re-touches documents
+      val postings = base
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .repartitionByRange(8, col("term"))
+        .withColumn("pfx", substring(col("term"), 1, 1))
+      graft.io.Snapshots.commitFull(postings, s"$root/postings", "pfx",
+        statsCols = Seq("term"))
+      val corpus = Tables.documents(s, d)
+        .select(size(TextOps.tokens(col("text"))).as("dl"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(sum(dl) AS BIGINT) div count(1)").as("avgdl"))
+        .withColumn("g", lit(1))
+      graft.io.Snapshots.commitFull(corpus, s"$root/stats", "g")
+      // SERVE: one stats-pruned read per query term
+      val qp = Bm25Terms.map(t =>
+          graft.io.Snapshots.readRange(s, s"$root/postings", "term", t, t))
+        .reduce(_.unionByName(_))
+      val dfs = qp.groupBy(col("term"))
+        .agg(count(lit(1)).cast("long").as("df"))
+      val stats = graft.io.Snapshots.read(s, s"$root/stats")
+        .select(col("n_docs"), col("avgdl"))
+      def flog2(c: Column) = length(bin(c))
+      val contrib =
+        (flog2(col("n_docs")) - flog2(col("df"))).cast("long") *
+          expr("(20 * tf * avgdl * 1000000) div " +
+            "(8 * tf * avgdl + 3 * avgdl + 9 * dl)")
+      qp.join(broadcast(dfs), "term")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("dl"), contrib.as("c"))
+        .groupBy(col("doc_id"), col("dl"))
+        .agg(sum(col("c")).as("score"))
+        .select(col("doc_id"), col("dl").cast("long").as("dl"),
+          col("score").cast("long").as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
     },
