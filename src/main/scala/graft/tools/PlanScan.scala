@@ -32,7 +32,8 @@ object PlanScan {
       "ref_key_skew" -> "1-row key-stats frame cross-joined into the 1-row top5 sum",
       "q_bottomk_mergeable_percentiles" -> "1-row direct-leg stats cross-joined into the 1-row merged-leg stats",
       "q_tdigest_mergeable_quantiles" -> "1-row served-quantile frame broadcast into the rank-counting scan",
-      "retr_hybrid_rrf" -> "5-row anchor sets vs corpus scans are the brute ranker baselines (index scans at scale)")
+      "retr_hybrid_rrf" -> "5-row anchor sets vs corpus scans are the brute ranker baselines (index scans at scale)",
+      "text_bm25_persist" -> "1-row corpus-stats table broadcast into the pruned posting scan")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
