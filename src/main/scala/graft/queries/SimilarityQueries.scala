@@ -334,6 +334,63 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF and PQ composed (FAISS IVFPQ serving shape, no residual
+    * encoding): the coarse quantizer restricts candidates to the probed
+    * inverted lists, and WITHIN those lists candidates are scored by ADC
+    * over their PQ codes — after indexing, serving touches only
+    * `(cell, codes)` rows, never the float embeddings. The two
+    * compressions compose independently: nprobe/k_coarse bounds the
+    * fraction of the corpus scanned, the 40-bit codes bound the bytes
+    * per scanned candidate — at 100 TB that is the difference between
+    * reading 256 B × corpus and 5 B × corpus/2. Candidate generation is
+    * [[knnIvf]]'s broadcast centroid probe; scoring is [[knnPq]]'s
+    * per-query lookup tables (m map lookups + m−1 adds per candidate),
+    * both unchanged, so the oracle composes their replays verbatim. */
+  def knnIvfPq(emb: DataFrame): DataFrame = {
+    val coarse = KMeans.fit(emb, k = 8, iters = 3)
+    val books = pqFit(emb)
+    // the stored index: one narrow projection — cell id + m code ids
+    val indexed = emb.select(
+        col("vec_id"),
+        KMeans.assignExpr(col("embedding"), coarse).as("cid"),
+        KMeans.nearestAllExpr(col("embedding"), PqSubDim, books).as("pq"))
+      .select(col("vec_id") +: col("cid") +:
+        (1 to PqM).map(i =>
+          element_at(col("pq"), i).getField("cid").as(s"c$i")): _*)
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val probeEntries = array_sort(array(coarse.map(c =>
+      struct(
+        VectorOps.l2sq(col("q_vec"), array(c.cvec.map(lit): _*)).as("d"),
+        lit(c.cid).as("cid"))): _*))
+    val dtabs = books.zipWithIndex.map { case (cents, i) =>
+      map(cents.flatMap(c => Seq(
+        lit(c.cid),
+        VectorOps.l2sq(
+          slice(col("q_vec"), i * PqSubDim + 1, PqSubDim),
+          array(c.cvec.map(lit): _*)))): _*).as(s"dt${i + 1}")
+    }
+    // broadcast side: 10 queries × nprobe=4 probed cells, each row
+    // carrying its ADC tables (k·m sub-distances per query)
+    val probe = queries
+      .select(col("q_id"), col("q_vec"),
+        explode(slice(probeEntries, 1, 4)).as("pc"))
+      .select(col("q_id") +: col("pc.cid").as("probe_cid") +: dtabs: _*)
+    val adc = (1 to PqM)
+      .map(i => element_at(col(s"dt$i"), col(s"c$i")))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    indexed.join(broadcast(probe),
+        col("cid") === col("probe_cid") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adc.as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"),
+        round(col("adc"), 6).as("adc"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Shared oracle of the IVF pipeline (train + probe + rerank): used
     * verbatim by emb_knn_ivf (inline build) and emb_ivf_persist (the
     * same result served from a committed snapshot index table — the
@@ -856,6 +913,55 @@ object SimilarityQueries {
            |  FROM s) WHERE rank <= 5
            |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
       }
-    ) { (s, d) => knnPq(Tables.embeddings(s, d)) }
+    ) { (s, d) => knnPq(Tables.embeddings(s, d)) },
+
+    // --- IVF + PQ composed (the production vector-store serve) -----------
+    // Probe nprobe=4 of 8 coarse cells, then ADC over PQ codes WITHIN the
+    // probed lists only. The oracle replays the coarse training (shared
+    // kmeansCtes → af), the 8 per-subspace codebook trainings (pqCtes),
+    // and restricts emb_knn_pq's ADC scoring to candidates whose coarse
+    // cell is probed — a hash match proves the composition introduces no
+    // semantic drift over its two audited halves.
+    Q(
+      "emb_knn_ivfpq", {
+        val iters = 3
+        val sub = (1 to PqM).map { s =>
+          val lo = (s - 1) * PqSubDim + 1
+          Sql.l2sq(s"q.q_vec[$lo:${s * PqSubDim}]", s"cc$s.cvec")
+        }.mkString("(", " + ", ")")
+        val ccJoins = (1 to PqM)
+          .map(s => s"JOIN s${s}c$PqIters cc$s ON cc$s.cid = x.c$s")
+          .mkString("\n         ")
+        val codeCols = (1 to PqM).map(s => s"a$s.cid AS c$s")
+          .mkString(", ")
+        val codeJoins = (2 to PqM)
+          .map(s => s"JOIN s${s}af a$s USING (vec_id)").mkString(" ")
+        s"""WITH ${kmeansCtes(k = 8, iters = iters)},
+           |$pqCtes,
+           |codes AS (SELECT a1.vec_id, $codeCols
+           |  FROM s1af a1 $codeJoins),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_vec
+           |      FROM embeddings WHERE vec_id < 10),
+           |qd AS (SELECT q_id, cid, ${Sql.l2sq("q_vec", "cvec")} AS d
+           |       FROM q CROSS JOIN c$iters),
+           |probe AS (SELECT q_id, cid FROM (
+           |    SELECT q_id, cid,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS pr
+           |    FROM qd) WHERE pr <= 4),
+           |sc AS (SELECT q.q_id, x.vec_id, $sub AS adc
+           |      FROM codes x
+           |         JOIN af ON af.vec_id = x.vec_id
+           |         JOIN probe p ON p.cid = af.cid
+           |         JOIN q ON q.q_id = p.q_id
+           |         $ccJoins
+           |      WHERE x.vec_id <> q.q_id)
+           |SELECT q_id, vec_id, ROUND(adc, 6) AS adc, rank FROM (
+           |  SELECT q_id, vec_id, adc,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |           ORDER BY adc, vec_id) AS INT) AS rank
+           |  FROM sc) WHERE rank <= 5
+           |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) => knnIvfPq(Tables.embeddings(s, d)) }
   )
 }
