@@ -965,6 +965,67 @@ object TextQueries {
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
           coalesce(col("score_ppm"), lit(0L)).as("score_ppm"))
         .orderBy(col("doc_id"))
+    },
+
+    // --- collocation mining (lift-scored bigrams) -----------------------
+    // The phrase-detection pass (word2vec's phrase pass, NPMI collocation
+    // extraction) that turns corpora into vocabularies with multi-word
+    // units: score each bigram by lift = p(xy) / (p(x)·p(y)) — the
+    // ratio PMI exponentiates, kept as pure IEEE arithmetic so both
+    // engines produce bit-identical doubles (log/exp are libm calls with
+    // no cross-engine rounding contract) — with a min-support floor
+    // (c_xy ≥ 5) so rare accidental pairs can't top the ranking. Plan
+    // shape: bigram and unigram counts are two combiner-friendly hash
+    // aggregates over one exploded scan each; the score join is equi on
+    // the word keys (vocabulary-sized — shuffle join, same contract as
+    // text_rarity_score's); the two corpus totals ride in as broadcast
+    // 1-row frames. Everything before the top-20 is exact integers.
+    Q(
+      "text_collocations",
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT unnest(toks) AS word FROM t),
+        |uni AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+        |nu AS (SELECT COUNT(*) AS n_uni FROM w),
+        |bg AS (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]))
+        |         AS p
+        |       FROM t),
+        |bp AS (SELECT p[1] AS w1, p[2] AS w2 FROM bg),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bp GROUP BY w1, w2),
+        |nb AS (SELECT COUNT(*) AS n_bi FROM bp)
+        |SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+        |  ROUND((CAST(c_xy AS DOUBLE) * n_uni * n_uni)
+        |    / (CAST(n_bi AS DOUBLE) * u1.c * u2.c), 6) AS lift
+        |FROM bc JOIN uni u1 ON u1.word = bc.w1
+        |        JOIN uni u2 ON u2.word = bc.w2
+        |        CROSS JOIN nu CROSS JOIN nb
+        |WHERE c_xy >= 5
+        |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(TextOps.tokens(col("text")).as("toks"))
+      val w = t.select(explode(col("toks")).as("word"))
+      val uni = w.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val nu = w.agg(count(lit(1)).as("n_uni"))
+      val bp = t.select(
+          explode(expr(
+            """arrays_zip(slice(toks, 1, size(toks) - 1),
+              |           slice(toks, 2, size(toks) - 1))""".stripMargin))
+            .as("p"))
+        .select(col("p.0").as("w1"), col("p.1").as("w2"))
+      val bc = bp.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c_xy"))
+        .where(col("c_xy") >= 5)
+      val nb = bp.agg(count(lit(1)).as("n_bi"))
+      bc.join(uni.select(col("word").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uni.select(col("word").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(nu))
+        .crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("c_xy"),
+          round((col("c_xy").cast("double") * col("n_uni") * col("n_uni"))
+            / (col("n_bi").cast("double") * col("c1") * col("c2")), 6)
+            .as("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(20)
     }
   )
 }
