@@ -1123,6 +1123,78 @@ object StatsQueries {
           graft.functions.ZOrder.zvalue16(col("user_id"), col("h")))
         .select(col("user_id"), col("h"), col("zvalue"), col("n"))
         .orderBy(col("zvalue"))
+    },
+
+    // --- one-pass Pearson correlation matrix ----------------------------
+    // All 6 pairwise correlations of the 4 lineitem measures from ONE
+    // scan and ONE reduce: the agg computes the full moment matrix
+    // (n, Σx, Σx², Σxy — 15 aggregates) and every r falls out of the
+    // single result row as driver-free arithmetic. The naive form — six
+    // corr() calls or six self-joins — re-scans the fact table per pair;
+    // at 100 TB the moment matrix IS the only affordable shape, and it
+    // extends to p columns at O(p²) agg state, still one scan. Engines'
+    // built-in corr() is streaming-co-moment (merge-order-dependent
+    // floats) so it can never hash-match; the moment sums here are
+    // DECIMAL-exact (2-decimal inputs cast to DECIMAL(18,4) — products
+    // and sums stay rational-exact), making the final double arithmetic
+    // bit-identical in both engines.
+    {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = cols.combinations(2).map(p => (p(0), p(1))).toSeq
+      // width 19 (not 18): DuckDB stores width<=18 decimals in int64 and
+      // its product overflows int64 for 1e5-scale inputs; 19 forces
+      // int128 arithmetic. Still rational-exact, so parity with Spark's
+      // decimal(18,4) path is unaffected.
+      def decS(c: String) = s"CAST($c AS DECIMAL(19,4))"
+      def corrS(a: String, b: String): String = {
+        def dd(n: String) = s"CAST($n AS DOUBLE)"
+        s"""ROUND((${dd("n")} * ${dd(s"sp_${a}_$b")}
+           |      - ${dd(s"s_$a")} * ${dd(s"s_$b")})
+           |    / (SQRT(${dd("n")} * ${dd(s"ss_$a")}
+           |            - ${dd(s"s_$a")} * ${dd(s"s_$a")})
+           |       * SQRT(${dd("n")} * ${dd(s"ss_$b")}
+           |              - ${dd(s"s_$b")} * ${dd(s"s_$b")})), 6)""".stripMargin
+      }
+      val momentsS =
+        (cols.flatMap(c => Seq(
+          s"SUM(${decS(c)}) AS s_$c",
+          s"SUM(${decS(c)} * ${decS(c)}) AS ss_$c")) ++
+          pairs.map { case (a, b) =>
+            s"SUM(${decS(a)} * ${decS(b)}) AS sp_${a}_$b" })
+          .mkString(",\n    ")
+      val legsS = pairs.map { case (a, b) =>
+        s"SELECT '$a' AS col_x, '$b' AS col_y, ${corrS(a, b)} AS r FROM m"
+      }.mkString("\nUNION ALL\n")
+      Q(
+        "q_corr_matrix",
+        s"""WITH m AS (SELECT COUNT(*) AS n,
+           |    $momentsS
+           |  FROM lineitem)
+           |$legsS
+           |ORDER BY col_x NULLS FIRST, col_y NULLS FIRST""".stripMargin
+      ) { (s, d) =>
+        def dec(c: String) = col(c).cast("decimal(18,4)")
+        val aggs = Seq(count(lit(1)).as("n")) ++
+          cols.flatMap(c => Seq(
+            sum(dec(c)).as(s"s_$c"),
+            sum(dec(c) * dec(c)).as(s"ss_$c"))) ++
+          pairs.map { case (a, b) =>
+            sum(dec(a) * dec(b)).as(s"sp_${a}_$b") }
+        def dd(n: String) = col(n).cast("double")
+        def corr(a: String, b: String) =
+          round((dd("n") * dd(s"sp_${a}_$b") - dd(s"s_$a") * dd(s"s_$b")) /
+            (sqrt(dd("n") * dd(s"ss_$a") - dd(s"s_$a") * dd(s"s_$a")) *
+              sqrt(dd("n") * dd(s"ss_$b") - dd(s"s_$b") * dd(s"s_$b"))), 6)
+        Tables.lineitem(s, d)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(pairs.map { case (a, b) =>
+            struct(lit(a).as("col_x"), lit(b).as("col_y"),
+              corr(a, b).as("r"))
+          }: _*)).as("p"))
+          .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
+            col("p.r").as("r"))
+          .orderBy(col("col_x"), col("col_y"))
+      }
     }
   )
 }
