@@ -678,6 +678,44 @@ object CurationQueries {
         .limit(20)
         .withColumn("rank", row_number().over(w))
         .orderBy(col("rank"))
+    },
+
+    // --- leakage-safe GROUP split (hash the source, not the doc) ---------
+    // pipe_train_val_split hashes doc_id, which puts near-duplicate
+    // documents from one crawl/source on BOTH sides of the train/val
+    // line — the classic eval-contamination leak. The group split hashes
+    // the SOURCE, so an entire provenance group lands in exactly one
+    // split by construction (GroupSplitSpec pins it); the price is
+    // lumpier split sizes (group granularity), which is why the ratio
+    // here is 90/5/5, not 98/1/1. Same narrow-projection + one-aggregate
+    // plan; at 100 TB the source hash is a free partition column and
+    // no shuffle keys change.
+    Q(
+      "pipe_group_split",
+      """WITH d AS (SELECT source,
+        |    ('0x' || substr(md5(source), 1, 15))::BIGINT % 100 AS h,
+        |    len(string_split(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY split
+        |ORDER BY split NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val h = pmod(
+        conv(substring(md5(col("source")), 1, 15), 16, 10).cast("long"),
+        lit(100L))
+      Tables.documents(s, d)
+        .select(col("source"),
+          when(h < 90, "train").when(h < 95, "val").otherwise("test")
+            .as("split"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy(col("split"))
+        .agg(count_distinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .orderBy(col("split"))
     }
   )
 }
