@@ -604,6 +604,62 @@ object RefQueries {
           ev.where(col("event_type") === "purchase" && col("value") > 300)
             .select("user_id").distinct())
         .orderBy(col("user_id"))
+    },
+
+    // --- Benford first-digit audit (fraud/synthetic-data DQ check) ------
+    // The classic forensic-accounting screen: natural multi-scale
+    // magnitudes follow P(d) = log10(1+1/d); injected, capped, or
+    // synthetic values don't, and the per-digit deviation localizes
+    // WHERE the distribution bends (here the uniform generator earns a
+    // large, stable deviation — the audit correctly flags it). The nine
+    // expected shares are compile-time literals on BOTH sides — log10
+    // is a libm call with no cross-engine rounding contract, so it never
+    // runs in the query. First digit is exact piecewise arithmetic for
+    // the data's [1, 1000) magnitude window (values < 1 are declared out
+    // of scope and filtered identically). One narrow scan + one 9-group
+    // aggregate; the total rides along as a broadcast 1-row frame.
+    {
+      val benford = (1 to 9)
+        .map(dg => dg -> math.floor(math.log10(1 + 1.0 / dg) * 1e6) / 1e6)
+      val caseSql = benford
+        .map { case (dg, e) => s"WHEN $dg THEN $e" }
+        .mkString("CASE digit ", " ", " END")
+      Q(
+        "ref_benford_digits",
+        s"""WITH v AS (SELECT value FROM events WHERE value >= 1),
+           |d AS (SELECT CASE WHEN value >= 100 THEN FLOOR(value / 100)
+           |                  WHEN value >= 10 THEN FLOOR(value / 10)
+           |                  ELSE FLOOR(value) END AS digit
+           |      FROM v),
+           |c AS (SELECT CAST(digit AS BIGINT) AS digit, COUNT(*) AS n
+           |      FROM d GROUP BY digit),
+           |t AS (SELECT COUNT(*) AS total FROM d)
+           |SELECT digit, n,
+           |  ROUND(CAST(n AS DOUBLE) / total, 6) AS share,
+           |  CAST($caseSql AS DOUBLE) AS expected,
+           |  ROUND(ABS(CAST(n AS DOUBLE) / total - $caseSql), 6) AS abs_dev
+           |FROM c CROSS JOIN t
+           |ORDER BY digit NULLS FIRST""".stripMargin
+      ) { (s, d) =>
+        val expected = element_at(typedlit(benford.toMap), col("digit"))
+        val digit = when(col("value") >= 100, floor(col("value") / 100))
+          .when(col("value") >= 10, floor(col("value") / 10))
+          .otherwise(floor(col("value")))
+        val counts = Tables.events(s, d)
+          .where(col("value") >= 1)
+          .select(digit.cast("long").as("digit"))
+          .groupBy(col("digit"))
+          .agg(count(lit(1)).as("n"))
+        val total = Tables.events(s, d).where(col("value") >= 1)
+          .agg(count(lit(1)).as("total"))
+        counts.crossJoin(broadcast(total))
+          .select(col("digit"), col("n"),
+            round(col("n").cast("double") / col("total"), 6).as("share"),
+            expected.as("expected"),
+            round(abs(col("n").cast("double") / col("total") - expected), 6)
+              .as("abs_dev"))
+          .orderBy(col("digit"))
+      }
     }
   )
 }
