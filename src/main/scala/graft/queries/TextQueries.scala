@@ -1026,6 +1026,59 @@ object TextQueries {
             .as("lift"))
         .orderBy(col("lift").desc, col("w1"), col("w2"))
         .limit(20)
+    },
+
+    // --- per-document keyword extraction (TF-IDF top-3) -----------------
+    // The tagging pass behind search facets and topic labels: score each
+    // (doc, word) by tf · N/df — N/df is the idf ratio before the log,
+    // kept as pure IEEE arithmetic (exact-int products, one correctly-
+    // rounded division) for the same libm-free reason as
+    // text_collocations; log is monotone, so the per-doc top-3 is the
+    // true TF-IDF top-3. tf and df are two combiner-friendly aggregates
+    // over one exploded scan; the df join is equi on the vocabulary key;
+    // the per-doc window partitions on doc_id (high-cardinality,
+    // balanced). At 100 TB nothing here grows beyond the corpus scan +
+    // vocabulary-keyed exchange.
+    Q(
+      "text_tfidf_keywords",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w
+        |       GROUP BY doc_id, word),
+        |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w
+        |       GROUP BY word),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, word, tf, df,
+        |         (CAST(tf AS DOUBLE) * n_docs) / df AS score
+        |       FROM tf JOIN df USING (word) CROSS JOIN nd)
+        |SELECT doc_id, rank, word, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, ROUND(score, 6) AS score
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, word) AS INT) AS rank
+        |      FROM sc)
+        |WHERE rank <= 3
+        |ORDER BY doc_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      val tf = w.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val df = w.groupBy(col("word"))
+        .agg(count_distinct(col("doc_id")).as("df"))
+      val nd = Tables.documents(s, d)
+        .agg(count_distinct(col("doc_id")).as("n_docs"))
+      val win = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("word"))
+      tf.join(df, Seq("word"))
+        .crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("word"), col("tf"), col("df"),
+          ((col("tf").cast("double") * col("n_docs")) / col("df"))
+            .as("score"))
+        .withColumn("rank", row_number().over(win))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("word"), col("tf"),
+          col("df"), round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"), col("rank"))
     }
   )
 }
