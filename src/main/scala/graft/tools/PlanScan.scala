@@ -33,7 +33,10 @@ object PlanScan {
       "q_bottomk_mergeable_percentiles" -> "1-row direct-leg stats cross-joined into the 1-row merged-leg stats",
       "q_tdigest_mergeable_quantiles" -> "1-row served-quantile frame broadcast into the rank-counting scan",
       "retr_hybrid_rrf" -> "5-row anchor sets vs corpus scans are the brute ranker baselines (index scans at scale)",
-      "text_bm25_persist" -> "1-row corpus-stats table broadcast into the pruned posting scan")
+      "text_bm25_persist" -> "1-row corpus-stats table broadcast into the pruned posting scan",
+      "ref_benford_digits" -> "1-row value-count total broadcast into the 9-digit frame",
+      "text_collocations" -> "two 1-row corpus totals (tokens, bigrams) broadcast into the scored-pair frame",
+      "text_tfidf_keywords" -> "1-row doc-count total broadcast into the tf-df join")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
