@@ -107,6 +107,92 @@ object RecallQueries {
       Seq(row("ivf", 3, ivfF), row("lsh", 3, lshF), row("pq", 5, pqF))
         .toDF("index_name", "k", "n_queries", "possible", "hits",
           "recall_ppm")
+    },
+
+    // --- Matryoshka truncation recall (dimension-budget eval) -----------
+    // The eval behind MRL-style embedding truncation (Kusupati et al.
+    // 2022): how much top-5 recall survives when vectors are cut to
+    // their first 16 / 32 dims — the cheapest compression there is
+    // (keep a prefix, reindex nothing). ONE pair scan computes all
+    // three budgets' cosines; three windows rank them (same q_id
+    // partition key → one exchange, three sorts); one aggregate counts
+    // hits against the full-dim truth, so adding budgets costs columns,
+    // not scans. The 64-dim row is the self-test (recall_ppm =
+    // 1000000 by construction). Integer-ppm output — deterministic.
+    Q(
+      "emb_mrl_recall", {
+        import SimilarityQueries.{Sql => S}
+        def cosd(d: Int) =
+          S.cos(s"q_vec[1:$d]", s"embedding[1:$d]")
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+           |           FROM embeddings WHERE vec_id < 10),
+           |p AS (SELECT q_id, vec_id,
+           |        ${cosd(16)} AS cos16,
+           |        ${cosd(32)} AS cos32,
+           |        ${S.cos("q_vec", "embedding")} AS cos64
+           |      FROM embeddings CROSS JOIN q WHERE vec_id <> q_id),
+           |r AS (SELECT q_id, vec_id,
+           |        row_number() OVER (PARTITION BY q_id
+           |          ORDER BY cos16 DESC, vec_id) AS r16,
+           |        row_number() OVER (PARTITION BY q_id
+           |          ORDER BY cos32 DESC, vec_id) AS r32,
+           |        row_number() OVER (PARTITION BY q_id
+           |          ORDER BY cos64 DESC, vec_id) AS r64
+           |      FROM p),
+           |h AS (SELECT
+           |        CAST(SUM(CASE WHEN r16 <= 5 AND r64 <= 5
+           |          THEN 1 ELSE 0 END) AS BIGINT) AS h16,
+           |        CAST(SUM(CASE WHEN r32 <= 5 AND r64 <= 5
+           |          THEN 1 ELSE 0 END) AS BIGINT) AS h32,
+           |        CAST(SUM(CASE WHEN r64 <= 5
+           |          THEN 1 ELSE 0 END) AS BIGINT) AS h64,
+           |        CAST(COUNT(DISTINCT q_id) * 5 AS BIGINT) AS possible
+           |      FROM r)
+           |SELECT dim_budget, hits, possible,
+           |  CAST(hits * 1000000 // possible AS BIGINT) AS recall_ppm
+           |FROM (
+           |  SELECT CAST(16 AS BIGINT) AS dim_budget, h16 AS hits,
+           |         possible FROM h
+           |  UNION ALL SELECT 32, h32, possible FROM h
+           |  UNION ALL SELECT 64, h64, possible FROM h)
+           |ORDER BY dim_budget NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) =>
+      import graft.functions.VectorOps
+      import org.apache.spark.sql.expressions.Window
+      val emb = graft.Tables.embeddings(s, d)
+      val queries = broadcast(emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+      def cosd(dlen: Int) = VectorOps.cosine(
+        slice(col("q_vec"), 1, dlen), slice(col("embedding"), 1, dlen))
+      val p = emb.join(queries, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosd(16).as("cos16"), cosd(32).as("cos32"),
+          VectorOps.cosine(col("q_vec"), col("embedding")).as("cos64"))
+      def w(c: String) = Window.partitionBy(col("q_id"))
+        .orderBy(col(c).desc, col("vec_id"))
+      val r = p.select(col("q_id"), col("vec_id"),
+        row_number().over(w("cos16")).as("r16"),
+        row_number().over(w("cos32")).as("r32"),
+        row_number().over(w("cos64")).as("r64"))
+      val h = r.agg(
+        sum(when(col("r16") <= 5 && col("r64") <= 5, 1).otherwise(0))
+          .cast("long").as("h16"),
+        sum(when(col("r32") <= 5 && col("r64") <= 5, 1).otherwise(0))
+          .cast("long").as("h32"),
+        sum(when(col("r64") <= 5, 1).otherwise(0)).cast("long").as("h64"),
+        (count_distinct(col("q_id")) * 5).cast("long").as("possible"))
+      h.select(explode(array(
+          struct(lit(16L).as("dim_budget"), col("h16").as("hits"),
+            col("possible")),
+          struct(lit(32L).as("dim_budget"), col("h32").as("hits"),
+            col("possible")),
+          struct(lit(64L).as("dim_budget"), col("h64").as("hits"),
+            col("possible")))).as("x"))
+        .select(col("x.dim_budget").as("dim_budget"),
+          col("x.hits").as("hits"), col("x.possible").as("possible"),
+          expr("x.hits * 1000000 div x.possible").as("recall_ppm"))
+        .orderBy(col("dim_budget"))
     }
   )
 }
