@@ -36,7 +36,8 @@ object PlanScan {
       "text_bm25_persist" -> "1-row corpus-stats table broadcast into the pruned posting scan",
       "ref_benford_digits" -> "1-row value-count total broadcast into the 9-digit frame",
       "text_collocations" -> "two 1-row corpus totals (tokens, bigrams) broadcast into the scored-pair frame",
-      "text_tfidf_keywords" -> "1-row doc-count total broadcast into the tf-df join")
+      "text_tfidf_keywords" -> "1-row doc-count total broadcast into the tf-df join",
+      "emb_mrl_recall" -> "10-row query set vs corpus; all three dim budgets ranked from the one pair scan")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
