@@ -791,6 +791,113 @@ object WindowingQueries {
           expr("n * 1000000 div sum(n) over (partition by prev_type)")
             .cast("long"))
         .orderBy(col("prev_type"), col("next_type"))
+    },
+
+    // --- top user paths per session (path analytics) --------------------
+    // The "what journeys happen" query product analytics builds on top
+    // of sessionization: per 10-minute-gap session, the ordered
+    // event-type sequence truncated to its first 5 steps (bounding path
+    // cardinality — untruncated paths are near-unique and useless as
+    // groups), then the top-10 paths by session count with a conversion
+    // flag. Spark side groups by the native session_window and assembles
+    // the path with sort_array(collect_list(struct)) — deterministic
+    // because the struct sorts by (ts, event_id); the oracle replays the
+    // gap-sum sessionization q_session_window already proved equivalent.
+    // Two shuffles (session agg keyed by user, path count keyed by
+    // path), both high-cardinality; collect_list state is bounded by
+    // session length, not corpus.
+    Q(
+      "q_session_paths",
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             date_trunc('second', ts) AS ts
+        |           FROM events),
+        |m AS (SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) > INTERVAL '10 minutes'
+        |        THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |sd AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |       FROM m),
+        |p AS (SELECT user_id, sid,
+        |        array_to_string(
+        |          list(event_type ORDER BY ts, event_id)[1:5], '>') AS path
+        |      FROM sd GROUP BY user_id, sid)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  contains(path, 'purchase') AS converted
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(date_trunc("second", col("ts")), "10 minutes"))
+        .agg(array_join(
+          slice(transform(
+            sort_array(collect_list(struct(
+              date_trunc("second", col("ts")).as("ts"),
+              col("event_id").as("event_id"),
+              col("event_type").as("event_type")))),
+            x => x.getField("event_type")), 1, 5), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .select(col("path"), col("n_sessions"),
+          col("path").contains("purchase").as("converted"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(10)
+    },
+
+    // --- time-decay multi-touch attribution -----------------------------
+    // The credit model between first-touch (q_attribution_first_touch)
+    // and last-touch: every touch in the 7-day lookback before a
+    // conversion earns exponentially decaying credit, halving per day.
+    // The decay weights are INTEGERS — u = 2^(7−days), 1..128 — and the
+    // per-conversion normalization is integer ppm (u·10⁶ div Σu), so the
+    // whole model is exact arithmetic end-to-end: no pow(), no float
+    // credit sums whose merge order could diverge. Day-granular by
+    // declared semantics (date diff, not timestamp). Plan: conversions ⋈
+    // touches is an equi-join on user_id with the lookback as a residual
+    // range predicate — O(conv × touches-per-window), never all-pairs;
+    // the normalization window partitions on conv_id (high-cardinality);
+    // the final rollup is a 5-group agg.
+    Q(
+      "q_decay_attribution",
+      """WITH conv AS (SELECT event_id AS conv_id, user_id,
+        |                CAST(ts AS DATE) AS cd
+        |              FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_type, CAST(ts AS DATE) AS td
+        |      FROM events WHERE event_type <> 'purchase'),
+        |j AS (SELECT conv_id, event_type,
+        |        (1 << (7 - date_diff('day', td, cd))) AS u
+        |      FROM conv JOIN t USING (user_id)
+        |      WHERE date_diff('day', td, cd) BETWEEN 0 AND 7),
+        |c AS (SELECT conv_id, event_type, u,
+        |        CAST(CAST(u AS BIGINT) * 1000000
+        |          // SUM(u) OVER (PARTITION BY conv_id) AS BIGINT)
+        |          AS credit_ppm
+        |      FROM j)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm
+        |FROM c GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val conv = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"),
+          to_date(col("ts")).as("cd"))
+      val t = ev.where(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type"),
+          to_date(col("ts")).as("td"))
+      val dday = datediff(col("cd"), col("td"))
+      conv.join(t, Seq("user_id"))
+        .where(dday.between(0, 7))
+        .select(col("conv_id"), col("event_type"),
+          expr("shiftleft(1, 7 - datediff(cd, td))").as("u"))
+        .withColumn("credit_ppm",
+          expr("CAST(u AS BIGINT) * 1000000 div " +
+            "sum(u) over (partition by conv_id)").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_ppm")).cast("long").as("credit_ppm"))
+        .orderBy(col("event_type"))
     }
   )
 }
