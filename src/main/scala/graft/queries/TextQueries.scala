@@ -1079,6 +1079,56 @@ object TextQueries {
         .select(col("doc_id"), col("rank"), col("word"), col("tf"),
           col("df"), round(col("score"), 6).as("score"))
         .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // --- negative-sampling table (unigram^0.75 distribution) ------------
+    // The smoothed sampling distribution word2vec/contrastive training
+    // draws negatives from: weight = count^0.75, which flattens the
+    // head and lifts the tail vs raw frequency. pow() is libm with no
+    // cross-engine contract, but 0.75 = 3/4, so c^0.75 =
+    // sqrt(c·sqrt(c)) — two correctly-rounded IEEE sqrts and one
+    // multiply, bit-identical in both engines. Weights are then floored
+    // to integer milli-units so the vocabulary total, ppm shares, and
+    // the cumulative boundaries the sampler actually buckets on are all
+    // exact integer arithmetic. One exploded scan + vocab aggregate; the
+    // total rides along as a 1-row broadcast; the cumulative window runs
+    // over the 20-row head only, never the vocabulary.
+    Q(
+      "text_negative_sampling",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |c AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+        |wt AS (SELECT word, c,
+        |    CAST(FLOOR(SQRT(CAST(c AS DOUBLE) * SQRT(CAST(c AS DOUBLE)))
+        |      * 1000) AS BIGINT) AS w_milli
+        |  FROM c),
+        |t AS (SELECT SUM(w_milli) AS total FROM wt),
+        |top AS (SELECT word, c, w_milli,
+        |    CAST(w_milli * 1000000 // total AS BIGINT) AS share_ppm
+        |  FROM wt CROSS JOIN t
+        |  ORDER BY c DESC, word LIMIT 20)
+        |SELECT word, CAST(c AS BIGINT) AS c, w_milli, share_ppm,
+        |  CAST(SUM(share_ppm) OVER (ORDER BY c DESC, word
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ppm
+        |FROM top
+        |ORDER BY c DESC, word""".stripMargin
+    ) { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val wt = counts.select(col("word"), col("c"),
+        floor(sqrt(col("c").cast("double") * sqrt(col("c").cast("double")))
+          * 1000).cast("long").as("w_milli"))
+      val total = wt.agg(sum(col("w_milli")).as("total"))
+      val top = wt.crossJoin(broadcast(total))
+        .select(col("word"), col("c"), col("w_milli"),
+          expr("w_milli * 1000000 div total").cast("long").as("share_ppm"))
+        .orderBy(col("c").desc, col("word"))
+        .limit(20)
+      val cum = Window.orderBy(col("c").desc, col("word"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.withColumn("cum_ppm", sum(col("share_ppm")).over(cum).cast("long"))
+        .orderBy(col("c").desc, col("word"))
     }
   )
 }
