@@ -219,6 +219,11 @@ object ImageGen {
 final case class ImageInfo(width: Int, height: Int,
     sumR: Long, sumG: Long, sumB: Long)
 
+/** Block-mean perceptual hash of a decoded image, split into 32-bit
+  * halves so SQL-side reassembly stays in non-negative BIGINTs. */
+final case class ImagePhash(width: Int, height: Int,
+    hashHi: Long, hashLo: Long)
+
 /** Media decoders. The IMAGE path is real — `javax.imageio` ships with the
   * JDK and handles PNG/JPEG/BMP/GIF, no container dependencies needed.
   * Audio/video codecs are NOT in this container, so those kinds fall back
@@ -271,6 +276,50 @@ object MediaDecoder {
           y += 1
         }
         ImageInfo(w, h, sr, sg, sb)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Block-mean perceptual hash (Yang et al. 2006) over REAL decoded
+    * pixels: the image is cut into the 8×8 grid of blocks
+    * `(x*8/w, y*8/h)` (integer division — every block non-empty for
+    * w,h ≥ 8), and bit `by*8+bx` is set when the block's mean gray
+    * (r+g+b) exceeds the image mean. The comparison is exact integer
+    * cross-multiplication (`bsum·N > tsum·bcnt`) — no float means, so
+    * an oracle that knows the pixel rule replays the hash bit-for-bit.
+    * Returned as two 32-bit halves to keep SQL-side reassembly inside
+    * non-negative BIGINT arithmetic. */
+  def imagePhash(bytes: Array[Byte]): Option[ImagePhash] =
+    try {
+      if (!looksLikeImage(bytes)) None
+      else Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val bsum = new Array[Long](64)
+        val bcnt = new Array[Long](64)
+        var tsum = 0L
+        var y = 0
+        while (y < h) {
+          val by = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val gray = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            val b = by * 8 + x * 8 / w
+            bsum(b) += gray; bcnt(b) += 1; tsum += gray
+            x += 1
+          }
+          y += 1
+        }
+        val tcnt = w.toLong * h
+        var (hi, lo) = (0L, 0L)
+        var b = 0
+        while (b < 64) {
+          if (bsum(b) * tcnt > tsum * bcnt(b)) {
+            if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+          }
+          b += 1
+        }
+        ImagePhash(w, h, hi, lo)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 

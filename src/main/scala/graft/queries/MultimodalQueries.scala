@@ -178,6 +178,71 @@ object MultimodalQueries {
     ) { (s, d) =>
       Multimodal.sampleFrames(Multimodal.syntheticMedia(s, d))
         .toDF().orderBy(col("media_id"), col("frame_idx"))
+    },
+
+    // --- perceptual image hashing (block-mean hash + dup grouping) ------
+    // The image analogue of text fingerprinting: a 64-bit block-mean
+    // hash (8×8 block grid, bit = block gray mean > image mean) computed
+    // from REAL decoded pixels, robust to re-encoding where the byte
+    // hash is not. Bits come from exact integer cross-multiplication, so
+    // the oracle — which never sees the bytes — replays the hash
+    // bit-for-bit from the pixel generation rule; a match proves a
+    // full-pixel decode, not a header sniff. The dup-grouping half
+    // (count per identical hash) is the candidate-bucket shape image
+    // dedup runs at scale: group by 64-bit key, never pairwise. Decode
+    // is a typed mapPartitions (the correct tool for binary columns);
+    // everything after is narrow + one hash-keyed aggregate.
+    Q(
+      "mm_image_phash",
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(8 + doc_id % 9 AS INT) AS width,
+        |    CAST(8 + (doc_id // 9) % 9 AS INT) AS height
+        |  FROM documents),
+        |xs AS (SELECT media_id, width, height,
+        |         unnest(range(0, width)) AS x FROM d),
+        |px AS (SELECT media_id, width, height, x,
+        |         unnest(range(0, height)) AS y FROM xs),
+        |g AS (SELECT media_id, width, height,
+        |        (x*7 + y*13 + media_id) % 256
+        |          + (x*3 + y*5 + 2*media_id) % 256
+        |          + (x*11 + y + 3*media_id) % 256 AS gray,
+        |        (y * 8) // height * 8 + (x * 8) // width AS bit
+        |      FROM px),
+        |b AS (SELECT media_id, width, height, bit,
+        |        SUM(gray) AS bsum, COUNT(*) AS bcnt
+        |      FROM g GROUP BY media_id, width, height, bit),
+        |t AS (SELECT media_id, SUM(gray) AS tsum, COUNT(*) AS tcnt
+        |      FROM g GROUP BY media_id),
+        |bits AS (SELECT b.media_id, width, height, bit,
+        |           CASE WHEN bsum * tcnt > tsum * bcnt
+        |             THEN CAST(1 AS BIGINT) ELSE 0 END AS v
+        |         FROM b JOIN t USING (media_id)),
+        |h AS (SELECT media_id, width, height,
+        |        CAST(SUM(CASE WHEN bit >= 32 THEN v << (bit - 32)
+        |          ELSE 0 END) AS BIGINT) AS hash_hi,
+        |        CAST(SUM(CASE WHEN bit < 32 THEN v << bit
+        |          ELSE 0 END) AS BIGINT) AS hash_lo
+        |      FROM bits GROUP BY media_id, width, height),
+        |c AS (SELECT hash_hi, hash_lo, CAST(COUNT(*) AS BIGINT)
+        |        AS n_same_hash
+        |      FROM h GROUP BY hash_hi, hash_lo)
+        |SELECT media_id, width, height, hash_hi, hash_lo, n_same_hash
+        |FROM h JOIN c USING (hash_hi, hash_lo)
+        |ORDER BY media_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val hashes = Multimodal.syntheticImages(s, d).mapPartitions { rows =>
+        rows.flatMap(r =>
+          graft.multimodal.MediaDecoder.imagePhash(r.bytes).map(p =>
+            (r.media_id, p.width, p.height, p.hashHi, p.hashLo)))
+      }.toDF("media_id", "width", "height", "hash_hi", "hash_lo")
+      val groups = hashes.groupBy(col("hash_hi"), col("hash_lo"))
+        .agg(count(lit(1)).as("n_same_hash"))
+      hashes.join(groups, Seq("hash_hi", "hash_lo"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("hash_hi"), col("hash_lo"), col("n_same_hash"))
+        .orderBy(col("media_id"))
     }
   )
 }
