@@ -112,6 +112,59 @@ object SnapshotQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("cents")).cast("long").as("sum_cents"))
         .orderBy(col("event_type"))
-    }
+    },
+
+    // --- partition evolution: new layout, no rewrite ---------------------
+    // The Iceberg marquee capability the manifest design earns for free:
+    // era 1 commits half the events partitioned BY DATE (the original
+    // spec), era 2 appends the other half partitioned BY EVENT TYPE (the
+    // new spec) — and a type-filtered read serves from BOTH eras through
+    // the same stats pruning, because pruning rides on per-FILE min/max,
+    // not on directory layout. The era-2 scan touches only the purchase
+    // file; era-1 files survive pruning (each date file spans all types)
+    // and the residual filter handles them — exactly the migration
+    // economics at 100 TB: the new layout benefits new data immediately,
+    // old data is never rewritten, and correctness never depended on
+    // layout at all. The oracle recomputes from the raw table; the
+    // pruning claim itself is PartitionEvolutionSpec's (inputFiles
+    // strictly under the committed count).
+    Q(
+      "q_partition_evolution",
+      """WITH e AS (SELECT CAST(ts AS DATE) AS event_date, user_id
+        |  FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT event_date, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM e GROUP BY event_date
+        |ORDER BY event_date NULLS FIRST""".stripMargin
+    ) { (s, d) => partitionEvolutionServe(s, d) }
   )
+
+  /** Build the two-era table (shared with PartitionEvolutionSpec) and
+    * serve the type-filtered aggregate from the stats-pruned read. */
+  def partitionEvolutionServe(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val table = scratch(d) + "_evolve"
+    val p = new Path(table)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val ev = Tables.events(s, d)
+      .where(col("event_type").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_date(col("ts")).as("event_date"))
+    // era 1: the original date-partitioned layout
+    Snapshots.commitFull(
+      ev.where(pmod(col("event_id"), lit(2)) === 0)
+        .withColumn("pd", col("event_date").cast("string")),
+      table, "pd", statsCols = Seq("event_type"))
+    // era 2: the evolved type-partitioned layout — appended, no rewrite
+    Snapshots.commitAppend(
+      ev.where(pmod(col("event_id"), lit(2)) =!= 0)
+        .withColumn("pt", col("event_type")),
+      table, "pt", statsCols = Seq("event_type"))
+    Snapshots.readRange(s, table, "event_type", "purchase", "purchase")
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_date"))
+  }
 }
