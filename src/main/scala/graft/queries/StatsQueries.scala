@@ -1125,6 +1125,97 @@ object StatsQueries {
         .orderBy(col("zvalue"))
     },
 
+    // --- CUPED variance-reduced experiment readout ----------------------
+    // The adjustment every mature experimentation platform applies
+    // (Deng et al., WSDM'13): regress each user's post-period metric on
+    // their PRE-period metric (θ = cov/var over all users) and report
+    // arm means of y − θ(x − x̄) — same expectation, strictly less
+    // variance, tighter A/B readouts at the same traffic. Everything up
+    // to θ is DECIMAL-exact moment algebra (per-user sums, then global
+    // and per-arm moment sums — never a float accumulation over users:
+    // the adjusted arm mean is computed algebraically as
+    // (Sy − θ(Sx − n·x̄))/n from exact sums, so no order-dependent
+    // Σ of per-user doubles exists anywhere). One scan to per-user
+    // aggregates, one reduce each for global/per-arm moments.
+    Q(
+      "q_ab_cuped", {
+        val h = graft.functions.TextOps.md5Low60Sql(
+          "CAST(user_id AS VARCHAR)")
+        """WITH u AS (SELECT user_id, HASHARM % 2 AS arm,
+          |    SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+          |      THEN CAST(value AS DECIMAL(18,2))
+          |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS pre,
+          |    SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+          |      THEN CAST(value AS DECIMAL(18,2))
+          |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS post
+          |  FROM events WHERE user_id IS NOT NULL
+          |  GROUP BY user_id, arm),
+          |g AS (SELECT COUNT(*) AS n,
+          |    SUM(CAST(pre AS DECIMAL(19,2))) AS sx,
+          |    SUM(CAST(post AS DECIMAL(19,2))) AS sy,
+          |    SUM(CAST(pre AS DECIMAL(19,2)) * CAST(pre AS DECIMAL(19,2)))
+          |      AS sxx,
+          |    SUM(CAST(pre AS DECIMAL(19,2)) * CAST(post AS DECIMAL(19,2)))
+          |      AS sxy
+          |  FROM u),
+          |th AS (SELECT n, CAST(sx AS DOUBLE) / n AS xbar,
+          |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta
+          |  FROM g),
+          |a AS (SELECT arm, COUNT(*) AS n_arm,
+          |    SUM(CAST(pre AS DECIMAL(19,2))) AS sxa,
+          |    SUM(CAST(post AS DECIMAL(19,2))) AS sya
+          |  FROM u GROUP BY arm)
+          |SELECT CAST(arm AS BIGINT) AS arm,
+          |  CAST(n_arm AS BIGINT) AS n_users,
+          |  ROUND(CAST(sya AS DOUBLE) / n_arm, 6) AS mean_post,
+          |  ROUND(theta, 6) AS theta,
+          |  ROUND((CAST(sya AS DOUBLE)
+          |    - theta * (CAST(sxa AS DOUBLE)
+          |      - CAST(n_arm AS DOUBLE) * xbar)) / n_arm, 6) AS mean_adj
+          |FROM a CROSS JOIN th
+          |ORDER BY arm NULLS FIRST""".stripMargin
+          .replace("HASHARM", h)
+      }
+    ) { (s, d) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+      val split = to_date(col("ts")) < lit("2024-01-16").cast("date")
+      val u = Tables.events(s, d)
+        .where(col("user_id").isNotNull)
+        .groupBy(col("user_id"),
+          (graft.functions.TextOps.md5Low60(col("user_id").cast("string"))
+            % 2).as("arm"))
+        .agg(
+          sum(when(split, dec(col("value"))).otherwise(dec(lit(0))))
+            .as("pre0"),
+          sum(when(!split, dec(col("value"))).otherwise(dec(lit(0))))
+            .as("post0"))
+        .select(col("arm"), dec(col("pre0")).as("pre"),
+          dec(col("post0")).as("post"))
+      val g = u.agg(count(lit(1)).as("n"),
+        sum(col("pre")).as("sx"), sum(col("post")).as("sy"),
+        sum(col("pre") * col("pre")).as("sxx"),
+        sum(col("pre") * col("post")).as("sxy"))
+      def dd(c: String) = col(c).cast("double")
+      val th = g.select(col("n"), (dd("sx") / col("n")).as("xbar"),
+        ((dd("n") * dd("sxy") - dd("sx") * dd("sy")) /
+          (dd("n") * dd("sxx") - dd("sx") * dd("sx"))).as("theta"))
+      val a = u.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_arm"),
+          sum(col("pre")).as("sxa"), sum(col("post")).as("sya"))
+      a.crossJoin(broadcast(th))
+        .select(col("arm").cast("long").as("arm"),
+          col("n_arm").as("n_users"),
+          round(dd("sya") / col("n_arm"), 6).as("mean_post"),
+          round(col("theta"), 6).as("theta"),
+          round((dd("sya") - col("theta") *
+            (dd("sxa") - dd("n_arm") * col("xbar"))) / col("n_arm"), 6)
+            .as("mean_adj"))
+        .orderBy(col("arm"))
+    },
+
     // --- one-pass Pearson correlation matrix ----------------------------
     // All 6 pairwise correlations of the 4 lineitem measures from ONE
     // scan and ONE reduce: the agg computes the full moment matrix
