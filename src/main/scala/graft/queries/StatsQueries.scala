@@ -1125,6 +1125,61 @@ object StatsQueries {
         .orderBy(col("zvalue"))
     },
 
+    // --- market-basket association rules (support/confidence/lift) ------
+    // The retail classic over the order→parts incidence: pair support
+    // from a within-order self-join (fanout C(items,2) per order —
+    // bounded by basket size, never corpus²), per-part order frequencies,
+    // and the rule metrics as exact-integer ratios in ppm plus one
+    // deterministic double (lift). Complements the co-purchase GRAPH
+    // queries (PageRank/components/triangles) with the RULE view —
+    // directional confidence is what a recommender actually thresholds.
+    // Min-support floor keeps accidental pairs out of the ranking.
+    Q(
+      "q_basket_rules",
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+        |pc AS (SELECT l_partkey, COUNT(*) AS c FROM op GROUP BY l_partkey),
+        |pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |         COUNT(*) AS c_ab
+        |       FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+        |         AND a.l_partkey < b.l_partkey
+        |       GROUP BY part_a, part_b)
+        |SELECT part_a, part_b, CAST(c_ab AS BIGINT) AS c_ab,
+        |  CAST(c_ab * 1000000 // ca.c AS BIGINT) AS conf_ab_ppm,
+        |  CAST(c_ab * 1000000 // cb.c AS BIGINT) AS conf_ba_ppm,
+        |  ROUND((CAST(c_ab AS DOUBLE) * n_orders)
+        |    / (CAST(ca.c AS DOUBLE) * cb.c), 6) AS lift
+        |FROM pr JOIN pc ca ON ca.l_partkey = part_a
+        |        JOIN pc cb ON cb.l_partkey = part_b
+        |        CROSS JOIN n
+        |WHERE c_ab >= 3
+        |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val n = op.agg(count_distinct(col("l_orderkey")).as("n_orders"))
+      val pc = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      val pr = op.as("a").join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"),
+          col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .where(col("c_ab") >= 3)
+      pr.join(pc.select(col("l_partkey").as("part_a"), col("c").as("ca")),
+          Seq("part_a"))
+        .join(pc.select(col("l_partkey").as("part_b"), col("c").as("cb")),
+          Seq("part_b"))
+        .crossJoin(broadcast(n))
+        .select(col("part_a"), col("part_b"), col("c_ab"),
+          expr("c_ab * 1000000 div ca").cast("long").as("conf_ab_ppm"),
+          expr("c_ab * 1000000 div cb").cast("long").as("conf_ba_ppm"),
+          round((col("c_ab").cast("double") * col("n_orders"))
+            / (col("ca").cast("double") * col("cb")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    },
+
     // --- CUPED variance-reduced experiment readout ----------------------
     // The adjustment every mature experimentation platform applies
     // (Deng et al., WSDM'13): regress each user's post-period metric on
