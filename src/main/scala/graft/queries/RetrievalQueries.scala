@@ -130,6 +130,90 @@ object RetrievalQueries {
         .select(col("q_id"), col("doc_id"), col("rank"), col("rrf"),
           col("lex_rank"), col("sem_rank"))
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // --- pseudo-relevance feedback (RM3-style query expansion) ----------
+    // The second classic first-stage trick after fusion: run the query,
+    // mine the top-3 docs for their 2 heaviest non-query terms, and
+    // re-score with the expanded term set — recall goes up without any
+    // model, which is why PRF survives in modern RAG stacks. Both
+    // rounds use the JOIN-based form of the integer BM25 formula
+    // (terms as rows, not per-literal columns — the form that admits
+    // data-dependent terms), and the expansion stays entirely in-plan:
+    // a 2-row frame unioned with the 4 seed terms, no driver collect.
+    // Integer-exact end to end; the idf × (num // den) grouping is
+    // parenthesized identically on both sides because integer division
+    // does not distribute. Plan: tf/df are the inverted-index
+    // aggregates; each scoring round joins tf against a ≤6-row
+    // broadcast term set, so the work is O(postings of the query
+    // terms), the same serving class as text_bm25_persist.
+    Q(
+      "retr_prf_expand", {
+        val contrib =
+          """(length(bin(n_docs)) - length(bin(df)))
+            |  * ((20 * tf * avgdl * 1000000)
+            |     // (8 * tf * avgdl + 3 * avgdl + 9 * dl))""".stripMargin
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+           |    AS word FROM documents),
+           |dlt AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+           |gg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |         CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl FROM dlt),
+           |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok
+           |       GROUP BY doc_id, word),
+           |dfs AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+           |q0(word) AS (VALUES ('spark'), ('merge'), ('window'), ('the')),
+           |s1 AS (SELECT tf.doc_id, SUM($contrib) AS score1
+           |       FROM tf JOIN q0 USING (word) JOIN dfs USING (word)
+           |         JOIN dlt USING (doc_id) CROSS JOIN gg
+           |       GROUP BY tf.doc_id),
+           |top3 AS (SELECT doc_id FROM s1
+           |         ORDER BY score1 DESC, doc_id LIMIT 3),
+           |exp AS (SELECT word FROM tf JOIN top3 USING (doc_id)
+           |        WHERE word NOT IN (SELECT word FROM q0)
+           |        GROUP BY word ORDER BY SUM(tf) DESC, word LIMIT 2),
+           |qe AS (SELECT word FROM q0 UNION ALL SELECT word FROM exp),
+           |s2 AS (SELECT tf.doc_id, SUM($contrib) AS score
+           |       FROM tf JOIN qe USING (word) JOIN dfs USING (word)
+           |         JOIN dlt USING (doc_id) CROSS JOIN gg
+           |       GROUP BY tf.doc_id)
+           |SELECT doc_id, CAST(score AS BIGINT) AS score
+           |FROM s2 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+      }
+    ) { (s, d) =>
+      import s.implicits._
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text")))
+          .as("word"))
+      val dlt = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val gg = dlt.agg(count(lit(1)).cast("long").as("n_docs"),
+        expr("CAST(sum(dl) AS BIGINT) div count(1)").as("avgdl"))
+      val tf = tok.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val dfs = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val q0 = Seq("spark", "merge", "window", "the").toDF("word")
+      val contrib = expr(
+        "(length(bin(n_docs)) - length(bin(df))) * " +
+          "((20 * tf * avgdl * 1000000) div " +
+          "(8 * tf * avgdl + 3 * avgdl + 9 * dl))")
+      def score(terms: org.apache.spark.sql.DataFrame) = tf
+        .join(broadcast(terms), Seq("word"))
+        .join(dfs, Seq("word"))
+        .join(dlt, Seq("doc_id"))
+        .crossJoin(broadcast(gg))
+        .groupBy(col("doc_id"))
+        .agg(sum(contrib).as("score"))
+      val top3 = score(q0)
+        .orderBy(col("score").desc, col("doc_id")).limit(3)
+        .select(col("doc_id"))
+      val exp = tf.join(broadcast(top3), Seq("doc_id"))
+        .join(q0, Seq("word"), "left_anti")
+        .groupBy(col("word")).agg(sum(col("tf")).as("wtf"))
+        .orderBy(col("wtf").desc, col("word")).limit(2)
+        .select(col("word"))
+      score(q0.union(exp))
+        .select(col("doc_id"), col("score").cast("long").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
     }
   )
 }
