@@ -37,7 +37,11 @@ object PlanScan {
       "ref_benford_digits" -> "1-row value-count total broadcast into the 9-digit frame",
       "text_collocations" -> "two 1-row corpus totals (tokens, bigrams) broadcast into the scored-pair frame",
       "text_tfidf_keywords" -> "1-row doc-count total broadcast into the tf-df join",
-      "emb_mrl_recall" -> "10-row query set vs corpus; all three dim budgets ranked from the one pair scan")
+      "emb_mrl_recall" -> "10-row query set vs corpus; all three dim budgets ranked from the one pair scan",
+      "q_basket_rules" -> "1-row order-count total broadcast into the rule metrics",
+      "retr_prf_expand" -> "1-row corpus stats broadcast into both scoring rounds",
+      "q_ab_cuped" -> "1-row theta/xbar frame broadcast into the 2-arm readout",
+      "text_negative_sampling" -> "1-row vocabulary weight total broadcast into the share table")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
