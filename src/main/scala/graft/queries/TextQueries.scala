@@ -225,6 +225,42 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- language-ID evaluation (confusion matrix + per-label accuracy) -
+    // The eval half of text_langid: the corpus carries ground-truth
+    // labels, so the classifier earns a confusion matrix — (labeled,
+    // predicted, n) cells plus per-label accuracy in integer ppm (a
+    // window over the labeled partition; ≤ langs² cells, trivially
+    // small). Model-quality measurement is as much a pipeline operator
+    // as the model itself: this is the query a curation stack runs
+    // before trusting a language filter at 100 TB.
+    Q(
+      "text_langid_eval",
+      s"""WITH p AS (SELECT lang AS labeled_lang,
+         |    ($langidBestSql).lang AS pred_lang
+         |  FROM documents),
+         |c AS (SELECT labeled_lang, pred_lang, COUNT(*) AS n
+         |      FROM p GROUP BY labeled_lang, pred_lang)
+         |SELECT labeled_lang, pred_lang, CAST(n AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN pred_lang = labeled_lang THEN n ELSE 0 END)
+         |      OVER (PARTITION BY labeled_lang) * 1000000
+         |    // SUM(n) OVER (PARTITION BY labeled_lang) AS BIGINT)
+         |    AS label_acc_ppm
+         |FROM c
+         |ORDER BY labeled_lang NULLS FIRST, pred_lang NULLS FIRST"""
+        .stripMargin
+    ) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .select(col("lang").as("labeled_lang"),
+          TextOps.langId(col("text")).getField("lang").as("pred_lang"))
+        .groupBy(col("labeled_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      c.withColumn("label_acc_ppm",
+          expr("sum(CASE WHEN pred_lang = labeled_lang THEN n ELSE 0 END)" +
+            " over (partition by labeled_lang) * 1000000 div " +
+            "sum(n) over (partition by labeled_lang)").cast("long"))
+        .orderBy(col("labeled_lang"), col("pred_lang"))
+    },
+
     // --- corpus-frequency rarity score (CCNet-style quality signal) -----
     // Two-pass rare-token scoring: pass 1 builds the corpus unigram table
     // (hash aggregate on the word key, combiner-friendly); pass 2 joins

@@ -845,6 +845,41 @@ object WindowingQueries {
         .limit(10)
     },
 
+    // --- event-time RANGE window frame (interval-bounded moving sum) ----
+    // The window-frame type the rest of the family doesn't exercise:
+    // RANGE BETWEEN INTERVAL 1 HOUR PRECEDING — a VALUE-bounded frame
+    // over event time, not a row count, so the frame is identical no
+    // matter how peers are ordered (ties share one frame by
+    // definition — determinism for free where a ROWS frame would need a
+    // total tiebreak). Integer cents keep every sum exact. One shuffle
+    // on user_id; per-partition sort on ts; frame evaluation is the
+    // two-pointer sliding scan, O(rows).
+    Q(
+      "q_window_time_range",
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, cents,
+        |  CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS hour_sum
+        |FROM e
+        |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d).where(col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("cents"),
+          expr("sum(cents) over (partition by user_id order by ts " +
+            "range between interval 1 hour preceding and current row)")
+            .cast("long").as("hour_sum"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // --- time-decay multi-touch attribution -----------------------------
     // The credit model between first-touch (q_attribution_first_touch)
     // and last-touch: every touch in the 7-day lookback before a
