@@ -388,6 +388,79 @@ object RefQueries {
         .orderBy(col("event_date"))
     },
 
+    // --- Holt double-exponential volume forecast -------------------------
+    // The trend-aware step past ref_ewma_baseline: level AND trend
+    // smoothed jointly (l_t = α·n_t + (1−α)(l+t);
+    // t_t = β(l_t − l) + (1−β)t), so a steadily growing table stops
+    // reading as a permanent anomaly — the forecast chases the slope.
+    // Pair-state recurrence: the engine folds a (l, t) STRUCT
+    // accumulator over the per-row history prefix (O(days²) lambda
+    // steps on the O(days) daily rollup — bounded by the calendar); the
+    // oracle replays it as a recursive CTE. Re-computing l_t inside the
+    // trend update (Spark lambdas bind no intermediates) is bit-safe:
+    // identical IEEE ops give identical doubles whether referenced or
+    // recomputed. A day is a surprise when it exceeds 1.5× YESTERDAY'S
+    // forecast — the baseline never absorbs the spike it is judging.
+    Q(
+      "ref_holt_forecast",
+      """WITH RECURSIVE daily AS (SELECT CAST(ts AS DATE) AS event_date,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY event_date),
+        |idx AS (SELECT event_date, n,
+        |    row_number() OVER (ORDER BY event_date) AS i FROM daily),
+        |holt(i, event_date, n, l, t) AS (
+        |  SELECT i, event_date, n, CAST(n AS DOUBLE), CAST(0 AS DOUBLE)
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.i, x.event_date, x.n,
+        |    0.3 * CAST(x.n AS DOUBLE) + 0.7 * (h.l + h.t),
+        |    0.2 * ((0.3 * CAST(x.n AS DOUBLE) + 0.7 * (h.l + h.t)) - h.l)
+        |      + 0.8 * h.t
+        |  FROM idx x JOIN holt h ON x.i = h.i + 1)
+        |SELECT c.event_date, c.n,
+        |  ROUND(c.l, 6) AS level, ROUND(c.t, 6) AS trend,
+        |  ROUND(c.l + c.t, 6) AS forecast_next,
+        |  (c.i > 1 AND CAST(c.n AS DOUBLE) > (p.l + p.t) * 1.5)
+        |    AS is_surprise
+        |FROM holt c LEFT JOIN holt p ON p.i = c.i - 1
+        |ORDER BY c.event_date NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .where(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("n"))
+      val cum = Window.orderBy(col("event_date"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prevW = Window.orderBy(col("event_date"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // seed via null-tolerant get(): the first row's empty prev-prefix
+      // must fold to a dummy (guarded out by the size(prev) > 0 flag),
+      // not raise on element_at of an empty array
+      def fold(histCol: Column): Column = aggregate(
+        slice(histCol, lit(2), greatest(size(histCol) - 1, lit(0))),
+        struct(coalesce(get(histCol, lit(0)), lit(0.0)).as("l"),
+          lit(0.0).as("t")),
+        (acc, x) => {
+          val l = acc.getField("l"); val t = acc.getField("t")
+          val lNew = lit(0.3) * x + lit(0.7) * (l + t)
+          struct(lNew.as("l"),
+            (lit(0.2) * (lNew - l) + lit(0.8) * t).as("t"))
+        })
+      daily
+        .withColumn("hist", collect_list(col("n").cast("double")).over(cum))
+        .withColumn("prev",
+          collect_list(col("n").cast("double")).over(prevW))
+        .withColumn("st", fold(col("hist")))
+        .withColumn("sp", fold(col("prev")))
+        .select(col("event_date"), col("n"),
+          round(col("st.l"), 6).as("level"),
+          round(col("st.t"), 6).as("trend"),
+          round(col("st.l") + col("st.t"), 6).as("forecast_next"),
+          (size(col("prev")) > 0 && col("n").cast("double") >
+            (col("sp.l") + col("sp.t")) * 1.5).as("is_surprise"))
+        .orderBy(col("event_date"))
+    },
+
     // --- order-insensitive content checksum (reconciliation) -------------
     // "Did the rerun/replica produce the SAME table?" answered in one
     // aggregate instead of a row-by-row diff: per ingestion day, the sum
