@@ -962,6 +962,67 @@ object SimilarityQueries {
            |  FROM sc) WHERE rank <= 5
            |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
       }
-    ) { (s, d) => knnIvfPq(Tables.embeddings(s, d)) }
+    ) { (s, d) => knnIvfPq(Tables.embeddings(s, d)) },
+
+    // --- embedding distribution drift (shared-quantizer histogram) -------
+    // The monitor a production vector store runs between index
+    // refreshes: train the coarse quantizer on the BASE half (even ids
+    // — the same stored-centroid discipline as emb_ivf_append), assign
+    // BOTH halves with it, and compare per-cell occupancy shares. A
+    // healthy delta matches the base distribution; retrain is triggered
+    // when the share gap crosses a threshold — the embedding-space
+    // analogue of ref_type_drift's categorical check. Assignment is the
+    // broadcast-centroid narrow map; the comparison is one k-row
+    // aggregate; shares are integer ppm (exact).
+    Q(
+      "emb_centroid_drift", {
+        val iters = 3
+        s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+           |  WHERE vec_id % 2 = 0),
+           |${kmeansCtes(k = 8, iters = iters, src = "base")},
+           |alla AS (SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${Sql.l2sq("e.embedding", "c.cvec")}, c.cid)
+           |        AS rn
+           |    FROM embeddings e CROSS JOIN c$iters c) WHERE rn = 1),
+           |cnt AS (SELECT cid,
+           |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_base,
+           |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_delta
+           |  FROM alla GROUP BY cid),
+           |tot AS (SELECT SUM(n_base) AS tb, SUM(n_delta) AS td FROM cnt)
+           |SELECT cid, n_base, n_delta,
+           |  CAST(n_base * 1000000 // tb AS BIGINT) AS base_ppm,
+           |  CAST(n_delta * 1000000 // td AS BIGINT) AS delta_ppm,
+           |  CAST(ABS(n_base * 1000000 // tb - n_delta * 1000000 // td)
+           |    AS BIGINT) AS gap_ppm
+           |FROM cnt CROSS JOIN tot
+           |ORDER BY cid NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val base = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val cents = KMeans.fit(base, k = 8, iters = 3)
+      val cnt = emb
+        .select(col("vec_id"),
+          KMeans.assignExpr(col("embedding"), cents).as("cid"))
+        .groupBy(col("cid"))
+        .agg(
+          sum(when(pmod(col("vec_id"), lit(2)) === 0, 1).otherwise(0))
+            .cast("long").as("n_base"),
+          sum(when(pmod(col("vec_id"), lit(2)) === 1, 1).otherwise(0))
+            .cast("long").as("n_delta"))
+      val tot = cnt.agg(sum(col("n_base")).as("tb"),
+        sum(col("n_delta")).as("td"))
+      cnt.crossJoin(broadcast(tot))
+        .select(col("cid"), col("n_base"), col("n_delta"),
+          expr("n_base * 1000000 div tb").cast("long").as("base_ppm"),
+          expr("n_delta * 1000000 div td").cast("long").as("delta_ppm"),
+          expr("abs(n_base * 1000000 div tb - n_delta * 1000000 div td)")
+            .cast("long").as("gap_ppm"))
+        .orderBy(col("cid"))
+    }
   )
 }

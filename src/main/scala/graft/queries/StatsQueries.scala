@@ -1125,6 +1125,64 @@ object StatsQueries {
         .orderBy(col("zvalue"))
     },
 
+    // --- day-of-week seasonality (lagged autocorrelation) ---------------
+    // Does volume repeat on a weekly cycle? Pearson r between the daily
+    // rollup and its 7-day lag, with the 1-day lag as the contrast row
+    // (strong lag-7 + weak lag-1 = weekly seasonality; both strong =
+    // trend). Counts are integers, so every moment sum is EXACT in
+    // BIGINT — the r is a handful of deterministic double ops, no
+    // streaming co-moments. All on the O(days) rollup: the distributed
+    // work is one per-day count, the rest is calendar-bounded.
+    Q(
+      "q_weekly_seasonality",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY d),
+        |p1 AS (SELECT b.n AS x, a.n AS y FROM daily a
+        |       JOIN daily b ON b.d = a.d - 1),
+        |p7 AS (SELECT b.n AS x, a.n AS y FROM daily a
+        |       JOIN daily b ON b.d = a.d - 7),
+        |m1 AS (SELECT COUNT(*) AS np, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+        |       FROM p1),
+        |m7 AS (SELECT COUNT(*) AS np, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+        |       FROM p7)
+        |SELECT lag, n_pairs,
+        |  ROUND((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / (SQRT(CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |       * SQRT(CAST(np AS DOUBLE) * syy
+        |              - CAST(sy AS DOUBLE) * sy)), 6) AS corr
+        |FROM (
+        |  SELECT CAST(1 AS BIGINT) AS lag, CAST(np AS BIGINT) AS n_pairs,
+        |    np, sx, sy, sxx, syy, sxy FROM m1
+        |  UNION ALL
+        |  SELECT 7, CAST(np AS BIGINT), np, sx, sy, sxx, syy, sxy FROM m7)
+        |ORDER BY lag NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .where(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      def moments(lag: Int) = daily.as("a")
+        .join(daily.as("b"), col("b.d") === date_sub(col("a.d"), lag))
+        .select(col("b.n").as("x"), col("a.n").as("y"))
+        .agg(count(lit(1)).as("np"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("lag", lit(lag.toLong))
+      def dd(n: String) = col(n).cast("double")
+      moments(1).unionByName(moments(7))
+        .select(col("lag"), col("np").cast("long").as("n_pairs"),
+          round((dd("np") * col("sxy") - dd("sx") * col("sy")) /
+            (sqrt(dd("np") * col("sxx") - dd("sx") * col("sx")) *
+              sqrt(dd("np") * col("syy") - dd("sy") * col("sy"))), 6)
+            .as("corr"))
+        .orderBy(col("lag"))
+    },
+
     // --- market-basket association rules (support/confidence/lift) ------
     // The retail classic over the order→parts incidence: pair support
     // from a within-order self-join (fanout C(items,2) per order —
