@@ -964,6 +964,63 @@ object SimilarityQueries {
       }
     ) { (s, d) => knnIvfPq(Tables.embeddings(s, d)) },
 
+    // --- mutual nearest neighbors (bitext-mining primitive) --------------
+    // The pair selection behind parallel-corpus mining (Artetxe &
+    // Schwenk's margin criterion starts here): keep (a, b) only when b
+    // is a's nearest neighbor AND a is b's — mutuality kills the hub
+    // vectors that one-directional kNN drags in. Candidates come from
+    // the same 8-bit LSH bucketing as dedup_embedding_cosine (equi-join
+    // on the bucket key, never all-pairs), so this is LSH-mutual-NN by
+    // declared semantics: the oracle replays the bucket assignment from
+    // the serialized planes, the per-vector argmax, and the mutuality
+    // join. Shape: bucket equi-join → one window per direction (same
+    // partition key) → self-join of the two rank-1 sets.
+    Q(
+      "emb_mutual_nn", {
+        val planes = VectorOps.hyperplanes(Dim, 8, 7L)
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |    ${Sql.bucket("embedding", planes)} AS bucket
+           |  FROM embeddings),
+           |cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |    ${Sql.cos("a.embedding", "b.embedding")} AS cos
+           |  FROM e a JOIN e b
+           |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+           |r1 AS (SELECT a_id, b_id, cos FROM (
+           |    SELECT a_id, b_id, cos, row_number() OVER (
+           |      PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+           |    FROM cand) WHERE rn = 1)
+           |SELECT x.a_id AS a_id, x.b_id AS b_id,
+           |  ROUND(x.cos, 6) AS cos
+           |FROM r1 x JOIN r1 y ON x.a_id = y.b_id AND x.b_id = y.a_id
+           |WHERE x.a_id < x.b_id
+           |ORDER BY a_id NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .withColumn("bucket",
+          VectorOps.lshBucket(col("embedding"), Dim, nBits = 8))
+      val a = emb.select(col("bucket"), col("vec_id").as("a_id"),
+        col("embedding").as("a_vec"))
+      val b = emb.select(col("bucket").as("b_bucket"),
+        col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("cos").desc, col("b_id"))
+      val r1 = a.join(b, col("bucket") === col("b_bucket")
+          && col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          VectorOps.cosine(col("a_vec"), col("b_vec")).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("a_id"), col("b_id"), col("cos"))
+      r1.as("x").join(r1.as("y"),
+          col("x.a_id") === col("y.b_id") &&
+            col("x.b_id") === col("y.a_id"))
+        .where(col("x.a_id") < col("x.b_id"))
+        .select(col("x.a_id").as("a_id"), col("x.b_id").as("b_id"),
+          round(col("x.cos"), 6).as("cos"))
+        .orderBy(col("a_id"))
+    },
+
     // --- embedding distribution drift (shared-quantizer histogram) -------
     // The monitor a production vector store runs between index
     // refreshes: train the coarse quantizer on the BASE half (even ids
