@@ -680,6 +680,73 @@ object CurationQueries {
         .orderBy(col("rank"))
     },
 
+    // --- topic exploration: cluster docs, label clusters by lift ---------
+    // The corpus-cartography pass (cluster-then-label — what BERTopic
+    // does with fancier parts): k-means over the aligned embeddings
+    // (doc_id ≡ vec_id, shared engine-exact trainer), then each
+    // cluster labeled with its 3 most DISTINCTIVE terms — lift =
+    // in-cluster share / corpus share, the same ratio-not-log
+    // discipline as text_collocations, with a min-count floor so rare
+    // accidents can't label a cluster. Assignment is the broadcast-
+    // centroid map; term stats are two hash aggregates; the label
+    // ranking windows over (cluster, term) counts — k×vocab rows at
+    // worst, vocabulary-bounded, corpus-scan-free after the explode.
+    Q(
+      "pipe_doc_topics", {
+        val iters = 2
+        s"""WITH ${SimilarityQueries.kmeansOracleCtes(k = 8, iters = iters)},
+           |w AS (SELECT a.cid, t.word FROM af a
+           |      JOIN (SELECT doc_id, unnest(string_split(text, ' '))
+           |              AS word FROM documents) t
+           |        ON t.doc_id = a.vec_id),
+           |ct AS (SELECT cid, word, COUNT(*) AS n FROM w
+           |       GROUP BY cid, word),
+           |cs AS (SELECT cid, SUM(n) AS tc FROM ct GROUP BY cid),
+           |gw AS (SELECT word, SUM(n) AS cw FROM ct GROUP BY word),
+           |gt AS (SELECT SUM(n) AS total FROM ct),
+           |sc AS (SELECT cid, word, n,
+           |         (CAST(n AS DOUBLE) * total) / (CAST(tc AS DOUBLE) * cw)
+           |           AS lift
+           |       FROM ct JOIN cs USING (cid) JOIN gw USING (word)
+           |         CROSS JOIN gt
+           |       WHERE n >= 5)
+           |SELECT cid, rank, word, CAST(n AS BIGINT) AS n,
+           |  ROUND(lift, 6) AS lift
+           |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY cid
+           |        ORDER BY lift DESC, word) AS INT) AS rank
+           |      FROM sc)
+           |WHERE rank <= 3
+           |ORDER BY cid NULLS FIRST, rank NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) =>
+      import graft.operators.KMeans
+      val emb = graft.Tables.embeddings(s, d)
+      val cents = KMeans.fit(emb, k = 8, iters = 2)
+      val assigned = emb.select(col("vec_id"),
+        KMeans.assignExpr(col("embedding"), cents).as("cid"))
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("word"))
+      val ct = toks.join(assigned, col("doc_id") === col("vec_id"))
+        .groupBy(col("cid"), col("word")).agg(count(lit(1)).as("n"))
+      val cs = ct.groupBy(col("cid")).agg(sum(col("n")).as("tc"))
+      val gw = ct.groupBy(col("word")).agg(sum(col("n")).as("cw"))
+      val gt = ct.agg(sum(col("n")).as("total"))
+      val win = Window.partitionBy(col("cid"))
+        .orderBy(col("lift").desc, col("word"))
+      ct.where(col("n") >= 5)
+        .join(cs, Seq("cid")).join(gw, Seq("word"))
+        .crossJoin(broadcast(gt))
+        .select(col("cid"), col("word"), col("n"),
+          ((col("n").cast("double") * col("total"))
+            / (col("tc").cast("double") * col("cw"))).as("lift"))
+        .withColumn("rank", row_number().over(win))
+        .where(col("rank") <= 3)
+        .select(col("cid"), col("rank"), col("word"), col("n"),
+          round(col("lift"), 6).as("lift"))
+        .orderBy(col("cid"), col("rank"))
+    },
+
     // --- leakage-safe GROUP split (hash the source, not the doc) ---------
     // pipe_train_val_split hashes doc_id, which puts near-duplicate
     // documents from one crawl/source on BOTH sides of the train/val

@@ -98,6 +98,11 @@ object SimilarityQueries {
     s"$seedCte,\n$iterCtes,\n$af"
   }
 
+  /** Package-visible alias so sibling modules (pipe_doc_topics) can
+    * replay the shared k-means training in their oracles. */
+  private[queries] def kmeansOracleCtes(k: Int, iters: Int): String =
+    kmeansCtes(k, iters)
+
   /** Product-quantization geometry shared by `emb_pq_codes` /
     * `emb_knn_pq` and their oracles: 64 dims → 8 contiguous subspaces of
     * 8, one k=32 codebook per subspace (Jégou et al., "Product

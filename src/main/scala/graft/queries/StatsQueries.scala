@@ -1125,6 +1125,45 @@ object StatsQueries {
         .orderBy(col("zvalue"))
     },
 
+    // --- new vs returning daily actives (growth accounting) -------------
+    // The first split every growth dashboard makes: each day's active
+    // users divided by whether the day is their FIRST-SEEN day. One
+    // pass to per-user first dates (a min-aggregate — no window over
+    // the event stream), one distinct-actives pass, an equi-join on
+    // user_id, and a calendar-bounded rollup. Integer ppm share.
+    Q(
+      "q_new_vs_returning",
+      """WITH au AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |fs AS (SELECT user_id, MIN(d) AS first_d FROM au GROUP BY user_id)
+        |SELECT d,
+        |  CAST(SUM(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_users,
+        |  CAST(SUM(CASE WHEN d > first_d THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS returning_users,
+        |  CAST(SUM(CASE WHEN d = first_d THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS new_share_ppm
+        |FROM au JOIN fs USING (user_id)
+        |GROUP BY d
+        |ORDER BY d NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val au = Tables.events(s, d)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+        .distinct()
+      val fs = au.groupBy(col("user_id")).agg(min(col("d")).as("first_d"))
+      au.join(fs, Seq("user_id"))
+        .groupBy(col("d"))
+        .agg(
+          sum(when(col("d") === col("first_d"), 1).otherwise(0))
+            .cast("long").as("new_users"),
+          sum(when(col("d") > col("first_d"), 1).otherwise(0))
+            .cast("long").as("returning_users"),
+          expr("CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) " +
+            "* 1000000 div count(1) AS BIGINT)").as("new_share_ppm"))
+        .orderBy(col("d"))
+    },
+
     // --- day-of-week seasonality (lagged autocorrelation) ---------------
     // Does volume repeat on a weekly cycle? Pearson r between the daily
     // rollup and its 7-day lag, with the 1-day lag as the contrast row
