@@ -41,7 +41,9 @@ object PlanScan {
       "q_basket_rules" -> "1-row order-count total broadcast into the rule metrics",
       "retr_prf_expand" -> "1-row corpus stats broadcast into both scoring rounds",
       "q_ab_cuped" -> "1-row theta/xbar frame broadcast into the 2-arm readout",
-      "text_negative_sampling" -> "1-row vocabulary weight total broadcast into the share table")
+      "text_negative_sampling" -> "1-row vocabulary weight total broadcast into the share table",
+      "emb_centroid_drift" -> "1-row cell-count totals broadcast into the k-row histogram",
+      "pipe_doc_topics" -> "1-row corpus token total broadcast into the cluster-term lift table")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
