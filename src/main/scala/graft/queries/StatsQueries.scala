@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -1123,6 +1124,113 @@ object StatsQueries {
           graft.functions.ZOrder.zvalue16(col("user_id"), col("h")))
         .select(col("user_id"), col("h"), col("zvalue"), col("n"))
         .orderBy(col("zvalue"))
+    },
+
+    // --- RFM customer segmentation (quintile grid) ----------------------
+    // The classic CRM cut: recency (last order date), frequency (order
+    // count), monetary (DECIMAL-exact spend) per customer, each
+    // quintiled by ntile(5) under a TOTAL order (metric, custkey — ties
+    // can't float between engines), then the populated cells of the
+    // 5×5×5 grid. The ntile windows are unpartitioned — fine at
+    // customer-table cardinality, and at 100 TB the swap is
+    // q_value_equidepth's shape (approx boundaries + bucket join), same
+    // downstream grid. One scan to per-customer aggregates; everything
+    // after is customer-table-sized.
+    Q(
+      "q_rfm_segments",
+      """WITH c AS (SELECT o_custkey,
+        |    MAX(o_orderdate) AS last_order,
+        |    COUNT(*) AS freq,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |q AS (SELECT o_custkey,
+        |    ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_q,
+        |    ntile(5) OVER (ORDER BY freq, o_custkey) AS f_q,
+        |    ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_q
+        |  FROM c)
+        |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+        |  CAST(m_q AS BIGINT) AS m_q,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM q GROUP BY r_q, f_q, m_q
+        |ORDER BY r_q NULLS FIRST, f_q NULLS FIRST, m_q NULLS FIRST"""
+        .stripMargin
+    ) { (s, d) =>
+      val c = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+      def q5(m: String) = ntile(5).over(
+        Window.orderBy(col(m), col("o_custkey")))
+      c.select(col("o_custkey"),
+          q5("last_order").cast("long").as("r_q"),
+          q5("freq").cast("long").as("f_q"),
+          q5("monetary").cast("long").as("m_q"))
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    },
+
+    // --- two-proportion z-test on the experiment arms -------------------
+    // The significance readout beside q_ab_assignment's raw conversion
+    // ppm: pooled-variance z for the difference in per-arm conversion.
+    // Conversion = a high-value purchase (value > 300) so the rate is
+    // non-degenerate on this corpus (plain purchase saturates at 100%,
+    // which zeroes the pooled variance — ANSI division would reject).
+    // All inputs are exact integers; the z is a fixed sequence of IEEE
+    // ops (divisions, one sqrt — both correctly rounded) written
+    // IDENTICALLY on both sides, so the statistic hash-matches to 6
+    // decimals. The decision threshold (|z| > 1.96) ships with the
+    // query — the readout a dashboard actually wants.
+    Q(
+      "q_funnel_sig",
+      s"""WITH u AS (SELECT user_id,
+         |    ${graft.functions.TextOps.md5Low60Sql("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         |    MAX(CASE WHEN event_type = 'purchase' AND value > 300
+         |      THEN 1 ELSE 0 END) AS conv
+         |  FROM events WHERE user_id IS NOT NULL
+         |  GROUP BY user_id, arm),
+         |a AS (SELECT
+         |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS c0,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS c1
+         |  FROM u),
+         |z AS (SELECT n0, c0, n1, c1,
+         |    (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+         |    / SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+         |        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+         |        * (1.0 / n0 + 1.0 / n1)) AS zval
+         |  FROM a)
+         |SELECT n0, c0, n1, c1, ROUND(zval, 6) AS z,
+         |  ABS(zval) > 1.96 AS significant
+         |FROM z""".stripMargin
+    ) { (s, d) =>
+      val u = Tables.events(s, d)
+        .where(col("user_id").isNotNull)
+        .groupBy(col("user_id"),
+          (graft.functions.TextOps.md5Low60(col("user_id").cast("string"))
+            % 2).as("arm"))
+        .agg(max(when(col("event_type") === "purchase"
+            && col("value") > 300, 1).otherwise(0)).as("conv"))
+      val a = u.agg(
+        sum(when(col("arm") === 0, 1).otherwise(0)).cast("long").as("n0"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0)).cast("long")
+          .as("c0"),
+        sum(when(col("arm") === 1, 1).otherwise(0)).cast("long").as("n1"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0)).cast("long")
+          .as("c1"))
+      def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+      val pPool = dd(col("c0") + col("c1")) / (col("n0") + col("n1"))
+      val zval = (dd(col("c1")) / col("n1") - dd(col("c0")) / col("n0")) /
+        sqrt(pPool * (lit(1) - pPool) *
+          (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+      a.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        round(zval, 6).as("z"), (abs(zval) > 1.96).as("significant"))
     },
 
     // --- new vs returning daily actives (growth accounting) -------------
