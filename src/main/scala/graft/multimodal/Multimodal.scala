@@ -224,6 +224,11 @@ final case class ImageInfo(width: Int, height: Int,
 final case class ImagePhash(width: Int, height: Int,
     hashHi: Long, hashLo: Long)
 
+/** Signal statistics of a decoded PCM clip — all exact integers except
+  * the RMS, which is one division + one sqrt downstream. */
+final case class AudioStats(nSamples: Long, sumAbs: Long, sumSq: Long,
+    peak: Long, zeroCrossings: Long)
+
 /** Media decoders. The IMAGE path is real — `javax.imageio` ships with the
   * JDK and handles PNG/JPEG/BMP/GIF, no container dependencies needed.
   * Audio/video codecs are NOT in this container, so those kinds fall back
@@ -365,6 +370,49 @@ object MediaDecoder {
             read = in.read(buf)
           }
           Some(AudioInfo(count, fmt.getSampleRate.toInt, channels, sum))
+        } finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Signal statistics over the full PCM pass (mono 16-bit): abs-sum,
+    * square-sum, peak, and sign-change count — the feature set an audio
+    * curation pipeline thresholds on (silence, clipping, noisiness).
+    * All integers, so an oracle that knows the sample rule replays them
+    * exactly; crossing state carries across chunk boundaries. */
+  def decodeAudioStats(bytes: Array[Byte]): Option[AudioStats] =
+    try {
+      if (!(startsWith(bytes, 'R', 'I', 'F', 'F') && bytes.length >= 12 &&
+          bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' &&
+          bytes(11) == 'E')) None
+      else {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val frameSize = fmt.getFrameSize
+          val buf = new Array[Byte](65536 - 65536 % frameSize)
+          var (count, sumAbs, sumSq, peak, zc) = (0L, 0L, 0L, 0L, 0L)
+          var prevNonNeg = false
+          var read = in.read(buf)
+          while (read > 0) {
+            val full = read - read % frameSize
+            var p = 0
+            while (p < full) {
+              val lo = buf(p) & 0xff
+              val hi = buf(p + 1)
+              val v = (hi << 8) | lo
+              val a = math.abs(v.toLong)
+              sumAbs += a; sumSq += v.toLong * v
+              if (a > peak) peak = a
+              val nonNeg = v >= 0
+              if (count > 0 && nonNeg != prevNonNeg) zc += 1
+              prevNonNeg = nonNeg
+              count += 1
+              p += frameSize
+            }
+            read = in.read(buf)
+          }
+          Some(AudioStats(count, sumAbs, sumSq, peak, zc))
         } finally in.close()
       }
     } catch { case scala.util.control.NonFatal(_) => None }

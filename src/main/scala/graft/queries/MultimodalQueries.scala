@@ -180,6 +180,49 @@ object MultimodalQueries {
         .toDF().orderBy(col("media_id"), col("frame_idx"))
     },
 
+    // --- audio signal features (the thresholds audio curation uses) -----
+    // Beyond mm_audio_decode's sample-sum audit: abs-sum (silence
+    // detection), peak (clipping), RMS (loudness), and zero-crossing
+    // count (noisiness proxy) from the SAME one-pass PCM decode. The
+    // crossing count needs the previous sample's sign, which the oracle
+    // gets CLOSED-FORM (s(i−1) re-derived from the generation rule — no
+    // window), so everything stays exact integers except the one
+    // division + sqrt of the RMS.
+    Q(
+      "mm_audio_features",
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(400 + doc_id % 600 AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (SELECT media_id, n, i,
+        |        (i*31 + media_id*7) % 65536 - 32768 AS v,
+        |        CASE WHEN i > 0
+        |          THEN ((i-1)*31 + media_id*7) % 65536 - 32768 END AS pv
+        |      FROM (SELECT media_id, n, unnest(range(0, n)) AS i FROM d))
+        |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+        |  ROUND(SQRT(CAST(SUM(v*v) AS DOUBLE) / n), 6) AS rms,
+        |  CAST(SUM(CASE WHEN i > 0 AND ((v >= 0) <> (pv >= 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM s GROUP BY media_id, n
+        |ORDER BY media_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Multimodal.syntheticAudio(s, d).mapPartitions { rows =>
+        rows.flatMap(r =>
+          graft.multimodal.MediaDecoder.decodeAudioStats(r.bytes).map(a =>
+            (r.media_id, a.nSamples, a.sumAbs, a.sumSq, a.peak,
+              a.zeroCrossings)))
+      }.toDF("media_id", "n_samples", "sum_abs", "sum_sq", "peak",
+          "zero_crossings")
+        .select(col("media_id"), col("n_samples"), col("sum_abs"),
+          col("peak"),
+          round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 6)
+            .as("rms"),
+          col("zero_crossings"))
+        .orderBy(col("media_id"))
+    },
+
     // --- perceptual image hashing (block-mean hash + dup grouping) ------
     // The image analogue of text fingerprinting: a 64-bit block-mean
     // hash (8×8 block grid, bit = block gray mean > image mean) computed
