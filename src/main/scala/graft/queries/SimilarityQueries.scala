@@ -396,6 +396,54 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Two-stage serve (the production pattern FAISS calls refine): the
+    * PQ/ADC pass produces a cheap top-20 SHORTLIST over codes only,
+    * then the exact cosine runs on just those 20 candidates per query —
+    * full-precision quality at ~shortlist/corpus of the exact cost. The
+    * refine join touches O(queries × shortlist) embedding rows, so at
+    * 100 TB the floats are read for 200 rows, not the corpus. */
+  def knnRefine(emb: DataFrame): DataFrame = {
+    val books = pqFit(emb)
+    val codes = emb.select(
+      col("vec_id") +: books.zipWithIndex.map { case (cents, i) =>
+        KMeans.assignExpr(
+          slice(col("embedding"), i * PqSubDim + 1, PqSubDim), cents)
+          .as(s"c${i + 1}")
+      }: _*)
+    val dtabs = books.zipWithIndex.map { case (cents, i) =>
+      map(cents.flatMap(c => Seq(
+        lit(c.cid),
+        VectorOps.l2sq(
+          slice(col("q_vec"), i * PqSubDim + 1, PqSubDim),
+          array(c.cvec.map(lit): _*)))): _*).as(s"dt${i + 1}")
+    }
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val qtab = queries.select(col("q_id") +: dtabs: _*)
+    val adc = (1 to PqM)
+      .map(i => element_at(col(s"dt$i"), col(s"c$i")))
+      .reduceLeft(_ + _)
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    val shortlist = codes.join(broadcast(qtab),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adc.as("adc"))
+      .withColumn("srank", row_number().over(wAdc))
+      .where(col("srank") <= 20)
+      .select(col("q_id"), col("vec_id"))
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    shortlist
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.cosine(col("q_vec"), col("embedding")), 6)
+          .as("cos"))
+      .withColumn("rank", row_number().over(wCos))
+      .where(col("rank") <= 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Shared oracle of the IVF pipeline (train + probe + rerank): used
     * verbatim by emb_knn_ivf (inline build) and emb_ivf_persist (the
     * same result served from a committed snapshot index table — the
@@ -968,6 +1016,53 @@ object SimilarityQueries {
            |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
       }
     ) { (s, d) => knnIvfPq(Tables.embeddings(s, d)) },
+
+    // --- two-stage serve: PQ shortlist + exact refine ---------------------
+    // ADC over codes picks a top-20 shortlist; the exact cosine reranks
+    // just those candidates — full-precision top-5 at code-scan cost.
+    // The oracle chains emb_knn_pq's ADC replay with an exact-cosine
+    // rerank restricted to the shortlist.
+    Q(
+      "emb_knn_refine", {
+        val sub = (1 to PqM).map { s =>
+          val lo = (s - 1) * PqSubDim + 1
+          Sql.l2sq(s"q.q_vec[$lo:${s * PqSubDim}]", s"cc$s.cvec")
+        }.mkString("(", " + ", ")")
+        val joins = (1 to PqM)
+          .map(s => s"JOIN s${s}c$PqIters cc$s ON cc$s.cid = x.c$s")
+          .mkString("\n         ")
+        val codeCols = (1 to PqM).map(s => s"a$s.cid AS c$s")
+          .mkString(", ")
+        val codeJoins = (2 to PqM)
+          .map(s => s"JOIN s${s}af a$s USING (vec_id)").mkString(" ")
+        s"""WITH $pqCtes,
+           |codes AS (SELECT a1.vec_id, $codeCols
+           |  FROM s1af a1 $codeJoins),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_vec
+           |      FROM embeddings WHERE vec_id < 10),
+           |sc AS (SELECT q.q_id, x.vec_id, $sub AS adc
+           |      FROM codes x
+           |         $joins
+           |         CROSS JOIN q
+           |      WHERE x.vec_id <> q.q_id),
+           |short AS (SELECT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id,
+           |      row_number() OVER (PARTITION BY q_id
+           |        ORDER BY adc, vec_id) AS srank
+           |    FROM sc) WHERE srank <= 20),
+           |re AS (SELECT s.q_id, s.vec_id,
+           |        ROUND(${Sql.cos("q.q_vec", "e.embedding")}, 6) AS cos
+           |      FROM short s
+           |        JOIN embeddings e ON e.vec_id = s.vec_id
+           |        JOIN q ON q.q_id = s.q_id)
+           |SELECT q_id, vec_id, cos,
+           |  CAST(row_number() OVER (PARTITION BY q_id
+           |         ORDER BY cos DESC, vec_id) AS INT) AS rank
+           |FROM re
+           |QUALIFY rank <= 5
+           |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) => knnRefine(Tables.embeddings(s, d)) },
 
     // --- mutual nearest neighbors (bitext-mining primitive) --------------
     // The pair selection behind parallel-corpus mining (Artetxe &

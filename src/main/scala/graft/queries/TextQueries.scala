@@ -1117,6 +1117,45 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rank"))
     },
 
+    // --- readability scoring (Flesch-style, libm-free) ------------------
+    // The reading-level feature text-difficulty curricula and
+    // age-appropriateness filters use. Syllables are proxied by vowel
+    // GROUPS (maximal [aeiouy]+ runs — the standard cheap estimator),
+    // sentences by terminal punctuation (min 1). The Flesch formula's
+    // constants are plain literals and the score is three exact-int
+    // divisions and fixed-order arithmetic — no libm anywhere. Narrow
+    // one-pass projection; regexp counts are the only per-row work.
+    Q(
+      "text_reading_level",
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]')), 1)
+        |      AS BIGINT) AS sentences,
+        |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+        |      AS syllables
+        |  FROM documents)
+        |SELECT doc_id, words, sentences, syllables,
+        |  ROUND(206.835
+        |    - 1.015 * (CAST(words AS DOUBLE) / sentences)
+        |    - 84.6 * (CAST(syllables AS DOUBLE) / words), 6) AS flesch
+        |FROM f ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("words"),
+          greatest(size(expr("regexp_extract_all(text, '[.!?]', 0)")),
+            lit(1)).cast("long").as("sentences"),
+          size(expr("regexp_extract_all(text, '[aeiouy]+', 0)"))
+            .cast("long").as("syllables"))
+        .select(col("doc_id"), col("words"), col("sentences"),
+          col("syllables"),
+          round(lit(206.835)
+            - lit(1.015) * (col("words").cast("double") / col("sentences"))
+            - lit(84.6) * (col("syllables").cast("double") / col("words")),
+            6).as("flesch"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- negative-sampling table (unigram^0.75 distribution) ------------
     // The smoothed sampling distribution word2vec/contrastive training
     // draws negatives from: weight = count^0.75, which flattens the
