@@ -43,7 +43,8 @@ object PlanScan {
       "q_ab_cuped" -> "1-row theta/xbar frame broadcast into the 2-arm readout",
       "text_negative_sampling" -> "1-row vocabulary weight total broadcast into the share table",
       "emb_centroid_drift" -> "1-row cell-count totals broadcast into the k-row histogram",
-      "pipe_doc_topics" -> "1-row corpus token total broadcast into the cluster-term lift table")
+      "pipe_doc_topics" -> "1-row corpus token total broadcast into the cluster-term lift table",
+      "emb_knn_refine" -> "10-row query set carrying ADC tables vs code table, then a 200-row refine join")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
