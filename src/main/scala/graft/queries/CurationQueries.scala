@@ -680,6 +680,42 @@ object CurationQueries {
         .orderBy(col("rank"))
     },
 
+    // --- safety/blocklist filtering (with audit trail) -------------------
+    // The wordlist-based safety pass every corpus runs first (the cheap
+    // gate before model-based classifiers): per document, total
+    // blocklist occurrences, the DISTINCT terms that hit (sorted,
+    // joined — the audit trail reviewers need, not just a boolean), and
+    // the keep verdict. The blocklist rides into the plan as a literal
+    // array (O(terms) broadcast once, like the quality-model weights);
+    // the scan is a narrow row-local projection — a pure map pass at
+    // any scale.
+    Q(
+      "pipe_safety_filter",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> list_contains(['slow','big','error'], t))) AS BIGINT)
+        |    AS n_hits,
+        |  COALESCE(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split(text, ' '),
+        |      t -> list_contains(['slow','big','error'], t)))), ','), '')
+        |    AS hit_terms,
+        |  len(list_filter(string_split(text, ' '),
+        |    t -> list_contains(['slow','big','error'], t))) = 0 AS keep
+        |FROM documents
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val hits = filter(graft.functions.TextOps.tokens(col("text")),
+        t => t.isin("slow", "big", "error"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), hits.as("h"))
+        .select(col("doc_id"),
+          size(col("h")).cast("long").as("n_hits"),
+          array_join(array_sort(array_distinct(col("h"))), ",")
+            .as("hit_terms"),
+          (size(col("h")) === 0).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- topic exploration: cluster docs, label clusters by lift ---------
     // The corpus-cartography pass (cluster-then-label — what BERTopic
     // does with fancier parts): k-means over the aligned embeddings

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -386,6 +386,44 @@ object RefQueries {
           (size(col("prev")) > 0
             && col("n") > fold(col("prev")) * 1.5).as("is_spike"))
         .orderBy(col("event_date"))
+    },
+
+    // --- referential-integrity audit (FK orphan counts) ------------------
+    // The star-schema conformance check a warehouse runs after every
+    // load: per fact FK, how many fact rows reference a missing
+    // dimension row. Three LEFT ANTI joins (each a broadcast against
+    // its dim at these sizes, SMJ when a dim outgrows the threshold —
+    // stats-driven like the star queries), unioned into one audit
+    // frame. Zero orphans is the expected answer on conformant data —
+    // the query EARNS that zero rather than assuming it.
+    Q(
+      "ref_fk_orphans",
+      """SELECT fk, CAST(n_orphans AS BIGINT) AS n_orphans FROM (
+        |  SELECT 'l_orderkey' AS fk, COUNT(*) AS n_orphans
+        |  FROM lineitem l LEFT JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey IS NULL
+        |  UNION ALL
+        |  SELECT 'l_partkey', COUNT(*)
+        |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_partkey IS NULL
+        |  UNION ALL
+        |  SELECT 'l_suppkey', COUNT(*)
+        |  FROM lineitem l LEFT JOIN supplier s
+        |    ON l.l_suppkey = s.s_suppkey
+        |  WHERE s.s_suppkey IS NULL)
+        |ORDER BY fk NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      def orphans(fk: String, dim: DataFrame, dimKey: String) =
+        li.join(dim, col(fk) === col(dimKey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(fk).as("fk"), col("n_orphans"))
+      orphans("l_orderkey", Tables.orders(s, d), "o_orderkey")
+        .unionByName(orphans("l_partkey", Tables.part(s, d), "p_partkey"))
+        .unionByName(
+          orphans("l_suppkey", Tables.supplier(s, d), "s_suppkey"))
+        .orderBy(col("fk"))
     },
 
     // --- Holt double-exponential volume forecast -------------------------
