@@ -1201,10 +1201,13 @@ object StatsQueries {
          |      AS c1
          |  FROM u),
          |z AS (SELECT n0, c0, n1, c1,
-         |    (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
-         |    / SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-         |        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-         |        * (1.0 / n0 + 1.0 / n1)) AS zval
+         |    CASE WHEN n0 > 0 AND n1 > 0 AND c0 + c1 > 0
+         |        AND c0 + c1 < n0 + n1 THEN
+         |      (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+         |      / SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+         |          * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+         |          * (1.0 / n0 + 1.0 / n1))
+         |    ELSE CAST(0 AS DOUBLE) END AS zval
          |  FROM a)
          |SELECT n0, c0, n1, c1, ROUND(zval, 6) AS z,
          |  ABS(zval) > 1.96 AS significant
@@ -1226,9 +1229,18 @@ object StatsQueries {
           .as("c1"))
       def dd(c: org.apache.spark.sql.Column) = c.cast("double")
       val pPool = dd(col("c0") + col("c1")) / (col("n0") + col("n1"))
-      val zval = (dd(col("c1")) / col("n1") - dd(col("c0")) / col("n0")) /
-        sqrt(pPool * (lit(1) - pPool) *
-          (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+      // guarded on INTEGER conditions: z is undefined when an arm is
+      // empty or the pooled rate is degenerate (0 or 1 — zero pooled
+      // variance; true at the sf0.001 smoke tier) — ANSI mode rejects
+      // the division, and 0 is the defined no-signal answer
+      val zval = when(
+        col("n0") > 0 && col("n1") > 0 &&
+          col("c0") + col("c1") > 0 &&
+          col("c0") + col("c1") < col("n0") + col("n1"),
+        (dd(col("c1")) / col("n1") - dd(col("c0")) / col("n0")) /
+          sqrt(pPool * (lit(1) - pPool) *
+            (lit(1.0) / col("n0") + lit(1.0) / col("n1"))))
+        .otherwise(lit(0.0))
       a.select(col("n0"), col("c0"), col("n1"), col("c1"),
         round(zval, 6).as("z"), (abs(zval) > 1.96).as("significant"))
     },
