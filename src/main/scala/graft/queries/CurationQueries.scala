@@ -680,6 +680,47 @@ object CurationQueries {
         .orderBy(col("rank"))
     },
 
+    // --- deterministic source interleave (training order) ----------------
+    // The order data actually reaches the trainer in: one document from
+    // each source, round-robin, so no gradient window is dominated by a
+    // single crawl. Position is CLOSED-FORM — (rn−1)·n_sources + source
+    // index — never a global window over the corpus: the per-source rn
+    // partitions on source, the source index is a 20-row frame, and the
+    // join is broadcast. Exact while shards are equal-sized (true of
+    // this corpus and of packed training shards by construction); the
+    // head of the schedule is the verifiable artifact.
+    Q(
+      "pipe_interleave_shards",
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |si AS (SELECT source,
+        |    CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS sidx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM si)
+        |SELECT CAST((r.rn - 1) * n_sources + si.sidx AS BIGINT) AS pos,
+        |  r.source, r.doc_id, CAST(r.rn AS BIGINT) AS rn
+        |FROM r JOIN si USING (source) CROSS JOIN ns
+        |ORDER BY pos LIMIT 50""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val r = docs.select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      val si = docs.select(col("source")).distinct()
+        .withColumn("sidx", row_number().over(
+          Window.orderBy(col("source"))).cast("long"))
+      val ns = si.agg(count(lit(1)).as("n_sources"))
+      r.join(broadcast(si), Seq("source"))
+        .crossJoin(broadcast(ns))
+        .select(
+          ((col("rn") - 1) * col("n_sources") + col("sidx")).cast("long")
+            .as("pos"),
+          col("source"), col("doc_id"), col("rn").cast("long").as("rn"))
+        .orderBy(col("pos"))
+        .limit(50)
+    },
+
     // --- safety/blocklist filtering (with audit trail) -------------------
     // The wordlist-based safety pass every corpus runs first (the cheap
     // gate before model-based classifiers): per document, total

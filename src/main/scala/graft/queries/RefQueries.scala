@@ -388,6 +388,57 @@ object RefQueries {
         .orderBy(col("event_date"))
     },
 
+    // --- join-size estimation by deterministic key-domain sampling -------
+    // The optimizer statistic that decides shuffle strategy before any
+    // shuffle runs: |A ⋈ B| = Σ_k cA(k)·cB(k), estimated from the 1/4
+    // of the KEY DOMAIN whose md5 hash ≡ 0 (mod 4) — deterministic
+    // domain sampling (Gibbons' distinct sampling), so the estimate is
+    // a reproducible VALUE, not a random draw. Per-key counts are
+    // computed for sampled keys only (O(sample) aggregate state); the
+    // exact answer — the join count itself — rides along as the
+    // yardstick with its error in ppm. At 100 TB the estimator reads
+    // two aggregates; the exact join it predicts may be the thing you
+    // choose never to run.
+    Q(
+      "ref_join_size_estimate", {
+        val h = graft.functions.TextOps.md5Low60Sql(
+          "CAST(user_id AS VARCHAR)")
+        s"""WITH a AS (SELECT user_id FROM events
+           |  WHERE user_id IS NOT NULL AND event_id % 2 = 0),
+           |b AS (SELECT user_id FROM events
+           |  WHERE user_id IS NOT NULL AND event_id % 2 = 1),
+           |ca AS (SELECT user_id, COUNT(*) AS c FROM a GROUP BY user_id),
+           |cb AS (SELECT user_id, COUNT(*) AS c FROM b GROUP BY user_id),
+           |s AS (SELECT CAST(4 * SUM(ca.c * cb.c) AS BIGINT) AS est
+           |      FROM ca JOIN cb USING (user_id)
+           |      WHERE $h % 4 = 0),
+           |x AS (SELECT CAST(SUM(ca.c * cb.c) AS BIGINT) AS exact
+           |      FROM ca JOIN cb USING (user_id))
+           |SELECT est, exact,
+           |  CAST(ABS(est - exact) * 1000000 // exact AS BIGINT)
+           |    AS err_ppm
+           |FROM s CROSS JOIN x""".stripMargin
+      }
+    ) { (s, d) =>
+      val ev = Tables.events(s, d).where(col("user_id").isNotNull)
+      def counts(parity: Int) = ev
+        .where(pmod(col("event_id"), lit(2)) === parity)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      val ca = counts(0).select(col("user_id"), col("c").as("ca"))
+      val cb = counts(1).select(col("user_id"), col("c").as("cb"))
+      val joined = ca.join(cb, Seq("user_id"))
+      val hash = graft.functions.TextOps.md5Low60(
+        col("user_id").cast("string"))
+      val est = joined.where(pmod(hash, lit(4)) === 0)
+        .agg((lit(4) * sum(col("ca") * col("cb"))).cast("long").as("est"))
+      val exact = joined
+        .agg(sum(col("ca") * col("cb")).cast("long").as("exact"))
+      est.crossJoin(broadcast(exact))
+        .select(col("est"), col("exact"),
+          expr("abs(est - exact) * 1000000 div exact").cast("long")
+            .as("err_ppm"))
+    },
+
     // --- referential-integrity audit (FK orphan counts) ------------------
     // The star-schema conformance check a warehouse runs after every
     // load: per fact FK, how many fact rows reference a missing
