@@ -17,6 +17,10 @@ object RecallQueries {
     SimilarityQueries.all.find(_.name == name)
       .getOrElse(sys.error(s"RecallQueries: no such query $name"))
 
+  private def dq(name: String): Q =
+    DedupQueries.all.find(_.name == name)
+      .getOrElse(sys.error(s"RecallQueries: no such dedup query $name"))
+
   val all: Seq[Q] = Seq(
     Q(
       "emb_recall_at_k", {
@@ -193,6 +197,65 @@ object RecallQueries {
           col("x.hits").as("hits"), col("x.possible").as("possible"),
           expr("x.hits * 1000000 div x.possible").as("recall_ppm"))
         .orderBy(col("dim_budget"))
+    },
+
+    // --- dedup similarity-function audit (bag vs shingle) ----------------
+    // Before a dedup policy deletes data, quantify what its SIMILARITY
+    // FUNCTION can and cannot see: bag-of-words jaccard (unigram sets,
+    // ≥ 0.8 — order-blind: catches shuffled/templated rewrites) vs
+    // 3-shingle jaccard (≥ 0.5 — order-sensitive: the MinHash
+    // production path's function), compared on the same-source regime
+    // where the exhaustive bag baseline is complete. The headline
+    // number is bag_only_ppm — the share of bag-duplicates INVISIBLE to
+    // shingle dedup (word-order changes break every shingle); on this
+    // corpus it is large by construction (same-source docs share
+    // vocabulary, not word order), which is exactly the decision signal
+    // the audit exists to surface. Both legs are the SHIPPED queries —
+    // builders and oracle SQL alike — so the audited functions are the
+    // deployed ones. (LSH banding recall is NOT measured here: the LSH
+    // query's own oracle equality already proves it exactly.)
+    Q(
+      "pipe_dedup_eval", {
+        val bag = dq("dedup_ngram_jaccard").oracle.get
+        val lsh = dq("dedup_minhash_lsh").oracle.get
+        s"""WITH bag AS (SELECT a_id, b_id FROM ($bag)),
+           |sh0 AS (SELECT a_id, b_id FROM ($lsh)),
+           |ds AS (SELECT doc_id, source FROM documents),
+           |sh AS (SELECT p.a_id, p.b_id FROM sh0 p
+           |         JOIN ds x ON x.doc_id = p.a_id
+           |         JOIN ds y ON y.doc_id = p.b_id
+           |         WHERE x.source = y.source),
+           |h AS (SELECT COUNT(*) AS n_both
+           |      FROM sh JOIN bag USING (a_id, b_id)),
+           |t AS (SELECT COUNT(*) AS n_bag FROM bag),
+           |pp AS (SELECT COUNT(*) AS n_shingle FROM sh)
+           |SELECT CAST(n_bag AS BIGINT) AS n_bag,
+           |  CAST(n_shingle AS BIGINT) AS n_shingle,
+           |  CAST(n_both AS BIGINT) AS n_both,
+           |  CAST((n_bag - n_both) * 1000000 // n_bag AS BIGINT)
+           |    AS bag_only_ppm
+           |FROM h CROSS JOIN t CROSS JOIN pp""".stripMargin
+      }
+    ) { (s, d) =>
+      val bag = dq("dedup_ngram_jaccard").run(s, d)
+        .select(col("a_id"), col("b_id"))
+      val ds = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+      val sh = dq("dedup_minhash_lsh").run(s, d)
+        .join(ds.select(col("doc_id").as("a_id"),
+          col("source").as("sa")), Seq("a_id"))
+        .join(ds.select(col("doc_id").as("b_id"),
+          col("source").as("sb")), Seq("b_id"))
+        .where(col("sa") === col("sb"))
+        .select(col("a_id"), col("b_id"))
+      val h = sh.join(bag, Seq("a_id", "b_id"))
+        .agg(count(lit(1)).as("n_both"))
+      val t = bag.agg(count(lit(1)).as("n_bag"))
+      val pp = sh.agg(count(lit(1)).as("n_shingle"))
+      t.crossJoin(broadcast(pp)).crossJoin(broadcast(h))
+        .select(col("n_bag"), col("n_shingle"), col("n_both"),
+          expr("(n_bag - n_both) * 1000000 div n_bag").cast("long")
+            .as("bag_only_ppm"))
     }
   )
 }
