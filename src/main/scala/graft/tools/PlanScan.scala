@@ -46,7 +46,8 @@ object PlanScan {
       "pipe_doc_topics" -> "1-row corpus token total broadcast into the cluster-term lift table",
       "emb_knn_refine" -> "10-row query set carrying ADC tables vs code table, then a 200-row refine join",
       "ref_join_size_estimate" -> "1-row estimate cross-joined with the 1-row exact yardstick",
-      "pipe_interleave_shards" -> "1-row source-count frame broadcast into the closed-form positions")
+      "pipe_interleave_shards" -> "1-row source-count frame broadcast into the closed-form positions",
+      "pipe_dedup_eval" -> "three 1-row pair-count frames cross-joined into the audit row")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
