@@ -374,6 +374,55 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // --- asymmetric containment pairs (quote/excerpt detection) ---------
+    // The near-dup relation Jaccard structurally misses: when a short
+    // doc is a SUBSET of a long one (a quote, an excerpt, a template
+    // instance), |A∩B|/|A∪B| is dragged down by the size gap while
+    // containment = c/min(na, nb) stays at 1 — the measure excerpt
+    // dedup actually thresholds (Broder's containment, resemblance's
+    // asymmetric sibling). Candidates via the shingle inverted index
+    // (equi-join on gram, O(collisions) — the same bound as the exact
+    // jaccard CTEs; at corpus scale the prefix/LSH index bounds the
+    // postings, same as the other legs). One int/int-ish division per
+    // pair — deterministic.
+    Q(
+      "dedup_containment",
+      s"""WITH $exactPairCtes,
+         |cont AS (SELECT a_id, b_id, c,
+         |    sa.n AS na, sb.n AS nb,
+         |    CAST(c AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+         |  FROM common
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id)
+         |SELECT a_id, b_id, CAST(c AS BIGINT) AS c,
+         |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         |  ROUND(containment, 6) AS containment
+         |FROM cont WHERE containment >= 0.8
+         |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val docs = shingled(Tables.documents(s, d))
+      val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      val common = ex.as("a")
+        .join(ex.as("b"), col("a.g") === col("b.g")
+          && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("c"))
+      val sz = docs.select(col("doc_id"), size(col("sh")).as("n"))
+      common
+        .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")),
+          Seq("a_id"))
+        .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")),
+          Seq("b_id"))
+        .select(col("a_id"), col("b_id"), col("c"),
+          col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+          (col("c").cast("double") / least(col("na"), col("nb")))
+            .as("containment"))
+        .where(col("containment") >= 0.8)
+        .select(col("a_id"), col("b_id"), col("c"), col("na"), col("nb"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // --- duplicate clusters: transitive closure over VERIFIED near-dup --
     // pairs — rows-only. GraphX connected components turn pairwise edges
     // into keep-one-per-group clusters (a~b, b~c ⇒ {a,b,c}); clustering
