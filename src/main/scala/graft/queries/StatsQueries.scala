@@ -1126,6 +1126,37 @@ object StatsQueries {
         .orderBy(col("zvalue"))
     },
 
+    // --- day-of-week × hour activity heat profile ------------------------
+    // The 7×24 usage grid behind every "when are users active" dashboard
+    // panel, with share in ppm of the whole week so panels compare
+    // across deployments. One hash aggregate on a 168-cell key space —
+    // combiner-friendly, calendar-bounded output. ISO day numbering
+    // (Mon=1) via DuckDB isodow ≡ Spark's ((dayofweek+5)%7)+1.
+    Q(
+      "q_dow_hour_profile",
+      """WITH e AS (SELECT isodow(ts) AS dow, hour(ts) AS hr
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT dow, hr, COUNT(*) AS n FROM e GROUP BY dow, hr),
+        |t AS (SELECT SUM(n) AS total FROM c)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+        |FROM c CROSS JOIN t
+        |ORDER BY dow NULLS FIRST, hr NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val c = Tables.events(s, d)
+        .where(col("ts").isNotNull)
+        .select(
+          ((dayofweek(col("ts")) + 5) % 7 + 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .groupBy(col("dow"), col("hr")).agg(count(lit(1)).as("n"))
+      val t = c.agg(sum(col("n")).as("total"))
+      c.crossJoin(broadcast(t))
+        .select(col("dow"), col("hr"), col("n"),
+          expr("n * 1000000 div total").cast("long").as("share_ppm"))
+        .orderBy(col("dow"), col("hr"))
+    },
+
     // --- RFM customer segmentation (quintile grid) ----------------------
     // The classic CRM cut: recency (last order date), frequency (order
     // count), monetary (DECIMAL-exact spend) per customer, each

@@ -1117,6 +1117,58 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rank"))
     },
 
+    // --- vocabulary growth curve (Heaps'-law measurement) ---------------
+    // How fast the type count grows with the corpus — the curve that
+    // sizes tokenizer vocabularies and predicts OOV rates before
+    // training. Measured at doc-count checkpoints (50..500 by doc_id
+    // order): distinct words and token totals under each prefix, from
+    // ONE exploded scan — the checkpoint key is derived per token row
+    // (the SMALLEST checkpoint admitting the doc; each token then rolls
+    // up into suffix sums via a 10-row cumulative window), not one scan
+    // per checkpoint. The type count per checkpoint is a distinct-agg
+    // over (checkpoint, word) — vocabulary-bounded. Heaps exponent
+    // fitting stays offline: log-log regression is libm; the curve
+    // itself is exact integers.
+    Q(
+      "text_vocab_growth",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |cp AS (SELECT ((doc_id // 50) + 1) * 50 AS checkpoint, word
+        |       FROM w),
+        |tok AS (SELECT checkpoint, COUNT(*) AS toks
+        |        FROM cp GROUP BY checkpoint),
+        |typ AS (SELECT checkpoint, word, MIN(checkpoint) AS first_cp
+        |        FROM cp GROUP BY checkpoint, word)
+        |SELECT g.checkpoint,
+        |  CAST(SUM(t2.toks) AS BIGINT) AS n_tokens,
+        |  CAST((SELECT COUNT(DISTINCT word) FROM cp c
+        |        WHERE c.checkpoint <= g.checkpoint) AS BIGINT) AS n_types
+        |FROM (SELECT DISTINCT checkpoint FROM cp) g
+        |JOIN tok t2 ON t2.checkpoint <= g.checkpoint
+        |GROUP BY g.checkpoint
+        |ORDER BY g.checkpoint NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text")))
+          .as("word"))
+      val cp = w.select(
+        expr("(doc_id div 50 + 1) * 50").as("checkpoint"), col("word"))
+      // per-checkpoint increments, then suffix-rollup via cumulative
+      // windows over the ~10-row checkpoint frame
+      val tok = cp.groupBy(col("checkpoint")).agg(count(lit(1)).as("toks"))
+      val firstSeen = cp.groupBy(col("word"))
+        .agg(min(col("checkpoint")).as("checkpoint"))
+        .groupBy(col("checkpoint")).agg(count(lit(1)).as("new_types"))
+      val cum = Window.orderBy(col("checkpoint"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tok.join(firstSeen, Seq("checkpoint"), "left")
+        .select(col("checkpoint"),
+          sum(col("toks")).over(cum).cast("long").as("n_tokens"),
+          sum(coalesce(col("new_types"), lit(0L))).over(cum).cast("long")
+            .as("n_types"))
+        .orderBy(col("checkpoint"))
+    },
+
     // --- readability scoring (Flesch-style, libm-free) ------------------
     // The reading-level feature text-difficulty curricula and
     // age-appropriateness filters use. Syllables are proxied by vowel
