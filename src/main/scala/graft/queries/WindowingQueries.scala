@@ -845,6 +845,66 @@ object WindowingQueries {
         .limit(10)
     },
 
+    // --- session abandonment (engaged but not converted) ----------------
+    // The per-day funnel-health number product teams page on: of the
+    // sessions that ENGAGED (≥1 click), how many ended without a
+    // purchase. Sessionization is the proven 10-minute-gap machinery
+    // (native session_window vs the oracle's gap-sum replay); the
+    // engaged/converted flags are two conditional maxes inside the same
+    // session aggregate — no second pass, no join. Day keyed by session
+    // START (a session belongs to the day it began).
+    Q(
+      "q_session_abandonment",
+      """WITH e AS (SELECT user_id, event_type,
+        |             date_trunc('second', ts) AS ts
+        |           FROM events),
+        |m AS (SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts) > INTERVAL '10 minutes'
+        |        THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |sd AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |          ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |       FROM m),
+        |sess AS (SELECT user_id, sid,
+        |           CAST(MIN(ts) AS DATE) AS d,
+        |           MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |             AS clicked,
+        |           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |             AS purchased
+        |         FROM sd GROUP BY user_id, sid),
+        |eng AS (SELECT d, COUNT(*) AS n_engaged,
+        |          SUM(CASE WHEN purchased = 0 THEN 1 ELSE 0 END)
+        |            AS n_abandoned
+        |        FROM sess WHERE clicked = 1 GROUP BY d)
+        |SELECT d, CAST(n_engaged AS BIGINT) AS n_engaged,
+        |  CAST(n_abandoned AS BIGINT) AS n_abandoned,
+        |  CAST(n_abandoned * 1000000 // n_engaged AS BIGINT)
+        |    AS abandon_ppm
+        |FROM eng
+        |ORDER BY d NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(date_trunc("second", col("ts")), "10 minutes"))
+        .agg(
+          max(when(col("event_type") === "click", 1).otherwise(0))
+            .as("clicked"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("purchased"))
+        .where(col("clicked") === 1)
+        .select(to_date(col("session_window.start")).as("d"),
+          col("purchased"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_engaged"),
+          sum(when(col("purchased") === 0, 1).otherwise(0))
+            .as("n_abandoned"))
+        .select(col("d"), col("n_engaged").cast("long").as("n_engaged"),
+          col("n_abandoned").cast("long").as("n_abandoned"),
+          expr("n_abandoned * 1000000 div n_engaged").cast("long")
+            .as("abandon_ppm"))
+        .orderBy(col("d"))
+    },
+
     // --- event-time RANGE window frame (interval-bounded moving sum) ----
     // The window-frame type the rest of the family doesn't exercise:
     // RANGE BETWEEN INTERVAL 1 HOUR PRECEDING — a VALUE-bounded frame
