@@ -1121,6 +1121,50 @@ object SimilarityQueries {
         .orderBy(col("a_id"))
     },
 
+    // --- per-dimension variance profile (which dims carry signal) --------
+    // The diagnostic behind emb_mrl_recall's truncation curve: variance
+    // per coordinate says which dims are informative and which are
+    // near-constant padding — the profile that justifies (or vetoes)
+    // prefix truncation and guides PQ subspace splits. Components are
+    // quantized to 2⁻²⁰ grid INTEGERS first (floor(v·2²⁰ + 0.5), exact
+    // in both engines — the declared quantization, same contract as
+    // emb_quantize_int8), so the MOMENTS are exact integers; the
+    // n·Σq² − (Σq)² variance arithmetic is then fixed-order doubles —
+    // correctly-rounded ops, bit-identical across engines. One
+    // posexplode scan, one 64-group aggregate.
+    Q(
+      "emb_dim_variance",
+      """WITH px AS (SELECT CAST(pos AS BIGINT) AS pos,
+        |    CAST(FLOOR(CAST(v AS DOUBLE) * 1048576 + 0.5) AS BIGINT) AS q
+        |  FROM (SELECT unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS pos
+        |        FROM embeddings)),
+        |m AS (SELECT pos, COUNT(*) AS n,
+        |        CAST(SUM(q) AS BIGINT) AS sum_q,
+        |        CAST(SUM(q * q) AS BIGINT) AS sumsq_q
+        |      FROM px GROUP BY pos)
+        |SELECT pos, CAST(n AS BIGINT) AS n, sum_q, sumsq_q,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sumsq_q AS DOUBLE)
+        |      - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |    / 1099511627776, 9) AS variance
+        |FROM m ORDER BY pos NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val q = floor(col("v").cast("double") * 1048576 + 0.5).cast("long")
+      val m = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("p", "v")))
+        .select((col("p") + 1).cast("long").as("pos"), q.as("q"))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q")).cast("long").as("sum_q"),
+          sum(col("q") * col("q")).cast("long").as("sumsq_q"))
+      def dd(c: String) = col(c).cast("double")
+      m.select(col("pos"), col("n"), col("sum_q"), col("sumsq_q"),
+          round((dd("n") * dd("sumsq_q") - dd("sum_q") * dd("sum_q"))
+            / (dd("n") * dd("n")) / 1099511627776.0, 9).as("variance"))
+        .orderBy(col("pos"))
+    },
+
     // --- embedding distribution drift (shared-quantizer histogram) -------
     // The monitor a production vector store runs between index
     // refreshes: train the coarse quantizer on the BASE half (even ids

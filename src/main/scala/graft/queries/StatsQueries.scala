@@ -1126,6 +1126,54 @@ object StatsQueries {
         .orderBy(col("zvalue"))
     },
 
+    // --- Pareto concentration: users covering 80% of activity -----------
+    // The inverse of q_revenue_concentration's top-share: the SMALLEST
+    // set of users that accounts for ≥80% of events — the "how top-heavy
+    // is the workload" number capacity planning and abuse review both
+    // start from. Exact integer cumulative over the per-user histogram
+    // under a total order (count DESC, user_id); the single-partition
+    // window runs over the USER histogram (not events), and at lake
+    // scale the same answer falls out of the equi-depth boundary shape.
+    Q(
+      "q_pareto_users",
+      """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events
+        |           WHERE user_id IS NOT NULL GROUP BY user_id),
+        |t AS (SELECT SUM(n) AS total, COUNT(*) AS n_users FROM c),
+        |r AS (SELECT n, SUM(n) OVER (ORDER BY n DESC, user_id
+        |        ROWS UNBOUNDED PRECEDING) AS cum,
+        |        row_number() OVER (ORDER BY n DESC, user_id) AS rk
+        |      FROM c)
+        |SELECT CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(total AS BIGINT) AS total_events,
+        |  CAST(MIN(CASE WHEN cum * 5 >= total * 4 THEN rk END) AS BIGINT)
+        |    AS n_top80,
+        |  CAST(MIN(CASE WHEN cum * 5 >= total * 4 THEN rk END) * 1000000
+        |    // n_users AS BIGINT) AS top80_user_share_ppm
+        |FROM r CROSS JOIN t
+        |GROUP BY n_users, total""".stripMargin
+    ) { (s, d) =>
+      val c = Tables.events(s, d)
+        .where(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val t = c.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("n_users"))
+      val w = Window.orderBy(col("n").desc, col("user_id"))
+      val r = c
+        .withColumn("cum",
+          sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .withColumn("rk", row_number().over(w))
+      r.crossJoin(broadcast(t))
+        .groupBy(col("n_users"), col("total"))
+        .agg(min(when(col("cum") * 5 >= col("total") * 4, col("rk")))
+          .as("n_top80"))
+        .select(col("n_users").cast("long").as("n_users"),
+          col("total").cast("long").as("total_events"),
+          col("n_top80").cast("long").as("n_top80"),
+          expr("n_top80 * 1000000 div n_users").cast("long")
+            .as("top80_user_share_ppm"))
+    },
+
     // --- day-of-week × hour activity heat profile ------------------------
     // The 7×24 usage grid behind every "when are users active" dashboard
     // panel, with share in ppm of the whole week so panels compare
