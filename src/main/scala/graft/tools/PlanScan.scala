@@ -47,7 +47,9 @@ object PlanScan {
       "emb_knn_refine" -> "10-row query set carrying ADC tables vs code table, then a 200-row refine join",
       "ref_join_size_estimate" -> "1-row estimate cross-joined with the 1-row exact yardstick",
       "pipe_interleave_shards" -> "1-row source-count frame broadcast into the closed-form positions",
-      "pipe_dedup_eval" -> "three 1-row pair-count frames cross-joined into the audit row")
+      "pipe_dedup_eval" -> "three 1-row pair-count frames cross-joined into the audit row",
+      "q_pareto_users" -> "1-row totals frame broadcast into the user histogram",
+      "q_dow_hour_profile" -> "1-row week total broadcast into the 168-cell grid")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
