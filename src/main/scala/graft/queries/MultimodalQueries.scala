@@ -180,6 +180,58 @@ object MultimodalQueries {
         .toDF().orderBy(col("media_id"), col("frame_idx"))
     },
 
+    // --- video stream screening (bitrate / frame-rate thresholds) -------
+    // The numbers a video curation pass thresholds BEFORE any frame
+    // decode, all derived from the real ISO-BMFF demux: duration,
+    // frame rate, payload bitrate, mean frame size — and the keep
+    // verdict (a floor on bits/s screens out degenerate streams).
+    // Integer ratios via div; the oracle re-derives every figure from
+    // the box-tree generation rule, so a match proves the demux read
+    // mvhd/stsz/mdat, not a header guess.
+    Q(
+      "mm_video_stats",
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id
+        |           FROM documents),
+        |fl AS (SELECT media_id,
+        |         unnest(range(0, 2 + media_id % 7)) AS i FROM d),
+        |v AS (SELECT media_id,
+        |        CAST(1000 + media_id % 9000 AS BIGINT) AS duration,
+        |        CAST(2 + media_id % 7 AS BIGINT) AS n_frames,
+        |        CAST(SUM(50 + (media_id + i*13) % 100) AS BIGINT)
+        |          AS mdat_bytes
+        |      FROM fl GROUP BY media_id)
+        |SELECT media_id,
+        |  duration AS duration_ms,
+        |  n_frames,
+        |  CAST(n_frames * 1000000 // duration AS BIGINT) AS fps_milli,
+        |  mdat_bytes,
+        |  CAST(mdat_bytes * 8000 // duration AS BIGINT) AS bps,
+        |  mdat_bytes * 8000 // duration >= 500 AS keep
+        |FROM v
+        |ORDER BY media_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Multimodal.syntheticVideo(s, d).mapPartitions { rows =>
+        rows.flatMap { r =>
+          graft.multimodal.MediaDecoder.demuxMp4(r.bytes).map(v =>
+            (r.media_id, v.timescale, v.duration,
+              v.frameSizes.length.toLong,
+              v.frameSizes.map(_.toLong).sum))
+        }
+      }.toDF("media_id", "timescale", "duration", "n_frames",
+          "mdat_bytes")
+        // timescale is 1000 ticks/s by generation; duration is thus ms
+        .select(col("media_id"),
+          col("duration").as("duration_ms"),
+          col("n_frames"),
+          expr("n_frames * 1000000 div duration").cast("long")
+            .as("fps_milli"),
+          col("mdat_bytes"),
+          expr("mdat_bytes * 8000 div duration").cast("long").as("bps"),
+          expr("mdat_bytes * 8000 div duration >= 500").as("keep"))
+        .orderBy(col("media_id"))
+    },
+
     // --- audio signal features (the thresholds audio curation uses) -----
     // Beyond mm_audio_decode's sample-sum audit: abs-sum (silence
     // detection), peak (clipping), RMS (loudness), and zero-crossing

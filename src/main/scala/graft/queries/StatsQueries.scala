@@ -1126,6 +1126,57 @@ object StatsQueries {
         .orderBy(col("zvalue"))
     },
 
+    // --- cohort lifetime value (cumulative revenue triangle) ------------
+    // The money sibling of q_cohort_retention: customers grouped by
+    // first-order year, revenue accumulated along the offset axis — the
+    // LTV curve finance discount models read off. Per-cell revenue is
+    // DECIMAL-exact; the cumulative window runs over the ≤7-row offset
+    // axis per cohort (calendar-bounded, never data-bounded). First
+    // order per customer is a min-aggregate + equi-join, no window over
+    // the orders stream.
+    Q(
+      "q_ltv_cohort",
+      """WITH fo AS (SELECT o_custkey, MIN(year(o_orderdate)) AS cohort_year
+        |            FROM orders GROUP BY o_custkey),
+        |j AS (SELECT cohort_year,
+        |        year(o.o_orderdate) - cohort_year AS offset_y,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS rev, o.o_custkey
+        |      FROM orders o JOIN fo USING (o_custkey)),
+        |g AS (SELECT cohort_year, offset_y,
+        |        COUNT(DISTINCT o_custkey) AS n_active,
+        |        SUM(rev) AS rev
+        |      FROM j GROUP BY cohort_year, offset_y)
+        |SELECT CAST(cohort_year AS BIGINT) AS cohort_year,
+        |  CAST(offset_y AS BIGINT) AS offset_y,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(SUM(rev) OVER (PARTITION BY cohort_year ORDER BY offset_y
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev
+        |FROM g
+        |ORDER BY cohort_year NULLS FIRST, offset_y NULLS FIRST"""
+        .stripMargin
+    ) { (s, d) =>
+      val fo = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(min(year(col("o_orderdate"))).as("cohort_year"))
+      val g = Tables.orders(s, d)
+        .join(fo, Seq("o_custkey"))
+        .select(col("cohort_year"),
+          (year(col("o_orderdate")) - col("cohort_year")).as("offset_y"),
+          col("o_totalprice").cast("decimal(18,2)").as("rev"),
+          col("o_custkey"))
+        .groupBy(col("cohort_year"), col("offset_y"))
+        .agg(count_distinct(col("o_custkey")).as("n_active"),
+          sum(col("rev")).as("rev"))
+      val cum = Window.partitionBy(col("cohort_year"))
+        .orderBy(col("offset_y"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.select(col("cohort_year").cast("long").as("cohort_year"),
+          col("offset_y").cast("long").as("offset_y"),
+          col("n_active"),
+          sum(col("rev")).over(cum).cast("double").as("cum_rev"))
+        .orderBy(col("cohort_year"), col("offset_y"))
+    },
+
     // --- Pareto concentration: users covering 80% of activity -----------
     // The inverse of q_revenue_concentration's top-share: the SMALLEST
     // set of users that accounts for ≥80% of events — the "how top-heavy
