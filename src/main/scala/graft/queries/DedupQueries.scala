@@ -423,6 +423,56 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // --- LSH banding design table (the S-curve, computed in-engine) ------
+    // The table that justifies every (bands, rows) choice in this file:
+    // candidate probability P = 1 − (1 − j^r)^b across a jaccard grid
+    // for the shipped 12×4 config and its neighbors. Powers are INTEGER
+    // exponents expanded to explicit left-associated multiplication
+    // chains — identical IEEE sequences on both sides, no libm pow —
+    // so the design table itself is oracle-exact. Data-free by nature
+    // (a property of the hash family, not the corpus); emitted as a
+    // query so the recall contract ships next to the code that relies
+    // on it.
+    {
+      val grid = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+      val configs = Seq((12, 4), (8, 8), (16, 6))
+      def powChainSql(base: String, n: Int): String =
+        (1 until n).foldLeft(base)((acc, _) => s"($acc * $base)")
+      val rowsSql = (for ((b, r) <- configs; j <- grid) yield {
+        // bare 0.x literals parse as DECIMAL in DuckDB — force DOUBLE so
+        // the multiplication chain is IEEE like the engine's
+        val jr = powChainSql(s"CAST($j AS DOUBLE)", r)
+        val p = s"1 - ${powChainSql(s"(1 - $jr)", b)}"
+        s"SELECT $b AS bands, $r AS rows_per_band, CAST($j AS DOUBLE) " +
+          s"AS jac, ROUND(CAST($p AS DOUBLE), 6) AS p_candidate"
+      }).mkString("\nUNION ALL\n")
+      Q(
+        "dedup_banding_curve",
+        s"""SELECT CAST(bands AS BIGINT) AS bands,
+           |  CAST(rows_per_band AS BIGINT) AS rows_per_band, jac,
+           |  p_candidate
+           |FROM ($rowsSql)
+           |ORDER BY bands NULLS FIRST, rows_per_band NULLS FIRST,
+           |  jac NULLS FIRST""".stripMargin
+      ) { (s, d) =>
+        def powChain(base: org.apache.spark.sql.Column, n: Int) =
+          (1 until n).foldLeft(base)((acc, _) => acc * base)
+        val rows = for ((b, r) <- configs; j <- grid) yield {
+          val jr = powChain(lit(j), r)
+          val p = lit(1) - powChain(lit(1) - jr, b)
+          (b.toLong, r.toLong, j, p)
+        }
+        import s.implicits._
+        // literal frame + per-row expression: build via union of selects
+        rows.map { case (b, r, j, p) =>
+          s.range(1).select(lit(b).as("bands"),
+            lit(r).as("rows_per_band"), lit(j).as("jac"),
+            round(p.cast("double"), 6).as("p_candidate"))
+        }.reduce(_.unionByName(_))
+          .orderBy(col("bands"), col("rows_per_band"), col("jac"))
+      }
+    },
+
     // --- duplicate clusters: transitive closure over VERIFIED near-dup --
     // pairs — rows-only. GraphX connected components turn pairwise edges
     // into keep-one-per-group clusters (a~b, b~c ⇒ {a,b,c}); clustering
