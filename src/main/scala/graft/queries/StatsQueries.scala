@@ -1198,8 +1198,9 @@ object StatsQueries {
         |  CAST(total AS BIGINT) AS total_events,
         |  CAST(MIN(CASE WHEN cum * 5 >= total * 4 THEN rk END) AS BIGINT)
         |    AS n_top80,
-        |  CAST(MIN(CASE WHEN cum * 5 >= total * 4 THEN rk END) * 1000000
-        |    // n_users AS BIGINT) AS top80_user_share_ppm
+        |  CAST(CAST(MIN(CASE WHEN cum * 5 >= total * 4 THEN rk END)
+        |    AS BIGINT) * 1000000 // n_users AS BIGINT)
+        |    AS top80_user_share_ppm
         |FROM r CROSS JOIN t
         |GROUP BY n_users, total""".stripMargin
     ) { (s, d) =>
@@ -1221,8 +1222,10 @@ object StatsQueries {
         .select(col("n_users").cast("long").as("n_users"),
           col("total").cast("long").as("total_events"),
           col("n_top80").cast("long").as("n_top80"),
-          expr("n_top80 * 1000000 div n_users").cast("long")
-            .as("top80_user_share_ppm"))
+          // BIGINT before the multiply: at tier user counts the
+          // int32 product overflows under ANSI
+          expr("CAST(n_top80 AS BIGINT) * 1000000 div n_users")
+            .cast("long").as("top80_user_share_ppm"))
     },
 
     // --- day-of-week × hour activity heat profile ------------------------
