@@ -20,7 +20,7 @@ object SparkEntry {
       WindowingQueries.all ++ StatsQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
       CurationQueries.all ++ GraphQueries.all ++ SnapshotQueries.all ++
-      RecallQueries.all ++ RetrievalQueries.all
+      RecallQueries.all ++ RetrievalQueries.all ++ RankStatsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q5-style 6-way star join — exercises scans, broadcasts, a
