@@ -821,6 +821,44 @@ object DedupQueries {
           (col("enc") % lit(10000000000L)).as("a_key"),
           expr("enc div 10000000000").cast("int").as("dist"))
         .orderBy(col("b_key"))
+    },
+
+    // --- blocked edit-distance near-dup join -----------------------------
+    // The character-level sibling of dedup_minhash_lsh: full-text
+    // Levenshtein over PREFIX-BLOCKED candidates. Blocking key =
+    // (lang, first 40 chars): an equi-join on a computed key — the
+    // O(docs + collisions) shape — with the stated recall contract that
+    // edits confined to the suffix (this corpus's near-dup perturbation,
+    // and the common real-world one: appended boilerplate/footers) are
+    // caught, prefix edits are not (dedup_minhash_lsh covers those).
+    // Random prefixes make blocks ~1-2 docs, so the quadratic
+    // within-block distance never sees a hot bucket; the threshold 10
+    // bounds the reported pair set.
+    Q(
+      "dedup_edit_distance",
+      """WITH d AS (SELECT doc_id, text, lang,
+        |    substr(text, 1, 40) AS blk
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.blk = b.blk AND b.doc_id > a.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 10
+        |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"),
+          substring(col("text"), 1, 40).as("blk"))
+      val a = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+        col("lang").as("la"), col("blk").as("ba"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+        col("lang").as("lb"), col("blk").as("bb"))
+      a.join(b, col("la") === col("lb") && col("ba") === col("bb") &&
+          col("doc_b") > col("doc_a"))
+        .where(levenshtein(col("ta"), col("tb")) <= 10)
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("lev"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -243,6 +244,63 @@ object GraphQueries {
       tri.select(explode(array(col("u"), col("v"), col("tw"))).as("part_id"))
         .groupBy(col("part_id")).agg(count(lit(1)).as("n_tri"))
         .orderBy(col("n_tri").desc, col("part_id"))
+    },
+
+    // --- item-item collaborative filtering (top-3 by Jaccard) ------------
+    // The "similar items" serving table: parts co-purchased in the same
+    // order, scored by Jaccard over their order sets in exact integer
+    // ppm, top-3 per item. Pair generation fans out per ORDER (bounded
+    // by basket size, like q_basket_rules), per-item order counts join
+    // back on the part key, and the only window partitions by part — no
+    // global sort, no cross join. co >= 2 prunes noise pairs before the
+    // rank, the same support floor the basket rules use.
+    Q(
+      "q_item_cf",
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_ord
+        |  FROM op GROUP BY l_partkey),
+        |co AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    CAST(COUNT(*) AS BIGINT) AS co
+        |  FROM op a JOIN op b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY pa, pb HAVING COUNT(*) >= 2),
+        |j AS (SELECT pa, pb, co,
+        |    CAST(co * 1000000 // (na.n_ord + nb.n_ord - co) AS BIGINT)
+        |      AS jaccard_ppm
+        |  FROM co JOIN n na ON co.pa = na.l_partkey
+        |          JOIN n nb ON co.pb = nb.l_partkey),
+        |r AS (SELECT pa, pb, co, jaccard_ppm, row_number() OVER (
+        |    PARTITION BY pa ORDER BY jaccard_ppm DESC, co DESC, pb) AS rk
+        |  FROM j)
+        |SELECT pa AS part_a, pb AS part_b, co, jaccard_ppm,
+        |  CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3
+        |ORDER BY part_a NULLS FIRST, rk NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val n = op.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_ord"))
+      val co = op.as("a")
+        .join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("co"))
+        .where(col("co") >= 2)
+      val j = co
+        .join(n.select(col("l_partkey").as("pa"), col("n_ord").as("na")), "pa")
+        .join(n.select(col("l_partkey").as("pb"), col("n_ord").as("nb")), "pb")
+        .select(col("pa"), col("pb"), col("co"),
+          expr("CAST(co * 1000000 div (na + nb - co) AS BIGINT)")
+            .as("jaccard_ppm"))
+      val w = Window.partitionBy(col("pa"))
+        .orderBy(col("jaccard_ppm").desc, col("co").desc, col("pb"))
+      j.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("pa").as("part_a"), col("pb").as("part_b"),
+          col("co"), col("jaccard_ppm"), col("rk"))
+        .orderBy(col("part_a"), col("rk"))
     }
   )
 }

@@ -1256,6 +1256,93 @@ object TextQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       top.withColumn("cum_ppm", sum(col("share_ppm")).over(cum).cast("long"))
         .orderBy(col("c").desc, col("word"))
+    },
+
+    // --- per-source hapax / type-token profile ---------------------------
+    // The lexical-richness lens data curation applies per source: hapax
+    // legomena share (words seen once — high hapax = fresh/noisy text,
+    // low = templated) and type-token ratio, in exact integer ppm. Two
+    // hash aggregates — (source, word) then source — no windows, no
+    // driver state; the vocabulary-keyed exchange is the same shape the
+    // 100 TB wordcount takes.
+    Q(
+      "text_hapax_profile",
+      """WITH w AS (SELECT source,
+        |    unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |c AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM w GROUP BY source, word)
+        |SELECT source,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+        |    AS BIGINT) AS hapax_ppm,
+        |  CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_ppm
+        |FROM c GROUP BY source
+        |ORDER BY source NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1).otherwise(0)).cast("long").as("hapax"))
+        .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+          expr("CAST(hapax * 1000000 div vocab AS BIGINT)").as("hapax_ppm"),
+          expr("CAST(vocab * 1000000 div n_tokens AS BIGINT)").as("ttr_ppm"))
+        .orderBy(col("source"))
+    },
+
+    // --- out-of-vocabulary rate vs a capped training vocabulary ----------
+    // The vocab-budget check run before serving a tokenizer on a new
+    // source: the vocabulary is the TOP-20 words of the src0-src9 half
+    // by train frequency (real tokenizers ship a fixed budget, not
+    // every word ever seen), then each held-out source's token-level
+    // OOV rate via a broadcast vocab anti-probe (left join + null test
+    // — the capped vocabulary is O(budget), so at 100 TB this is a
+    // broadcast join against the token scan, not a shuffle of it).
+    Q(
+      "text_oov_rate",
+      """WITH w AS (SELECT source,
+        |    unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |v AS (SELECT word FROM (
+        |    SELECT word, COUNT(*) AS c FROM w
+        |    WHERE CAST(substr(source, 4) AS INT) < 10
+        |    GROUP BY word ORDER BY c DESC, word LIMIT 20)),
+        |e AS (SELECT w.source, w.word, v.word AS known
+        |  FROM w LEFT JOIN v ON w.word = v.word
+        |  WHERE CAST(substr(w.source, 4) AS INT) >= 10)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN known IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS oov_tokens,
+        |  CAST(SUM(CASE WHEN known IS NULL THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS oov_ppm
+        |FROM e GROUP BY source
+        |ORDER BY source NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val w = Tables.documents(s, d)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("word"))
+        .withColumn("src_n", substring(col("source"), 4, 10).cast("int"))
+      val vocab = w.where(col("src_n") < 10)
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word")).limit(20)
+        .select(col("word"))
+      w.where(col("src_n") >= 10)
+        .join(broadcast(vocab.withColumn("known", col("word"))
+          .select(col("word"), col("known"))), Seq("word"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("known").isNull, 1).otherwise(0)).cast("long")
+            .as("oov_tokens"))
+        .select(col("source"), col("n_tokens"), col("oov_tokens"),
+          expr("CAST(oov_tokens * 1000000 div n_tokens AS BIGINT)")
+            .as("oov_ppm"))
+        .orderBy(col("source"))
     }
   )
 }
