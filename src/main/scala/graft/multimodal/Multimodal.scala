@@ -229,6 +229,12 @@ final case class ImagePhash(width: Int, height: Int,
 final case class AudioStats(nSamples: Long, sumAbs: Long, sumSq: Long,
     peak: Long, zeroCrossings: Long)
 
+/** One cell of a ViT-style patch grid over a decoded image: exact gray
+  * sum + pixel count per patch (means stay downstream as exact integer
+  * cross-multiplication / scaled division). */
+final case class ImagePatch(width: Int, height: Int, patch: Int,
+    psum: Long, pcnt: Long)
+
 /** Media decoders. The IMAGE path is real — `javax.imageio` ships with the
   * JDK and handles PNG/JPEG/BMP/GIF, no container dependencies needed.
   * Audio/video codecs are NOT in this container, so those kinds fall back
@@ -325,6 +331,83 @@ object MediaDecoder {
           b += 1
         }
         ImagePhash(w, h, hi, lo)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** ViT-style patch grid over REAL decoded pixels: the image is cut
+    * into the 4×4 grid of patches `(y*4/h)*4 + x*4/w` (integer division
+    * — every patch non-empty for w,h ≥ 4) and each patch accumulates its
+    * exact gray (r+g+b) sum and pixel count. This is the batching shape
+    * a vision tower consumes; downstream brightness/contrast stays in
+    * exact integer arithmetic so a rule-replaying oracle matches
+    * bit-for-bit. */
+  def imagePatches(bytes: Array[Byte]): Option[Seq[ImagePatch]] =
+    try {
+      if (!looksLikeImage(bytes)) None
+      else Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val psum = new Array[Long](16)
+        val pcnt = new Array[Long](16)
+        var y = 0
+        while (y < h) {
+          val py = y * 4 / h
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val gray = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            val idx = py * 4 + x * 4 / w
+            psum(idx) += gray; pcnt(idx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        (0 until 16).map(i => ImagePatch(w, h, i, psum(i), pcnt(i)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-frame signal energies of a decoded PCM clip: consecutive
+    * non-overlapping frames of `frameLen` samples (tail < frameLen
+    * dropped — the fixed-window convention), each reduced to its exact
+    * Σv² energy. The voice-activity gate downstream compares these
+    * against a threshold in pure integer arithmetic. Frames are
+    * accumulated across read-buffer boundaries, so the result is
+    * independent of the JDK stream's chunking. */
+  def audioFrameEnergies(bytes: Array[Byte],
+      frameLen: Int = 160): Option[Array[Long]] =
+    try {
+      if (!(startsWith(bytes, 'R', 'I', 'F', 'F') && bytes.length >= 12 &&
+          bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' &&
+          bytes(11) == 'E')) None
+      else {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val frameSize = fmt.getFrameSize
+          val buf = new Array[Byte](65536 - 65536 % frameSize)
+          val energies = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var acc = 0L
+          var inFrame = 0
+          var read = in.read(buf)
+          while (read > 0) {
+            val full = read - read % frameSize
+            var p = 0
+            while (p < full) {
+              val lo = buf(p) & 0xff
+              val hi = buf(p + 1)
+              val v = (hi << 8) | lo
+              acc += v.toLong * v
+              inFrame += 1
+              if (inFrame == frameLen) {
+                energies += acc; acc = 0L; inFrame = 0
+              }
+              p += frameSize
+            }
+            read = in.read(buf)
+          }
+          Some(energies.toArray) // tail partial frame intentionally dropped
+        } finally in.close()
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 

@@ -853,11 +853,16 @@ object DedupQueries {
         col("lang").as("la"), col("blk").as("ba"))
       val b = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
         col("lang").as("lb"), col("blk").as("bb"))
+      // threshold-banded levenshtein: O(len·τ) per candidate with early
+      // exit (returns -1 past τ) instead of the full O(len²) DP, and the
+      // cheap id-order conjunct leads so self-pairs in a block never
+      // reach the distance at all. Equal to the oracle's plain
+      // levenshtein whenever it returns ≥ 0.
       a.join(b, col("la") === col("lb") && col("ba") === col("bb") &&
-          col("doc_b") > col("doc_a"))
-        .where(levenshtein(col("ta"), col("tb")) <= 10)
+          col("doc_b") > col("doc_a") &&
+          levenshtein(col("ta"), col("tb"), 10) >= 0)
         .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("ta"), col("tb")).cast("long").as("lev"))
+          levenshtein(col("ta"), col("tb"), 10).cast("long").as("lev"))
         .orderBy(col("doc_a"), col("doc_b"))
     }
   )

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 
@@ -337,6 +338,149 @@ object MultimodalQueries {
       hashes.join(groups, Seq("hash_hi", "hash_lo"))
         .select(col("media_id"), col("width"), col("height"),
           col("hash_hi"), col("hash_lo"), col("n_same_hash"))
+        .orderBy(col("media_id"))
+    },
+
+    // --- ViT-style patch grid + brightness contrast ----------------------
+    // The vision-tower batching shape: REAL pixel decode cut into a 4×4
+    // patch grid (MediaDecoder.imagePatches), then per-image brightest /
+    // darkest patch and their contrast — all in exact integer
+    // arithmetic (patch mean as psum·1000 div pcnt, floor), so the
+    // oracle replays the full grid from the pixel generation rule and a
+    // hash match proves patch sums came from real decoded pixels.
+    // Decode is a typed mapPartitions; the argmax/argmin is a per-image
+    // window over 16 rows — partitioned by media_id, scales linearly.
+    Q(
+      "mm_image_patches",
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(8 + doc_id % 9 AS INT) AS width,
+        |    CAST(8 + (doc_id // 9) % 9 AS INT) AS height
+        |  FROM documents),
+        |xs AS (SELECT media_id, width, height,
+        |         unnest(range(0, width)) AS x FROM d),
+        |px AS (SELECT media_id, width, height, x,
+        |         unnest(range(0, height)) AS y FROM xs),
+        |g AS (SELECT media_id, width, height,
+        |        (x*7 + y*13 + media_id) % 256
+        |          + (x*3 + y*5 + 2*media_id) % 256
+        |          + (x*11 + y + 3*media_id) % 256 AS gray,
+        |        (y * 4) // height * 4 + (x * 4) // width AS patch
+        |      FROM px),
+        |p AS (SELECT media_id, width, height, patch,
+        |        CAST(SUM(gray) * 1000 // COUNT(*) AS BIGINT) AS mean_milli
+        |      FROM g GROUP BY media_id, width, height, patch),
+        |r AS (SELECT media_id, width, height, patch, mean_milli,
+        |        row_number() OVER (PARTITION BY media_id
+        |          ORDER BY mean_milli DESC, patch) AS rb,
+        |        row_number() OVER (PARTITION BY media_id
+        |          ORDER BY mean_milli ASC, patch) AS rd
+        |      FROM p)
+        |SELECT media_id, width, height,
+        |  CAST(MAX(CASE WHEN rb = 1 THEN patch END) AS BIGINT)
+        |    AS brightest_patch,
+        |  CAST(MAX(CASE WHEN rd = 1 THEN patch END) AS BIGINT)
+        |    AS darkest_patch,
+        |  CAST(MAX(CASE WHEN rb = 1 THEN mean_milli END)
+        |    - MAX(CASE WHEN rd = 1 THEN mean_milli END) AS BIGINT)
+        |    AS contrast_milli
+        |FROM r GROUP BY media_id, width, height
+        |ORDER BY media_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val patches = Multimodal.syntheticImages(s, d).mapPartitions { rows =>
+        rows.flatMap(r =>
+          graft.multimodal.MediaDecoder.imagePatches(r.bytes).toSeq.flatMap(
+            _.map(p => (r.media_id, p.width, p.height, p.patch,
+              p.psum, p.pcnt))))
+      }.toDF("media_id", "width", "height", "patch", "psum", "pcnt")
+        .withColumn("mean_milli",
+          expr("CAST(psum * 1000 div pcnt AS BIGINT)"))
+      val wB = Window.partitionBy(col("media_id"))
+        .orderBy(col("mean_milli").desc, col("patch"))
+      val wD = Window.partitionBy(col("media_id"))
+        .orderBy(col("mean_milli").asc, col("patch"))
+      patches
+        .withColumn("rb", row_number().over(wB))
+        .withColumn("rd", row_number().over(wD))
+        .groupBy(col("media_id"), col("width"), col("height"))
+        .agg(
+          max(when(col("rb") === 1, col("patch"))).cast("long")
+            .as("brightest_patch"),
+          max(when(col("rd") === 1, col("patch"))).cast("long")
+            .as("darkest_patch"),
+          (max(when(col("rb") === 1, col("mean_milli"))) -
+            max(when(col("rd") === 1, col("mean_milli")))).cast("long")
+            .as("contrast_milli"))
+        .orderBy(col("media_id"))
+    },
+
+    // --- energy-based voice activity detection ---------------------------
+    // The pre-transcription screen an audio corpus runs: REAL PCM decode
+    // cut into 20 ms frames (160 samples @ 8 kHz,
+    // MediaDecoder.audioFrameEnergies), a frame is "active" when its
+    // exact Σv² energy clears mean-square > 2²⁸ (¼ of full-scale²), and
+    // per clip the pipeline reports frame counts, the longest active
+    // run (gaps-and-islands over the per-clip frame window — partitioned
+    // by media_id, scales linearly) and the active share in integer ppm.
+    Q(
+      "mm_audio_vad",
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(400 + doc_id % 600 AS BIGINT) AS n
+        |  FROM documents),
+        |f AS (SELECT media_id, unnest(range(0, n // 160)) AS f FROM d),
+        |s AS (SELECT media_id, f,
+        |        (i*31 + media_id*7) % 65536 - 32768 AS v
+        |      FROM (SELECT media_id, f,
+        |              unnest(range(f*160, f*160 + 160)) AS i FROM f)),
+        |e AS (SELECT media_id, f, CAST(SUM(v*v) AS BIGINT) AS energy
+        |      FROM s GROUP BY media_id, f),
+        |a AS (SELECT media_id, f,
+        |        CASE WHEN energy > 42949672960 THEN 1 ELSE 0 END AS act
+        |      FROM e),
+        |isl AS (SELECT media_id,
+        |          f - row_number() OVER (PARTITION BY media_id ORDER BY f)
+        |            AS grp
+        |        FROM a WHERE act = 1),
+        |runs AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS run
+        |         FROM isl GROUP BY media_id, grp),
+        |agg AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |          CAST(SUM(act) AS BIGINT) AS active_frames
+        |        FROM a GROUP BY media_id),
+        |lr AS (SELECT media_id, MAX(run) AS longest_run FROM runs
+        |       GROUP BY media_id)
+        |SELECT agg.media_id AS media_id, n_frames, active_frames,
+        |  CAST(COALESCE(longest_run, 0) AS BIGINT) AS longest_run,
+        |  CAST(active_frames * 1000000 // n_frames AS BIGINT) AS active_ppm
+        |FROM agg LEFT JOIN lr ON agg.media_id = lr.media_id
+        |ORDER BY media_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val energies = Multimodal.syntheticAudio(s, d).mapPartitions { rows =>
+        rows.flatMap(r =>
+          graft.multimodal.MediaDecoder.audioFrameEnergies(r.bytes).toSeq
+            .flatMap(_.zipWithIndex.map { case (en, i) =>
+              (r.media_id, i.toLong, en)
+            }))
+      }.toDF("media_id", "f", "energy")
+        .withColumn("act",
+          when(col("energy") > 42949672960L, 1).otherwise(0))
+      val isl = energies.where(col("act") === 1)
+        .withColumn("grp", col("f") - row_number().over(
+          Window.partitionBy(col("media_id")).orderBy(col("f"))))
+      val runs = isl.groupBy(col("media_id"), col("grp"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy(col("media_id"))
+        .agg(max(col("run")).as("longest_run"))
+      energies.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("act")).cast("long").as("active_frames"))
+        .join(runs, Seq("media_id"), "left")
+        .select(col("media_id"), col("n_frames"), col("active_frames"),
+          coalesce(col("longest_run"), lit(0L)).cast("long")
+            .as("longest_run"),
+          expr("CAST(active_frames * 1000000 div n_frames AS BIGINT)")
+            .as("active_ppm"))
         .orderBy(col("media_id"))
     }
   )
