@@ -822,6 +822,81 @@ object RefQueries {
               .as("abs_dev"))
           .orderBy(col("digit"))
       }
+    },
+
+    // --- full-history backfill wave plan ---------------------------------
+    // The reprocessing planner behind the reference's bounded-parallel
+    // backfill (Pipeline.backfillBounded runs it; this query PLANS it):
+    // every observed date is assigned to a wave of 4 oldest-first —
+    // wave = (rank-1) div 4, slot = (rank-1) mod 4 — with the day's row
+    // volume carried along so each wave's capacity need is visible
+    // before a single job launches. One daily rollup + one
+    // calendar-bounded window; the plan table is O(days).
+    Q(
+      "ref_backfill_waves",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events WHERE ts IS NOT NULL GROUP BY day),
+        |r AS (SELECT day, n_events,
+        |    row_number() OVER (ORDER BY day) AS rn FROM daily)
+        |SELECT day, n_events,
+        |  CAST((rn - 1) // 4 AS BIGINT) AS wave,
+        |  CAST((rn - 1) % 4 AS BIGINT) AS slot,
+        |  CAST(SUM(n_events) OVER (PARTITION BY (rn - 1) // 4)
+        |    AS BIGINT) AS wave_events
+        |FROM r ORDER BY day NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .where(col("ts").isNotNull)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val r = daily.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("day"))))
+        .withColumn("wave", expr("CAST((rn - 1) div 4 AS BIGINT)"))
+      r.withColumn("wave_events",
+        sum(col("n_events")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("wave"))).cast("long"))
+        .select(col("day"), col("n_events"), col("wave"),
+          ((col("rn") - 1) % 4).cast("long").as("slot"),
+          col("wave_events"))
+        .orderBy(col("day"))
+    },
+
+    // --- per-stream freshness / staleness check --------------------------
+    // The DQ dimension the null/dup counters miss: is each event stream
+    // still ARRIVING? Per event_type the last-seen second, minutes
+    // behind the corpus frontier (exact integer epoch-second
+    // arithmetic — no wall clock, so the check is reproducible), and a
+    // 24 h SLA breach flag. One grouped aggregate over (type), then a
+    // frontier comparison across the handful of type rows.
+    Q(
+      "ref_dq_freshness",
+      """WITH t AS (SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(MAX(epoch_us(date_trunc('second', ts)) // 1000000)
+        |      AS BIGINT) AS last_s
+        |  FROM events WHERE ts IS NOT NULL GROUP BY event_type),
+        |f AS (SELECT event_type, n_events, last_s,
+        |    CAST(MAX(last_s) OVER () AS BIGINT) AS frontier_s FROM t)
+        |SELECT event_type, n_events,
+        |  CAST((frontier_s - last_s) // 60 AS BIGINT) AS minutes_behind,
+        |  ((frontier_s - last_s) // 60 > 1440) AS sla_breach
+        |FROM f ORDER BY event_type NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val t = Tables.events(s, d)
+        .where(col("ts").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("ts").cast("long")).as("last_s"))
+      t.withColumn("frontier_s",
+        max(col("last_s")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()).cast("long"))
+        .select(col("event_type"), col("n_events"),
+          expr("CAST((frontier_s - last_s) div 60 AS BIGINT)")
+            .as("minutes_behind"),
+          (expr("(frontier_s - last_s) div 60") > 1440).as("sla_breach"))
+        .orderBy(col("event_type"))
     }
   )
 }

@@ -591,6 +591,56 @@ object StarQueries {
         .select(col("p_brand"), col("p_partkey"), col("p_size"),
           col("p_retailprice"))
         .orderBy(col("p_brand"), col("p_size"), col("p_partkey"))
+    },
+
+    // --- discount elasticity of quantity per brand -----------------------
+    // The pricing readout: least-squares slope of quantity on discount
+    // points (x = discount·100, an exact 0–10 integer grid; y =
+    // quantity, integer-valued) per brand. Moments are exact BIGINT
+    // sums off ONE fact-scan + dim join (stats-driven join strategy —
+    // no broadcast hint, per the big-dim tier contract), and the slope
+    // is the q_trend_slope closing chain: one guarded IEEE division,
+    // ROUND 6.
+    Q(
+      "q_discount_elasticity",
+      """WITH x AS (SELECT p.p_brand,
+        |    CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(l.l_quantity AS BIGINT) AS y
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |m AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM x GROUP BY p_brand)
+        |SELECT p_brand, n,
+        |  ROUND(CASE WHEN n * sxx - sx * sx > 0 THEN
+        |      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    ELSE CAST(0 AS DOUBLE) END, 6) AS qty_per_discount_pt
+        |FROM m ORDER BY p_brand NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val x = Tables.lineitem(s, d)
+        .join(Tables.part(s, d),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          (col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+            .as("x"),
+          col("l_quantity").cast("long").as("y"))
+      val m = x.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("x") * col("y")).cast("long").as("sxy"))
+      def dd(n: String) = col(n).cast("double")
+      val slope = (dd("n") * dd("sxy") - dd("sx") * dd("sy")) /
+        (dd("n") * dd("sxx") - dd("sx") * dd("sx"))
+      m.select(col("p_brand"), col("n"),
+        round(when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+          slope).otherwise(lit(0.0)), 6).as("qty_per_discount_pt"))
+        .orderBy(col("p_brand"))
     }
   )
 }

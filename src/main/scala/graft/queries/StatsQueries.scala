@@ -1691,6 +1691,64 @@ object StatsQueries {
             col("p.r").as("r"))
           .orderBy(col("col_x"), col("col_y"))
       }
+    },
+
+    // --- automation/bot screening metrics per user -----------------------
+    // The abuse screen a clickstream runs before analytics trust the
+    // traffic: per user the event volume, the burstiest minute (max
+    // events in any single minute bucket), and the gap-regularity
+    // signal (count of DISTINCT inter-event gaps in exact seconds — a
+    // metronome scripts to 1). Flags: burst ≥ 5/min, or ≥ 5 events all
+    // at one fixed cadence. Everything is two hash aggregates keyed by
+    // user (+minute) and one per-user lag window — partitioned, no
+    // global state; the flags are booleans the oracle re-derives.
+    Q(
+      "q_bot_screen",
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(date_trunc('second', ts)) // 1000000 AS ts_s,
+        |    event_id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT user_id, CAST(MAX(c) AS BIGINT) AS max_per_minute
+        |  FROM (SELECT user_id, ts_s // 60 AS minute, COUNT(*) AS c
+        |        FROM e GROUP BY user_id, minute)
+        |  GROUP BY user_id),
+        |g AS (SELECT user_id,
+        |    ts_s - lag(ts_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) AS gap
+        |  FROM e),
+        |u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(DISTINCT gap) AS BIGINT) AS distinct_gaps
+        |  FROM g GROUP BY user_id)
+        |SELECT u.user_id AS user_id, n_events, max_per_minute,
+        |  distinct_gaps,
+        |  (max_per_minute >= 5) AS burst_flag,
+        |  (n_events >= 5 AND distinct_gaps = 1) AS metronome_flag
+        |FROM u JOIN m ON u.user_id = m.user_id
+        |ORDER BY user_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val e = Tables.events(s, d)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts").cast("long").as("ts_s"),
+          col("event_id"))
+      val m = e.groupBy(col("user_id"),
+          expr("ts_s div 60").as("minute"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(max(col("c")).cast("long").as("max_per_minute"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("event_id"))
+      val u = e
+        .withColumn("gap", col("ts_s") - lag(col("ts_s"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("gap")).as("distinct_gaps"))
+      u.join(m, Seq("user_id"))
+        .select(col("user_id"), col("n_events"), col("max_per_minute"),
+          col("distinct_gaps"),
+          (col("max_per_minute") >= 5).as("burst_flag"),
+          (col("n_events") >= 5 && col("distinct_gaps") === 1)
+            .as("metronome_flag"))
+        .orderBy(col("user_id"))
     }
   )
 }
