@@ -897,6 +897,49 @@ object RefQueries {
             .as("minutes_behind"),
           (expr("(frontier_s - last_s) div 60") > 1440).as("sla_breach"))
         .orderBy(col("event_type"))
+    },
+
+    // --- k-anonymity audit before a data release -------------------------
+    // The privacy screen beside text_pii_redact: with quasi-identifiers
+    // (event_date, event_type, hour), any cell with fewer than k=5 rows
+    // re-identifies; the release report counts, per day, the cells, the
+    // sub-k cells, the rows those would suppress, and the suppressed
+    // share in integer ppm. Two hash rollups (cell, then day) — the
+    // same two-level shape at any scale.
+    Q(
+      "ref_k_anonymity",
+      """WITH cells AS (SELECT CAST(ts AS DATE) AS event_date,
+        |    event_type, hour(ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL
+        |  GROUP BY event_date, event_type, h)
+        |SELECT event_date,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS small_cells,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS suppressed_rows,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000
+        |    // SUM(n) AS BIGINT) AS suppressed_ppm
+        |FROM cells GROUP BY event_date
+        |ORDER BY event_date NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .where(col("ts").isNotNull)
+        .groupBy(col("ts").cast("date").as("event_date"),
+          col("event_type"), hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("n") < 5, 1).otherwise(0)).cast("long")
+            .as("small_cells"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).cast("long")
+            .as("suppressed_rows"),
+          sum(col("n")).cast("long").as("day_rows"))
+        .select(col("event_date"), col("n_cells"), col("small_cells"),
+          col("suppressed_rows"),
+          expr("CAST(suppressed_rows * 1000000 div day_rows AS BIGINT)")
+            .as("suppressed_ppm"))
+        .orderBy(col("event_date"))
     }
   )
 }

@@ -641,6 +641,49 @@ object StarQueries {
         round(when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
           slope).otherwise(lit(0.0)), 6).as("qty_per_discount_pt"))
         .orderBy(col("p_brand"))
+    },
+
+    // --- weighted median price per return flag ---------------------------
+    // Quantity-weighted median of the extended price: the "typical
+    // UNIT's price", not the typical line's. RANK-defined in exact
+    // integers (smallest price cents whose doubled cumulative weight
+    // reaches the total — no interpolation, so no cross-engine float
+    // risk), via one (flag, cents) rollup and per-flag cumulative
+    // windows — partitioned by flag, never a global sort.
+    Q(
+      "q_weighted_median_price",
+      """WITH g AS (SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY l_returnflag, cents),
+        |c AS (SELECT l_returnflag, cents, w,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents)
+        |      AS BIGINT) AS cumw,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS totw
+        |  FROM g)
+        |SELECT l_returnflag, MAX(totw) AS total_qty,
+        |  CAST(MIN(CASE WHEN 2 * cumw >= totw THEN cents END) AS BIGINT)
+        |    AS wmedian_cents
+        |FROM c GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val g = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .agg(sum(col("l_quantity").cast("long")).cast("long").as("w"))
+      import org.apache.spark.sql.expressions.{Window => W}
+      val cum = W.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val tot = W.partitionBy(col("l_returnflag"))
+      g.withColumn("cumw", sum(col("w")).over(cum).cast("long"))
+        .withColumn("totw", sum(col("w")).over(tot).cast("long"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("totw")).as("total_qty"),
+          min(when(lit(2) * col("cumw") >= col("totw"), col("cents")))
+            .cast("long").as("wmedian_cents"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -319,6 +319,53 @@ object WindowingQueries {
         .orderBy(col("event_id"))
     },
 
+    // --- as-of join with a staleness tolerance ---------------------------
+    // pandas merge_asof's `tolerance` semantics on the same operator:
+    // the backward match still picks the LATEST prior signup, but a
+    // match older than 7 days is rejected (NULLed), not replaced by an
+    // older one — attribution pipelines cap how stale a touchpoint may
+    // be. Composed as AsOfJoin.backward + a post-filter on the matched
+    // timestamp (one plan, no second join); the oracle states the same
+    // thing over DuckDB's native ASOF JOIN.
+    Q(
+      "q_asof_tolerance",
+      """WITH p AS (SELECT event_id, user_id,
+        |             date_trunc('second', ts) AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     s AS (SELECT DISTINCT user_id,
+        |             date_trunc('second', ts) AS s_ts
+        |           FROM events WHERE event_type = 'signup'),
+        |     m AS (SELECT p.event_id, p.user_id, p.p_ts,
+        |             CASE WHEN s.s_ts IS NOT NULL
+        |                   AND p.p_ts - s.s_ts <= INTERVAL 7 DAY
+        |               THEN s.s_ts END AS ok_ts
+        |           FROM p ASOF LEFT JOIN s
+        |             ON p.user_id = s.user_id AND p.p_ts >= s.s_ts)
+        |SELECT event_id, user_id,
+        |  strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime(ok_ts, '%Y-%m-%d %H:%M:%S') AS signup_within_7d,
+        |  (ok_ts IS NOT NULL) AS attributable
+        |FROM m ORDER BY event_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("p_ts"))
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), date_trunc("second", col("ts")).as("s_ts"))
+        .distinct()
+      val okTs = when(col("asof_s_ts").isNotNull &&
+          col("asof_s_ts") >= col("p_ts") - expr("INTERVAL 7 DAY"),
+        col("asof_s_ts"))
+      graft.operators.AsOfJoin
+        .backward(purchases, signups, Seq("user_id"), "p_ts", "s_ts", Nil)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          date_format(okTs, "yyyy-MM-dd HH:mm:ss").as("signup_within_7d"),
+          okTs.isNotNull.as("attributable"))
+        .orderBy(col("event_id"))
+    },
+
     // --- from_json: schema-full JSON parsing of props --------------------
     Q(
       "q_from_json_props",
