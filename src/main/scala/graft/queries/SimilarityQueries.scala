@@ -1224,6 +1224,56 @@ object SimilarityQueries {
           expr("abs(n_base * 1000000 div tb - n_delta * 1000000 div td)")
             .cast("long").as("gap_ppm"))
         .orderBy(col("cid"))
+    },
+
+    // --- LSH index health: per-table bucket occupancy --------------------
+    // The index audit run BEFORE trusting emb_knn_lsh's recall: per hash
+    // table, how many of the 2⁶ buckets are used, the hottest bucket,
+    // the colliding-pair load Σs(s−1)/2 (the join work the table
+    // contributes), and the expected probe cost for a random query
+    // E[|bucket|] = Σs²/n in exact integer milli-units. A skewed table
+    // (one mega-bucket) degrades to a scan — this is the query that
+    // catches it. One explode + two hash rollups; output is O(tables).
+    Q(
+      "emb_lsh_occupancy", {
+        val tables = (0 until 16).map { t =>
+          val planes = VectorOps.hyperplanes(Dim, 6, 7L + 1000L * t)
+          s"struct_pack(tbl := $t, bucket := ${Sql.bucket("embedding", planes)})"
+        }.mkString(",\n    ")
+        s"""WITH b AS (SELECT vec_id, unnest([
+           |    $tables]) AS tb
+           |  FROM embeddings),
+           |x AS (SELECT vec_id, tb.tbl AS tbl, tb.bucket AS bucket FROM b),
+           |s AS (SELECT tbl, bucket, CAST(COUNT(*) AS BIGINT) AS sz
+           |      FROM x GROUP BY tbl, bucket)
+           |SELECT CAST(tbl AS INT) AS tbl,
+           |  CAST(COUNT(*) AS BIGINT) AS buckets_used,
+           |  CAST(MAX(sz) AS BIGINT) AS max_bucket,
+           |  CAST(SUM(sz * (sz - 1)) // 2 AS BIGINT) AS colliding_pairs,
+           |  CAST(SUM(sz * sz) * 1000 // SUM(sz) AS BIGINT)
+           |    AS expected_probe_milli
+           |FROM s GROUP BY tbl
+           |ORDER BY tbl NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) =>
+      val x = Tables.embeddings(s, d)
+        .withColumn("t", explode(VectorOps.lshTables(col("embedding"), Dim,
+          nBits = 6, nTables = 16)))
+        .select(col("t.table").as("tbl"), col("t.bucket").as("bucket"))
+      x.groupBy(col("tbl"), col("bucket"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("tbl"))
+        .agg(count(lit(1)).as("buckets_used"),
+          max(col("sz")).cast("long").as("max_bucket"),
+          sum(col("sz") * (col("sz") - 1)).as("pair2"),
+          sum(col("sz") * col("sz")).as("ssq"),
+          sum(col("sz")).as("n"))
+        .select(col("tbl").cast("int").as("tbl"), col("buckets_used"),
+          col("max_bucket"),
+          expr("CAST(pair2 div 2 AS BIGINT)").as("colliding_pairs"),
+          expr("CAST(ssq * 1000 div n AS BIGINT)")
+            .as("expected_probe_milli"))
+        .orderBy(col("tbl"))
     }
   )
 }

@@ -1749,6 +1749,119 @@ object StatsQueries {
           (col("n_events") >= 5 && col("distinct_gaps") === 1)
             .as("metronome_flag"))
         .orderBy(col("user_id"))
+    },
+
+    // --- sample-ratio-mismatch check on the experiment arms --------------
+    // The FIRST gate any experiment readout must pass: a 50/50
+    // assignment whose realized arm sizes differ beyond chance means
+    // the bucketing (or logging) is broken and every downstream metric
+    // is suspect. One-df chi-square against the even split reduces to
+    // (n0−n1)²/(n0+n1) — exact integer counts, one IEEE division,
+    // flagged at the 0.05 critical value 3.841459.
+    Q(
+      "q_ab_srm",
+      s"""WITH u AS (SELECT user_id,
+         |    ${graft.functions.TextOps.md5Low60Sql("CAST(user_id AS VARCHAR)")} % 2 AS arm
+         |  FROM events WHERE user_id IS NOT NULL
+         |  GROUP BY user_id, arm),
+         |a AS (SELECT
+         |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+         |  FROM u)
+         |SELECT n0, n1,
+         |  ROUND(CASE WHEN n0 + n1 > 0 THEN
+         |      CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+         |    ELSE CAST(0 AS DOUBLE) END, 6) AS chi2,
+         |  CASE WHEN n0 + n1 > 0 THEN
+         |    CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+         |      > 3.841459
+         |  ELSE FALSE END AS srm_flag
+         |FROM a""".stripMargin
+    ) { (s, d) =>
+      val a = Tables.events(s, d)
+        .where(col("user_id").isNotNull)
+        .groupBy(col("user_id"),
+          (graft.functions.TextOps.md5Low60(col("user_id").cast("string"))
+            % 2).as("arm"))
+        .agg(count(lit(1)).as("_n"))
+        .agg(
+          sum(when(col("arm") === 0, 1).otherwise(0)).cast("long").as("n0"),
+          sum(when(col("arm") === 1, 1).otherwise(0)).cast("long").as("n1"))
+      val chi2sql = expr(
+        "CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)")
+      val ok = col("n0") + col("n1") > 0
+      a.select(col("n0"), col("n1"),
+        round(when(ok, chi2sql).otherwise(lit(0.0)), 6).as("chi2"),
+        when(ok, chi2sql > 3.841459).otherwise(lit(false)).as("srm_flag"))
+    },
+
+    // --- experiment power: required sample + days to reach it ------------
+    // The planning readout beside q_funnel_sig's verdict: with the
+    // pooled high-value conversion rate p̂, the per-arm sample for 80%
+    // power at α=.05 on a 10% relative lift is n* = 7.849·2·p̂(1−p̂)/(0.1p̂)²,
+    // and the runway is n*·2 over the average daily active users —
+    // CEILed in exact integer arithmetic. All inputs are exact counts;
+    // the n* chain is one fixed IEEE sequence both engines share.
+    Q(
+      "q_ab_power_duration",
+      """WITH u AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value > 300
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events WHERE user_id IS NOT NULL
+        |  GROUP BY user_id),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(conv) AS BIGINT) AS converters FROM u),
+        |au AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |act AS (SELECT CAST(COUNT(*) AS BIGINT) AS user_days,
+        |    CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days FROM au),
+        |m AS (SELECT n_users, converters, user_days, n_days,
+        |    CASE WHEN converters > 0 AND converters < n_users THEN
+        |      CAST(CEIL(7.849 * 2
+        |          * (CAST(converters AS DOUBLE) / n_users)
+        |          * (1 - CAST(converters AS DOUBLE) / n_users)
+        |          / ((0.1 * (CAST(converters AS DOUBLE) / n_users))
+        |             * (0.1 * (CAST(converters AS DOUBLE) / n_users))))
+        |        AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS n_star
+        |  FROM c, act)
+        |SELECT n_users, converters,
+        |  CAST(converters * 1000000 // n_users AS BIGINT) AS conv_ppm,
+        |  n_star AS n_star_per_arm,
+        |  CAST(user_days // n_days AS BIGINT) AS avg_daily_users,
+        |  CAST(CASE WHEN user_days // n_days > 0
+        |    THEN (2 * n_star + user_days // n_days - 1)
+        |         // (user_days // n_days)
+        |    ELSE 0 END AS BIGINT) AS days_needed
+        |FROM m""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d).where(col("user_id").isNotNull)
+      val c = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase"
+          && col("value") > 300, 1).otherwise(0)).as("conv"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("conv")).cast("long").as("converters"))
+      val act = ev.where(col("ts").isNotNull)
+        .select(col("ts").cast("date").as("d"), col("user_id")).distinct()
+        .agg(count(lit(1)).as("user_days"),
+          countDistinct(col("d")).as("n_days"))
+      val p = col("converters").cast("double") / col("n_users")
+      val nStar = when(
+        col("converters") > 0 && col("converters") < col("n_users"),
+        ceil(lit(7.849) * 2 * p * (lit(1) - p) /
+          ((lit(0.1) * p) * (lit(0.1) * p))).cast("long"))
+        .otherwise(lit(0L))
+      c.crossJoin(broadcast(act))
+        .withColumn("n_star", nStar)
+        .withColumn("daily", expr("user_days div n_days"))
+        .select(col("n_users"), col("converters"),
+          expr("CAST(converters * 1000000 div n_users AS BIGINT)")
+            .as("conv_ppm"),
+          col("n_star").as("n_star_per_arm"),
+          col("daily").cast("long").as("avg_daily_users"),
+          when(col("daily") > 0,
+            expr("(2 * n_star + daily - 1) div daily"))
+            .otherwise(lit(0L)).cast("long").as("days_needed"))
     }
   )
 }

@@ -51,7 +51,8 @@ object PlanScan {
       "q_pareto_users" -> "1-row totals frame broadcast into the user histogram",
       "q_dow_hour_profile" -> "1-row week total broadcast into the 168-cell grid",
       "ref_theil_sen_trend" -> "calendar-bounded daily spine self-paired (O(days^2) by definition) + 1-row day count",
-      "q_survival_hazard" -> "1-row horizon broadcast + weeks x (conv,obs)-cell range join, both calendar-bounded")
+      "q_survival_hazard" -> "1-row horizon broadcast + weeks x (conv,obs)-cell range join, both calendar-bounded",
+      "q_ab_power_duration" -> "1-row activity totals cross-joined into the 1-row conversion totals")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
