@@ -824,45 +824,52 @@ object DedupQueries {
     },
 
     // --- blocked edit-distance near-dup join -----------------------------
-    // The character-level sibling of dedup_minhash_lsh: full-text
-    // Levenshtein over PREFIX-BLOCKED candidates. Blocking key =
-    // (lang, first 40 chars): an equi-join on a computed key — the
-    // O(docs + collisions) shape — with the stated recall contract that
-    // edits confined to the suffix (this corpus's near-dup perturbation,
-    // and the common real-world one: appended boilerplate/footers) are
-    // caught, prefix edits are not (dedup_minhash_lsh covers those).
-    // Random prefixes make blocks ~1-2 docs, so the quadratic
-    // within-block distance never sees a hot bucket; the threshold 10
-    // bounds the reported pair set.
+    // The character-level sibling of dedup_minhash_lsh, staged the way a
+    // real pipeline stages it:
+    //  1. EXACT dedup first — one representative (min doc_id) per
+    //     (lang, text) group. Identical copies are the textbook
+    //     quadratic trap for any pairwise distance (k copies in a block
+    //     = C(k,2) pointless zero-distance DPs); exact dedup is O(n)
+    //     and always precedes near-dup in production (C4/RefinedWeb).
+    //  2. PREFIX-BLOCK the representatives: equi-join on (lang, first
+    //     40 chars) — O(docs + collisions), with the stated recall
+    //     contract that suffix-confined edits (this corpus's near-dup
+    //     perturbation, and the common real one: appended boilerplate/
+    //     footers) are caught; prefix edits land in other blocks
+    //     (dedup_minhash_lsh covers those).
+    //  3. Distance on the PREFIX-STRIPPED suffixes with the banded
+    //     τ=10 kernel (levenshtein is invariant under removal of a
+    //     common prefix, so lev(sfx_a, sfx_b) IS the full-text
+    //     distance — ~half the DP work for free, early-exit past τ).
     Q(
       "dedup_edit_distance",
-      """WITH d AS (SELECT doc_id, text, lang,
-        |    substr(text, 1, 40) AS blk
-        |  FROM documents)
+      """WITH r AS (SELECT lang, text, MIN(doc_id) AS doc_id
+        |  FROM documents GROUP BY lang, text),
+        |d AS (SELECT doc_id, lang, substr(text, 1, 40) AS blk,
+        |    substr(text, 41) AS sfx
+        |  FROM r)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+        |  CAST(levenshtein(a.sfx, b.sfx) AS BIGINT) AS lev
         |FROM d a JOIN d b
         |  ON a.lang = b.lang AND a.blk = b.blk AND b.doc_id > a.doc_id
-        |WHERE levenshtein(a.text, b.text) <= 10
+        |WHERE levenshtein(a.sfx, b.sfx) <= 10
         |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
     ) { (s, d) =>
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), col("lang"),
-          substring(col("text"), 1, 40).as("blk"))
-      val a = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+      val reps = Tables.documents(s, d)
+        .groupBy(col("lang"), col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 40).as("blk"),
+          expr("substring(text, 41)").as("sfx"))
+      val a = reps.select(col("doc_id").as("doc_a"), col("sfx").as("sa"),
         col("lang").as("la"), col("blk").as("ba"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+      val b = reps.select(col("doc_id").as("doc_b"), col("sfx").as("sb"),
         col("lang").as("lb"), col("blk").as("bb"))
-      // threshold-banded levenshtein: O(len·τ) per candidate with early
-      // exit (returns -1 past τ) instead of the full O(len²) DP, and the
-      // cheap id-order conjunct leads so self-pairs in a block never
-      // reach the distance at all. Equal to the oracle's plain
-      // levenshtein whenever it returns ≥ 0.
       a.join(b, col("la") === col("lb") && col("ba") === col("bb") &&
           col("doc_b") > col("doc_a") &&
-          levenshtein(col("ta"), col("tb"), 10) >= 0)
+          levenshtein(col("sa"), col("sb"), 10) >= 0)
         .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("ta"), col("tb"), 10).cast("long").as("lev"))
+          levenshtein(col("sa"), col("sb"), 10).cast("long").as("lev"))
         .orderBy(col("doc_a"), col("doc_b"))
     }
   )
