@@ -871,6 +871,44 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"),
           levenshtein(col("sa"), col("sb"), 10).cast("long").as("lev"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // --- MinHash estimator accuracy audit --------------------------------
+    // The sketch-trust check run before shipping signature-only dedup
+    // (at true scale the exact verify pass is the expensive half — this
+    // query measures whether the 48-slot estimate could replace it):
+    // for every verified near-dup pair, the signature-agreement estimate
+    // ĵ must sit within 0.25 of the exact Jaccard — 3.5σ for k=48
+    // (σ = √(j(1−j)/48) ≤ 0.072), the same contract-check framing as
+    // q_value_percentiles_approx (the estimate VALUE is
+    // algorithm-specific; the BOUND is the oracle-able fact). Exact jac
+    // comes from the merge-walk kernel, ĵ from the same signatures the
+    // LSH bands hash — one extra narrow column through the existing
+    // candidate pipeline, no new shuffles.
+    Q(
+      "dedup_minhash_accuracy",
+      s"""WITH $exactPairCtes
+         |SELECT a_id, b_id, ROUND(jac, 6) AS jac, TRUE AS within_bound
+         |FROM p WHERE jac >= 0.5
+         |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val docs = shingled(Tables.documents(s, d))
+        .select(col("doc_id"), col("sh"),
+          TextOps.minhashSignature(col("sh"), MinhashK).as("sig"))
+      val cand = lshCandidatePairs(docs.select(col("doc_id"), col("sh")))
+      val est = TextOps.minhashJaccard(col("a_sig"), col("b_sig"))
+      val jac = graft.functions.TextKernels.sorted_jaccard(
+        col("a_sh"), col("b_sh"))
+      cand
+        .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+          col("sig").as("a_sig")), "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+          col("sig").as("b_sig")), "b_id")
+        .select(col("a_id"), col("b_id"), jac.as("jac"), est.as("est"))
+        .where(col("jac") >= 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"),
+          (abs(col("est") - col("jac")) <= 0.25).as("within_bound"))
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 
