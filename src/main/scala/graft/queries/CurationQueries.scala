@@ -860,6 +860,60 @@ object CurationQueries {
         .agg(count_distinct(col("source")).as("n_sources"),
           count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
         .orderBy(col("split"))
+    },
+
+    // --- priority-fill token budget allocation ---------------------------
+    // The OTHER curation allocator beside pipe_temperature_mix's
+    // proportional sampling: greedy priority fill — rank sources by a
+    // policy signal (here English share, a real "high-resource-first"
+    // policy), pour the token budget down the ranking, take the
+    // boundary source partially, zero the rest. Budget = half the
+    // corpus tokens (self-scaling, so the boundary exists at every sf).
+    // One per-source rollup + one window over the O(sources) frame;
+    // exact integer tokens throughout.
+    Q(
+      "pipe_budget_fill",
+      """WITH s AS (SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN lang = 'en'
+        |        THEN len(string_split(text, ' ')) ELSE 0 END) * 1000000
+        |      // SUM(len(string_split(text, ' '))) AS BIGINT) AS en_ppm
+        |  FROM documents GROUP BY source),
+        |b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM s),
+        |c AS (SELECT source, n_tokens, en_ppm, budget,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY en_ppm DESC, source)
+        |      AS BIGINT) AS cum
+        |  FROM s CROSS JOIN b)
+        |SELECT source, n_tokens, en_ppm,
+        |  CAST(CASE WHEN cum <= budget THEN n_tokens
+        |    WHEN cum - n_tokens < budget THEN budget - (cum - n_tokens)
+        |    ELSE 0 END AS BIGINT) AS take_tokens,
+        |  (cum <= budget) AS fully_taken
+        |FROM c ORDER BY source NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val toks = size(split(col("text"), " ")).cast("long")
+      val src = Tables.documents(s, d)
+        .select(col("source"), col("lang"), toks.as("t"))
+        .groupBy(col("source"))
+        .agg(sum(col("t")).cast("long").as("n_tokens"),
+          sum(when(col("lang") === "en", col("t")).otherwise(0L))
+            .cast("long").as("en_tok"))
+        .select(col("source"), col("n_tokens"),
+          expr("CAST(en_tok * 1000000 div n_tokens AS BIGINT)")
+            .as("en_ppm"))
+      val budget = src.agg(expr("CAST(sum(n_tokens) div 2 AS BIGINT)")
+        .as("budget"))
+      val w = Window.orderBy(col("en_ppm").desc, col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      src.crossJoin(broadcast(budget))
+        .withColumn("cum", sum(col("n_tokens")).over(w).cast("long"))
+        .select(col("source"), col("n_tokens"), col("en_ppm"),
+          when(col("cum") <= col("budget"), col("n_tokens"))
+            .when(col("cum") - col("n_tokens") < col("budget"),
+              col("budget") - (col("cum") - col("n_tokens")))
+            .otherwise(0L).cast("long").as("take_tokens"),
+          (col("cum") <= col("budget")).as("fully_taken"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -940,6 +940,62 @@ object RefQueries {
           expr("CAST(suppressed_rows * 1000000 div day_rows AS BIGINT)")
             .as("suppressed_ppm"))
         .orderBy(col("event_date"))
+    },
+
+    // --- partition-key advisor over candidate layout columns -------------
+    // THE physical-layout decision the reference's date-partitioned lake
+    // already made (ingestion_date) — stated as a measurable query so
+    // the next table's choice is data-driven: for each candidate column
+    // the distinct-value count (too many → tiny files; too few → no
+    // pruning), the skew of the biggest partition over the mean in
+    // exact milli (max·card·1000 div total), and the verdict under the
+    // standard band (10 ≤ card ≤ 10 000, skew < 10×). One grouped
+    // rollup per candidate, unioned — each a single exchange.
+    Q(
+      "ref_partition_key_advisor",
+      """WITH cand AS (
+        |  SELECT 'event_type' AS col_name, COALESCE(event_type, '<null>')
+        |    AS v FROM events
+        |  UNION ALL
+        |  SELECT 'event_date', CAST(CAST(ts AS DATE) AS VARCHAR)
+        |    FROM events WHERE ts IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+        |    WHERE user_id IS NOT NULL),
+        |g AS (SELECT col_name, v, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM cand GROUP BY col_name, v),
+        |m AS (SELECT col_name, CAST(COUNT(*) AS BIGINT) AS card,
+        |    CAST(MAX(n) AS BIGINT) AS max_part,
+        |    CAST(SUM(n) AS BIGINT) AS total
+        |  FROM g GROUP BY col_name)
+        |SELECT col_name, card, max_part,
+        |  CAST(max_part * card * 1000 // total AS BIGINT) AS skew_milli,
+        |  (card BETWEEN 10 AND 10000
+        |   AND max_part * card * 1000 // total < 10000) AS recommended
+        |FROM m ORDER BY col_name NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val cand = ev.select(lit("event_type").as("col_name"),
+          coalesce(col("event_type"), lit("<null>")).as("v"))
+        .unionAll(ev.where(col("ts").isNotNull)
+          .select(lit("event_date").as("col_name"),
+            col("ts").cast("date").cast("string").as("v")))
+        .unionAll(ev.where(col("user_id").isNotNull)
+          .select(lit("user_id").as("col_name"),
+            col("user_id").cast("string").as("v")))
+      cand.groupBy(col("col_name"), col("v"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("card"),
+          max(col("n")).cast("long").as("max_part"),
+          sum(col("n")).cast("long").as("total"))
+        .select(col("col_name"), col("card"), col("max_part"),
+          expr("CAST(max_part * card * 1000 div total AS BIGINT)")
+            .as("skew_milli"),
+          (col("card").between(10, 10000) &&
+            expr("max_part * card * 1000 div total") < 10000)
+            .as("recommended"))
+        .orderBy(col("col_name"))
     }
   )
 }
