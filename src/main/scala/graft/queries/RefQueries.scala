@@ -996,6 +996,55 @@ object RefQueries {
             expr("max_part * card * 1000 div total") < 10000)
             .as("recommended"))
         .orderBy(col("col_name"))
+    },
+
+    // --- day-of-week-adjusted (deseasonalized) daily volume --------------
+    // The monitoring view that stops weekends from paging on-call: each
+    // day's count divided by its DOW's average-over-overall-average
+    // factor (ratio-to-DOW-mean deseasonalization), entirely in scaled
+    // integer arithmetic — factor_ppm = dowsum·days·10⁶ div
+    // (dowdays·total), adjusted_milli = n·10⁹ div factor_ppm — so no
+    // libm and no float divergence. All windows ride the
+    // calendar-bounded daily rollup.
+    Q(
+      "ref_deseasonalized_daily",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    dayofweek(ts) + 1 AS dow, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY d, dow),
+        |w AS (SELECT d, dow, n,
+        |    CAST(SUM(n) OVER (PARTITION BY dow) AS BIGINT) AS dowsum,
+        |    CAST(COUNT(*) OVER (PARTITION BY dow) AS BIGINT) AS dowdays,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS total,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS days
+        |  FROM daily),
+        |f AS (SELECT d, dow, n,
+        |    CAST(dowsum * days * 1000000 // (dowdays * total) AS BIGINT)
+        |      AS factor_ppm
+        |  FROM w)
+        |SELECT d, CAST(dow AS INT) AS dow, n, factor_ppm,
+        |  CAST(n * 1000000000 // factor_ppm AS BIGINT) AS adjusted_milli
+        |FROM f ORDER BY d NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .where(col("ts").isNotNull)
+        .groupBy(col("ts").cast("date").as("d"),
+          dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("n"))
+      import org.apache.spark.sql.expressions.{Window => W}
+      val wDow = W.partitionBy(col("dow"))
+      val wAll = W.partitionBy()
+      daily
+        .withColumn("dowsum", sum(col("n")).over(wDow).cast("long"))
+        .withColumn("dowdays", count(lit(1)).over(wDow).cast("long"))
+        .withColumn("total", sum(col("n")).over(wAll).cast("long"))
+        .withColumn("days", count(lit(1)).over(wAll).cast("long"))
+        .withColumn("factor_ppm",
+          expr("CAST(dowsum * days * 1000000 div (dowdays * total) AS BIGINT)"))
+        .select(col("d"), col("dow").cast("int").as("dow"), col("n"),
+          col("factor_ppm"),
+          expr("CAST(n * 1000000000 div factor_ppm AS BIGINT)")
+            .as("adjusted_milli"))
+        .orderBy(col("d"))
     }
   )
 }

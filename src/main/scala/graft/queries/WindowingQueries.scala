@@ -1040,6 +1040,70 @@ object WindowingQueries {
         .agg(count(lit(1)).as("n_touches"),
           sum(col("credit_ppm")).cast("long").as("credit_ppm"))
         .orderBy(col("event_type"))
+    },
+
+    // --- position-based (U-shaped) multi-touch attribution ---------------
+    // The third credit model beside first-touch and time-decay: 40% to
+    // the first touch, 40% to the last, the middle 20% split evenly —
+    // the "bookends matter" heuristic marketing platforms ship as
+    // "position-based". Exact integer ppm: 1-touch journeys take the
+    // full 10⁶, 2-touch split 500k/500k, longer ones 400k/400k +
+    // 200000 div (n−2) per middle touch (truncation remainder stays
+    // unallocated BY DESIGN — deterministic on both engines). Same
+    // conv ⋈ touches lookback join as q_decay_attribution; the
+    // position windows partition on conv_id.
+    Q(
+      "q_position_attribution",
+      """WITH conv AS (SELECT event_id AS conv_id, user_id,
+        |                CAST(ts AS DATE) AS cd
+        |              FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id AS touch_id, user_id, event_type,
+        |        CAST(ts AS DATE) AS td
+        |      FROM events WHERE event_type <> 'purchase'),
+        |j AS (SELECT conv_id, touch_id, event_type, td
+        |      FROM conv JOIN t USING (user_id)
+        |      WHERE date_diff('day', td, cd) BETWEEN 0 AND 7),
+        |p AS (SELECT conv_id, event_type,
+        |        row_number() OVER (PARTITION BY conv_id
+        |          ORDER BY td, touch_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY conv_id) AS n
+        |      FROM j),
+        |c AS (SELECT conv_id, event_type,
+        |        CAST(CASE WHEN n = 1 THEN 1000000
+        |          WHEN n = 2 THEN 500000
+        |          WHEN rn = 1 OR rn = n THEN 400000
+        |          ELSE 200000 // (n - 2) END AS BIGINT) AS credit_ppm
+        |      FROM p)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm
+        |FROM c GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val conv = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"),
+          to_date(col("ts")).as("cd"))
+      val t = ev.where(col("event_type") =!= "purchase")
+        .select(col("event_id").as("touch_id"), col("user_id"),
+          col("event_type"), to_date(col("ts")).as("td"))
+      val j = conv.join(t, Seq("user_id"))
+        .where(datediff(col("cd"), col("td")).between(0, 7))
+        .select(col("conv_id"), col("touch_id"), col("event_type"),
+          col("td"))
+      val wOrd = Window.partitionBy(col("conv_id"))
+        .orderBy(col("td"), col("touch_id"))
+      val wAll = Window.partitionBy(col("conv_id"))
+      j.withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("credit_ppm",
+          when(col("n") === 1, 1000000L)
+            .when(col("n") === 2, 500000L)
+            .when(col("rn") === 1 || col("rn") === col("n"), 400000L)
+            .otherwise(expr("200000 div (n - 2)")).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_ppm")).cast("long").as("credit_ppm"))
+        .orderBy(col("event_type"))
     }
   )
 }
