@@ -27,7 +27,10 @@ class BigDimPlanSpec extends SparkSpec {
     "q5_local_supplier_volume" -> Seq("c_custkey#", "s_suppkey#"),
     "q7_volume_shipping" -> Seq("c_custkey#", "s_suppkey#"),
     "q8_market_share" -> Seq("c_custkey#", "s_suppkey#", "p_partkey#"),
-    "q9_product_profit" -> Seq("s_suppkey#", "p_partkey#"))
+    "q9_product_profit" -> Seq("s_suppkey#", "p_partkey#"),
+    // round-7 eleventh-pass addition: part joins with no hint, so the
+    // elasticity fit inherits the same stats-driven flip
+    "q_discount_elasticity" -> Seq("p_partkey#"))
 
   private def q(name: String) =
     (StarQueries.all ++ TpchQueries.all).find(_.name == name)
@@ -69,12 +72,17 @@ class BigDimPlanSpec extends SparkSpec {
         s"$name: expected SMJ/shuffled-hash on ${keys.mkString("/")}, " +
           s"plan:\n${lines.mkString("\n")}")
       // the 25-row enums keep their hints: broadcast even with the
-      // threshold off (a shuffle of nation/region would be pure waste)
-      val enumBhj = joinLines(lines, "BroadcastHashJoin",
-        Seq("n_nationkey#", "n_regionkey#", "s_nk#", "c_nk#"))
-      assert(enumBhj.nonEmpty,
-        s"$name: nation/region must stay hint-broadcast, " +
-          s"plan:\n${lines.mkString("\n")}")
+      // threshold off (a shuffle of nation/region would be pure waste).
+      // Only meaningful for queries that JOIN an enum dim —
+      // q_discount_elasticity touches part alone.
+      if (lines.exists(l => Seq("n_nationkey#", "n_regionkey#", "s_nk#",
+          "c_nk#").exists(l.contains))) {
+        val enumBhj = joinLines(lines, "BroadcastHashJoin",
+          Seq("n_nationkey#", "n_regionkey#", "s_nk#", "c_nk#"))
+        assert(enumBhj.nonEmpty,
+          s"$name: nation/region must stay hint-broadcast, " +
+            s"plan:\n${lines.mkString("\n")}")
+      }
     } finally spark.conf.set(key, prior)
   }
 }
