@@ -914,6 +914,42 @@ object CurationQueries {
             .otherwise(0L).cast("long").as("take_tokens"),
           (col("cum") <= col("budget")).as("fully_taken"))
         .orderBy(col("source"))
+    },
+
+    // --- padding waste by length bucket ----------------------------------
+    // The batching-efficiency readout pipe_pack_sequences optimizes
+    // AWAY: if documents were naively padded to their 64-token bucket
+    // ceiling (the fixed-shape batching most training stacks start
+    // with), how many pad tokens does each bucket burn? Per bucket:
+    // docs, real tokens, pad tokens to the ceiling, waste share in
+    // integer ppm. One rollup over ⌈len/64⌉ — the planning query that
+    // justifies switching to packing.
+    Q(
+      "pipe_padding_waste",
+      """WITH d AS (SELECT
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |b AS (SELECT ((toks + 63) // 64) * 64 AS ceilcap, toks FROM d)
+        |SELECT CAST(ceilcap AS BIGINT) AS bucket_cap,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS real_tokens,
+        |  CAST(SUM(ceilcap - toks) AS BIGINT) AS pad_tokens,
+        |  CAST(SUM(ceilcap - toks) * 1000000 // SUM(ceilcap) AS BIGINT)
+        |    AS waste_ppm
+        |FROM b GROUP BY bucket_cap
+        |ORDER BY bucket_cap NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("toks"))
+        .select(col("toks"),
+          expr("((toks + 63) div 64) * 64").as("ceilcap"))
+        .groupBy(col("ceilcap").cast("long").as("bucket_cap"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast("long").as("real_tokens"),
+          sum(col("ceilcap") - col("toks")).cast("long").as("pad_tokens"),
+          expr("CAST(sum(ceilcap - toks) * 1000000 div sum(ceilcap) " +
+            "AS BIGINT)").as("waste_ppm"))
+        .orderBy(col("bucket_cap"))
     }
   )
 }

@@ -684,6 +684,42 @@ object StarQueries {
           min(when(lit(2) * col("cumw") >= col("totw"), col("cents")))
             .cast("long").as("wmedian_cents"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // --- shipping-delay percentiles per order priority --------------------
+    // The fulfilment SLA readout: order-date → ship-date lag in exact
+    // integer days (one fact-fact equi-join on the order key), then
+    // p50/p95 per priority class with the engines' shared sort-based
+    // interpolation (percentile ≡ quantile_cont, ROUND 6 — the
+    // q_value_percentiles precedent) and a breach flag against a 21-day
+    // p95 SLA. Join strategy is stats-driven (orders vs lineitem is a
+    // genuine fact-fact shuffle join at scale).
+    Q(
+      "q_ship_delay_percentiles",
+      """WITH lag AS (SELECT o.o_orderpriority,
+        |    CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+        |      AS BIGINT) AS delay_days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  ROUND(quantile_cont(delay_days, 0.5), 6) AS p50_days,
+        |  ROUND(quantile_cont(delay_days, 0.95), 6) AS p95_days,
+        |  (quantile_cont(delay_days, 0.95) > 21) AS sla_breach
+        |FROM lag GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val lag = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("delay_days"))
+      lag.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(expr("percentile(delay_days, 0.5)"), 6).as("p50_days"),
+          round(expr("percentile(delay_days, 0.95)"), 6).as("p95_days"),
+          (expr("percentile(delay_days, 0.95)") > 21).as("sla_breach"))
+        .orderBy(col("o_orderpriority"))
     }
   )
 }

@@ -1343,6 +1343,44 @@ object TextQueries {
           expr("CAST(oov_tokens * 1000000 div n_tokens AS BIGINT)")
             .as("oov_ppm"))
         .orderBy(col("source"))
+    },
+
+    // --- doc-level template detection by frequent prefixes ---------------
+    // The boilerplate lens ABOVE pipe_boilerplate_lines' line level:
+    // documents opening with the same 5-token prefix are template
+    // instances (form letters, scraped listing pages). One prefix
+    // rollup, keep prefixes with ≥ 3 instances, report each template's
+    // doc count, distinct sources (cross-source templates are scraper
+    // artifacts) and corpus share in ppm via an empty-frame total
+    // window over the O(templates) result.
+    Q(
+      "text_template_prefixes",
+      """WITH d AS (SELECT doc_id, source,
+        |    array_to_string(string_split(text, ' ')[1:5], ' ') AS prefix
+        |  FROM documents),
+        |t AS (SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |  FROM d GROUP BY prefix HAVING COUNT(*) >= 3),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS corpus FROM d)
+        |SELECT prefix, n_docs, n_sources,
+        |  CAST(n_docs * 1000000 // corpus AS BIGINT) AS share_ppm
+        |FROM t CROSS JOIN c
+        |ORDER BY n_docs DESC, prefix NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5))
+            .as("prefix"))
+      val t = docs.groupBy(col("prefix"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .where(col("n_docs") >= 3)
+      val c = docs.agg(count(lit(1)).as("corpus"))
+      t.crossJoin(broadcast(c))
+        .select(col("prefix"), col("n_docs"), col("n_sources"),
+          expr("CAST(n_docs * 1000000 div corpus AS BIGINT)")
+            .as("share_ppm"))
+        .orderBy(col("n_docs").desc, col("prefix"))
     }
   )
 }

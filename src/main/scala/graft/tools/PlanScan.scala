@@ -53,7 +53,8 @@ object PlanScan {
       "ref_theil_sen_trend" -> "calendar-bounded daily spine self-paired (O(days^2) by definition) + 1-row day count",
       "q_survival_hazard" -> "1-row horizon broadcast + weeks x (conv,obs)-cell range join, both calendar-bounded",
       "q_ab_power_duration" -> "1-row activity totals cross-joined into the 1-row conversion totals",
-      "pipe_budget_fill" -> "1-row token budget broadcast into the O(sources) priority ranking")
+      "pipe_budget_fill" -> "1-row token budget broadcast into the O(sources) priority ranking",
+      "text_template_prefixes" -> "1-row corpus total broadcast into the O(templates) result")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
