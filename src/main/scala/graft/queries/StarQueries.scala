@@ -648,8 +648,16 @@ object StarQueries {
     // UNIT's price", not the typical line's. RANK-defined in exact
     // integers (smallest price cents whose doubled cumulative weight
     // reaches the total — no interpolation, so no cross-engine float
-    // risk), via one (flag, cents) rollup and per-flag cumulative
-    // windows — partitioned by flag, never a global sort.
+    // risk). The ENGINE side is the two-phase distributed exact
+    // median: a cumulative window straight over (flag, cents) would be
+    // one task per flag — 3-way parallelism forever, a 100 TB cliff —
+    // so phase 1 rolls up $1000 coarse buckets (≤ ~105 rows per flag,
+    // bounded by the price GRID, not the corpus), walks the tiny
+    // cumulative to locate the target bucket + its prior mass, and
+    // phase 2 runs the fine cumulative ONLY inside that one bucket
+    // (1/105th of the data, narrowed by a broadcast semi-filter). The
+    // oracle states the same rank definition in one pass — value
+    // identical by construction.
     Q(
       "q_weighted_median_price",
       """WITH g AS (SELECT l_returnflag,
@@ -673,16 +681,38 @@ object StarQueries {
           (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
             .as("cents"))
         .agg(sum(col("l_quantity").cast("long")).cast("long").as("w"))
+        // both phases read this rollup — without persist each phase
+        // re-scans and re-aggregates the fact table (the triangle-count
+        // working-set discipline)
+        .persist()
       import org.apache.spark.sql.expressions.{Window => W}
-      val cum = W.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      // phase 1: coarse $1000 buckets -> target bucket + prior mass
+      val coarse = g.groupBy(col("l_returnflag"),
+          expr("cents div 100000").as("b"))
+        .agg(sum(col("w")).cast("long").as("wsum"))
+      val cumB = W.partitionBy(col("l_returnflag")).orderBy(col("b"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
-      val tot = W.partitionBy(col("l_returnflag"))
-      g.withColumn("cumw", sum(col("w")).over(cum).cast("long"))
-        .withColumn("totw", sum(col("w")).over(tot).cast("long"))
+      val target = coarse
+        .withColumn("cumb", sum(col("wsum")).over(cumB).cast("long"))
+        .withColumn("totw", sum(col("wsum"))
+          .over(W.partitionBy(col("l_returnflag"))).cast("long"))
+        .where(lit(2) * col("cumb") >= col("totw"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(struct(col("b"), (col("cumb") - col("wsum")).as("prior")))
+          .as("t"), max(col("totw")).as("totw"))
+        .select(col("l_returnflag").as("tf"), col("t.b").as("tb"),
+          col("t.prior").as("prior"), col("totw"))
+      // phase 2: fine cumulative inside the ONE target bucket per flag
+      val cumC = W.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      g.join(broadcast(target),
+          col("l_returnflag") === col("tf") &&
+            expr("cents div 100000") === col("tb"))
+        .withColumn("cumf", sum(col("w")).over(cumC).cast("long"))
+        .where(lit(2) * (col("prior") + col("cumf")) >= col("totw"))
         .groupBy(col("l_returnflag"))
         .agg(max(col("totw")).as("total_qty"),
-          min(when(lit(2) * col("cumw") >= col("totw"), col("cents")))
-            .cast("long").as("wmedian_cents"))
+          min(col("cents")).cast("long").as("wmedian_cents"))
         .orderBy(col("l_returnflag"))
     },
 
