@@ -550,6 +550,80 @@ object RefQueries {
         .orderBy(col("event_date"))
     },
 
+    // --- Holt forecast backtest (one-step-ahead errors) ------------------
+    // The evaluation ref_holt_forecast itself never reports: replay the
+    // same (l, t) recurrence and score each day's PRIOR-day forecast
+    // against the realized count — MAE and MAPE over days 2..D, plus
+    // the worst day. Same pair-state fold / recursive-CTE machinery;
+    // the error rollup is one aggregate over the O(days) frame, and
+    // every IEEE chain (error, |error|/n, the two means) is written
+    // identically on both sides and ROUNDed.
+    Q(
+      "ref_holt_backtest",
+      """WITH RECURSIVE daily AS (SELECT CAST(ts AS DATE) AS event_date,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY event_date),
+        |idx AS (SELECT event_date, n,
+        |    row_number() OVER (ORDER BY event_date) AS i FROM daily),
+        |holt(i, event_date, n, l, t) AS (
+        |  SELECT i, event_date, n, CAST(n AS DOUBLE), CAST(0 AS DOUBLE)
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.i, x.event_date, x.n,
+        |    0.3 * CAST(x.n AS DOUBLE) + 0.7 * (h.l + h.t),
+        |    0.2 * ((0.3 * CAST(x.n AS DOUBLE) + 0.7 * (h.l + h.t)) - h.l)
+        |      + 0.8 * h.t
+        |  FROM idx x JOIN holt h ON x.i = h.i + 1),
+        |e AS (SELECT c.i, c.event_date, c.n,
+        |    ABS(CAST(c.n AS DOUBLE) - (p.l + p.t)) AS abs_err,
+        |    ABS(CAST(c.n AS DOUBLE) - (p.l + p.t)) / CAST(c.n AS DOUBLE)
+        |      AS rel_err
+        |  FROM holt c JOIN holt p ON p.i = c.i - 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |  ROUND(SUM(abs_err) / COUNT(*), 6) AS mae,
+        |  ROUND(SUM(rel_err) / COUNT(*) * 1000000, 0) AS mape_ppm,
+        |  MAX(CASE WHEN abs_err = (SELECT MAX(abs_err) FROM e)
+        |    THEN event_date END) AS worst_day
+        |FROM e""".stripMargin
+    ) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .where(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("n"))
+      val cum = Window.orderBy(col("event_date"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prevW = Window.orderBy(col("event_date"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      def fold(histCol: Column): Column = aggregate(
+        slice(histCol, lit(2), greatest(size(histCol) - 1, lit(0))),
+        struct(coalesce(get(histCol, lit(0)), lit(0.0)).as("l"),
+          lit(0.0).as("t")),
+        (acc, x) => {
+          val l = acc.getField("l"); val t = acc.getField("t")
+          val lNew = lit(0.3) * x + lit(0.7) * (l + t)
+          struct(lNew.as("l"),
+            (lit(0.2) * (lNew - l) + lit(0.8) * t).as("t"))
+        })
+      val e = daily
+        .withColumn("prev",
+          collect_list(col("n").cast("double")).over(prevW))
+        .withColumn("sp", fold(col("prev")))
+        .where(size(col("prev")) > 0)
+        .select(col("event_date"),
+          abs(col("n").cast("double") - (col("sp.l") + col("sp.t")))
+            .as("abs_err"),
+          (abs(col("n").cast("double") - (col("sp.l") + col("sp.t"))) /
+            col("n").cast("double")).as("rel_err"))
+      val worst = Window.partitionBy()
+      e.withColumn("mx", max(col("abs_err")).over(worst))
+        .agg(count(lit(1)).as("n_scored"),
+          round(sum(col("abs_err")) / count(lit(1)), 6).as("mae"),
+          round(sum(col("rel_err")) / count(lit(1)) * 1000000, 0)
+            .as("mape_ppm"),
+          max(when(col("abs_err") === col("mx"), col("event_date")))
+            .as("worst_day"))
+    },
+
     // --- order-insensitive content checksum (reconciliation) -------------
     // "Did the rerun/replica produce the SAME table?" answered in one
     // aggregate instead of a row-by-row diff: per ingestion day, the sum

@@ -1104,6 +1104,104 @@ object WindowingQueries {
         .agg(count(lit(1)).as("n_touches"),
           sum(col("credit_ppm")).cast("long").as("credit_ppm"))
         .orderBy(col("event_type"))
+    },
+
+    // --- peak concurrent sessions per day (two-phase sweep line) ---------
+    // The capacity question behind every connection-pool and autoscaler
+    // setting: how many 30-min-gap sessions were open AT ONCE? A naive
+    // sweep orders ALL of a day's ±1 points in one window — one task
+    // per day forever. This is the two-phase form (the
+    // q_weighted_median_price discipline): minute buckets first (each
+    // day's 1440-row cumulative gives every minute its opening offset),
+    // then the exact sweep runs only WITHIN each minute, partitioned by
+    // (day, minute). Ends sort after starts at the same second
+    // (inclusive overlap); a session belongs to its start day by
+    // declared semantics. The per-day peak is the max over bounded
+    // minute partitions.
+    Q(
+      "q_concurrent_sessions",
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(date_trunc('second', ts)) // 1000000 AS ts_s,
+        |    event_id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT user_id, ts_s,
+        |    CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) > 1800 OR lag(ts_s) OVER (
+        |      PARTITION BY user_id ORDER BY ts_s, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |sess AS (SELECT user_id, ts_s,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_s) AS sid
+        |  FROM f),
+        |iv AS (SELECT MIN(ts_s) AS st, MAX(ts_s) AS en
+        |  FROM sess GROUP BY user_id, sid),
+        |pts AS (SELECT CAST(to_timestamp(st) AS DATE) AS day, st AS t,
+        |    1 AS d FROM iv
+        |  UNION ALL
+        |  SELECT CAST(to_timestamp(st) AS DATE), en, -1 FROM iv),
+        |mb AS (SELECT day, t // 60 AS m, CAST(SUM(d) AS BIGINT) AS net
+        |  FROM pts GROUP BY day, m),
+        |off AS (SELECT day, m,
+        |    CAST(COALESCE(SUM(net) OVER (PARTITION BY day ORDER BY m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS base
+        |  FROM mb),
+        |sweep AS (SELECT p.day, p.t // 60 AS m,
+        |    CAST(SUM(p.d) OVER (PARTITION BY p.day, p.t // 60
+        |      ORDER BY p.t, p.d DESC ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS run
+        |  FROM pts p),
+        |conc AS (SELECT s.day, s.run + o.base AS c
+        |  FROM sweep s JOIN off o ON s.day = o.day AND s.m = o.m),
+        |ns AS (SELECT CAST(to_timestamp(st) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sessions FROM iv GROUP BY day)
+        |SELECT ns.day AS day, n_sessions,
+        |  CAST(MAX(c) AS BIGINT) AS peak_concurrent
+        |FROM ns JOIN conc ON ns.day = conc.day
+        |GROUP BY ns.day, n_sessions
+        |ORDER BY day NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val e = Tables.events(s, d)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts").cast("long").as("ts_s"),
+          col("event_id"))
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("event_id"))
+      val sess = e
+        .withColumn("brk", when(lag(col("ts_s"), 1).over(wu).isNull ||
+          col("ts_s") - lag(col("ts_s"), 1).over(wu) > 1800, 1)
+          .otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val iv = sess.groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts_s")).as("st"), max(col("ts_s")).as("en"))
+      val pts = iv.select(to_date(timestamp_seconds(col("st"))).as("day"),
+          col("st").as("t"), lit(1).as("d"))
+        .unionAll(iv.select(to_date(timestamp_seconds(col("st"))).as("day"),
+          col("en").as("t"), lit(-1).as("d")))
+      val mb = pts.groupBy(col("day"), expr("t div 60").as("m"))
+        .agg(sum(col("d")).cast("long").as("net"))
+      val off = mb.withColumn("base", coalesce(
+        sum(col("net")).over(Window.partitionBy(col("day"))
+          .orderBy(col("m"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .cast("long"))
+      val sweep = pts
+        .withColumn("m", expr("t div 60"))
+        .withColumn("run", sum(col("d")).over(
+          Window.partitionBy(col("day"), col("m"))
+            .orderBy(col("t"), col("d").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      val conc = sweep.join(off.select(col("day"), col("m"), col("base")),
+          Seq("day", "m"))
+        .select(col("day"), (col("run") + col("base")).as("c"))
+      val ns = iv.groupBy(to_date(timestamp_seconds(col("st"))).as("day"))
+        .agg(count(lit(1)).as("n_sessions"))
+      ns.join(conc, Seq("day"))
+        .groupBy(col("day"), col("n_sessions"))
+        .agg(max(col("c")).cast("long").as("peak_concurrent"))
+        .orderBy(col("day"))
     }
   )
 }
