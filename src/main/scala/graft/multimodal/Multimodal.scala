@@ -384,6 +384,12 @@ object MediaDecoder {
           new java.io.ByteArrayInputStream(bytes))
         try {
           val fmt = in.getFormat
+          // the sample loop below reads 16-bit little-endian frames and,
+          // on multi-channel audio, only the LEFT channel (offset 0 of
+          // each frame) — any other sample width would misalign the hi
+          // byte and read stale buffer bytes, so gate instead of
+          // producing silently wrong energies
+          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return None
           val frameSize = fmt.getFrameSize
           val buf = new Array[Byte](65536 - 65536 % frameSize)
           val energies = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -472,6 +478,9 @@ object MediaDecoder {
           new java.io.ByteArrayInputStream(bytes))
         try {
           val fmt = in.getFormat
+          // same 16-bit-little-endian contract as audioFrameEnergies:
+          // other widths would misparse, so quarantine them to None
+          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return None
           val frameSize = fmt.getFrameSize
           val buf = new Array[Byte](65536 - 65536 % frameSize)
           var (count, sumAbs, sumSq, peak, zc) = (0L, 0L, 0L, 0L, 0L)

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 import graft.Tables
 
@@ -119,7 +120,17 @@ object GraphQueries {
         if (shuffleRanks && i % CheckpointEvery == 0 && i < Iters)
           ranks = ranks.localCheckpoint()
       }
-      ranks.orderBy(col("rank").desc, col("node")).limit(50)
+      val out = ranks.orderBy(col("rank").desc, col("node")).limit(50)
+      // materialize the bounded top-50 now and release the pinned edge
+      // cache — the iteration working set has no reader after this
+      // query, and leaving it resident compounds across a 250-query
+      // session (the q_weighted_median_price discipline). Non-bounded
+      // outputs (q_triangle_copurchase: one row per part) keep their
+      // documented retained cache instead — collecting them would be a
+      // driver-side materialization of data-scale rows.
+      val rows = out.collect().toSeq
+      e.unpersist()
+      s.createDataFrame(rows.asJava, out.schema)
     },
 
     // --- Connected components on the part co-purchase graph -------------

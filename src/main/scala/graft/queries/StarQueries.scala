@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import scala.jdk.CollectionConverters._
 
 /** Star-schema extension queries (SURVEY §2.12 "extension queries"): the
   * join / window / rollup surface the reference lacks (SURVEY §2.6, §2.7
@@ -705,7 +706,7 @@ object StarQueries {
       // phase 2: fine cumulative inside the ONE target bucket per flag
       val cumC = W.partitionBy(col("l_returnflag")).orderBy(col("cents"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
-      g.join(broadcast(target),
+      val out = g.join(broadcast(target),
           col("l_returnflag") === col("tf") &&
             expr("cents div 100000") === col("tb"))
         .withColumn("cumf", sum(col("w")).over(cumC).cast("long"))
@@ -714,6 +715,14 @@ object StarQueries {
         .agg(max(col("totw")).as("total_qty"),
           min(col("cents")).cast("long").as("wmedian_cents"))
         .orderBy(col("l_returnflag"))
+      // materialize the ≤|flag-domain| result rows NOW so the rollup
+      // cache can be released — without this the persisted blocks stay
+      // resident for the remainder of a 250-query session (each such
+      // leak compounds across the inventory). The collect is bounded by
+      // the 3-value flag domain, not the corpus.
+      val rows = out.collect().toSeq
+      g.unpersist()
+      s.createDataFrame(rows.asJava, out.schema)
     },
 
     // --- shipping-delay percentiles per order priority --------------------
