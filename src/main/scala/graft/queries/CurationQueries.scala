@@ -950,6 +950,124 @@ object CurationQueries {
           expr("CAST(sum(ceilcap - toks) * 1000000 div sum(ceilcap) " +
             "AS BIGINT)").as("waste_ppm"))
         .orderBy(col("bucket_cap"))
+    },
+
+    // --- best-fit sequence packing (first-fit-decreasing bins) ----------
+    // The packer production pipelines actually run: instead of padding
+    // every document to a bucket ceiling (pipe_padding_waste) or
+    // splitting documents across chunk boundaries (pipe_pack_sequences),
+    // place each WHOLE document into the first 256-token bin that still
+    // has room, longest documents first (first-fit-decreasing — the
+    // classic 11/9·OPT+1 bin-packing greedy). Determinism and scale come
+    // from the same discipline: packing runs inside fixed 64-document
+    // blocks per source (seq = per-source length-desc rank; block =
+    // seq div 64), because at 100 TB no packer sorts the whole corpus
+    // into one sequential pass — streaming packers pack within bounded
+    // buffers, and the block IS that buffer. The per-block fold is an
+    // O(64 × bins) higher-order `aggregate` over an array<bigint> of
+    // bin remainders — pure integer list logic, replayed move-for-move
+    // by the oracle's recursive CTE (the Holt/BPE replay precedent), so
+    // the result is value-exact, not rows-only. A document longer than
+    // the 256 cap opens its own bin with remainder clamped to 0 (the
+    // overflow convention). Output: per source, FFD bins + pad versus
+    // the naive 64-ceiling padding baseline — the comparison row that
+    // justifies the packer.
+    Q(
+      "pipe_pack_bestfit", {
+        // same-type list_reduce trick (the accumulator must share the
+        // element type in DuckDB): lift each length to a singleton list,
+        // prepend the empty remainder list as the seed. list_position
+        // returns 0 when absent (both engines agree), lambda index j is
+        // 1-based like list_position — so the update transform mirrors
+        // the Spark fold move-for-move.
+        val POS =
+          "list_position(list_transform(acc, rr -> rr >= el[1]), true)"
+        s"""WITH d AS (SELECT doc_id, source,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+           |  FROM documents),
+           |r AS (SELECT doc_id, source, toks,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY toks DESC, doc_id) AS seq
+           |  FROM d),
+           |g AS (SELECT source, CAST((seq - 1) // 64 AS BIGINT) AS block,
+           |    list(toks ORDER BY toks DESC, doc_id) AS lens
+           |  FROM r GROUP BY source, block),
+           |pk AS (SELECT source, block,
+           |    list_reduce(
+           |      list_prepend(CAST([] AS BIGINT[]),
+           |        list_transform(lens, x -> [x])),
+           |      (acc, el) -> CASE WHEN $POS = 0
+           |        THEN list_append(acc, greatest(256 - el[1], 0))
+           |        ELSE list_transform(acc, (rr, j) ->
+           |          CASE WHEN j = $POS THEN rr - el[1] ELSE rr END)
+           |      END) AS rems
+           |  FROM g),
+           |sb AS (SELECT source, CAST(SUM(len(rems)) AS BIGINT) AS ffd_bins,
+           |    CAST(SUM(list_sum(rems)) AS BIGINT) AS ffd_pad_tokens
+           |  FROM pk GROUP BY source),
+           |base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(toks) AS BIGINT) AS real_tokens,
+           |    CAST(SUM(((toks + 63) // 64) * 64 - toks) AS BIGINT)
+           |      AS naive_pad_tokens
+           |  FROM d GROUP BY source)
+           |SELECT b.source, n_docs, real_tokens, ffd_bins, ffd_pad_tokens,
+           |  CAST(ffd_pad_tokens * 1000000 // (ffd_bins * 256) AS BIGINT)
+           |    AS ffd_waste_ppm,
+           |  naive_pad_tokens,
+           |  CAST(naive_pad_tokens * 1000000
+           |    // (real_tokens + naive_pad_tokens) AS BIGINT)
+           |    AS naive_waste_ppm
+           |FROM base b JOIN sb USING (source)
+           |ORDER BY source NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) =>
+      val d0 = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      val seqW = Window.partitionBy(col("source"))
+        .orderBy(col("toks").desc, col("doc_id"))
+      // per-(source, block) fold: bin remainders as an array<bigint>
+      // accumulator; first fit found via array_position over a boolean
+      // transform, updated in place via the indexed transform — every
+      // step pure integer, so both engines land on identical bins
+      val packed = d0
+        .withColumn("seq", row_number().over(seqW))
+        .withColumn("block", expr("CAST((seq - 1) div 64 AS BIGINT)"))
+        .groupBy(col("source"), col("block"))
+        .agg(expr("transform(array_sort(collect_list(" +
+          "struct(-toks AS nt, doc_id AS d, toks AS t))), e -> e.t)")
+          .as("lens"))
+        .withColumn("rems", expr(
+          """aggregate(lens, cast(array() as array<bigint>),
+            |  (acc, x) -> CASE
+            |    WHEN array_position(transform(acc, rr -> rr >= x), true) > 0
+            |    THEN transform(acc, (rr, j) ->
+            |      IF(j = array_position(transform(acc, rr2 -> rr2 >= x),
+            |           true) - 1,
+            |         rr - x, rr))
+            |    ELSE concat(acc, array(greatest(256 - x, bigint(0))))
+            |  END)""".stripMargin))
+      val sb = packed
+        .select(col("source"),
+          size(col("rems")).cast("long").as("bins"),
+          expr("aggregate(rems, bigint(0), (a, rr) -> a + rr)").as("pad"))
+        .groupBy(col("source"))
+        .agg(sum(col("bins")).cast("long").as("ffd_bins"),
+          sum(col("pad")).cast("long").as("ffd_pad_tokens"))
+      val base = d0.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("real_tokens"),
+        sum(expr("((toks + 63) div 64) * 64 - toks")).cast("long")
+          .as("naive_pad_tokens"))
+      base.join(sb, "source")
+        .select(col("source"), col("n_docs"), col("real_tokens"),
+          col("ffd_bins"), col("ffd_pad_tokens"),
+          expr("CAST(ffd_pad_tokens * 1000000 div (ffd_bins * 256) " +
+            "AS BIGINT)").as("ffd_waste_ppm"),
+          col("naive_pad_tokens"),
+          expr("CAST(naive_pad_tokens * 1000000 div " +
+            "(real_tokens + naive_pad_tokens) AS BIGINT)")
+            .as("naive_waste_ppm"))
+        .orderBy(col("source"))
     }
   )
 }
