@@ -100,6 +100,129 @@ object TextQueries {
   private[queries] val ModelWeights: Array[Long] =
     Array.tabulate(ModelBuckets)(b => ((b.toLong * 2654435761L) % 4096L) - 2048L)
 
+  /** In-engine trainer config for `text_quality_train`: hashed-feature
+    * bucket count (md5-derived, so both engines agree bit-for-bit) and
+    * fixed batch-perceptron iteration count. Bucket `TrainBuckets` is
+    * the bias feature (count 1 per document). */
+  private val TrainBuckets = 256
+  private val TrainIters = 3
+
+  /** Shared feature/label derivation for the in-engine quality trainer:
+    * `feat` = per-(doc, hashed-bucket) token counts plus the bias row;
+    * `st` = per-doc token total and the training label. The label is the
+    * repetition heuristic text_quality gates on, restated in pure
+    * integer cross-multiplication (dup_word_frac ≤ 0.9 ⇔
+    * 10·n_distinct ≥ n_words; top_word_frac ≤ 0.2 ⇔ 5·top_f ≤ n_words)
+    * so both engines compare identical integers — the trainer then
+    * learns to PREDICT that label from hashed unigrams alone, which is
+    * exactly the fastText-style distillation production quality
+    * classifiers are built by. */
+  private def qualityTrainFrames(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+    val bucket = pmod(
+      conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"),
+      lit(TrainBuckets.toLong))
+    val feat = toks
+      .select(col("doc_id"), bucket.as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .unionByName(Tables.documents(s, d).select(col("doc_id"),
+        lit(TrainBuckets.toLong).as("bucket"), lit(1L).as("cnt")))
+    val st = toks.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("f"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("f")).as("nw"), count(lit(1)).as("nd"),
+        max(col("f")).as("tf"))
+      .select(col("doc_id"), col("nw").cast("long").as("n_tokens"),
+        (col("nd") * 10 >= col("nw") && col("tf") * 5 <= col("nw"))
+          .as("label"))
+    (feat, st)
+  }
+
+  /** Fixed-iteration batch perceptron over the hashed features, exact
+    * integer arithmetic throughout: margin_i = Σ_b cnt_{i,b}·w_b (the
+    * weight vector rides the plan as a broadcast literal, like the
+    * fixed ModelWeights table); every misclassified document
+    * contributes ±cnt to its buckets' gradient; w += gradient. Each
+    * iteration is ONE distributed pass over the (doc, bucket) count
+    * table plus a collect bounded by the MODEL size (≤ 257 gradient
+    * rows — the k-means/BPE bounded-collect precedent), so the shape
+    * is full-batch distributed GD with a driver-side parameter update —
+    * the right 100 TB topology for a model this small (a parameter
+    * server only becomes necessary when the model outgrows a
+    * broadcast). Deterministic: no sampling, no shuffling, integer
+    * sums — the oracle replays every iteration verbatim. */
+  private def trainQualityWeights(s: org.apache.spark.sql.SparkSession,
+      d: String): Array[Long] = {
+    val (feat0, st0) = qualityTrainFrames(s, d)
+    // both frames are read TrainIters times — persist for the training
+    // loop, release before returning (the weighted-median discipline)
+    val feat = feat0.persist(); val st = st0.persist()
+    val wts = Array.fill(TrainBuckets + 1)(0L)
+    try {
+      for (_ <- 1 to TrainIters) {
+        val wlit = typedlit(wts.toSeq)
+        val mis = feat
+          .select(col("doc_id"), (col("cnt") *
+            element_at(wlit, (col("bucket") + 1).cast("int"))).as("p"))
+          .groupBy(col("doc_id")).agg(sum(col("p")).as("margin"))
+          .join(st, "doc_id")
+          .where((col("margin") > 0) =!= col("label"))
+          .select(col("doc_id"), col("label"))
+        val grad = feat.join(mis, "doc_id")
+          .groupBy(col("bucket"))
+          .agg(sum(when(col("label"), col("cnt")).otherwise(-col("cnt")))
+            .cast("long").as("gr"))
+          .collect() // ≤ TrainBuckets+1 rows — model-sized, not corpus
+        grad.foreach(r => wts(r.getLong(0).toInt) += r.getLong(1))
+      }
+    } finally { feat.unpersist(); st.unpersist() }
+    wts
+  }
+
+  /** Oracle WITH-chain replaying the trainer: one (margin → gradient →
+    * weight) block per iteration, seeded from an all-zero weight table
+    * (the bpeWithChain unroll pattern — fixed iteration count makes the
+    * replay a plain CTE chain, no recursion). */
+  private def perceptronChain(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""m$k AS (SELECT f.doc_id, l.label, SUM(f.cnt * w.w) AS margin
+         |  FROM feat f JOIN w${k - 1} w USING (bucket)
+         |  JOIN st l USING (doc_id)
+         |  GROUP BY f.doc_id, l.label),
+         |g$k AS (SELECT f.bucket,
+         |    CAST(SUM(CASE WHEN m.label THEN f.cnt ELSE -f.cnt END)
+         |      AS BIGINT) AS gr
+         |  FROM feat f JOIN m$k m USING (doc_id)
+         |  WHERE (m.margin > 0) <> m.label
+         |  GROUP BY f.bucket),
+         |w$k AS (SELECT w.bucket,
+         |    CAST(w.w + COALESCE(g.gr, 0) AS BIGINT) AS w
+         |  FROM w${k - 1} w LEFT JOIN g$k g USING (bucket))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |wf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM tok GROUP BY doc_id, word),
+       |st AS (SELECT doc_id, CAST(SUM(f) AS BIGINT) AS n_tokens,
+       |    (10 * COUNT(*) >= SUM(f) AND 5 * MAX(f) <= SUM(f)) AS label
+       |  FROM wf GROUP BY doc_id),
+       |feat AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(word), 1, 15))::BIGINT % $TrainBuckets
+       |      AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM tok GROUP BY doc_id, bucket
+       |  UNION ALL
+       |  SELECT doc_id, CAST($TrainBuckets AS BIGINT), CAST(1 AS BIGINT)
+       |  FROM documents),
+       |w0 AS (SELECT CAST(range AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
+       |  FROM range(${TrainBuckets + 1})),
+       |$rounds""".stripMargin
+  }
+
   /** Shared BM25 oracle (see text_bm25_topk's scaladoc for the
     * integer-exact formula) — reused verbatim by text_bm25_persist: the
     * posting-list storage layer must be invisible to the ranking. */
@@ -589,6 +712,83 @@ object TextQueries {
         .select(col("threshold"),
           sum(col("n_docs")).over(cum).as("n_docs_ge"),
           sum(col("n_toks")).over(cum).as("n_tokens_ge"))
+        .orderBy(col("threshold").desc)
+    },
+
+    // --- IN-ENGINE quality-model training (batch perceptron) ------------
+    // Closes the loop text_quality_model leaves open: instead of scoring
+    // with a FIXED weight table, learn the weights inside the engine.
+    // Fixed-iteration batch perceptron over md5-hashed unigram counts
+    // (+ bias), trained to predict the integer-exact repetition label —
+    // the fastText-style distillation that produces production quality
+    // classifiers. All arithmetic integral and deterministic, so the
+    // oracle replays every iteration as an unrolled CTE chain and the
+    // final weight VECTOR matches bit-for-bit (see trainQualityWeights
+    // for the scale shape: per-iteration one corpus pass + a
+    // model-sized collect).
+    Q(
+      "text_quality_train",
+      s"""${perceptronChain(TrainIters)}
+         |SELECT bucket, w AS weight FROM w$TrainIters
+         |ORDER BY bucket NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val wts = trainQualityWeights(s, d)
+      import s.implicits._
+      wts.zipWithIndex.map { case (w, b) => (b.toLong, w) }.toSeq
+        .toDF("bucket", "weight").orderBy(col("bucket"))
+    },
+
+    // --- operating curve of the TRAINED scorer ---------------------------
+    // The go/no-go artifact, now consuming the trained weights instead
+    // of the fixed table: per 500-wide score threshold, surviving docs,
+    // tokens, and how many of them the training label marks positive —
+    // the per-threshold precision readout a filtering decision needs.
+    // Training replays inside the query (the index-build measurement
+    // convention: the cost of producing the model is part of the
+    // operator); scoring is the same broadcast-literal lookup as
+    // text_quality_model.
+    Q(
+      "text_quality_train_sweep",
+      s"""${perceptronChain(TrainIters)},
+         |sc AS (SELECT f.doc_id, CAST(SUM(f.cnt * w.w) AS BIGINT) AS score
+         |  FROM feat f JOIN w$TrainIters w USING (bucket)
+         |  GROUP BY f.doc_id),
+         |bu AS (SELECT CAST(floor(score / 500) * 500 AS BIGINT)
+         |      AS threshold,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(l.n_tokens) AS BIGINT) AS n_toks,
+         |    CAST(SUM(CASE WHEN l.label THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pos
+         |  FROM sc JOIN st l USING (doc_id) GROUP BY threshold)
+         |SELECT threshold,
+         |  CAST(SUM(n_docs) OVER cw AS BIGINT) AS n_docs_ge,
+         |  CAST(SUM(n_toks) OVER cw AS BIGINT) AS n_tokens_ge,
+         |  CAST(SUM(n_pos) OVER cw AS BIGINT) AS n_label_pos_ge
+         |FROM bu
+         |WINDOW cw AS (ORDER BY threshold DESC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY threshold DESC""".stripMargin
+    ) { (s, d) =>
+      val wts = trainQualityWeights(s, d)
+      val (feat, st) = qualityTrainFrames(s, d)
+      val wlit = typedlit(wts.toSeq)
+      val scored = feat
+        .select(col("doc_id"), (col("cnt") *
+          element_at(wlit, (col("bucket") + 1).cast("int"))).as("p"))
+        .groupBy(col("doc_id")).agg(sum(col("p")).cast("long").as("score"))
+      val buckets = scored.join(st, "doc_id")
+        .select((floor(col("score") / lit(500)) * 500).cast("long")
+          .as("threshold"), col("n_tokens"), col("label"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_toks"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+      val cum = Window.orderBy(col("threshold").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      buckets.select(col("threshold"),
+        sum(col("n_docs")).over(cum).cast("long").as("n_docs_ge"),
+        sum(col("n_toks")).over(cum).cast("long").as("n_tokens_ge"),
+        sum(col("n_pos")).over(cum).cast("long").as("n_label_pos_ge"))
         .orderBy(col("threshold").desc)
     },
 
