@@ -648,12 +648,20 @@ object DedupQueries {
       val docs = Tables.documents(s, d).select(col("doc_id"),
         TextOps.simhash(TextOps.tokens(col("text"))).as("sh"))
         .repartition(col("doc_id"))
+      // banding adapts to corpus size (graft.operators.SimHashBanding —
+      // Manku et al.'s block-combination scheme): ≤131k docs keeps the
+      // 4×16-bit bands; beyond that each key widens to ~32 bits across
+      // C(6,3)=20 combinations so buckets never saturate (the measured
+      // superlinear candidate cliff at 500k docs). Recall stays 1 by
+      // pigeonhole under EVERY scheme and the pair predicate is
+      // unchanged, so the result — and the oracle — are scheme-
+      // independent; the one-row count that picks the scheme is the
+      // same stats-driven planning as the dimension join demotion.
+      val scheme =
+        graft.operators.SimHashBanding.choose(Tables.documents(s, d).count())
       val banded = docs.select(col("doc_id"), col("sh"),
-        explode(array((0 until 4).map { j =>
-          struct(lit(j).as("band"),
-            shiftright(col("sh"), 16 * j).bitwiseAND(lit(0xFFFFL))
-              .as("band_val"))
-        }: _*)).as("b"))
+        explode(graft.operators.SimHashBanding.bands(col("sh"), scheme))
+          .as("b"))
       val a = banded.select(col("b").as("ab"), col("doc_id").as("a_id"),
         col("sh").as("a_sh"))
       val b = banded.select(col("b").as("bb"), col("doc_id").as("b_id"),
