@@ -18,22 +18,29 @@ import org.apache.spark.sql.functions._
   * original banding.
   *
   * Why adapt: a 16-bit key space saturates — at 500 000 docs each band
-  * bucket holds ~8 docs and candidate volume turns superlinear (the
-  * measured 45× residual at the ×100 tier, BASELINE.md). Moving to
-  * b = 6 widens every key to ~32 bits (2³² buckets — empty until
-  * billions of docs) at the cost of C(6,3) = 20 key tables instead of
-  * 4: a 5× bigger explode buys a ~65 000× larger key space. b = 8
-  * (56 keys × 40 bits) covers the regime beyond that. The scheme is
-  * chosen from the corpus row count — the same stats-driven planning
-  * as the broadcast-vs-SMJ dimension demotion — and changes only WHICH
-  * equi-join keys are emitted, never the pair predicate, so the query
-  * result (all Hamming ≤ 3 pairs) is identical under every scheme and
-  * the DuckDB oracle needs no scheme knowledge at all.
+  * bucket holds ~8 docs and false-candidate volume turns superlinear
+  * (4·n²/2¹⁶ rows through the Hamming filter). More blocks widen every
+  * key (b = 5 → C(5,2) = 10 keys × 26 bits; b = 6 → 20 keys × ≥32
+  * bits; b = 8 → 56 keys × 40 bits) at the cost of a bigger explode:
+  * the trade is linear explode rows against quadratic candidate rows.
+  * The scheme is chosen from the corpus row count — the same
+  * stats-driven planning as the broadcast-vs-SMJ dimension demotion —
+  * and changes only WHICH equi-join keys are emitted, never the pair
+  * predicate, so the query result (all Hamming ≤ 3 pairs) is identical
+  * under every scheme and the DuckDB oracle needs no scheme knowledge
+  * at all.
   *
-  * Derivation for the thresholds: expected bucket occupancy n / 2^bits
-  * crosses 1 at n = 65 536 for 16-bit keys; we allow 2× that before
-  * stepping up (band joins tolerate small buckets), hence 131 072.
-  * 32-bit keys hold to ~2³¹ docs by the same slack.
+  * Thresholds are MEASURED, not guessed: a same-tier A/B at the ×100
+  * fresh-text tier (500 k docs) timed b=4 at 21.9 s, b=5 at 22.5 s,
+  * b=6 at 26.9 s — i.e. 500 k docs sits right at the 4→5 crossover
+  * (the shared signature computation dominates; the banding delta is
+  * the tail). Equating the b=4 false-candidate cost 4n²/2¹⁶ with the
+  * extra explode cost (10−4)·n at that tie point gives one exploded
+  * row ≈ 5 filtered candidate rows; extrapolating the same constant,
+  * b=5's candidates 10n²/2²⁵ overtake b=6's extra explode (20−10)·n
+  * near n ≈ 1.7 × 10⁸. Hence: b=4 to 2¹⁹ (just above the measured
+  * tie), b=5 to 2²⁷ (conservative vs the computed 1.7e8), b=6 to 2³¹,
+  * b=8 beyond.
   */
 object SimHashBanding {
 
@@ -49,9 +56,10 @@ object SimHashBanding {
     def keyBits: Int = combos.head.map(widths).sum
   }
 
-  /** Scheme choice by corpus size (see thresholds above). */
+  /** Scheme choice by corpus size (measured thresholds — see above). */
   def choose(nDocs: Long, k: Int = 3): Scheme =
-    if (nDocs <= (1L << 17)) Scheme(4, k)
+    if (nDocs <= (1L << 19)) Scheme(4, k)
+    else if (nDocs <= (1L << 27)) Scheme(5, k)
     else if (nDocs <= (1L << 31)) Scheme(6, k)
     else Scheme(8, k)
 

@@ -649,14 +649,16 @@ object DedupQueries {
         TextOps.simhash(TextOps.tokens(col("text"))).as("sh"))
         .repartition(col("doc_id"))
       // banding adapts to corpus size (graft.operators.SimHashBanding —
-      // Manku et al.'s block-combination scheme): ≤131k docs keeps the
-      // 4×16-bit bands; beyond that each key widens to ~32 bits across
-      // C(6,3)=20 combinations so buckets never saturate (the measured
-      // superlinear candidate cliff at 500k docs). Recall stays 1 by
-      // pigeonhole under EVERY scheme and the pair predicate is
-      // unchanged, so the result — and the oracle — are scheme-
-      // independent; the one-row count that picks the scheme is the
-      // same stats-driven planning as the dimension join demotion.
+      // Manku et al.'s block-combination scheme): ≤2^19 docs keeps the
+      // 4×16-bit bands; the ladder then steps 5→6→8 blocks, widening
+      // every key (26/32/40 bits) so buckets never saturate. Threshold
+      // derivation lives with the scheme — a same-tier A/B at 500k
+      // docs (b=4 21.9 s / b=5 22.5 s / b=6 26.9 s) pinned the 4→5
+      // crossover and the explode-vs-candidate cost constant. Recall
+      // stays 1 by pigeonhole under EVERY scheme and the pair
+      // predicate is unchanged, so the result — and the oracle — are
+      // scheme-independent; the one-row count that picks the scheme is
+      // the same stats-driven planning as the dimension join demotion.
       val scheme =
         graft.operators.SimHashBanding.choose(Tables.documents(s, d).count())
       val banded = docs.select(col("doc_id"), col("sh"),

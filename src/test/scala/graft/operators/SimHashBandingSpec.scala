@@ -12,22 +12,25 @@ class SimHashBandingSpec extends SparkSpec {
 
   test("choose: scheme steps up with corpus size, k fixed at 3") {
     assert(choose(5000).blocks == 4)
-    assert(choose(1L << 17).blocks == 4)
-    assert(choose((1L << 17) + 1).blocks == 6)
-    assert(choose(500000).blocks == 6)
+    assert(choose(1L << 19).blocks == 4)
+    assert(choose((1L << 19) + 1).blocks == 5)
+    assert(choose(1000000).blocks == 5)
+    assert(choose(1L << 27).blocks == 5)
+    assert(choose((1L << 27) + 1).blocks == 6)
     assert(choose(1L << 31).blocks == 6)
     assert(choose((1L << 31) + 1).blocks == 8)
     Seq(4L, 500000L, 1L << 40).foreach(n => assert(choose(n).k == 3))
   }
 
   test("scheme geometry: blocks tile 64 bits; key bits grow with blocks") {
-    Seq(Scheme(4, 3), Scheme(6, 3), Scheme(8, 3)).foreach { s =>
+    Seq(Scheme(4, 3), Scheme(5, 3), Scheme(6, 3), Scheme(8, 3)).foreach { s =>
       assert(s.widths.sum == 64)
       assert(s.offsets.head == 0)
       assert(s.combos.size ==
         (0 until s.blocks).combinations(s.blocks - 3).size)
     }
     assert(Scheme(4, 3).keyBits == 16)
+    assert(Scheme(5, 3).keyBits == 26)
     assert(Scheme(6, 3).keyBits >= 32)
     assert(Scheme(8, 3).keyBits == 40)
   }
@@ -54,7 +57,7 @@ class SimHashBandingSpec extends SparkSpec {
     import spark2.implicits._
     val sigs = Seq(0L, -1L, 0x8000000000000000L, 0xDEADBEEFCAFEBABEL,
       123456789L)
-    Seq(Scheme(4, 3), Scheme(6, 3), Scheme(8, 3)).foreach { s =>
+    Seq(Scheme(4, 3), Scheme(5, 3), Scheme(6, 3), Scheme(8, 3)).foreach { s =>
       val rows = sigs.toDF("sh")
         .select(col("sh"), bands(col("sh"), s).as("b"))
         .select(col("sh"), explode(col("b")).as("e"))
@@ -73,7 +76,7 @@ class SimHashBandingSpec extends SparkSpec {
   test("pigeonhole recall: every hamming<=3 pair collides on some band, " +
     "under every scheme") {
     val rnd = new scala.util.Random(7)
-    Seq(Scheme(4, 3), Scheme(6, 3), Scheme(8, 3)).foreach { s =>
+    Seq(Scheme(4, 3), Scheme(5, 3), Scheme(6, 3), Scheme(8, 3)).foreach { s =>
       (1 to 200).foreach { _ =>
         val a = rnd.nextLong()
         val flips = rnd.nextInt(4) // 0..3 bit flips
@@ -116,10 +119,11 @@ class SimHashBandingSpec extends SparkSpec {
         .toSet
     }
     val p4 = pairs(Scheme(4, 3))
+    val p5 = pairs(Scheme(5, 3))
     val p6 = pairs(Scheme(6, 3))
     val p8 = pairs(Scheme(8, 3))
     assert(p4.nonEmpty, "fixture planted no near pairs")
-    assert(p4 == p6 && p6 == p8)
+    assert(p4 == p5 && p5 == p6 && p6 == p8)
     // and the planted pairs are all found
     (0 until 60).foreach { i =>
       assert(p4.contains((2L * i, 2L * i + 1)))
