@@ -15,9 +15,24 @@ import org.apache.spark.sql.functions._
   * {{{
   *   table/
   *     data/c{N}/{partCol}={v}/part-*.parquet   immutable commit dirs
-  *     _manifests/v{N}/                          parquet: file list+stats
+  *     _manifests/v{N}/                          checkpoint: complete
+  *                                               file list+stats parquet
+  *       — or, for delta versions —
+  *     _manifests/v{N}/part-*.parquet            ONLY this commit's adds
+  *     _manifests/v{N}/_delta_meta               partition tombstones
   *     _CURRENT                                  "vN", temp+rename publish
   * }}}
+  *
+  * Manifests form a METADATA LOG (the Delta-Lake checkpoint/log shape):
+  * most commits write only their own entries plus partition tombstones
+  * (O(commit) metadata), and every [[CheckpointEvery]]-th commit
+  * materializes the complete set plan-side into a fresh checkpoint, so
+  * chains stay bounded and total metadata is proportional to data
+  * written, not versions × files. [[manifestDF]] resolves a version by
+  * walking to the nearest checkpoint and composing checkpoint + deltas
+  * lazily — every downstream consumer (pruning, diffs, history,
+  * streams) sees the same (path, partition, rows, stats) relation as
+  * before.
   *
   * The contract that makes readers safe during rewrites:
   *
@@ -104,6 +119,109 @@ object Snapshots {
 
   private def manifestDir(table: String, v: Int) = s"$table/_manifests/v$v"
 
+  // ---- delta manifests + checkpoints (metadata log) -------------------
+  //
+  // A version's manifest dir is either a CHECKPOINT (parquet holding the
+  // complete file set — the original layout, so pre-existing tables read
+  // unchanged) or a DELTA: parquet holding only the commit's own fresh
+  // entries plus a `_delta_meta` file naming the partitions the commit
+  // replaced (tombstones). Resolution walks back to the nearest
+  // checkpoint and unions checkpoint + deltas, dropping rows whose
+  // partition was replaced by a LATER delta — the Delta-Lake
+  // checkpoint/log shape (public docs), with partition-level tombstones
+  // because replacement here is always whole-partition. Every
+  // [[CheckpointEvery]]-th commit materializes a fresh checkpoint, so a
+  // chain is bounded and per-commit metadata cost is O(commit) amortized
+  // instead of O(table files): at 100 TB with years of commits, the
+  // metadata under `_manifests/` stays proportional to data written, not
+  // versions × files.
+
+  private val CheckpointEvery = 8
+
+  /** Tombstones + whether the version wrote any add segment. Underscore
+    * name keeps the file invisible to the parquet reader sharing the
+    * dir. */
+  private[io] case class DeltaMeta(removes: Seq[String], hasAdds: Boolean)
+
+  private def deltaMetaPath(table: String, v: Int) =
+    new Path(manifestDir(table, v), "_delta_meta")
+
+  private[io] def readDeltaMeta(spark: SparkSession, table: String, v: Int)
+      : Option[DeltaMeta] = {
+    val f = fs(spark, table)
+    val p = deltaMetaPath(table, v)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](4096)
+          var r = in.read(chunk)
+          while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+          new String(buf.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
+      val kv = txt.split('\n').filter(_.contains('='))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+        .toMap
+      val removes = kv.getOrElse("removes", "") match {
+        case "" => Nil
+        case s => s.split(',').toSeq
+          .map(java.net.URLDecoder.decode(_, "UTF-8"))
+      }
+      Some(DeltaMeta(removes, kv.get("adds").contains("true")))
+    }
+  }
+
+  /** Write one delta version: the commit's own entries (tiny) plus the
+    * tombstone meta — never the carried file set. */
+  private[io] def writeDelta(spark: SparkSession, table: String, v: Int,
+      adds: Seq[FileEntry], removes: Seq[String]): Unit = {
+    import spark.implicits._
+    val f = fs(spark, table)
+    if (adds.nonEmpty)
+      adds.toDS().toDF().coalesce(1).write.mode("overwrite")
+        .parquet(manifestDir(table, v))
+    else f.mkdirs(new Path(manifestDir(table, v)))
+    val out = f.create(deltaMetaPath(table, v), true)
+    try out.write(
+      (s"removes=${removes.map(java.net.URLEncoder.encode(_, "UTF-8"))
+        .mkString(",")}\n" +
+        s"adds=${adds.nonEmpty}\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Nearest checkpoint at or below `v` — the resolution base. Derived
+    * by walking (never stored), so re-checkpointing a version in place
+    * (vacuum's retention-floor compaction) transparently re-bases every
+    * later delta. Chain length is bounded by [[CheckpointEvery]]. */
+  private def baseOf(spark: SparkSession, table: String, v: Int): Int = {
+    var w = v
+    while (w >= 1 && readDeltaMeta(spark, table, w).isDefined) w -= 1
+    require(w >= 1 &&
+      fs(spark, table).exists(new Path(manifestDir(table, w))),
+      s"Snapshots: no checkpoint at or below v$v of $table " +
+        "(base manifest vacuumed)")
+    w
+  }
+
+  /** Route one commit's manifest: checkpoint (complete set, plan-side
+    * carry) when the chain would exceed [[CheckpointEvery]], else a
+    * delta of just the commit's own entries + tombstones. */
+  private def commitManifest(spark: SparkSession, table: String, v: Int,
+      prev: Int, adds: Seq[FileEntry], removes: Seq[String]): Unit = {
+    import spark.implicits._
+    if (prev == 0) writeManifest(spark, table, v, adds)
+    else if (v - baseOf(spark, table, prev) >= CheckpointEvery) {
+      val carried =
+        if (removes.isEmpty) manifestDF(spark, table, prev)
+        else manifestDF(spark, table, prev)
+          .where(!col("partition").isin(removes: _*))
+      writeManifestDF(spark, carried.unionByName(adds.toDS().toDF()),
+        table, v)
+    } else writeDelta(spark, table, v, adds, removes)
+  }
+
   /** Another writer holds the next version slot; re-read the current
     * version and retry AFTER it publishes (retrying before would base
     * the new manifest on a stale file set — the lost-update anomaly the
@@ -152,7 +270,43 @@ object Snapshots {
     val dir = manifestDir(table, v)
     require(fs(spark, table).exists(new Path(dir)),
       s"Snapshots: manifest v$v has been vacuumed from $table")
-    spark.read.parquet(dir)
+    readDeltaMeta(spark, table, v) match {
+      case None => spark.read.parquet(dir) // checkpoint: the complete set
+      case Some(_) =>
+        // delta chain: nearest checkpoint + each delta's adds, tagged
+        // with their origin version; a row survives unless its
+        // partition carries a tombstone from a LATER version (an
+        // overwrite's own adds survive their own tombstone). All of it
+        // composes lazily — downstream pruning/diff/aggregation still
+        // runs over one plan.
+        val b = baseOf(spark, table, v)
+        val metas = ((b + 1) to v).map { w =>
+          w -> readDeltaMeta(spark, table, w).getOrElse(
+            throw new IllegalStateException(
+              s"Snapshots: v$w of $table is a checkpoint inside " +
+                s"v$v's delta chain (corrupt walk)"))
+        }
+        val segs =
+          spark.read.parquet(manifestDir(table, b))
+            .withColumn("_origin", lit(b)) +:
+            metas.collect { case (w, m) if m.hasAdds =>
+              spark.read.parquet(manifestDir(table, w))
+                .withColumn("_origin", lit(w))
+            }
+        val all = segs.reduce(_.unionByName(_))
+        val lastRemove = metas
+          .flatMap { case (w, m) => m.removes.map(_ -> w) }
+          .groupBy(_._1).map { case (p, ws) => (p, ws.map(_._2).max) }
+          .toSeq
+        if (lastRemove.isEmpty) all.drop("_origin")
+        else {
+          import spark.implicits._
+          val rm = broadcast(lastRemove.toDF("partition", "_rmv"))
+          all.join(rm, Seq("partition"), "left")
+            .where(col("_rmv").isNull || col("_origin") >= col("_rmv"))
+            .drop("_origin", "_rmv")
+        }
+    }
   }
 
   /** Full manifest materialized to the driver — the debug/API surface
@@ -295,13 +449,10 @@ object Snapshots {
     val fresh = fileStats(spark, table, dir, statsCols).map {
       case (rel, n, st) => FileEntry(rel, value, n, st)
     }
-    // carried partitions flow manifest→manifest inside the plan; only
-    // the commit's own (bounded) fresh entries touch the driver
-    import spark.implicits._
-    val carried = manifestDF(spark, table, prev)
-      .where(col("partition") =!= lit(value))
-    writeManifestDF(spark, carried.unionByName(fresh.toDS().toDF()),
-      table, v)
+    // metadata-log commit: normally just the fresh entries + one
+    // partition tombstone (O(commit)); every CheckpointEvery-th version
+    // materializes the carried set plan-side into a fresh checkpoint
+    commitManifest(spark, table, v, prev, fresh, Seq(value))
     publish(spark, table, v)
     v
   }
@@ -326,11 +477,7 @@ object Snapshots {
     val fresh =
       if (parts.isEmpty) Nil
       else writeCommitData(df, table, v, partCol, statsCols)
-    import spark.implicits._
-    if (prev == 0) writeManifest(spark, table, v, fresh)
-    else writeManifestDF(spark,
-      manifestDF(spark, table, prev).unionByName(fresh.toDS().toDF()),
-      table, v)
+    commitManifest(spark, table, v, prev, fresh, Nil)
     tag.foreach { t =>
       val f = fs(spark, table)
       f.create(new Path(manifestDir(table, v), s"_applied_$t"), true).close()
@@ -595,6 +742,28 @@ object Snapshots {
     val cur = currentVersion(spark, table)
     require(retainFrom <= cur,
       s"Snapshots.vacuum: retainFrom=$retainFrom > current=$cur")
+    // retention-floor compaction: if the floor version is a delta, its
+    // chain resolves through manifests we are about to delete —
+    // materialize it as a checkpoint IN PLACE first (later deltas
+    // re-base onto it automatically, because the base is found by
+    // walking, never stored). `_applied_*` markers and the dir mtime
+    // (versionAsOfTime's clock) are preserved across the rewrite.
+    if (retainFrom >= 1 && f.exists(new Path(manifestDir(table, retainFrom)))
+        && readDeltaMeta(spark, table, retainFrom).isDefined) {
+      val dir = new Path(manifestDir(table, retainFrom))
+      val mtime = f.getFileStatus(dir).getModificationTime
+      val markers = f.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith("_applied_")).toSeq
+      // resolve into a staging dir (overwriting the dir the plan reads
+      // from would race the scan), then swap
+      val tmp = new Path(s"${manifestDir(table, retainFrom)}.ckpt.tmp")
+      manifestDF(spark, table, retainFrom).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      f.delete(dir, true)
+      f.rename(tmp, dir)
+      markers.foreach(m => f.create(new Path(dir, m), true).close())
+      f.setTimes(dir, mtime, -1)
+    }
     // paths only (no stats maps) — the live set is the one driver
     // materialization a delete-compare walk genuinely needs
     val live = (retainFrom to cur).flatMap { v =>

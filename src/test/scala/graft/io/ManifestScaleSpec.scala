@@ -96,4 +96,107 @@ class ManifestScaleSpec extends SparkSpec {
         numeric = false)).map(_.path).toSet
     assert(gotDay == wantDay && gotDay.nonEmpty)
   }
+
+  // ---- metadata log: delta manifests + checkpoints --------------------
+
+  private def manifestVersionDir(t: String, v: Int) =
+    java.nio.file.Paths.get(t, "_manifests", s"v$v")
+
+  private def segmentRows(t: String, v: Int): Long =
+    spark.read.parquet(s"$t/_manifests/v$v").count()
+
+  test("delta chain over a 100k-file checkpoint: per-commit metadata is " +
+      "O(commit); tombstones drop a partition without rewriting it") {
+    val n = 100000
+    val t = mkTable(n) // v1 = 100k-file checkpoint, partition "x"
+    import spark.implicits._
+    // v2: delta appending 3 files of partition "y" — its manifest
+    // segment holds exactly those 3 entries, not 100k + 3
+    val adds = (0 until 3).map { i =>
+      FileEntry(s"data/c2/p=y/g$i.parquet", "y", 5L,
+        Map("cents" -> StatRange("long",
+          (i * 10L).toString, (i * 10L + 9).toString)))
+    }
+    Snapshots.writeDelta(spark, t, 2, adds, Nil)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t, "_CURRENT"), "v2")
+    assert(segmentRows(t, 2) == 3,
+      "a delta segment must hold only the commit's own entries")
+    assert(Snapshots.readManifest(spark, t, 2).size == n + 3)
+    // v3: pure tombstone (no adds) replacing partition "x" — resolution
+    // drops all 100k carried files by metadata alone
+    Snapshots.writeDelta(spark, t, 3, Nil, Seq("x"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t, "_CURRENT"), "v3")
+    val m3 = Snapshots.readManifest(spark, t, 3)
+    assert(m3.map(_.path).toSet == adds.map(_.path).toSet,
+      s"tombstone must drop partition x, got ${m3.size} entries")
+    // pinned versions still resolve their own file sets
+    assert(Snapshots.readManifest(spark, t, 2).size == n + 3)
+    assert(Snapshots.readManifest(spark, t, 1).size == n)
+    // pruning over the chained manifest stays driver-bounded
+    val hit = Snapshots.prunedFiles(spark, t, 2, "cents", "500000",
+      "500250")
+    assert(hit.size == 3 + n / 1000, s"got ${hit.size}")
+  }
+
+  test("real multi-commit history: checkpoints appear every 8th version, " +
+      "every version resolves exactly, vacuum re-checkpoints the floor") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("mlog")
+    def frame(p: String, vs: Seq[Int]) =
+      vs.map(v => (p, v)).toDF("p", "v")
+    // v1 full, then a mix of appends and overwrites through v12
+    Snapshots.commitFull(frame("a", Seq(1, 2)), t, "p",
+      statsCols = Seq("v"))
+    val expect = scala.collection.mutable.Map[Int, Map[String, Set[Int]]]()
+    var state = Map("a" -> Set(1, 2))
+    expect(1) = state
+    (2 to 12).foreach { v =>
+      if (v % 3 == 0) {
+        // overwrite partition "a" with a fresh value set
+        Snapshots.commitOverwritePartition(frame("a", Seq(v, v + 100)),
+          t, "p", "a", statsCols = Seq("v"))
+        state = state.updated("a", Set(v, v + 100))
+      } else {
+        Snapshots.commitAppend(frame(s"p$v", Seq(v)), t, "p",
+          statsCols = Seq("v"))
+        state = state.updated(s"p$v", Set(v))
+      }
+      expect(v) = state
+    }
+    // chain shape: v1 checkpoint, v2..v8 deltas, v9 checkpoint (first
+    // commit where the chain would reach length 8), v10.. deltas
+    assert(Snapshots.readDeltaMeta(spark, t, 1).isEmpty)
+    (2 to 8).foreach(v =>
+      assert(Snapshots.readDeltaMeta(spark, t, v).isDefined, s"v$v"))
+    assert(Snapshots.readDeltaMeta(spark, t, 9).isEmpty,
+      "v9 must be a checkpoint")
+    (10 to 12).foreach(v =>
+      assert(Snapshots.readDeltaMeta(spark, t, v).isDefined, s"v$v"))
+    // every version resolves to exactly the accumulated reference state
+    def asMap(v: Int): Map[String, Set[Int]] =
+      Snapshots.readAsOf(spark, t, v).collect()
+        .groupBy(_.getString(0))
+        .map { case (p, rs) => p -> rs.map(_.getInt(1)).toSet }
+    (1 to 12).foreach(v => assert(asMap(v) == expect(v), s"version $v"))
+    // stats-range reads work through the chain (manifest stats carry)
+    val hot = Snapshots.readRange(spark, t, "v", "100", "300")
+      .select("v").as[Int].collect().toSet
+    assert(hot == expect(12).values.flatten.filter(x =>
+      x >= 100 && x <= 300).toSet)
+    // vacuum to a mid-chain floor: v10 is a delta whose chain passes
+    // through v9/v1 — vacuum must first materialize v10 as a
+    // self-contained checkpoint, then drop older metadata
+    Snapshots.vacuum(spark, t, 10)
+    assert(Snapshots.readDeltaMeta(spark, t, 10).isEmpty,
+      "the retention floor must become a checkpoint")
+    assert(!java.nio.file.Files.exists(manifestVersionDir(t, 9)))
+    (10 to 12).foreach(v => assert(asMap(v) == expect(v),
+      s"version $v after vacuum"))
+    intercept[IllegalArgumentException] {
+      Snapshots.readAsOf(spark, t, 9)
+    }
+  }
 }
