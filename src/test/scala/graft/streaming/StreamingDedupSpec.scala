@@ -55,4 +55,70 @@ class StreamingDedupSpec extends SparkSpec {
     assert(cols.contains("sh") && cols.contains("bands"),
       "signatures must be stored, not recomputed per batch")
   }
+
+  test("stream-maintained index equals the sequential batch rebuild " +
+      "(greedy keep-first), and batched ingestion only tightens it") {
+    val s = spark
+    import s.implicits._
+    // fixture with near-dup chains: B≈A and C≈B but C̸≈A, so greedy
+    // order genuinely matters (B rejected against A; C then judged
+    // against the ADMITTED corpus only — a clustering shortcut would
+    // get C wrong)
+    def mk(base: String, n: Int, extra: String = "") =
+      (1 to n).map(i => s"$base$i").mkString(" ") +
+        (if (extra.isEmpty) "" else s" $extra")
+    val corpus = Seq(
+      1L -> mk("a", 30),
+      2L -> mk("a", 30, "t1 t2 t3 t4 t5 t6"), // ≈ doc1 (jac ~ .83)
+      3L -> mk("a", 30,
+        "t1 t2 t3 t4 t5 t6 u1 u2 u3 u4 u5 u6 u7 u8"), // chain: nearer doc2 than doc1
+      4L -> mk("b", 30),
+      5L -> mk("c", 30),
+      6L -> mk("b", 30, "x1 x2"), // ≈ doc4
+      7L -> mk("d", 30),
+      8L -> mk("c", 28)) // ≈ doc5
+    val thr = 0.5
+
+    // reference: SEQUENTIAL greedy rebuild — admit a doc iff it
+    // near-dups nothing already admitted; exact jaccard from the same
+    // kernel the stream uses, computed once on an all-pairs frame
+    val docsDf = corpus.toDF("doc_id", "text")
+      .withColumn("sh", graft.functions.TextOps.sortedShingleSet(
+        graft.functions.TextOps.tokens(org.apache.spark.sql.functions
+          .col("text")), 3))
+    val l = docsDf.select(col("doc_id").as("a"), col("sh").as("a_sh"))
+    val r = docsDf.select(col("doc_id").as("b"), col("sh").as("b_sh"))
+    val near = l.crossJoin(r).where(col("a") < col("b"))
+      .where(graft.functions.TextKernels
+        .sorted_jaccard(col("a_sh"), col("b_sh")) >= thr)
+      .select("a", "b").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    val admittedRef = corpus.map(_._1).foldLeft(Vector.empty[Long]) {
+      (acc, id) =>
+        if (acc.exists(p => near.contains((p min id, p max id)))) acc
+        else acc :+ id
+    }.toSet
+
+    // stream one doc per micro-batch: must equal the greedy rebuild
+    val t1 = tmpDir("sdedup-eq")
+    corpus.zipWithIndex.foreach { case ((id, text), i) =>
+      StreamingDedup.applyBatch(docs(id -> text), i.toLong, t1, "day")
+    }
+    assert(corpusIds(t1) == admittedRef,
+      s"stream ${corpusIds(t1)} vs greedy rebuild $admittedRef")
+
+    // batched ingestion (3 per batch): within-batch rejection also
+    // fires against lower-id docs that were themselves rejected, so
+    // the admitted set can only shrink — never admit a near-dup pair,
+    // never exceed the greedy set
+    val t2 = tmpDir("sdedup-b3")
+    corpus.grouped(3).zipWithIndex.foreach { case (g, i) =>
+      StreamingDedup.applyBatch(docs(g: _*), i.toLong, t2, "day")
+    }
+    val got = corpusIds(t2)
+    assert(got.subsetOf(admittedRef))
+    for (a <- got; b <- got if a < b)
+      assert(!near.contains((a, b)),
+        s"batched corpus admitted near-dup pair ($a,$b)")
+  }
 }
