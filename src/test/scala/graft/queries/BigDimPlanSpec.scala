@@ -30,10 +30,21 @@ class BigDimPlanSpec extends SparkSpec {
     "q9_product_profit" -> Seq("s_suppkey#", "p_partkey#"),
     // round-7 eleventh-pass addition: part joins with no hint, so the
     // elasticity fit inherits the same stats-driven flip
-    "q_discount_elasticity" -> Seq("p_partkey#"))
+    "q_discount_elasticity" -> Seq("p_partkey#"),
+    // round-8: the linkage/CF family joins dims and dim-derived
+    // relations too (record linkage blocks customer on (s, seg);
+    // CF self-joins the order-part relation) — the big-dim tier
+    // measured exactly these flips (BASELINE.md: bhj 2→0 and 3→0), so
+    // pin them the same stats-driven way. q_triangle_copurchase's flip
+    // (bhj 26→8 on the same tier) is evidenced by the recorded bench
+    // only: its persisted edge relation freezes inner subtrees at
+    // first-plan time, so the threshold-toggle trick this spec uses
+    // cannot observe the replan.
+    "q_record_linkage" -> Seq("seg#"),
+    "q_item_cf" -> Seq("l_partkey#", "pa#", "pb#"))
 
   private def q(name: String) =
-    (StarQueries.all ++ TpchQueries.all).find(_.name == name)
+    graft.SparkEntry.inventory.find(_.name == name)
       .getOrElse(fail(s"no query named $name"))
 
   private def planLines(name: String): Seq[String] =
