@@ -676,17 +676,18 @@ object DedupQueries {
       // O(matches), not O(candidates); distinct-then-filter and
       // filter-then-distinct are equivalent because hamming is a pure
       // function of the pair.
-      // shuffle-hash, not sort-merge: under the adaptive banding the
-      // per-key buckets are tiny (32-bit keys beyond 131k docs), so
-      // neither side needs to be ordered — hashing skips both
-      // O(n·bands) sorts. Locally the win is small (27.8 → 26.9 s at
-      // the ×100 fresh tier; the wall is dominated by the explode +
-      // hamming CPU), but at cluster scale the sorts are the spill
-      // surface this removes. Residual skew from a hot band key is
-      // bounded by the same band-occupancy argument as the MinHash
-      // caps.
-      a.join(b.hint("shuffle_hash"),
-          col("ab") === col("bb") && col("a_id") < col("b_id"))
+      // physical strategy rides the SAME corpus-size signal as the
+      // banding scheme: small corpora (b=4) leave the join unhinted so
+      // stats broadcast the banded side for free; past 2^19 docs the
+      // widened keys make per-band buckets tiny and neither side
+      // benefits from ordering, so shuffle_hash skips both O(n·bands)
+      // sorts. Locally the win is small (27.8 → 26.9 s vs SMJ at the
+      // ×100 fresh tier; the wall is explode + hamming CPU), but at
+      // cluster scale the sorts are the spill surface this removes.
+      // Residual skew from a hot band key is bounded by the same
+      // band-occupancy argument as the MinHash caps.
+      val bb = if (scheme.blocks > 4) b.hint("shuffle_hash") else b
+      a.join(bb, col("ab") === col("bb") && col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
           TextOps.hamming64(col("a_sh"), col("b_sh")).as("hamming"))
         .where(col("hamming") <= 3)
