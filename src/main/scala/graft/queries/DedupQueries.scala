@@ -338,6 +338,49 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // --- near-dup clusters + representative selection --------------------
+    // The composition a production MinHash dedup actually ships: verified
+    // near-dup PAIRS (the dedup_minhash_lsh relation) are only the edge
+    // list — the keep/drop decision needs connected COMPONENTS over
+    // them (near-duplication is not transitive, but its closure defines
+    // the dedup group: A≈B≈C drops two docs even when A̸≈C), then one
+    // representative per component (keep-first = min doc_id, the same
+    // rule the exact family and the streaming ingest use). Components
+    // via the RDD-free alternating-star min-agg loop
+    // (DedupClusters.fromPairsStars — O(log n) rounds of equi-joins, no
+    // GraphX hot-vertex straggler); the oracle replays the closure with
+    // a recursive label-propagation CTE over the identical exact-jaccard
+    // pair set. Scale: the pair relation is the LSH bucket join's
+    // output (bounded by band occupancy caps); components run on pairs,
+    // never documents.
+    Q(
+      "dedup_near_clusters",
+      s"""WITH RECURSIVE $exactPairCtes,
+         |e0 AS (SELECT a_id AS u, b_id AS v FROM p WHERE jac >= 0.5),
+         |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+         |cc AS (SELECT u AS node, u AS comp FROM e
+         |       UNION
+         |       SELECT e.v, cc.comp FROM cc JOIN e ON e.u = cc.node),
+         |lab AS (SELECT node, MIN(comp) AS cluster_id FROM cc
+         |        GROUP BY node)
+         |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(MIN(node) AS BIGINT) AS keep_id,
+         |  CAST(COUNT(*) - 1 AS BIGINT) AS dropped
+         |FROM lab GROUP BY cluster_id
+         |ORDER BY cluster_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val edges = verifiedNearDupPairs(s, d)
+        .where(col("jac") >= 0.5)
+        .select(col("a_id"), col("b_id"))
+      graft.operators.DedupClusters.fromPairsStars(s, edges, "a_id", "b_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("doc_id")).as("keep_id"),
+          (count(lit(1)) - 1).as("dropped"))
+        .orderBy(col("cluster_id"))
+    },
+
     // --- prefix-filtered EXACT set-similarity join (AllPairs/PPJoin) ----
     // The exact-at-scale third leg of the near-dup family: same jac ≥ 0.5
     // pair set as dedup_minhash_lsh, but with NO probabilistic recall —

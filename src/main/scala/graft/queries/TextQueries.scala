@@ -1027,6 +1027,86 @@ object TextQueries {
         .limit(20)
     },
 
+    // --- BM25 index maintained INCREMENTALLY (append-only freshness) -----
+    // The text twin of emb_ivf_append: a live corpus cannot rebuild its
+    // posting table per batch, so new documents land as an O(delta)
+    // commitAppend of THEIR postings only (each delta file carries its
+    // own term min/max in the manifest, so term-pruned serving reads
+    // base and delta generations alike), and the corpus stats roll
+    // forward mergeably — (n_docs, sum_dl) are sums, so the update is
+    // one broadcast of the delta aggregate onto the 1-row stats table,
+    // never a corpus re-scan. Serving is identical to text_bm25_persist
+    // (df exact from the postings actually read; avgdl = sum_dl div
+    // n_docs reproduces the full-rebuild integer exactly because both
+    // terms are exact sums). The oracle is the full-corpus BM25 — value
+    // equality IS the proof that base + append serves bit-identically
+    // to a from-scratch rebuild.
+    Q(
+      "text_bm25_append",
+      Bm25Oracle.replace(
+        "FROM s, g\nORDER BY",
+        "FROM s, g\nWHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0 OR tf3 > 0\nORDER BY")
+    ) { (s, d) =>
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"${sys.props("java.io.tmpdir")}/graft_bm25_inc/$tag"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = Tables.documents(s, d)
+      def postingsOf(df: org.apache.spark.sql.DataFrame) = {
+        val toksCol = TextOps.tokens(col("text"))
+        df.select(col("doc_id"), size(toksCol).as("dl"),
+            explode(toksCol).as("term"))
+          .groupBy(col("term"), col("doc_id"), col("dl"))
+          .agg(count(lit(1)).as("tf"))
+          .repartitionByRange(8, col("term"))
+          .withColumn("pfx", substring(col("term"), 1, 1))
+      }
+      def statsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(size(TextOps.tokens(col("text"))).as("dl"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            expr("CAST(sum(dl) AS BIGINT)").as("sum_dl"))
+      // day 0: base build (every doc_id % 5 != 0)
+      val base = docs.where(col("doc_id") % 5 =!= 0)
+      graft.io.Snapshots.commitFull(postingsOf(base), s"$root/postings",
+        "pfx", statsCols = Seq("term"))
+      graft.io.Snapshots.commitFull(statsOf(base).withColumn("g", lit(1)),
+        s"$root/stats", "g")
+      // day 1: the delta arrives — O(delta) posting append + O(1)
+      // mergeable stats roll (a new 1-row stats version)
+      val delta = docs.where(col("doc_id") % 5 === 0)
+      graft.io.Snapshots.commitAppend(postingsOf(delta), s"$root/postings",
+        "pfx", statsCols = Seq("term"))
+      val rolled = graft.io.Snapshots.read(s, s"$root/stats")
+        .crossJoin(broadcast(statsOf(delta)
+          .select(col("n_docs").as("dn"), col("sum_dl").as("dsum"))))
+        .select((col("n_docs") + col("dn")).as("n_docs"),
+          (col("sum_dl") + col("dsum")).as("sum_dl"), col("g"))
+      graft.io.Snapshots.commitFull(rolled, s"$root/stats", "g")
+      // SERVE: term-pruned read across base + delta posting files
+      val qp = Bm25Terms.map(t =>
+          graft.io.Snapshots.readRange(s, s"$root/postings", "term", t, t))
+        .reduce(_.unionByName(_))
+      val dfs = qp.groupBy(col("term"))
+        .agg(count(lit(1)).cast("long").as("df"))
+      val stats = graft.io.Snapshots.read(s, s"$root/stats")
+        .select(col("n_docs"),
+          expr("sum_dl div n_docs").as("avgdl"))
+      def flog2(c: Column) = length(bin(c))
+      val contrib =
+        (flog2(col("n_docs")) - flog2(col("df"))).cast("long") *
+          expr("(20 * tf * avgdl * 1000000) div " +
+            "(8 * tf * avgdl + 3 * avgdl + 9 * dl)")
+      qp.join(broadcast(dfs), "term")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("dl"), contrib.as("c"))
+        .groupBy(col("doc_id"), col("dl"))
+        .agg(sum(col("c")).as("score"))
+        .select(col("doc_id"), col("dl").cast("long").as("dl"),
+          col("score").cast("long").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // --- URL canonicalization + canonical-URL dedup ----------------------
     // The first dedup key of a web-corpus pipeline (UrlOps scaladoc). The
     // test tables carry no URL column, so the query SYNTHESIZES a messy
