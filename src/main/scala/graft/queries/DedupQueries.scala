@@ -381,6 +381,69 @@ object DedupQueries {
         .orderBy(col("cluster_id"))
     },
 
+    // --- cross-source corpus overlap audit -------------------------------
+    // The corpus-LEVEL dedup question the doc-level family doesn't answer:
+    // how much does source A's content overlap source B's? (CommonCrawl
+    // snapshots overlap ~50% month-over-month; a mix budget that counts
+    // both pays twice.) Exact shingle-set Jaccard and containment per
+    // source pair, computed from the per-source DISTINCT shingle relation:
+    // one shingle-keyed exchange, then a self-equi-join on the shingle
+    // whose fanout is bounded by #sources (each shingle contributes at
+    // most C(s,2) pairs, s = sources containing it) — never doc-pairs.
+    // At 100 TB per-source shingle sets are the mergeable unit: the same
+    // relation also serves incremental audits (new snapshot vs corpus).
+    // Integer ppm via cross-multiplication (the suppressed_ppm idiom).
+    Q(
+      "dedup_source_overlap",
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |sh AS (SELECT source,
+        |  unnest(list_distinct(CASE WHEN len(toks) < 3
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    END)) AS g
+        |  FROM t),
+        |ds AS (SELECT DISTINCT source, g FROM sh),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ds
+        |       GROUP BY source),
+        |ix AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM ds a JOIN ds b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+        |  CAST(n_common * 1000000 // (sa.n + sb.n - n_common) AS BIGINT)
+        |    AS jaccard_ppm,
+        |  CAST(n_common * 1000000 // LEAST(sa.n, sb.n) AS BIGINT)
+        |    AS containment_ppm
+        |FROM ix JOIN sz sa ON sa.source = src_a
+        |        JOIN sz sb ON sb.source = src_b
+        |ORDER BY src_a NULLS FIRST, src_b NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val ds = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextOps.sortedShingleSet(
+            TextOps.tokens(col("text")), 3)).as("g"))
+        .distinct()
+      val sz = ds.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      ds.as("a")
+        .join(ds.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sz.select(col("source").as("src_a"),
+          col("n").as("n_a"))), "src_a")
+        .join(broadcast(sz.select(col("source").as("src_b"),
+          col("n").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("n_common"),
+          expr("CAST(n_common * 1000000 div (n_a + n_b - n_common) " +
+            "AS BIGINT)").as("jaccard_ppm"),
+          expr("CAST(n_common * 1000000 div least(n_a, n_b) AS BIGINT)")
+            .as("containment_ppm"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
     // --- prefix-filtered EXACT set-similarity join (AllPairs/PPJoin) ----
     // The exact-at-scale third leg of the near-dup family: same jac ≥ 0.5
     // pair set as dedup_minhash_lsh, but with NO probabilistic recall —

@@ -1016,6 +1016,54 @@ object RefQueries {
         .orderBy(col("event_date"))
     },
 
+    // --- l-diversity audit over the same quasi-identifier cells ----------
+    // k-anonymity's known blind spot (Machanavajjhala et al. 2007): a
+    // cell can hold ≥ k rows that all belong to ONE user — group size
+    // passes, yet the quasi-identifiers still pinpoint the sensitive
+    // value. Same (date, type, hour) cells as ref_k_anonymity, sensitive
+    // attribute = user_id, l = 3: per day, how many cells carry fewer
+    // than 3 distinct users, and what row mass a release would have to
+    // suppress. One aggregate over the cell grain (count + distinct
+    // count ride the same exchange), then a day rollup — the k-anonymity
+    // scale shape unchanged.
+    Q(
+      "ref_l_diversity",
+      """WITH cells AS (SELECT CAST(ts AS DATE) AS event_date,
+        |    event_type, hour(ts) AS h, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY event_date, event_type, h)
+        |SELECT event_date,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS low_diversity_cells,
+        |  CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+        |    AS suppressed_rows,
+        |  CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) * 1000000
+        |    // SUM(n) AS BIGINT) AS suppressed_ppm
+        |FROM cells GROUP BY event_date
+        |ORDER BY event_date NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
+        .groupBy(col("ts").cast("date").as("event_date"),
+          col("event_type"), hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("l"))
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("l") < 3, 1).otherwise(0)).cast("long")
+            .as("low_diversity_cells"),
+          sum(when(col("l") < 3, col("n")).otherwise(0L)).cast("long")
+            .as("suppressed_rows"),
+          sum(col("n")).cast("long").as("day_rows"))
+        .select(col("event_date"), col("n_cells"),
+          col("low_diversity_cells"), col("suppressed_rows"),
+          expr("CAST(suppressed_rows * 1000000 div day_rows AS BIGINT)")
+            .as("suppressed_ppm"))
+        .orderBy(col("event_date"))
+    },
+
     // --- partition-key advisor over candidate layout columns -------------
     // THE physical-layout decision the reference's date-partitioned lake
     // already made (ingestion_date) — stated as a measurable query so

@@ -32,7 +32,118 @@ object RetrievalQueries {
   private val FuseK = 10 // fused results served per query
   private val RrfK = 60 // the canonical RRF dampening constant
 
+  /** Single-term eval queries for `retr_mrr` — the BM25 vocabulary from
+    * `text_bm25_topk` (three content terms + the idf-suppressed
+    * near-stopword, which exercises the all-scores-tie path). */
+  private val MrrTerms = Seq("spark", "merge", "window", "the")
+
+  /** Oracle for `retr_mrr`: the BM25 s/g CTE shape (one tf column per
+    * term, corpus stats in one row), per-term score legs with EXPLICIT
+    * idf × (num // den) grouping (DuckDB's `//` is left-associative at
+    * `*`'s precedence — unparenthesized it would regroup the integer
+    * division), the best relevant doc per term under (score DESC,
+    * doc_id), and its rank restated as 1 + count(strictly-ahead). */
+  private lazy val MrrOracle: String = {
+    val tfs = MrrTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
+    }.mkString(",\n        ")
+    val dfs = MrrTerms.indices.map { i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(",\n        ")
+    val legs = MrrTerms.zipWithIndex.map { case (t, i) =>
+      s"""SELECT '$t' AS term, doc_id,
+         |  CAST(CASE WHEN tf$i > 0 THEN
+         |    (length(bin(n_docs)) - length(bin(df$i)))
+         |    * ((20 * tf$i * avgdl * 1000000)
+         |       // (8 * tf$i * avgdl + 3 * avgdl + 9 * dl)) ELSE 0 END
+         |    AS BIGINT) AS score,
+         |  tf$i > 0 AS rel FROM s, g""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s AS (SELECT doc_id, len(toks) AS dl,
+       |        $tfs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents)),
+       |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |        CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+       |          AS avgdl,
+       |        $dfs
+       |  FROM s),
+       |sc AS ($legs),
+       |best AS (SELECT term, doc_id AS best_doc, score AS bscore FROM sc
+       |  WHERE rel QUALIFY row_number() OVER (PARTITION BY term
+       |    ORDER BY score DESC, doc_id) = 1),
+       |r AS (SELECT b.term, b.best_doc,
+       |    CAST(1 + COUNT(CASE WHEN sc.score > b.bscore
+       |      OR (sc.score = b.bscore AND sc.doc_id < b.best_doc)
+       |      THEN 1 END) AS BIGINT) AS first_rank
+       |  FROM best b JOIN sc ON sc.term = b.term
+       |  GROUP BY b.term, b.best_doc)
+       |SELECT term, best_doc, first_rank,
+       |  CAST(1000000 // first_rank AS BIGINT) AS rr_ppm
+       |FROM r ORDER BY term NULLS FIRST""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    // --- mean-reciprocal-rank eval of the BM25 ranker ---------------------
+    // The retrieval-QUALITY metric the serving entries don't measure
+    // (emb_recall_at_k audits the ANN legs; nothing audits the lexical
+    // leg): for each eval term, the rank of the first relevant document
+    // (relevance = the term occurs) under the integer-exact BM25 order,
+    // served as reciprocal rank in ppm. Rank is computed WITHOUT a
+    // global sort: the best relevant doc per term is an argmax aggregate
+    // (max of (score, −doc_id) structs), and its rank is
+    // 1 + count(docs strictly ahead) — two corpus aggregates and a
+    // 4-row broadcast, the same no-global-window discipline as
+    // pipe_shard_manifest. The idf-zero term ('the') ties every score
+    // at 0, proving the doc_id tiebreak path end-to-end.
+    Q("retr_mrr", MrrOracle) { (s, d) =>
+      val toksCol = graft.functions.TextOps.tokens(col("text"))
+      val tfCols = MrrTerms.zipWithIndex.map { case (t, i) =>
+        size(filter(toksCol, x => x === t)).as(s"tf$i")
+      }
+      val sfr = Tables.documents(s, d)
+        .select(Seq(col("doc_id"), size(toksCol).as("dl")) ++ tfCols: _*)
+      val dfAggs = MrrTerms.indices.map { i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("long")
+          .as(s"df$i")
+      }
+      val gCols = Seq(count(lit(1)).cast("long").as("n_docs"),
+        expr("CAST(sum(dl) AS BIGINT) div count(*)").as("avgdl")) ++ dfAggs
+      val g = sfr.agg(gCols.head, gCols.tail: _*)
+      def flog2(c: org.apache.spark.sql.Column) = length(bin(c))
+      val legs = MrrTerms.zipWithIndex.map { case (t, i) =>
+        struct(
+          lit(t).as("term"),
+          ((flog2(col("n_docs")) - flog2(col(s"df$i"))).cast("long") *
+            expr(s"CASE WHEN tf$i > 0 THEN (20 * tf$i * avgdl * 1000000)" +
+              s" div (8 * tf$i * avgdl + 3 * avgdl + 9 * dl)" +
+              " ELSE 0 END")).as("score"),
+          (col(s"tf$i") > 0).as("rel"))
+      }
+      // one corpus pass: the four per-term legs ride an explode, not
+      // four re-scans of the tf projection
+      val sc = sfr.crossJoin(broadcast(g))
+        .select(col("doc_id"), explode(array(legs: _*)).as("e"))
+        .select(col("doc_id"), col("e.term").as("term"),
+          col("e.score").as("score"), col("e.rel").as("rel"))
+      val best = sc.where(col("rel"))
+        .groupBy(col("term"))
+        .agg(max(struct(col("score").as("s"),
+          (-col("doc_id")).as("nd"))).as("b"))
+        .select(col("term"), col("b.s").as("bscore"),
+          (-col("b.nd")).as("best_doc"))
+      sc.join(broadcast(best), "term")
+        .groupBy(col("term"), col("best_doc"))
+        .agg((sum(when(col("score") > col("bscore")
+          || (col("score") === col("bscore")
+            && col("doc_id") < col("best_doc")), 1L).otherwise(0L)) + 1L)
+          .cast("long").as("first_rank"))
+        .select(col("term"), col("best_doc").cast("long").as("best_doc"),
+          col("first_rank"),
+          expr("CAST(1000000 div first_rank AS BIGINT)").as("rr_ppm"))
+        .orderBy(col("term"))
+    },
+
     Q(
       "retr_hybrid_rrf",
       s"""WITH dt AS (SELECT doc_id,

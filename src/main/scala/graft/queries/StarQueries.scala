@@ -759,6 +759,55 @@ object StarQueries {
           round(expr("percentile(delay_days, 0.95)"), 6).as("p95_days"),
           (expr("percentile(delay_days, 0.95)") > 21).as("sla_breach"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // --- interval-overlap aggregation via month tiling --------------------
+    // The interval-JOIN shape the point-in-range family (RangeJoinRewrite,
+    // q_range_join_bands) doesn't cover: each order-to-ship interval
+    // [o_orderdate, l_shipdate] contributes its per-month overlap days to
+    // a month × returnflag rollup (the "active contracts per period" /
+    // "exposure overlap" query). Spark-first plan: EXPLODE the interval
+    // onto its month tiles (sequence + explode — fanout bounded by the
+    // interval length in months, ≤ the dataset's ~7-year span) and
+    // equi-aggregate on the tile, instead of joining intervals against a
+    // month table on an overlap predicate — the predicate form plans as
+    // a nested loop at any scale, while tiling is one narrow projection
+    // feeding one hash aggregate. Overlap days stay exact integers:
+    // (min(end, tile_end) − max(start, tile_start)) + 1.
+    Q(
+      "q_interval_overlap",
+      """WITH iv AS (SELECT l_returnflag,
+        |    CAST(o_orderdate AS DATE) AS d0, CAST(l_shipdate AS DATE) AS d1
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)),
+        |tiled AS (SELECT l_returnflag, d0, d1,
+        |    CAST(unnest(generate_series(date_trunc('month', d0),
+        |      date_trunc('month', d1), INTERVAL 1 MONTH)) AS DATE) AS m
+        |  FROM iv)
+        |SELECT m AS month, l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(date_diff('day', GREATEST(d0, m),
+        |    LEAST(d1, last_day(m))) + 1) AS BIGINT) AS overlap_days
+        |FROM tiled GROUP BY month, l_returnflag
+        |ORDER BY month NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val iv = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_returnflag"),
+          col("o_orderdate").cast("date").as("d0"),
+          col("l_shipdate").cast("date").as("d1"))
+        .where(col("d1") >= col("d0"))
+      iv
+        .select(col("l_returnflag"), col("d0"), col("d1"),
+          explode(expr(
+            "sequence(trunc(d0, 'MM'), trunc(d1, 'MM'), interval 1 month)"))
+            .as("m"))
+        .groupBy(col("m").as("month"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(datediff(least(col("d1"), last_day(col("m"))),
+            greatest(col("d0"), col("m"))) + 1).cast("long")
+            .as("overlap_days"))
+        .orderBy(col("month"), col("l_returnflag"))
     }
   )
 }

@@ -1107,6 +1107,63 @@ object TextQueries {
         .limit(20)
     },
 
+    // --- Zipf rank-frequency slope over the head vocabulary --------------
+    // The corpus-health fingerprint tokenizer papers plot first: natural
+    // text has log-frequency falling ~linearly in log-rank with slope
+    // ≈ −1; template/boilerplate corpora flatten it, spam steepens it.
+    // Exact-integer restatement (no libm): x = ⌊log2 rank⌋ and
+    // y = ⌊log2 freq⌋ via bin-length, least squares on the top-1024
+    // ranks in exact integer sums, slope served as positive
+    // neg_slope_ppm = (ΣxΣy − nΣxy)·10⁶ div (nΣx² − (Σx)²) so both
+    // engines divide a positive numerator (truncation = floor there).
+    // Scale: the corpus-sized work is the word-count aggregate; the
+    // ranked head is a bounded 1024-row frame (native-top-k class), so
+    // the regression itself is constant work at any corpus size.
+    Q(
+      "text_zipf_slope",
+      """WITH wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY word),
+        |top AS (SELECT word, f,
+        |    CAST(row_number() OVER (ORDER BY f DESC, word) AS BIGINT) AS r
+        |  FROM wf ORDER BY f DESC, word LIMIT 1024),
+        |pts AS (SELECT length(bin(r)) - 1 AS x, length(bin(f)) - 1 AS y
+        |  FROM top),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx
+        |  FROM pts)
+        |SELECT n_types, sx, sy, sxy, sxx,
+        |  CAST((sx*sy - n_types*sxy) * 1000000
+        |    // (n_types*sxx - sx*sx) AS BIGINT) AS neg_slope_ppm
+        |FROM s ORDER BY n_types NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val wf = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      // bounded head: orderBy+limit plans as TakeOrderedAndProject —
+      // per-partition heaps + one driver merge, never a global sort
+      val top = wf.orderBy(col("f").desc, col("word")).limit(1024)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("f").desc, col("word"))).cast("long"))
+      def flog2(c: org.apache.spark.sql.Column) = length(bin(c)) - 1
+      top
+        .select(flog2(col("r")).cast("long").as("x"),
+          flog2(col("f")).cast("long").as("y"))
+        .agg(count(lit(1)).cast("long").as("n_types"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"))
+        .select(col("n_types"), col("sx"), col("sy"), col("sxy"),
+          col("sxx"),
+          expr("CAST((sx*sy - n_types*sxy) * 1000000 div " +
+            "(n_types*sxx - sx*sx) AS BIGINT)").as("neg_slope_ppm"))
+        .orderBy(col("n_types"))
+    },
+
     // --- URL canonicalization + canonical-URL dedup ----------------------
     // The first dedup key of a web-corpus pipeline (UrlOps scaladoc). The
     // test tables carry no URL column, so the query SYNTHESIZES a messy
@@ -1281,6 +1338,143 @@ object TextQueries {
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
           coalesce(col("score_ppm"), lit(0L)).as("score_ppm"))
         .orderBy(col("doc_id"))
+    },
+
+    // --- Kneser-Ney-smoothed bigram LM fluency scoring --------------------
+    // The production upgrade of text_lm_score's MLE bigram model: MLE
+    // assigns high probability to any frequent continuation regardless
+    // of context diversity, so boilerplate ("click here here here")
+    // outscores fluent prose. Interpolated Kneser-Ney (Kneser & Ney '95,
+    // the smoothing every n-gram LM pipeline ships) discounts each seen
+    // bigram by D = 3/4 and redistributes the held-out mass over the
+    // CONTINUATION unigram — how many distinct contexts a word follows,
+    // not how often it occurs:
+    //   P(w2|w1) = (c12 − D)/c1 + (D·N1+(w1·)/c1)·(N1+(·w2)/T).
+    // With D = 3/4 the whole expression is one exact rational over the
+    // common denominator 4·c1·T:
+    //   P_ppm = ((4·c12 − 3)·T + 3·N1fwd·N1bwd)·10⁶ div (4·c1·T)
+    // — a SINGLE integer division, so no div-grouping drift between
+    // engines; the numerator is computed in 128-bit (DECIMAL(38,0) /
+    // HUGEINT) because c12·T·10⁶ outgrows int64 on ×100 corpora. Plan
+    // shape adds two combiner-friendly distinct-count aggregates (per-w1
+    // fan-out, per-w2 fan-in) and a 1-row type total to text_lm_score's
+    // joins — all vocabulary-keyed, nothing quadratic.
+    Q(
+      "text_lm_kneser_ney",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |bi AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |  FROM t),
+        |b AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM bi),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+        |    CAST(COUNT(*) AS BIGINT) AS n1fwd
+        |  FROM c2 GROUP BY w1),
+        |cb AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1bwd
+        |  FROM c2 GROUP BY w2),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_types FROM c2),
+        |p AS (SELECT b.doc_id,
+        |    CAST(((4 * CAST(c2.c2 AS HUGEINT) - 3)
+        |        * CAST(tt.t_types AS HUGEINT)
+        |        + 3 * CAST(c1.n1fwd AS HUGEINT)
+        |            * CAST(cb.n1bwd AS HUGEINT)) * 1000000
+        |      // (4 * CAST(c1.c1 AS HUGEINT)
+        |         * CAST(tt.t_types AS HUGEINT)) AS BIGINT) AS p_ppm
+        |  FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |       JOIN cb USING (w2) CROSS JOIN tt),
+        |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS score_ppm
+        |  FROM p GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(sc.score_ppm, 0) AS score_ppm
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val bigrams = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(expr(
+            """arrays_zip(slice(toks, 1, size(toks) - 1),
+              |           slice(toks, 2, size(toks) - 1))""".stripMargin))
+            .as("z"))
+        .select(col("doc_id"), col("z.0").as("w1"), col("z.1").as("w2"))
+      val c2 = bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(col("w1"))
+        .agg(sum(col("c2")).cast("long").as("c1"),
+          count(lit(1)).cast("long").as("n1fwd"))
+      val cb = c2.groupBy(col("w2"))
+        .agg(count(lit(1)).cast("long").as("n1bwd"))
+      val tt = c2.agg(count(lit(1)).cast("long").as("t_types"))
+      val scored = bigrams
+        .join(c2, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .join(cb, Seq("w2"))
+        .crossJoin(broadcast(tt))
+        .select(col("doc_id"),
+          expr("""((4 * CAST(c2 AS DECIMAL(38,0)) - 3)
+            |    * CAST(t_types AS DECIMAL(38,0))
+            |    + 3 * CAST(n1fwd AS DECIMAL(38,0))
+            |        * CAST(n1bwd AS DECIMAL(38,0))) * 1000000
+            |  div (4 * CAST(c1 AS DECIMAL(38,0))
+            |     * CAST(t_types AS DECIMAL(38,0)))""".stripMargin)
+            .cast("long").as("p_ppm"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p_ppm) div count(1)").as("score_ppm"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("score_ppm"), lit(0L)).as("score_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- count-min sketch frequency contract ------------------------------
+    // The last gap in the mergeable-sketch family (HLL, Misra-Gries, KMV,
+    // GK, bottom-k, t-digest): point-frequency estimation under the
+    // store-sketches / merge-at-read rollup shape. Spark's built-in
+    // count_min_sketch aggregate (partial sketches per partition, merged
+    // associatively — O(width·depth) state regardless of corpus) builds
+    // the sketch; the driver deserializes the ONE sketch-sized binary
+    // and probes the 20 heaviest words. Estimates are hash-layout
+    // values, so (q_value_percentiles_approx precedent) the oracle
+    // checks the CMS theorem instead: exact_count ≤ estimate ≤
+    // exact_count + ⌈ε·N⌉, with the exact counts (which ARE
+    // cross-engine) value-checked alongside.
+    Q(
+      "text_cms_contract",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_count
+        |  FROM w GROUP BY word)
+        |SELECT word, exact_count, TRUE AS within_bounds FROM c
+        |ORDER BY exact_count DESC, word LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val eps = 0.001
+      val words = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+      val aggRow = words
+        .agg(count(lit(1)).cast("long").as("n"),
+          count_min_sketch(col("word"), lit(eps), lit(0.99), lit(42))
+            .as("sk"))
+        .head()
+      val n = aggRow.getLong(0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(aggRow.getAs[Array[Byte]](1)))
+      val slack = math.ceil(eps * n).toLong
+      val top = words.groupBy(col("word"))
+        .agg(count(lit(1)).cast("long").as("exact_count"))
+        .orderBy(col("exact_count").desc, col("word")).limit(20)
+        .collect() // 20 rows — probe-sized, not corpus
+      import s.implicits._
+      top.toSeq.map { r =>
+        val (w, exact) = (r.getString(0), r.getLong(1))
+        val est = cms.estimateCount(w)
+        (w, exact, est >= exact && est <= exact + slack)
+      }.toDF("word", "exact_count", "within_bounds")
+        .orderBy(col("exact_count").desc, col("word"))
     },
 
     // --- collocation mining (lift-scored bigrams) -----------------------

@@ -54,7 +54,10 @@ object PlanScan {
       "q_survival_hazard" -> "1-row horizon broadcast + weeks x (conv,obs)-cell range join, both calendar-bounded",
       "q_ab_power_duration" -> "1-row activity totals cross-joined into the 1-row conversion totals",
       "pipe_budget_fill" -> "1-row token budget broadcast into the O(sources) priority ranking",
-      "text_template_prefixes" -> "1-row corpus total broadcast into the O(templates) result")
+      "text_template_prefixes" -> "1-row corpus total broadcast into the O(templates) result",
+      "text_bm25_append" -> "1-row rolled corpus-stats table broadcast into the pruned posting scan",
+      "text_lm_kneser_ney" -> "1-row bigram-type total broadcast into the scoring join",
+      "retr_mrr" -> "1-row corpus stats broadcast into the scoring scan, twice (the scored relation feeds both the argmax and the rank count)")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
