@@ -146,11 +146,54 @@ object Snapshots {
   private def deltaMetaPath(table: String, v: Int) =
     new Path(manifestDir(table, v), "_delta_meta")
 
+  /** Pointer to an immutable re-checkpoint written by vacuum's
+    * retention-floor compaction: its content names the `_ckpt_<id>`
+    * subdir holding the materialized complete file set. Presence
+    * OVERRIDES `_delta_meta` — the version resolves as a checkpoint.
+    * The superseded delta part files and meta stay in place untouched
+    * (an in-flight reader's plan holds their exact file names; deleting
+    * or renaming them mid-scan is the FILE_NOT_EXIST race the scale
+    * stress spec caught) and fall out only when the whole version dir
+    * ages below a later retention floor. Underscore names keep both the
+    * pointer and the subdir invisible to a parquet scan of the parent
+    * dir, so readers planned BEFORE the compaction keep reading the old
+    * layout unperturbed. */
+  private def ckptPtrPath(table: String, v: Int) =
+    new Path(manifestDir(table, v), "_ckpt_ptr")
+
+  private def readCkptPtr(spark: SparkSession, table: String, v: Int)
+      : Option[String] = {
+    val f = fs(spark, table)
+    val p = ckptPtrPath(table, v)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](256)
+        var r = in.read(chunk)
+        while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+        Some(new String(buf.toByteArray, StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
+  }
+
+  /** Where this version's checkpoint parquet lives: the re-checkpoint
+    * subdir when a `_ckpt_ptr` has been published, else the version dir
+    * itself (the original layout). */
+  private def checkpointParquetDir(spark: SparkSession, table: String,
+      v: Int): String =
+    readCkptPtr(spark, table, v) match {
+      case Some(id) => new Path(manifestDir(table, v), s"_ckpt_$id").toString
+      case None => manifestDir(table, v)
+    }
+
   private[io] def readDeltaMeta(spark: SparkSession, table: String, v: Int)
       : Option[DeltaMeta] = {
     val f = fs(spark, table)
     val p = deltaMetaPath(table, v)
-    if (!f.exists(p)) None
+    if (readCkptPtr(spark, table, v).isDefined) None
+    else if (!f.exists(p)) None
     else {
       val in = f.open(p)
       val txt =
@@ -271,7 +314,8 @@ object Snapshots {
     require(fs(spark, table).exists(new Path(dir)),
       s"Snapshots: manifest v$v has been vacuumed from $table")
     readDeltaMeta(spark, table, v) match {
-      case None => spark.read.parquet(dir) // checkpoint: the complete set
+      case None => // checkpoint: the complete set
+        spark.read.parquet(checkpointParquetDir(spark, table, v))
       case Some(_) =>
         // delta chain: nearest checkpoint + each delta's adds, tagged
         // with their origin version; a row survives unless its
@@ -287,7 +331,7 @@ object Snapshots {
                 s"v$v's delta chain (corrupt walk)"))
         }
         val segs =
-          spark.read.parquet(manifestDir(table, b))
+          spark.read.parquet(checkpointParquetDir(spark, table, b))
             .withColumn("_origin", lit(b)) +:
             metas.collect { case (w, m) if m.hasAdds =>
               spark.read.parquet(manifestDir(table, w))
@@ -752,16 +796,26 @@ object Snapshots {
         && readDeltaMeta(spark, table, retainFrom).isDefined) {
       val dir = new Path(manifestDir(table, retainFrom))
       val mtime = f.getFileStatus(dir).getModificationTime
-      val markers = f.listStatus(dir).map(_.getPath.getName)
-        .filter(_.startsWith("_applied_")).toSeq
-      // resolve into a staging dir (overwriting the dir the plan reads
-      // from would race the scan), then swap
-      val tmp = new Path(s"${manifestDir(table, retainFrom)}.ckpt.tmp")
+      // Immutable re-checkpoint (see [[ckptPtrPath]]): materialize the
+      // resolved set into a fresh `_ckpt_<id>` subdir, then publish it
+      // with ONE atomic rename of the pointer file. Nothing an
+      // in-flight reader planned against is deleted or renamed — the
+      // previous delete-the-dir-and-rename swap raced concurrent scans
+      // of this RETAINED version to FILE_NOT_EXIST. The superseded
+      // delta files stay (bounded: one commit's worth) until the whole
+      // dir drops below a later retention floor. `_applied_*` markers
+      // and the dir mtime (versionAsOfTime's clock) are untouched by
+      // construction; only the mtime needs restoring after the child
+      // writes bump it.
+      val id = java.util.UUID.randomUUID().toString.substring(0, 8)
       manifestDF(spark, table, retainFrom).coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString)
-      f.delete(dir, true)
-      f.rename(tmp, dir)
-      markers.foreach(m => f.create(new Path(dir, m), true).close())
+        .write.mode("overwrite")
+        .parquet(new Path(dir, s"_ckpt_$id").toString)
+      val tmp = new Path(dir, s"_ckpt_ptr.tmp$id")
+      val out = f.create(tmp, true)
+      try out.write(id.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      f.rename(tmp, ckptPtrPath(table, retainFrom))
       f.setTimes(dir, mtime, -1)
     }
     // paths only (no stats maps) — the live set is the one driver

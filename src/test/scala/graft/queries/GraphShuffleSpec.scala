@@ -17,8 +17,13 @@ class GraphShuffleSpec extends SparkSpec {
 
     spark.conf.set(flag, "true")
     try {
+      // the Q entry returns a collected LocalRelation (it materializes
+      // the bounded top-50 and releases the edge cache), so the plan
+      // assertions inspect the LAZY frame the entry materializes
+      val (lazyDf, cache) = GraphQueries.pagerankTopK(spark, sfDir)
+      val plan = lazyDf.queryExecution.executedPlan.toString
+      cache.unpersist()
       val df = pagerank()
-      val plan = df.queryExecution.executedPlan.toString
       // the edge-build lineage inside the cache legitimately broadcasts
       // its dimension joins — only RANK-side joins (the ones keyed on
       // `node`) must never broadcast
