@@ -1068,6 +1068,62 @@ object CurationQueries {
             "(real_tokens + naive_pad_tokens) AS BIGINT)")
             .as("naive_waste_ppm"))
         .orderBy(col("source"))
+    },
+
+    // --- deterministic per-epoch corpus shuffle + shard assignment --------
+    // The data-loader ordering op every multi-epoch training run needs:
+    // epoch k's visit order is a NEW pseudorandom permutation (hash of
+    // epoch:doc_id — different epochs decorrelate, reruns reproduce
+    // bit-for-bit, and a resumed job can recompute any shard's order
+    // without global state). Shard = hash mod 8; within-shard position =
+    // rank under the hash order. NO global sort anywhere: the permutation
+    // is hash-derived per row, and ordering exists only inside the
+    // per-(epoch, shard) window — the shape that keeps a 100 TB shuffle
+    // embarrassingly parallel. Audited by an order-sensitive checksum
+    // (Σ doc_id·position mod 2³¹ — any swap changes it) plus each
+    // shard's first three visit ids; the oracle replays the same md5
+    // permutation.
+    Q(
+      "pipe_epoch_shuffle",
+      s"""WITH t AS (SELECT doc_id, e AS epoch
+         |  FROM documents, UNNEST([1, 2]) AS u(e)),
+         |h AS (SELECT doc_id, epoch,
+         |    ${graft.functions.TextOps.md5Low60Sql(
+        "CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM t),
+         |r AS (SELECT doc_id, epoch, h % 8 AS shard,
+         |    CAST(row_number() OVER (PARTITION BY epoch, h % 8
+         |      ORDER BY h, doc_id) AS BIGINT) AS p
+         |  FROM h)
+         |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(doc_id * p) % 2147483647 AS BIGINT) AS order_checksum,
+         |  concat_ws(',',
+         |    CAST(MAX(CASE WHEN p = 1 THEN doc_id END) AS VARCHAR),
+         |    CAST(MAX(CASE WHEN p = 2 THEN doc_id END) AS VARCHAR),
+         |    CAST(MAX(CASE WHEN p = 3 THEN doc_id END) AS VARCHAR)) AS first3
+         |FROM r GROUP BY epoch, shard
+         |ORDER BY epoch NULLS FIRST, shard NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val tagged = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array(lit(1), lit(2))).as("epoch"))
+        .withColumn("h", graft.functions.TextOps.md5Low60(
+          concat(col("epoch").cast("string"), lit(":"),
+            col("doc_id").cast("string"))))
+        .withColumn("shard", pmod(col("h"), lit(8L)))
+      val w = Window.partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("h"), col("doc_id"))
+      tagged.withColumn("p", row_number().over(w).cast("long"))
+        .groupBy(col("epoch").cast("long").as("epoch"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(sum(doc_id * p) % 2147483647 AS BIGINT)")
+            .as("order_checksum"),
+          concat_ws(",",
+            max(when(col("p") === 1, col("doc_id"))).cast("string"),
+            max(when(col("p") === 2, col("doc_id"))).cast("string"),
+            max(when(col("p") === 3, col("doc_id"))).cast("string"))
+            .as("first3"))
+        .orderBy(col("epoch"), col("shard"))
     }
   )
 }

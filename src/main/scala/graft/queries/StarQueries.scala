@@ -493,6 +493,61 @@ object StarQueries {
         .orderBy(col("c_custkey"), col("valid_from"))
     },
 
+    // --- SCD2 point-in-time read (temporal AS OF) ------------------------
+    // The read half of the SCD2 contract: reconstruct the dimension AS IT
+    // WAS at any instant from the history q_scd2_history writes —
+    // valid_from ≤ t < coalesce(valid_to, ∞), one predicate, no joins.
+    // Probed at two instants bracketing the merge (Jan 15: every key
+    // still original; Feb 15: the ÷7 keys show their _v2 segment), so
+    // both the closed-row and open-row paths are value-checked. The
+    // oracle restates the same instants from the generation rules. At
+    // scale the predicate prunes on valid_from/valid_to column stats —
+    // the reason SCD2 tables sort by validity range.
+    Q(
+      "q_scd2_asof",
+      """WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+        |pit AS (
+        |  SELECT DATE '2025-01-15' AS as_of, c_mktsegment FROM base
+        |  UNION ALL
+        |  SELECT DATE '2025-02-15',
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || '_v2'
+        |         ELSE c_mktsegment END
+        |  FROM base)
+        |SELECT as_of, c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM pit GROUP BY as_of, c_mktsegment
+        |ORDER BY as_of NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      val dim = base
+        .withColumn("valid_from",
+          lit("2025-01-01 00:00:00").cast("timestamp"))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+      val updates = base
+        .where(pmod(col("c_custkey"), lit(7)) === 0
+          || pmod(col("c_custkey"), lit(11)) === 0)
+        .select(col("c_custkey"),
+          when(pmod(col("c_custkey"), lit(7)) === 0,
+            concat(col("c_mktsegment"), lit("_v2")))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          col("c_nationkey"),
+          lit("2025-02-01 00:00:00").cast("timestamp").as("effective_ts"))
+      val hist = graft.operators.Scd2.merge(dim, updates, "c_custkey",
+        Seq("c_mktsegment", "c_nationkey"))
+      def asOf(t: String) = hist
+        .where(col("valid_from") <= lit(t).cast("timestamp")
+          && (col("valid_to").isNull
+            || col("valid_to") > lit(t).cast("timestamp")))
+        .select(lit(t.take(10)).cast("date").as("as_of"),
+          col("c_mktsegment"))
+      asOf("2025-01-15 00:00:00")
+        .unionByName(asOf("2025-02-15 00:00:00"))
+        .groupBy(col("as_of"), col("c_mktsegment"))
+        .agg(count(lit(1)).cast("long").as("n_customers"))
+        .orderBy(col("as_of"), col("c_mktsegment"))
+    },
+
     // --- CDC MERGE-INTO apply (graft.operators.Merge) --------------------
     // The warehouse write primitive as a batch transform: deterministic
     // change batch derived from `customer` (keys ÷7 update acctbal,
@@ -808,6 +863,60 @@ object StarQueries {
             greatest(col("d0"), col("m"))) + 1).cast("long")
             .as("overlap_days"))
         .orderBy(col("month"), col("l_returnflag"))
+    },
+
+    // --- hierarchical rollup via pointer jumping ---------------------------
+    // The recursive-hierarchy operator (bill-of-materials explosion, org
+    // rollups — SQL's WITH RECURSIVE; no Spark built-in): every part is
+    // linked into a synthesized tree by parent(p) = p div 7 (roots are
+    // keys < 7 — a deterministic 7-ary hierarchy over real keys, the
+    // text_url_dedup synthesis convention), and the query rolls each
+    // root's subtree up: member count, exact retail-price mass, max
+    // depth. Spark-first plan: POINTER JUMPING, not level-by-level
+    // walking — each round joins the ancestor map to itself, squaring
+    // the hop distance, so 5 rounds of equi-joins cover depth 2^5 = 32
+    // ≥ log7(2^63): EVERY int64 key space converges, no data-dependent
+    // iteration count (the alternating-star CC discipline; a per-level
+    // walk would need depth rounds and a driver-side convergence probe).
+    // Roots carry a self-loop with d = 0, so converged rows pass through
+    // later rounds unchanged. The oracle walks the same tree with a
+    // recursive CTE.
+    Q(
+      "q_hierarchy_rollup",
+      """WITH RECURSIVE walk AS (
+        |  SELECT p_partkey AS node, p_partkey AS cur, 0 AS d FROM part
+        |  UNION ALL
+        |  SELECT node, cur // 7, d + 1 FROM walk WHERE cur >= 7),
+        |r AS (SELECT node, cur AS root, d FROM walk WHERE cur < 7)
+        |SELECT CAST(root AS BIGINT) AS root,
+        |  CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS subtree_retail,
+        |  CAST(MAX(d) AS BIGINT) AS max_depth
+        |FROM r JOIN part p ON p.p_partkey = r.node
+        |GROUP BY root ORDER BY root NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val part = Tables.part(s, d)
+        .select(col("p_partkey").cast("long").as("node"),
+          col("p_retailprice"))
+      var anc = part.select(col("node"),
+        when(col("node") < 7, col("node"))
+          .otherwise(expr("node div 7")).as("anc"),
+        when(col("node") < 7, 0L).otherwise(1L).as("d"))
+      (1 to 5).foreach { _ =>
+        anc = anc.as("x")
+          .join(anc.select(col("node").as("j"), col("anc").as("anc2"),
+            col("d").as("d2")), col("x.anc") === col("j"))
+          .select(col("x.node").as("node"), col("anc2").as("anc"),
+            (col("x.d") + col("d2")).as("d"))
+      }
+      anc.join(part, "node")
+        .groupBy(col("anc").as("root"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("p_retailprice").cast("decimal(18,2)")).cast("double")
+            .as("subtree_retail"),
+          max(col("d")).cast("long").as("max_depth"))
+        .orderBy(col("root"))
     }
   )
 }

@@ -1477,6 +1477,82 @@ object TextQueries {
         .orderBy(col("exact_count").desc, col("word"))
     },
 
+    // --- RAKE keyphrase extraction ----------------------------------------
+    // Rapid Automatic Keyword Extraction (Rose et al. 2010) — the
+    // multi-word companion to text_tfidf_keywords' unigrams: candidate
+    // phrases are maximal stopword-free token runs; each word scores
+    // deg/freq over its phrase OCCURRENCES (deg = Σ lengths of phrases
+    // containing it, freq = occurrence count — co-occurrence pushes
+    // phrase words above isolated frequent words); a phrase scores the
+    // sum of its member word scores. All exact integer ppm (deg·10⁶ div
+    // freq per word, summed). Plan shape: phrase segmentation is one
+    // per-doc window (running stopword count = segment id — the
+    // gaps-and-islands idiom), then three vocabulary/phrase-keyed hash
+    // aggregates; nothing quadratic, the per-doc window partitions by
+    // doc_id. The oracle re-derives phrases with an ORDER BY-list
+    // aggregate — different mechanism, identical strings.
+    Q(
+      "text_rake_keyphrases",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |tk AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    toks[CAST(i AS INT)] AS word
+         |  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+         |gr AS (SELECT doc_id, pos, word,
+         |    SUM(CASE WHEN list_contains($stopwordsSql, word)
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp,
+         |    list_contains($stopwordsSql, word) AS stop
+         |  FROM tk),
+         |ph AS (SELECT doc_id, grp,
+         |    array_to_string(list(word ORDER BY pos), ' ') AS phrase,
+         |    CAST(COUNT(*) AS BIGINT) AS len
+         |  FROM gr WHERE NOT stop GROUP BY doc_id, grp),
+         |pw AS (SELECT doc_id, grp, phrase, len,
+         |    unnest(string_split(phrase, ' ')) AS word
+         |  FROM ph),
+         |wsc AS (SELECT word,
+         |    CAST(SUM(len) AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT)
+         |      AS wscore
+         |  FROM pw GROUP BY word),
+         |osc AS (SELECT pw.doc_id, pw.grp, pw.phrase,
+         |    CAST(SUM(wsc.wscore) AS BIGINT) AS score_ppm
+         |  FROM pw JOIN wsc USING (word)
+         |  GROUP BY pw.doc_id, pw.grp, pw.phrase)
+         |SELECT phrase, score_ppm,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |FROM osc GROUP BY phrase, score_ppm
+         |ORDER BY score_ppm DESC, phrase LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val sw = TextOps.EnglishStopwords
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "word")))
+      val grouped = toks
+        .withColumn("stop", col("word").isInCollection(sw))
+        .withColumn("grp", sum(when(col("stop"), 1).otherwise(0))
+          .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .where(!col("stop"))
+      val phr = grouped.groupBy(col("doc_id"), col("grp"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, word)))," +
+          " x -> x.word)").as("ws"))
+        .select(col("doc_id"), col("grp"),
+          concat_ws(" ", col("ws")).as("phrase"),
+          size(col("ws")).cast("long").as("len"), col("ws"))
+      val pw = phr.select(col("doc_id"), col("grp"), col("phrase"),
+        col("len"), explode(col("ws")).as("word"))
+      val wsc = pw.groupBy(col("word"))
+        .agg(expr("CAST(sum(len) AS BIGINT) * 1000000 div " +
+          "CAST(count(1) AS BIGINT)").as("wscore"))
+      pw.join(wsc, "word")
+        .groupBy(col("doc_id"), col("grp"), col("phrase"))
+        .agg(sum(col("wscore")).cast("long").as("score_ppm"))
+        .groupBy(col("phrase"), col("score_ppm"))
+        .agg(count(lit(1)).cast("long").as("n_occurrences"))
+        .orderBy(col("score_ppm").desc, col("phrase"))
+        .limit(20)
+    },
+
     // --- collocation mining (lift-scored bigrams) -----------------------
     // The phrase-detection pass (word2vec's phrase pass, NPMI collocation
     // extraction) that turns corpora into vocabularies with multi-word

@@ -1202,6 +1202,64 @@ object WindowingQueries {
         .groupBy(col("day"), col("n_sessions"))
         .agg(max(col("c")).cast("long").as("peak_concurrent"))
         .orderBy(col("day"))
+    },
+
+    // --- semi-additive rollup (period-end balance) -------------------------
+    // The aggregation class plain SUM gets WRONG: a balance-like measure
+    // (here: each user's latest event value) is additive ACROSS entities
+    // but not across time — the day total is the sum of every user's
+    // last-known value AT day end, not the day's transaction sum. The
+    // canonical warehouse shape: per-(entity, day) closing value (argmax
+    // by (ts, event_id) — one aggregate), a bounded day spine crossed
+    // with the entity list (fanout = days, broadcast side = spine; at
+    // 100 TB the spine is still just the calendar), forward fill per
+    // entity (last ignoreNulls over the day order), then one rollup per
+    // day. A user contributes from their first event day onward.
+    Q(
+      "q_semi_additive_balance",
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+        |    value FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL),
+        |pd AS (SELECT user_id, day, value AS v FROM ev
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, day
+        |    ORDER BY ts DESC, event_id DESC) = 1),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |days AS (SELECT CAST(unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |f AS (SELECT sp.user_id, sp.day,
+        |    last_value(pd.v IGNORE NULLS) OVER (PARTITION BY sp.user_id
+        |      ORDER BY sp.day) AS bal
+        |  FROM (SELECT user_id, day FROM u CROSS JOIN days) sp
+        |  LEFT JOIN pd USING (user_id, day))
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+        |FROM f WHERE bal IS NOT NULL
+        |GROUP BY day ORDER BY day NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .where(col("ts").isNotNull && col("user_id").isNotNull
+          && col("value").isNotNull)
+      val perDay = ev
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("day"), col("m.value").as("v"))
+      val days = ev
+        .agg(min(col("ts").cast("date")).as("d0"),
+          max(col("ts").cast("date")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val spine = ev.select(col("user_id")).distinct()
+        .crossJoin(broadcast(days))
+      spine.join(perDay, Seq("user_id", "day"), "left")
+        .withColumn("bal", last(col("v"), ignoreNulls = true)
+          .over(Window.partitionBy(col("user_id")).orderBy(col("day"))))
+        .where(col("bal").isNotNull)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum(col("bal").cast("decimal(18,2)")).cast("double")
+            .as("total_balance"))
+        .orderBy(col("day"))
     }
   )
 }

@@ -57,7 +57,8 @@ object PlanScan {
       "text_template_prefixes" -> "1-row corpus total broadcast into the O(templates) result",
       "text_bm25_append" -> "1-row rolled corpus-stats table broadcast into the pruned posting scan",
       "text_lm_kneser_ney" -> "1-row bigram-type total broadcast into the scoring join",
-      "retr_mrr" -> "1-row corpus stats broadcast into the scoring scan, twice (the scored relation feeds both the argmax and the rank count)")
+      "retr_mrr" -> "1-row corpus stats broadcast into the scoring scan, twice (the scored relation feeds both the argmax and the rank count)",
+      "q_semi_additive_balance" -> "bounded calendar day spine broadcast across the entity list (fanout = days)")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
