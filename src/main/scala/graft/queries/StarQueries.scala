@@ -879,8 +879,13 @@ object StarQueries {
     // iteration count (the alternating-star CC discipline; a per-level
     // walk would need depth rounds and a driver-side convergence probe).
     // Roots carry a self-loop with d = 0, so converged rows pass through
-    // later rounds unchanged. The oracle walks the same tree with a
-    // recursive CTE.
+    // later rounds unchanged. Precondition (the standard BOM-table
+    // invariant): ancestor CLOSURE — every parent key is itself a row,
+    // which dense 1..N part keys satisfy by construction (k div 7 < k);
+    // an orphaned parent would silently drop its subtree at the first
+    // join (HierarchySpec documents this, and proves depth-21
+    // convergence on a closed deep fixture). The oracle walks the same
+    // tree with a recursive CTE.
     Q(
       "q_hierarchy_rollup",
       """WITH RECURSIVE walk AS (

@@ -189,10 +189,23 @@ class ManifestScaleSpec extends SparkSpec {
     // vacuum to a mid-chain floor: v10 is a delta whose chain passes
     // through v9/v1 — vacuum must first materialize v10 as a
     // self-contained checkpoint, then drop older metadata
+    // snapshot the floor's pre-compaction manifest file names: the
+    // re-checkpoint must be PURELY ADDITIVE (immutable-metadata rule) —
+    // an in-flight reader planned against the old layout keeps every
+    // file it listed
+    val floorDir = manifestVersionDir(t, 10)
+    val before = java.nio.file.Files.list(floorDir).toArray
+      .map(_.toString).toSet
     Snapshots.vacuum(spark, t, 10)
     assert(Snapshots.readDeltaMeta(spark, t, 10).isEmpty,
       "the retention floor must become a checkpoint")
     assert(!java.nio.file.Files.exists(manifestVersionDir(t, 9)))
+    val after = java.nio.file.Files.list(floorDir).toArray
+      .map(_.toString).toSet
+    assert(before.subsetOf(after),
+      s"floor compaction deleted/renamed: ${before -- after}")
+    assert((after -- before).exists(_.contains("_ckpt")),
+      "the re-checkpoint must be published as new _ckpt artifacts")
     (10 to 12).foreach(v => assert(asMap(v) == expect(v),
       s"version $v after vacuum"))
     intercept[IllegalArgumentException] {
