@@ -548,6 +548,100 @@ object StarQueries {
         .orderBy(col("as_of"), col("c_mktsegment"))
     },
 
+    // --- FIFO allocation via cumulative-interval matching -----------------
+    // The classic "hard in SQL" matching problem (FIFO inventory/lot
+    // allocation, payment-to-invoice application) solved with the
+    // scalable trick: stamp each supply and demand row with its
+    // cumulative-quantity interval [cum − q, cum) in arrival order, and
+    // FIFO matching becomes INTERVAL INTERSECTION — supply i fills
+    // demand j by |[s_lo,s_hi) ∩ [d_lo,d_hi)| — with no iteration, no
+    // recursion, no per-row state. Per part: odd line numbers supply,
+    // even demand (a deterministic split of real rows), two per-(part,
+    // side) windows for the cumsums, one part-keyed self-join whose
+    // fanout is O(supply+demand) per part BY CONSTRUCTION (FIFO
+    // intervals are sorted and disjoint, so each supply overlaps a
+    // contiguous demand run — matched pairs ≈ rows, not rows²).
+    // Rolled up to 8 part-hash cells; quantities floored to integers
+    // (floor, not cast: DuckDB CAST rounds doubles, Spark truncates).
+    Q(
+      "q_fifo_allocation",
+      """WITH li AS (SELECT l_partkey AS pk, l_orderkey, l_linenumber,
+        |    l_shipdate, CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+        |    l_linenumber % 2 = 1 AS is_supply
+        |  FROM lineitem),
+        |r AS (SELECT pk, is_supply, q,
+        |    SUM(q) OVER (PARTITION BY pk, is_supply
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS hi
+        |  FROM li),
+        |rr AS (SELECT pk, is_supply, q, hi, hi - q AS lo FROM r),
+        |m AS (SELECT s.pk,
+        |    LEAST(s.hi, d.hi) - GREATEST(s.lo, d.lo) AS mq
+        |  FROM rr s JOIN rr d ON s.pk = d.pk
+        |    AND s.is_supply AND NOT d.is_supply
+        |    AND s.lo < d.hi AND d.lo < s.hi),
+        |tot AS (SELECT pk,
+        |    CAST(SUM(CASE WHEN is_supply THEN q ELSE 0 END) AS BIGINT)
+        |      AS supply,
+        |    CAST(SUM(CASE WHEN is_supply THEN 0 ELSE q END) AS BIGINT)
+        |      AS demand
+        |  FROM li GROUP BY pk),
+        |mm AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |    CAST(SUM(mq) AS BIGINT) AS matched
+        |  FROM m GROUP BY pk)
+        |SELECT CAST(pk % 8 AS BIGINT) AS cell,
+        |  CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(COALESCE(n_matches, 0)) AS BIGINT) AS n_matches,
+        |  CAST(SUM(COALESCE(matched, 0)) AS BIGINT) AS matched_qty,
+        |  CAST(SUM(supply - COALESCE(matched, 0)) AS BIGINT)
+        |    AS unmatched_supply,
+        |  CAST(SUM(demand - COALESCE(matched, 0)) AS BIGINT)
+        |    AS unmatched_demand
+        |FROM tot LEFT JOIN mm USING (pk)
+        |GROUP BY cell ORDER BY cell NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d).select(
+        col("l_partkey").as("pk"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"),
+        floor(col("l_quantity")).cast("long").as("q"),
+        (pmod(col("l_linenumber"), lit(2)) === 1).as("is_supply"))
+      val w = Window.partitionBy(col("pk"), col("is_supply"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val ranged = li
+        .withColumn("hi", sum(col("q")).over(w))
+        .withColumn("lo", col("hi") - col("q"))
+        .select(col("pk"), col("is_supply"), col("q"), col("lo"), col("hi"))
+      val sup = ranged.where(col("is_supply"))
+        .select(col("pk"), col("lo").as("slo"), col("hi").as("shi"))
+      val dem = ranged.where(!col("is_supply"))
+        .select(col("pk").as("pk2"), col("lo").as("dlo"),
+          col("hi").as("dhi"))
+      val m = sup.join(dem, col("pk") === col("pk2")
+          && col("slo") < col("dhi") && col("dlo") < col("shi"))
+        .select(col("pk"),
+          (least(col("shi"), col("dhi"))
+            - greatest(col("slo"), col("dlo"))).as("mq"))
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).cast("long").as("n_matches"),
+          sum(col("mq")).cast("long").as("matched"))
+      val tot = li.groupBy(col("pk"))
+        .agg(sum(when(col("is_supply"), col("q")).otherwise(0L))
+          .cast("long").as("supply"),
+          sum(when(!col("is_supply"), col("q")).otherwise(0L))
+            .cast("long").as("demand"))
+      tot.join(m, Seq("pk"), "left")
+        .groupBy(pmod(col("pk"), lit(8)).cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(coalesce(col("n_matches"), lit(0L))).cast("long")
+            .as("n_matches"),
+          sum(coalesce(col("matched"), lit(0L))).cast("long")
+            .as("matched_qty"),
+          sum(col("supply") - coalesce(col("matched"), lit(0L)))
+            .cast("long").as("unmatched_supply"),
+          sum(col("demand") - coalesce(col("matched"), lit(0L)))
+            .cast("long").as("unmatched_demand"))
+        .orderBy(col("cell"))
+    },
+
     // --- CDC MERGE-INTO apply (graft.operators.Merge) --------------------
     // The warehouse write primitive as a batch transform: deterministic
     // change batch derived from `customer` (keys ÷7 update acctbal,

@@ -715,6 +715,66 @@ object TextQueries {
         .orderBy(col("threshold").desc)
     },
 
+    // --- quality-model calibration (reliability table) --------------------
+    // The model-eval artifact the operating curve
+    // (text_quality_threshold_sweep: how MANY survive per threshold)
+    // doesn't show: is the score CALIBRATED — does the label rate
+    // actually rise with the score? Per 500-wide score bucket: document
+    // count and the positive rate (in ppm) of the same integer
+    // repetition label the in-engine trainer learns against
+    // (text_quality_train's `st` derivation, restated verbatim). Scoring
+    // and labeling are two vocabulary/doc-keyed aggregates over the one
+    // exploded scan; the bucket rollup is |buckets|-sized.
+    Q(
+      "text_quality_calibration",
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |           FROM documents),
+         |b AS (SELECT doc_id,
+         |        ${ModelWeights.mkString("[", ",", "]")}[
+         |          (('0x' || substr(md5(word), 1, 15))::BIGINT % 1024) + 1]
+         |          AS wt
+         |      FROM w),
+         |sc AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score
+         |       FROM b GROUP BY doc_id),
+         |wf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS f
+         |       FROM w GROUP BY doc_id, word),
+         |st AS (SELECT doc_id,
+         |        (10 * COUNT(*) >= SUM(f) AND 5 * MAX(f) <= SUM(f)) AS label
+         |       FROM wf GROUP BY doc_id)
+         |SELECT CAST(floor(score / 500) * 500 AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS pos_ppm
+         |FROM sc JOIN st USING (doc_id)
+         |GROUP BY bucket ORDER BY bucket NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      val bucket1024 = pmod(
+        conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"),
+        lit(1024L))
+      val sc = toks
+        .select(col("doc_id"),
+          element_at(typedlit(ModelWeights.toSeq), (bucket1024 + 1).cast("int"))
+            .as("wt"))
+        .groupBy(col("doc_id")).agg(sum(col("wt")).as("score"))
+      val st = toks.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("f"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("f")).as("nw"), count(lit(1)).as("nd"),
+          max(col("f")).as("tf"))
+        .select(col("doc_id"),
+          (col("nd") * 10 >= col("nw") && col("tf") * 5 <= col("nw"))
+            .as("label"))
+      sc.join(st, "doc_id")
+        .groupBy((floor(col("score") / lit(500)) * 500).cast("long")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) * 1000000 " +
+            "div count(1) AS BIGINT)").as("pos_ppm"))
+        .orderBy(col("bucket"))
+    },
+
     // --- IN-ENGINE quality-model training (batch perceptron) ------------
     // Closes the loop text_quality_model leaves open: instead of scoring
     // with a FIXED weight table, learn the weights inside the engine.

@@ -1260,6 +1260,65 @@ object WindowingQueries {
           sum(col("bal").cast("decimal(18,2)")).cast("double")
             .as("total_balance"))
         .orderBy(col("day"))
+    },
+
+    // --- clamped running balance (non-associative per-entity scan) --------
+    // The recurrence class window frames CANNOT express: a balance that
+    // floors at zero (wallets, inventory, rate-limit tokens) is
+    // b_i = max(0, b_{i-1} + Δ_i) — non-associative, so no partial
+    // aggregation and no window SUM rewrite exists. The scalable shape:
+    // per-entity event lists fold through a codegen'd higher-order
+    // `aggregate` (bounded by per-entity events, embarrassingly parallel
+    // across entities — the Holt/BPE in-plan-recurrence precedent), with
+    // the (balance, clamp-count) state packed into ONE int64
+    // (bal·2²⁰ + clamps) because DuckDB's list_reduce is homogeneous in
+    // the element type — the encoding makes both engines run literally
+    // the same fold. Deltas are floor(value·100) cents (floor, not
+    // round/cast: both engines floor doubles identically). Top-20 final
+    // balances under a total tiebreak.
+    Q(
+      "q_clamped_running_balance",
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) *
+        |      (CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END)
+        |      AS delta
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL),
+        |f AS (SELECT user_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list(delta ORDER BY ts, event_id)),
+        |      (acc, x) -> CASE WHEN (acc // 1048576) + x < 0
+        |        THEN acc % 1048576 + 1
+        |        ELSE ((acc // 1048576) + x) * 1048576 + acc % 1048576
+        |        END) AS enc
+        |  FROM ev GROUP BY user_id)
+        |SELECT user_id, CAST(enc // 1048576 AS BIGINT) AS final_cents,
+        |  CAST(enc % 1048576 AS BIGINT) AS n_clamps
+        |FROM f ORDER BY final_cents DESC, user_id LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .where(col("ts").isNotNull && col("user_id").isNotNull
+          && col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (floor(col("value") * 100).cast("long") *
+            when(col("event_type") === "purchase", 1L).otherwise(-1L))
+            .as("delta"))
+        .groupBy(col("user_id"))
+        .agg(expr("array_sort(collect_list(struct(ts, event_id, delta)))")
+          .as("a"))
+        .select(col("user_id"),
+          expr("""aggregate(transform(a, x -> x.delta),
+            |  CAST(0 AS BIGINT),
+            |  (acc, x) -> CASE WHEN (acc div 1048576) + x < 0
+            |    THEN acc % 1048576 + 1
+            |    ELSE ((acc div 1048576) + x) * 1048576 + acc % 1048576
+            |    END)""".stripMargin).as("enc"))
+        .select(col("user_id"),
+          expr("enc div 1048576").as("final_cents"),
+          expr("enc % 1048576").as("n_clamps"))
+        .orderBy(col("final_cents").desc, col("user_id"))
+        .limit(20)
     }
   )
 }
