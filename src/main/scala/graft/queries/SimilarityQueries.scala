@@ -1274,6 +1274,91 @@ object SimilarityQueries {
           expr("CAST(ssq * 1000 div n AS BIGINT)")
             .as("expected_probe_milli"))
         .orderBy(col("tbl"))
+    },
+
+    // --- top principal component via power iteration -----------------------
+    // The dimensionality-analysis step emb_dim_variance stops short of:
+    // the dominant eigenvector of the (uncentered) second-moment matrix
+    // XᵀX — what PCA whitening, spectral dedup, and ABTT ("all-but-the-
+    // top" embedding post-processing) all start from. Exact-arithmetic
+    // restatement: coordinates floor-scaled to integers, the 64×64
+    // moment matrix accumulated as one combiner-friendly aggregate over
+    // the per-vector coordinate pair join (map-side combine collapses
+    // the d² fanout per partition), then FIVE power-iteration rounds run
+    // RELATIONALLY — matvec = equi-join C⋈v on j + per-i sum — in
+    // 128-bit (DECIMAL(38,0) ↔ HUGEINT), rescaled each round to ±10⁶ by
+    // sign·(|s|·10⁶ div max|s|) (sign split keeps the integer division
+    // on positives — trunc ≡ floor, so both engines agree). Matrix-sized
+    // state (4096 rows) persists for the rounds and is released after
+    // the bounded 64-row result materializes (the pagerank discipline).
+    Q(
+      "emb_top_component",
+      PowerIterOracle
+    ) { (s, d) =>
+      val xs = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("p", "e")))
+        .select(col("vec_id"), (col("p") + 1).as("i"),
+          // scale in DOUBLE explicitly: a float×int multiply runs in
+          // single precision and lands a different integer on ~0.5% of
+          // coordinates than the oracle's double path
+          floor(col("e").cast("double") * lit(1000000.0)).cast("long")
+            .as("v"))
+      val cmat = xs.as("a")
+        .join(xs.as("b"), "vec_id")
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(sum(expr("CAST(a.v AS DECIMAL(38,0)) * b.v")).as("c"))
+        .persist()
+      var v = xs.sparkSession.range(1, 65)
+        .select(col("id").as("i"), lit(1000000L).cast("decimal(38,0)")
+          .as("val"))
+      (1 to 5).foreach { _ =>
+        val sk = cmat
+          .join(v.select(col("i").as("j"), col("val")), "j")
+          .groupBy(col("i"))
+          .agg(sum(expr("c * val")).as("s"))
+        val m = sk.agg(max(abs(col("s"))).as("m"))
+        v = sk.crossJoin(broadcast(m))
+          .select(col("i"),
+            expr("CAST(CASE WHEN s < 0 THEN -1 ELSE 1 END AS DECIMAL(38,0))" +
+              " * (abs(s) * 1000000 div m)").cast("decimal(38,0)").as("val"))
+      }
+      val out = v
+        .select(col("i").cast("long").as("dim"),
+          col("val").cast("long").as("component_ppm"))
+        .orderBy(col("dim"))
+      val rows = out.collect().toSeq
+      cmat.unpersist()
+      s.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+        out.schema)
     }
   )
+
+  /** Unrolled 5-round power-iteration oracle (the perceptronChain /
+    * bpeWithChain fixed-iteration replay pattern), all HUGEINT. */
+  private lazy val PowerIterOracle: String = {
+    val rounds = (1 to 5).map { k =>
+      s"""s$k AS (SELECT c.i, SUM(c.c * v.val) AS s
+         |  FROM c JOIN v${k - 1} v ON c.j = v.i GROUP BY c.i),
+         |m$k AS (SELECT MAX(ABS(s)) AS m FROM s$k),
+         |v$k AS (SELECT i,
+         |    CAST(CASE WHEN s < 0 THEN -1 ELSE 1 END AS HUGEINT)
+         |      * (ABS(s) * 1000000 // m) AS val
+         |  FROM s$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (SELECT vec_id, CAST(i AS BIGINT) AS i,
+       |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+       |      * 1000000) AS BIGINT) AS v
+       |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+       |c AS (SELECT a.i AS i, b.i AS j,
+       |    SUM(CAST(a.v AS HUGEINT) * b.v) AS c
+       |  FROM x a JOIN x b USING (vec_id) GROUP BY a.i, b.i),
+       |v0 AS (SELECT CAST(range AS BIGINT) AS i,
+       |    CAST(1000000 AS HUGEINT) AS val FROM range(1, 65)),
+       |$rounds
+       |SELECT CAST(i AS BIGINT) AS dim, CAST(val AS BIGINT)
+       |  AS component_ppm
+       |FROM v5 ORDER BY dim NULLS FIRST""".stripMargin
+  }
 }

@@ -1862,6 +1862,113 @@ object StatsQueries {
           when(col("daily") > 0,
             expr("(2 * n_star + daily - 1) div daily"))
             .otherwise(lit(0L)).cast("long").as("days_needed"))
+    },
+
+    // --- largest-remainder apportionment ----------------------------------
+    // The exact-integer allocation operator (budget/seat apportionment,
+    // Hamilton's method): split a fixed budget of 1,000,000 units across
+    // nations proportional to revenue so the parts SUM EXACTLY to the
+    // budget — naive rounding drifts by ±n. floor share =
+    // budget·rev div total (128-bit product); the leftover
+    // (≤ nations−1) goes one unit each to the largest fractional
+    // remainders (budget·rev mod total, tiebreak n_name). The remainder
+    // rank is a window over the 25-row nation rollup — bounded by the
+    // enum, like q_chisq's grid; the corpus-scale work is the one
+    // revenue aggregate.
+    Q(
+      "q_largest_remainder_apportion",
+      """WITH rev AS (SELECT n_name,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      ) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+        |fl AS (SELECT n_name, cents,
+        |    CAST(CAST(1000000 AS HUGEINT) * cents // total AS BIGINT)
+        |      AS floor_units,
+        |    CAST(CAST(1000000 AS HUGEINT) * cents % total AS BIGINT)
+        |      AS rem
+        |  FROM rev, t),
+        |lo AS (SELECT CAST(1000000 - SUM(floor_units) AS BIGINT)
+        |    AS leftover FROM fl),
+        |rk AS (SELECT n_name, cents, floor_units,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, n_name) AS BIGINT)
+        |      AS r
+        |  FROM fl)
+        |SELECT n_name, cents, floor_units,
+        |  CAST(floor_units + CASE WHEN r <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc_units
+        |FROM rk, lo
+        |ORDER BY n_name NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+      val t = rev.agg(sum(col("cents")).cast("long").as("total"))
+      val fl = rev.crossJoin(broadcast(t))
+        .select(col("n_name"), col("cents"),
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * cents div total " +
+            "AS BIGINT)").as("floor_units"),
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * cents % total " +
+            "AS BIGINT)").as("rem"))
+      val lo = fl.agg((lit(1000000L) - sum(col("floor_units")))
+        .cast("long").as("leftover"))
+      fl.withColumn("r", row_number()
+          .over(Window.orderBy(col("rem").desc, col("n_name"))).cast("long"))
+        .crossJoin(broadcast(lo))
+        .select(col("n_name"), col("cents"), col("floor_units"),
+          (col("floor_units")
+            + when(col("r") <= col("leftover"), 1L).otherwise(0L))
+            .cast("long").as("alloc_units"))
+        .orderBy(col("n_name"))
+    },
+
+    // --- Pettitt changepoint test (rank-based, exact) ---------------------
+    // The nonparametric companion to ref_changepoint_cusum: CUSUM needs
+    // a level estimate; Pettitt's U_t = Σ_{i≤t} Σ_{j>t} sign(x_j − x_i)
+    // is distribution-free and all-integer. Computed on the daily volume
+    // series — the O(days²) pair frame rides the calendar-bounded spine
+    // (ref_theil_sen_trend's justified shape; 365 days = 66k pairs at
+    // ANY corpus size), while the corpus-scale work is the one per-day
+    // count. Output: the t maximizing |U_t| (first such t on ties) and
+    // the K statistic.
+    Q(
+      "q_pettitt_changepoint",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY day),
+        |u AS (SELECT a.day AS t,
+        |    CAST(SUM(CASE WHEN b.x > a2.x THEN 1
+        |             WHEN b.x < a2.x THEN -1 ELSE 0 END) AS BIGINT) AS ut
+        |  FROM daily a JOIN daily a2 ON a2.day <= a.day
+        |       JOIN daily b ON b.day > a.day
+        |  GROUP BY a.day)
+        |SELECT t AS change_day, ut AS u_stat,
+        |  CAST(ABS(ut) AS BIGINT) AS k_stat
+        |FROM u
+        |ORDER BY ABS(ut) DESC, t LIMIT 1""".stripMargin
+    ) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .where(col("ts").isNotNull)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val u = daily.as("a")
+        .join(daily.as("a2"), col("a2.day") <= col("a.day"))
+        .join(daily.as("b"), col("b.day") > col("a.day"))
+        .groupBy(col("a.day").as("t"))
+        .agg(sum(when(col("b.x") > col("a2.x"), 1L)
+          .when(col("b.x") < col("a2.x"), -1L).otherwise(0L))
+          .cast("long").as("ut"))
+      u.select(col("t").as("change_day"), col("ut").as("u_stat"),
+          abs(col("ut")).cast("long").as("k_stat"))
+        .orderBy(abs(col("ut")).desc, col("t"))
+        .limit(1)
     }
   )
 }

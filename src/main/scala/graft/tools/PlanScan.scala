@@ -58,7 +58,9 @@ object PlanScan {
       "text_bm25_append" -> "1-row rolled corpus-stats table broadcast into the pruned posting scan",
       "text_lm_kneser_ney" -> "1-row bigram-type total broadcast into the scoring join",
       "retr_mrr" -> "1-row corpus stats broadcast into the scoring scan, twice (the scored relation feeds both the argmax and the rank count)",
-      "q_semi_additive_balance" -> "bounded calendar day spine broadcast across the entity list (fanout = days)")
+      "q_semi_additive_balance" -> "bounded calendar day spine broadcast across the entity list (fanout = days)",
+      "q_pettitt_changepoint" -> "calendar-bounded daily spine self-joined twice (Pettitt U is a sum over i<=t<j pairs by definition; <= ~8M tuples at a full year)",
+      "q_largest_remainder_apportion" -> "1-row revenue total and 1-row leftover broadcast into the 25-row nation frame")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
