@@ -1281,16 +1281,21 @@ object SimilarityQueries {
     // the dominant eigenvector of the (uncentered) second-moment matrix
     // XᵀX — what PCA whitening, spectral dedup, and ABTT ("all-but-the-
     // top" embedding post-processing) all start from. Exact-arithmetic
-    // restatement: coordinates floor-scaled to integers, the 64×64
-    // moment matrix accumulated as one combiner-friendly aggregate over
-    // the per-vector coordinate pair join (map-side combine collapses
-    // the d² fanout per partition), then FIVE power-iteration rounds run
-    // RELATIONALLY — matvec = equi-join C⋈v on j + per-i sum — in
-    // 128-bit (DECIMAL(38,0) ↔ HUGEINT), rescaled each round to ±10⁶ by
-    // sign·(|s|·10⁶ div max|s|) (sign split keeps the integer division
-    // on positives — trunc ≡ floor, so both engines agree). Matrix-sized
-    // state (4096 rows) persists for the rounds and is released after
-    // the bounded 64-row result materializes (the pagerank discipline).
+    // restatement: coordinates floor-scaled to integers (in explicit
+    // DOUBLE — a float×int multiply lands a different integer on ~0.5%
+    // of coordinates), the 64×64 moment matrix accumulated as one
+    // combiner-friendly aggregate over the per-vector coordinate pair
+    // join (map-side combine collapses the d² fanout per partition),
+    // then FIVE power-iteration rounds on the driver in exact BigInt
+    // over the MODEL-sized (4096-entry) matrix — the trainQualityWeights
+    // topology: corpus-scale moments stay distributed, the 64-vector
+    // update is parameter-sized (a relational matvec per round spent
+    // 10+ scheduler stages on 4096-row joins — measured 9.9 s → this
+    // shape). Each round rescales to ±10⁶ by sign·(|s|·10⁶ div max|s|);
+    // the sign split keeps every integer division on positives, where
+    // trunc ≡ floor, so BigInt, Spark `div`, and DuckDB `//` agree. The
+    // oracle replays the rounds as an unrolled relational matvec chain
+    // in HUGEINT.
     Q(
       "emb_top_component",
       PowerIterOracle
@@ -1304,34 +1309,35 @@ object SimilarityQueries {
           // coordinates than the oracle's double path
           floor(col("e").cast("double") * lit(1000000.0)).cast("long")
             .as("v"))
-      val cmat = xs.as("a")
+      // the 64×64 moment matrix is MODEL-sized (4096 rows): collect it
+      // once and run the eigen-iteration on the driver in exact BigInt
+      // — the trainQualityWeights bounded-collect topology (distributed
+      // moment accumulation, model-sized parameter update; a relational
+      // matvec per round spends 10+ scheduler stages on 4096-row joins)
+      val cRows = xs.as("a")
         .join(xs.as("b"), "vec_id")
         .groupBy(col("a.i").as("i"), col("b.i").as("j"))
         .agg(sum(expr("CAST(a.v AS DECIMAL(38,0)) * b.v")).as("c"))
-        .persist()
-      var v = xs.sparkSession.range(1, 65)
-        .select(col("id").as("i"), lit(1000000L).cast("decimal(38,0)")
-          .as("val"))
-      (1 to 5).foreach { _ =>
-        val sk = cmat
-          .join(v.select(col("i").as("j"), col("val")), "j")
-          .groupBy(col("i"))
-          .agg(sum(expr("c * val")).as("s"))
-        val m = sk.agg(max(abs(col("s"))).as("m"))
-        v = sk.crossJoin(broadcast(m))
-          .select(col("i"),
-            expr("CAST(CASE WHEN s < 0 THEN -1 ELSE 1 END AS DECIMAL(38,0))" +
-              " * (abs(s) * 1000000 div m)").cast("decimal(38,0)").as("val"))
+        .collect()
+      val dim = 64
+      val cm = Array.ofDim[BigInt](dim, dim)
+      cRows.foreach { r =>
+        cm(r.getAs[Number](0).intValue - 1)(r.getAs[Number](1).intValue - 1) =
+          BigInt(r.getDecimal(2).toBigInteger)
       }
-      val out = v
-        .select(col("i").cast("long").as("dim"),
-          col("val").cast("long").as("component_ppm"))
+      var vec = Array.fill(dim)(BigInt(1000000))
+      (1 to 5).foreach { _ =>
+        val sVec = Array.tabulate(dim)(i =>
+          (0 until dim).map(j => cm(i)(j) * vec(j)).sum)
+        val m = sVec.map(_.abs).max
+        vec = sVec.map(sv =>
+          (if (sv < 0) BigInt(-1) else BigInt(1)) * (sv.abs * 1000000 / m))
+      }
+      import s.implicits._
+      vec.zipWithIndex
+        .map { case (v, i) => ((i + 1).toLong, v.toLong) }.toSeq
+        .toDF("dim", "component_ppm")
         .orderBy(col("dim"))
-      val rows = out.collect().toSeq
-      cmat.unpersist()
-      s.createDataFrame(
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
-        out.schema)
     }
   )
 
