@@ -1064,6 +1064,59 @@ object RefQueries {
         .orderBy(col("event_date"))
     },
 
+    // --- error-budget burn rate over the DQ threshold ---------------------
+    // The reference's 3% null-user threshold
+    // (raw_to_curated_events_v3_dq.py:25) restated as an SRE error
+    // budget with Google's multiwindow burn-rate alerting: per hour,
+    // burn = null_rate / budget in centi-units (100 = consuming exactly
+    // at budget); a day report carries the worst hour, the count of
+    // fast-burn hours (burn > 14.4× — the page-now threshold), and the
+    // day-level burn. Turns the binary gate the reference has into the
+    // graded signal an on-call rotation actually uses. One hour-grain
+    // aggregate + one day rollup, integer ppm/centi throughout.
+    Q(
+      "ref_error_budget_burn",
+      """WITH hourly AS (SELECT CAST(ts AS DATE) AS event_date,
+        |    hour(ts) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nulls
+        |  FROM events WHERE ts IS NOT NULL
+        |  GROUP BY event_date, h),
+        |hb AS (SELECT event_date, h, n, nulls,
+        |    CAST((nulls * 1000000 // n) * 100 // 30000 AS BIGINT)
+        |      AS burn_centi
+        |  FROM hourly)
+        |SELECT event_date,
+        |  CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |  CAST(MAX(burn_centi) AS BIGINT) AS worst_hour_burn_centi,
+        |  CAST(SUM(CASE WHEN burn_centi > 1440 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS fast_burn_hours,
+        |  CAST((SUM(nulls) * 1000000 // SUM(n)) * 100 // 30000 AS BIGINT)
+        |    AS day_burn_centi
+        |FROM hb GROUP BY event_date
+        |ORDER BY event_date NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .where(col("ts").isNotNull)
+        .groupBy(col("ts").cast("date").as("event_date"),
+          hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("user_id").isNull, 1).otherwise(0)).cast("long")
+            .as("nulls"))
+        .withColumn("burn_centi",
+          expr("CAST((nulls * 1000000 div n) * 100 div 30000 AS BIGINT)"))
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n_hours"),
+          max(col("burn_centi")).cast("long")
+            .as("worst_hour_burn_centi"),
+          sum(when(col("burn_centi") > 1440, 1).otherwise(0)).cast("long")
+            .as("fast_burn_hours"),
+          expr("CAST((sum(nulls) * 1000000 div sum(n)) * 100 div 30000" +
+            " AS BIGINT)").as("day_burn_centi"))
+        .orderBy(col("event_date"))
+    },
+
     // --- partition-key advisor over candidate layout columns -------------
     // THE physical-layout decision the reference's date-partitioned lake
     // already made (ingestion_date) — stated as a measurable query so

@@ -1537,6 +1537,57 @@ object TextQueries {
         .orderBy(col("exact_count").desc, col("word"))
     },
 
+    // --- corpus novelty curve (n-gram first-occurrence profile) -----------
+    // The data-freshness signal a growing pretraining corpus is monitored
+    // by (and what near-dup rates only show indirectly): bucket documents
+    // by ingestion order (50 ids per bucket), and measure what fraction
+    // of each bucket's distinct trigrams appears THERE FIRST. A healthy
+    // crawl holds a stable novelty floor; a collapsing one (re-crawls,
+    // mirror floods) trends to zero ahead of any dedup stage firing.
+    // Shapes: one (bucket, gram) distinct, one gram-keyed min-aggregate
+    // (the global first bucket), one join back — all gram-keyed
+    // exchanges, the text_vocab_drift class.
+    Q(
+      "text_ngram_novelty",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct(CASE WHEN len(toks) < 3
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    END)) AS g
+        |  FROM t),
+        |dg AS (SELECT DISTINCT doc_id // 50 AS bucket, g FROM sh),
+        |fb AS (SELECT g, CAST(MIN(bucket) AS BIGINT) AS firstb FROM dg
+        |       GROUP BY g)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN firstb = bucket THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(SUM(CASE WHEN firstb = bucket THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS novelty_ppm
+        |FROM dg JOIN fb USING (g)
+        |GROUP BY bucket ORDER BY bucket NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val dg = Tables.documents(s, d)
+        .select(expr("doc_id div 50").as("bucket"),
+          explode(TextOps.sortedShingleSet(
+            TextOps.tokens(col("text")), 3)).as("g"))
+        .distinct()
+      val fb = dg.groupBy(col("g"))
+        .agg(min(col("bucket")).cast("long").as("firstb"))
+      dg.join(fb, "g")
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("firstb") === col("bucket"), 1).otherwise(0))
+            .cast("long").as("n_new"))
+        .select(col("bucket"), col("n_grams"), col("n_new"),
+          expr("CAST(n_new * 1000000 div n_grams AS BIGINT)")
+            .as("novelty_ppm"))
+        .orderBy(col("bucket"))
+    },
+
     // --- RAKE keyphrase extraction ----------------------------------------
     // Rapid Automatic Keyword Extraction (Rose et al. 2010) — the
     // multi-word companion to text_tfidf_keywords' unigrams: candidate
