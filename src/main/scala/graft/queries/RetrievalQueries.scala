@@ -83,6 +83,58 @@ object RetrievalQueries {
        |FROM r ORDER BY term NULLS FIRST""".stripMargin
   }
 
+  /** Oracle for `retr_map`: the same s/g/legs BM25 shape as
+    * [[MrrOracle]], plus a per-term relevance flag (term within the
+    * first 20 tokens), full per-term ranking windows, and floor-ppm
+    * average precision. */
+  private lazy val MapOracle: String = {
+    val tfs = MrrTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
+    }.mkString(",\n        ")
+    val rels = MrrTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks[1:20], x -> x = '$t')) > 0 AS rel$i"
+    }.mkString(",\n        ")
+    val dfs = MrrTerms.indices.map { i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(",\n        ")
+    val legs = MrrTerms.zipWithIndex.map { case (t, i) =>
+      s"""SELECT '$t' AS term, doc_id,
+         |  CAST(CASE WHEN tf$i > 0 THEN
+         |    (length(bin(n_docs)) - length(bin(df$i)))
+         |    * ((20 * tf$i * avgdl * 1000000)
+         |       // (8 * tf$i * avgdl + 3 * avgdl + 9 * dl)) ELSE 0 END
+         |    AS BIGINT) AS score,
+         |  rel$i AS rel FROM s, g""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s AS (SELECT doc_id, len(toks) AS dl,
+       |        $tfs,
+       |        $rels
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents)),
+       |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |        CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+       |          AS avgdl,
+       |        $dfs
+       |  FROM s),
+       |sc AS ($legs),
+       |rk AS (SELECT term, doc_id, rel,
+       |    CAST(row_number() OVER (PARTITION BY term
+       |           ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM sc),
+       |pr AS (SELECT term, rank,
+       |    CAST(row_number() OVER (PARTITION BY term ORDER BY rank)
+       |      AS BIGINT) AS rel_idx
+       |  FROM rk WHERE rel),
+       |ap AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_rel,
+       |    CAST(SUM(rel_idx * 1000000 // rank) // COUNT(*) AS BIGINT)
+       |      AS ap_ppm
+       |  FROM pr GROUP BY term)
+       |SELECT term, n_rel, ap_ppm,
+       |  CAST(SUM(ap_ppm) OVER () // COUNT(*) OVER () AS BIGINT)
+       |    AS map_ppm
+       |FROM ap ORDER BY term NULLS FIRST""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     // --- mean-reciprocal-rank eval of the BM25 ranker ---------------------
     // The retrieval-QUALITY metric the serving entries don't measure
@@ -325,6 +377,70 @@ object RetrievalQueries {
         .select(col("doc_id"), col("score").cast("long").as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)
+    },
+
+    // --- mean average precision of the BM25 ranker ------------------------
+    // MRR grades only the FIRST relevant hit; MAP grades the whole
+    // ranked list. To keep the metric non-degenerate, relevance is a
+    // signal the ranker does NOT directly optimize: the eval term occurs
+    // in the document's first 20 tokens (a title-match proxy), while the
+    // ranking is whole-document integer BM25 — so AP < 1 exactly when
+    // body-only matches outrank early-mention docs. AP is the standard
+    // rational 1/R·Σ precision@rank(rel doc), evaluated in floor-ppm per
+    // element so both engines agree bit-for-bit; map_ppm averages over
+    // the 4-row term frame. The per-term ranking is a row_number window
+    // PARTITIONED BY TERM — the per-query ranking shape of an eval
+    // harness (parallelism = #eval queries, each a corpus-sized sort;
+    // bounded by the eval set, not the corpus — and the idf-zero term
+    // makes the full-corpus doc_id tiebreak path part of the contract).
+    Q("retr_map", MapOracle) { (s, d) =>
+      val toksCol = graft.functions.TextOps.tokens(col("text"))
+      val tfCols = MrrTerms.zipWithIndex.map { case (t, i) =>
+        size(filter(toksCol, x => x === t)).as(s"tf$i")
+      }
+      val relCols = MrrTerms.zipWithIndex.map { case (t, i) =>
+        array_contains(slice(toksCol, 1, 20), t).as(s"rel$i")
+      }
+      val sfr = Tables.documents(s, d)
+        .select(Seq(col("doc_id"), size(toksCol).as("dl"))
+          ++ tfCols ++ relCols: _*)
+      val dfAggs = MrrTerms.indices.map { i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("long")
+          .as(s"df$i")
+      }
+      val gCols = Seq(count(lit(1)).cast("long").as("n_docs"),
+        expr("CAST(sum(dl) AS BIGINT) div count(*)").as("avgdl")) ++ dfAggs
+      val g = sfr.agg(gCols.head, gCols.tail: _*)
+      def flog2(c: org.apache.spark.sql.Column) = length(bin(c))
+      val legs = MrrTerms.zipWithIndex.map { case (t, i) =>
+        struct(
+          lit(t).as("term"),
+          ((flog2(col("n_docs")) - flog2(col(s"df$i"))).cast("long") *
+            expr(s"CASE WHEN tf$i > 0 THEN (20 * tf$i * avgdl * 1000000)" +
+              s" div (8 * tf$i * avgdl + 3 * avgdl + 9 * dl)" +
+              " ELSE 0 END")).as("score"),
+          col(s"rel$i").as("rel"))
+      }
+      val sc = sfr.crossJoin(broadcast(g))
+        .select(col("doc_id"), explode(array(legs: _*)).as("e"))
+        .select(col("doc_id"), col("e.term").as("term"),
+          col("e.score").as("score"), col("e.rel").as("rel"))
+      val wr = Window.partitionBy(col("term"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val ranked = sc
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .where(col("rel"))
+      val wi = Window.partitionBy(col("term")).orderBy(col("rank"))
+      val ap = ranked
+        .withColumn("rel_idx", row_number().over(wi).cast("long"))
+        .withColumn("prec_ppm",
+          expr("CAST(rel_idx * 1000000 div rank AS BIGINT)"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).cast("long").as("n_rel"),
+          expr("CAST(sum(prec_ppm) div count(*) AS BIGINT)").as("ap_ppm"))
+      ap.withColumn("map_ppm",
+          expr("CAST(sum(ap_ppm) over () div count(*) over () AS BIGINT)"))
+        .orderBy(col("term"))
     }
   )
 }

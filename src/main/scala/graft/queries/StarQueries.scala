@@ -1016,6 +1016,81 @@ object StarQueries {
             .as("subtree_retail"),
           max(col("d")).cast("long").as("max_depth"))
         .orderBy(col("root"))
+    },
+
+    // --- spatial radius join by grid bucketing ----------------------------
+    // The spatial-join class (point-radius self-join) expressed the only
+    // way it survives 100 TB: hash every point into a grid cell sized to
+    // the radius, explode each point into its 3×3 cell NEIGHBORHOOD, and
+    // equi-join neighborhood→home-cell — candidates are O(points ×
+    // local density), never the all-pairs cross join, and the join key
+    // is a plain (gx, gy) equi-key so it shuffles and AQE-balances like
+    // any other join. A pair is emitted exactly once: b's single home
+    // cell lies in a's 3×3 iff they're neighbors, and a_id < b_id kills
+    // the mirror. Coordinates are derived deterministically from
+    // c_custkey (two quadratic mixes mod 100k — affine maps landed every
+    // point on one 1-D lattice line with NO close pairs, a measured
+    // dead end; the quadratic spread is a stand-in for a real lat/lon
+    // column, identical integer ops in both engines);
+    // the exact d² ≤ r² filter runs AFTER candidate generation, the
+    // standard filter-refine split. Found pairs grow with density² on
+    // verbatim scale-ups (documented, the near-dup-family caveat).
+    Q(
+      "q_spatial_grid_join",
+      """WITH pt AS (SELECT c_custkey AS id,
+        |    (c_custkey * c_custkey + 3 * c_custkey) % 100000 AS x,
+        |    (7 * c_custkey * c_custkey + 11 * c_custkey) % 100000 AS y
+        |  FROM customer),
+        |cells AS (SELECT id, x, y, x // 500 AS gx, y // 500 AS gy
+        |  FROM pt),
+        |nb AS (SELECT id, x, y, gx + dx.d AS ngx, gy + dy.d AS ngy
+        |  FROM cells,
+        |    (SELECT unnest([-1, 0, 1]) AS d) dx,
+        |    (SELECT unnest([-1, 0, 1]) AS d) dy),
+        |pairs AS (SELECT a.id AS a_id, b.id AS b_id,
+        |    CAST((a.x - b.x) * (a.x - b.x)
+        |      + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+        |  FROM nb a JOIN cells b
+        |    ON a.ngx = b.gx AND a.ngy = b.gy AND a.id < b.id
+        |  WHERE (a.x - b.x) * (a.x - b.x)
+        |      + (a.y - b.y) * (a.y - b.y) <= 250000)
+        |SELECT a_id, b_id, d2,
+        |  CAST(COUNT(*) OVER () AS BIGINT) AS n_pairs
+        |FROM pairs
+        |ORDER BY d2, a_id, b_id LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val pt = Tables.customer(s, d)
+        .select(col("c_custkey").as("id"),
+          expr("(c_custkey * c_custkey + 3 * c_custkey) % 100000")
+            .as("x"),
+          expr("(7 * c_custkey * c_custkey + 11 * c_custkey) % 100000")
+            .as("y"))
+      val cells = pt
+        .withColumn("gx", expr("x div 500"))
+        .withColumn("gy", expr("y div 500"))
+      val nb = cells
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("id"), col("x"), col("y"),
+          (col("gx") + col("dx")).as("ngx"),
+          (col("gy") + col("dy")).as("ngy"))
+      val pairs = nb.as("a")
+        .join(cells.as("b"),
+          col("a.ngx") === col("b.gx") && col("a.ngy") === col("b.gy")
+            && col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+          ((col("a.x") - col("b.x")) * (col("a.x") - col("b.x"))
+            + (col("a.y") - col("b.y")) * (col("a.y") - col("b.y")))
+            .cast("long").as("d2"))
+        .where(col("d2") <= 250000L)
+      // pair count via a broadcast 1-row aggregate, NOT a global window
+      // (a data-sized single-partition window is the anti-pattern); the
+      // top-20 rides TakeOrderedAndProject, so neither side sorts the
+      // full pair stream
+      val n = pairs.agg(count(lit(1)).cast("long").as("n_pairs"))
+      pairs.orderBy(col("d2"), col("a_id"), col("b_id")).limit(20)
+        .crossJoin(broadcast(n))
+        .orderBy(col("d2"), col("a_id"), col("b_id"))
     }
   )
 }

@@ -1969,6 +1969,159 @@ object StatsQueries {
           abs(col("ut")).cast("long").as("k_stat"))
         .orderBy(abs(col("ut")).desc, col("t"))
         .limit(1)
+    },
+
+    // --- rank correlation: Spearman rho + Kendall tau ---------------------
+    // Are busier days richer days? Monotone association between daily
+    // order count and daily revenue, measured twice: Spearman's rho via
+    // the classic 1 − 6Σd²/(n(n²−1)) on tiebroken permutation ranks
+    // (rank by (metric, day) — a TOTAL order, so the formula's
+    // distinct-rank precondition holds and the result is exactly
+    // rational), and Kendall's tau-a as sign-summed concordance over the
+    // day-pair join. Everything integer: ranks from single-partition
+    // windows over the ≤days-sized daily rollup (the
+    // ref_deseasonalized_daily precedent), the pair join is days² — a
+    // calendar-bounded self-join (the Pettitt precedent), NOT data-scale.
+    // Both engines truncate integer division toward zero, so the
+    // possibly-negative ppm quotients agree exactly.
+    Q(
+      "q_rank_correlation",
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY day),
+        |r AS (SELECT day, n, cents,
+        |    CAST(row_number() OVER (ORDER BY n, day) AS BIGINT) AS rx,
+        |    CAST(row_number() OVER (ORDER BY cents, day) AS BIGINT) AS ry
+        |  FROM daily),
+        |sp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sd2
+        |  FROM r),
+        |kd AS (SELECT CAST(SUM(CASE
+        |      WHEN (b.n - a.n) * (b.cents - a.cents) > 0 THEN 1
+        |      WHEN (b.n - a.n) * (b.cents - a.cents) < 0 THEN -1
+        |      ELSE 0 END) AS BIGINT) AS s_kendall
+        |  FROM daily a JOIN daily b ON a.day < b.day)
+        |SELECT n_days, sd2,
+        |  CAST((1000000 * (n_days * (n_days * n_days - 1)) - 6000000 * sd2)
+        |    // (n_days * (n_days * n_days - 1)) AS BIGINT) AS spearman_ppm,
+        |  s_kendall,
+        |  CAST(2000000 * s_kendall // (n_days * (n_days - 1)) AS BIGINT)
+        |    AS kendall_ppm
+        |FROM sp, kd ORDER BY n_days""".stripMargin
+    ) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+      val wx = Window.orderBy(col("n"), col("day"))
+      val wy = Window.orderBy(col("cents"), col("day"))
+      val r = daily
+        .withColumn("rx", row_number().over(wx).cast("long"))
+        .withColumn("ry", row_number().over(wy).cast("long"))
+      val sp = r.agg(count(lit(1)).cast("long").as("n_days"),
+        sum((col("rx") - col("ry")) * (col("rx") - col("ry")))
+          .cast("long").as("sd2"))
+      val kd = daily.as("a")
+        .join(daily.as("b"), col("a.day") < col("b.day"))
+        .agg(sum(when(
+            (col("b.n") - col("a.n")) * (col("b.cents") - col("a.cents"))
+              > 0, 1L)
+          .when((col("b.n") - col("a.n")) * (col("b.cents") - col("a.cents"))
+              < 0, -1L)
+          .otherwise(0L)).cast("long").as("s_kendall"))
+      sp.crossJoin(kd)
+        .select(col("n_days"), col("sd2"),
+          expr("CAST((1000000 * (n_days * (n_days * n_days - 1))" +
+            " - 6000000 * sd2)" +
+            " div (n_days * (n_days * n_days - 1)) AS BIGINT)")
+            .as("spearman_ppm"),
+          col("s_kendall"),
+          expr("CAST(2000000 * s_kendall div (n_days * (n_days - 1))" +
+            " AS BIGINT)").as("kendall_ppm"))
+        .orderBy(col("n_days"))
+    },
+
+    // --- forecast evaluation: MASE over a 7-day holdout -------------------
+    // The eval half of the ref_holt_forecast family: score the two
+    // standard reference forecasters — naive-1 (yesterday) and
+    // seasonal-naive-7 (same weekday last week) — on the LAST 7 days of
+    // the daily revenue series, scaled by the in-sample naive-1 MAE
+    // (Hyndman's MASE: scale-free, zero-safe, no logs). mase_ppm < 1e6
+    // means the model beats a random-walk carried out of sample.
+    // Predictions are row-lags over the day-ordered spine (bounded
+    // single-partition window, the deseasonalize precedent); the ratio
+    // of rational means is computed exactly as one 128-bit integer
+    // division (DECIMAL(38,0) ↔ HUGEINT — the clamped-balance
+    // precedent), so cents × 1e6 × days can never wrap.
+    Q(
+      "q_forecast_mase",
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY day),
+        |l AS (SELECT day, cents,
+        |    lag(cents, 1) OVER (ORDER BY day) AS p1,
+        |    lag(cents, 7) OVER (ORDER BY day) AS p7,
+        |    row_number() OVER (ORDER BY day DESC) AS rd
+        |  FROM daily),
+        |g AS (SELECT
+        |    CAST(SUM(CASE WHEN rd > 7 AND p1 IS NOT NULL
+        |      THEN ABS(cents - p1) ELSE 0 END) AS BIGINT) AS sum_in,
+        |    CAST(SUM(CASE WHEN rd > 7 AND p1 IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+        |    CAST(SUM(CASE WHEN rd <= 7 THEN ABS(cents - p1) ELSE 0 END)
+        |      AS BIGINT) AS err1,
+        |    CAST(SUM(CASE WHEN rd <= 7 THEN ABS(cents - p7) ELSE 0 END)
+        |      AS BIGINT) AS err7,
+        |    CAST(SUM(CASE WHEN rd <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_test
+        |  FROM l)
+        |SELECT model, n_test, err_cents,
+        |  CAST(CAST(err_cents AS HUGEINT) * 1000000 * n_in
+        |    // (CAST(n_test AS HUGEINT) * sum_in) AS BIGINT) AS mase_ppm
+        |FROM (SELECT 'naive1' AS model, n_test, err1 AS err_cents,
+        |        n_in, sum_in FROM g
+        |      UNION ALL
+        |      SELECT 'snaive7', n_test, err7, n_in, sum_in FROM g)
+        |ORDER BY model""".stripMargin
+    ) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      val w = Window.orderBy(col("day"))
+      val wd = Window.orderBy(col("day").desc)
+      val l = daily
+        .withColumn("p1", lag(col("cents"), 1).over(w))
+        .withColumn("p7", lag(col("cents"), 7).over(w))
+        .withColumn("rd", row_number().over(wd))
+      val g = l.agg(
+        sum(when(col("rd") > 7 && col("p1").isNotNull,
+          abs(col("cents") - col("p1"))).otherwise(0L))
+          .cast("long").as("sum_in"),
+        sum(when(col("rd") > 7 && col("p1").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_in"),
+        sum(when(col("rd") <= 7, abs(col("cents") - col("p1")))
+          .otherwise(0L)).cast("long").as("err1"),
+        sum(when(col("rd") <= 7, abs(col("cents") - col("p7")))
+          .otherwise(0L)).cast("long").as("err7"),
+        sum(when(col("rd") <= 7, 1L).otherwise(0L)).cast("long")
+          .as("n_test"))
+      g.select(explode(array(
+          struct(lit("naive1").as("model"), col("n_test"),
+            col("err1").as("err_cents"), col("n_in"), col("sum_in")),
+          struct(lit("snaive7").as("model"), col("n_test"),
+            col("err7").as("err_cents"), col("n_in"), col("sum_in"))))
+          .as("e"))
+        .select(col("e.model").as("model"), col("e.n_test").as("n_test"),
+          col("e.err_cents").as("err_cents"),
+          expr("CAST(CAST(e.err_cents AS DECIMAL(38,0)) * 1000000" +
+            " * e.n_in div (CAST(e.n_test AS DECIMAL(38,0)) * e.sum_in)" +
+            " AS BIGINT)").as("mase_ppm"))
+        .orderBy(col("model"))
     }
   )
 }

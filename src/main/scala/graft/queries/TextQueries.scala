@@ -2042,6 +2042,69 @@ object TextQueries {
           expr("CAST(n_docs * 1000000 div corpus AS BIGINT)")
             .as("share_ppm"))
         .orderBy(col("n_docs").desc, col("prefix"))
+    },
+
+    // --- Cohen's kappa for the language classifier ------------------------
+    // text_langid_eval shows the confusion matrix; kappa compresses it to
+    // the chance-corrected agreement number a labeling pipeline gates on
+    // (raw accuracy flatters any classifier when one class dominates —
+    // exactly the skewed-lang mix a web corpus has). kappa = (po − pe) /
+    // (1 − pe) with po, pe rational in confusion counts, so the whole
+    // statistic is ONE 128-bit integer division: 1e6·(N·diag − Σ_k
+    // row_k·col_k) / (N² − Σ_k row_k·col_k). The marginals join on the
+    // ≤langs² cell table — model-sized, not data-sized; the only
+    // data-scale pass is the classify+count aggregate itself.
+    Q(
+      "text_langid_kappa",
+      s"""WITH p AS (SELECT lang AS labeled,
+         |    ($langidBestSql).lang AS pred
+         |  FROM documents),
+         |c AS (SELECT labeled, pred, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM p GROUP BY labeled, pred),
+         |m AS (SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN labeled = pred THEN n ELSE 0 END)
+         |      AS BIGINT) AS agree
+         |  FROM c),
+         |rs AS (SELECT labeled AS k, CAST(SUM(n) AS BIGINT) AS rn
+         |       FROM c GROUP BY labeled),
+         |cs AS (SELECT pred AS k, CAST(SUM(n) AS BIGINT) AS cn
+         |       FROM c GROUP BY pred),
+         |rc AS (SELECT CAST(SUM(rs.rn * cs.cn) AS BIGINT) AS src
+         |       FROM rs JOIN cs ON rs.k = cs.k)
+         |SELECT n_docs, agree,
+         |  CAST(agree * 1000000 // n_docs AS BIGINT) AS po_ppm,
+         |  CAST(CAST(src AS HUGEINT) * 1000000
+         |    // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS pe_ppm,
+         |  CAST((CAST(n_docs AS HUGEINT) * agree - src) * 1000000
+         |    // (CAST(n_docs AS HUGEINT) * n_docs - src) AS BIGINT)
+         |    AS kappa_ppm
+         |FROM m, rc ORDER BY n_docs""".stripMargin
+    ) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .select(col("lang").as("labeled"),
+          TextOps.langId(col("text")).getField("lang").as("pred"))
+        .groupBy(col("labeled"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+      val m = c.agg(sum(col("n")).cast("long").as("n_docs"),
+        sum(when(col("labeled") === col("pred"), col("n")).otherwise(0L))
+          .cast("long").as("agree"))
+      val rs = c.groupBy(col("labeled").as("k"))
+        .agg(sum(col("n")).cast("long").as("rn"))
+      val cs = c.groupBy(col("pred").as("k"))
+        .agg(sum(col("n")).cast("long").as("cn"))
+      val rc = rs.join(cs, "k")
+        .agg(sum(col("rn") * col("cn")).cast("long").as("src"))
+      m.crossJoin(rc)
+        .select(col("n_docs"), col("agree"),
+          expr("CAST(agree * 1000000 div n_docs AS BIGINT)").as("po_ppm"),
+          expr("CAST(CAST(src AS DECIMAL(38,0)) * 1000000" +
+            " div (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)")
+            .as("pe_ppm"),
+          expr("CAST((CAST(n_docs AS DECIMAL(38,0)) * agree - src)" +
+            " * 1000000" +
+            " div (CAST(n_docs AS DECIMAL(38,0)) * n_docs - src)" +
+            " AS BIGINT)").as("kappa_ppm"))
+        .orderBy(col("n_docs"))
     }
   )
 }

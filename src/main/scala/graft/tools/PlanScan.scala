@@ -60,7 +60,11 @@ object PlanScan {
       "retr_mrr" -> "1-row corpus stats broadcast into the scoring scan, twice (the scored relation feeds both the argmax and the rank count)",
       "q_semi_additive_balance" -> "bounded calendar day spine broadcast across the entity list (fanout = days)",
       "q_pettitt_changepoint" -> "calendar-bounded daily spine self-joined twice (Pettitt U is a sum over i<=t<j pairs by definition; <= ~8M tuples at a full year)",
-      "q_largest_remainder_apportion" -> "1-row revenue total and 1-row leftover broadcast into the 25-row nation frame")
+      "q_largest_remainder_apportion" -> "1-row revenue total and 1-row leftover broadcast into the 25-row nation frame",
+      "q_rank_correlation" -> "calendar-bounded daily spine self-paired for Kendall S (days^2 by definition) + 1-row Spearman x Kendall cross-join",
+      "text_langid_kappa" -> "1-row (N, diag) frame cross-joined with the 1-row marginal-product frame",
+      "retr_map" -> "1-row corpus stats broadcast into the scoring scan (the MRR shape)",
+      "q_spatial_grid_join" -> "1-row pair-count frame broadcast into the 20-row closest-pair head; the pair join itself is a (gx,gy) equi-join")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
