@@ -1124,6 +1124,78 @@ object CurationQueries {
             max(when(col("p") === 3, col("doc_id"))).cast("string"))
             .as("first3"))
         .orderBy(col("epoch"), col("shard"))
+    },
+
+    // --- dedup cascade retention funnel -----------------------------------
+    // Production dedup is a CASCADE — cheap exact stages first, each
+    // stage fed the previous stage's survivors — and the number that
+    // justifies each stage is the retention funnel this query reports:
+    // stage 0 (raw corpus) → 1 (exact full-text, md5 key) → 2
+    // (normalized text: lowercased, non-alphanumerics stripped — the
+    // casing/punctuation near-miss class) → 3 (80-char normalized
+    // prefix — the boilerplate-template class). Keep-first (min doc_id)
+    // per key at every stage; every stage is a hash groupBy on a
+    // computed key + a semi-join back — no pairwise comparison
+    // anywhere, so the cascade scales like the exact-dedup family, and
+    // the funnel's char retention says how much the EXPENSIVE near-dup
+    // stage downstream still has to look at.
+    Q(
+      "pipe_dedup_cascade",
+      """WITH d0 AS (SELECT doc_id, text, n_chars FROM documents),
+        |k1 AS (SELECT MIN(doc_id) AS doc_id FROM d0 GROUP BY md5(text)),
+        |s1 AS (SELECT d0.* FROM d0 JOIN k1 USING (doc_id)),
+        |n2 AS (SELECT doc_id,
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS norm,
+        |    n_chars
+        |  FROM s1),
+        |k2 AS (SELECT MIN(doc_id) AS doc_id FROM n2 GROUP BY md5(norm)),
+        |s2 AS (SELECT n2.* FROM n2 JOIN k2 USING (doc_id)),
+        |k3 AS (SELECT MIN(doc_id) AS doc_id FROM s2
+        |       GROUP BY substring(norm, 1, 80)),
+        |s3 AS (SELECT s2.* FROM s2 JOIN k3 USING (doc_id)),
+        |f AS (SELECT 0 AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |      CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM d0
+        |    UNION ALL SELECT 1, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+        |      FROM s1
+        |    UNION ALL SELECT 2, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+        |      FROM s2
+        |    UNION ALL SELECT 3, COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+        |      FROM s3)
+        |SELECT CAST(stage AS BIGINT) AS stage,
+        |  CAST(n_docs AS BIGINT) AS n_docs, n_chars,
+        |  CAST(n_chars * 1000000 // (SELECT n_chars FROM f WHERE stage = 0)
+        |    AS BIGINT) AS retained_ppm
+        |FROM f ORDER BY stage""".stripMargin
+    ) { (s, d) =>
+      val d0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      def keepFirst(df: org.apache.spark.sql.DataFrame,
+          key: org.apache.spark.sql.Column) = {
+        val k = df.groupBy(key.as("k"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        df.join(k, "doc_id")
+      }
+      val s1 = keepFirst(d0, md5(col("text")))
+      val n2 = s1.select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", "").as("norm"),
+        col("n_chars"))
+      val s2 = keepFirst(n2, md5(col("norm")))
+      val s3 = keepFirst(s2, substring(col("norm"), 1, 80))
+      def stageRow(df: org.apache.spark.sql.DataFrame, stage: Int) =
+        df.agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars"))
+          .select(lit(stage.toLong).as("stage"), col("n_docs"),
+            col("n_chars"))
+      val f = stageRow(d0, 0).unionByName(stageRow(s1, 1))
+        .unionByName(stageRow(s2, 2)).unionByName(stageRow(s3, 3))
+      val total = stageRow(d0, 0)
+        .select(col("n_chars").as("total_chars"))
+      f.crossJoin(broadcast(total))
+        .select(col("stage"), col("n_docs"), col("n_chars"),
+          expr("CAST(n_chars * 1000000 div total_chars AS BIGINT)")
+            .as("retained_ppm"))
+        .orderBy(col("stage"))
     }
   )
 }

@@ -285,6 +285,159 @@ object GraphQueries {
         .select(col("pa").as("part_a"), col("pb").as("part_b"),
           col("co"), col("jaccard_ppm"), col("rk"))
         .orderBy(col("part_a"), col("rk"))
+    },
+
+    // --- k-core decomposition by iterative peeling ------------------------
+    // The graph-densification primitive (community seeds, spam-farm
+    // detection, the subgraph GNN samplers train on): repeatedly drop
+    // nodes whose alive-degree falls under k until a fixpoint. Peeling
+    // is inherently iterative — each round is ONE degree aggregate over
+    // the alive-filtered edge relation (two semi-joins + groupBy on the
+    // node key), the same bounded-superstep shape as pagerank; 6 rounds
+    // reach the 2-core fixpoint on this graph (the output trace SHOWS
+    // convergence: trailing rounds repeat n_alive), and the round count
+    // is fixed, so both engines replay identical work whether or not a
+    // larger graph converges — no data-dependent control flow. Spark
+    // caps lineage with a per-round localCheckpoint (the BPE/pagerank
+    // discipline); the oracle's unrolled CTEs are MATERIALIZED because
+    // each round references the previous twice — DuckDB's default
+    // inlining made the plan EXPONENTIAL in rounds (measured hang at 8
+    // rounds; materialization makes it linear, the same fix the
+    // localCheckpoint applies on the Spark side).
+    Q(
+      "q_kcore_copurchase", {
+        val base =
+          """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+            |           FROM lineitem),
+            |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+            |      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+            |        AND a.l_partkey < b.l_partkey
+            |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            |e AS MATERIALIZED (SELECT u, v FROM e0
+            |     UNION ALL SELECT v, u FROM e0),
+            |a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM e)"""
+            .stripMargin
+        val rounds = (1 to 6).map { r =>
+          s"""a$r AS MATERIALIZED (SELECT e.u AS node
+             |  FROM e JOIN a${r - 1} x ON e.u = x.node
+             |         JOIN a${r - 1} y ON e.v = y.node
+             |  GROUP BY e.u HAVING COUNT(*) >= 2)""".stripMargin
+        }.mkString(",\n")
+        val counts = (0 to 6).map { r =>
+          s"SELECT $r AS round, CAST(COUNT(*) AS BIGINT) AS n_alive" +
+            s" FROM a$r"
+        }.mkString("\nUNION ALL\n")
+        s"""$base,
+           |$rounds
+           |SELECT CAST(round AS BIGINT) AS round, n_alive FROM (
+           |$counts)
+           |ORDER BY round""".stripMargin
+      }
+    ) { (s, d) =>
+      val pp = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e0 = pp.as("x")
+        .join(pp.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+        .select(col("u"), col("v"))
+      val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      var alive = e.select(col("u").as("node")).distinct()
+      val counts = scala.collection.mutable.ArrayBuffer(
+        alive.agg(count(lit(1)).cast("long").as("n_alive"))
+          .select(lit(0L).as("round"), col("n_alive")))
+      for (r <- 1 to 6) {
+        alive = e
+          .join(alive, col("u") === col("node"), "left_semi")
+          .join(alive, col("v") === col("node"), "left_semi")
+          .groupBy(col("u"))
+          .agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= 2)
+          .select(col("u").as("node"))
+          .localCheckpoint()
+        counts += alive.agg(count(lit(1)).cast("long").as("n_alive"))
+          .select(lit(r.toLong).as("round"), col("n_alive"))
+      }
+      counts.reduce(_ unionByName _).orderBy(col("round"))
+    },
+
+    // --- BFS reachability frontier from the hub part ----------------------
+    // Hop-distance expansion from the highest-degree node (ties to the
+    // smallest id): 5 rounds of visited ∪ neighbors(visited), reporting
+    // |visited| per hop — the reachability/diameter probe for the
+    // copurchase graph (how many parts a hub recommendation can reach
+    // in k hops). Each round is one equi-join frontier expansion + a
+    // distinct on the node key — the bounded-superstep shape again;
+    // round count fixed, convergence visible in the trace when the
+    // component is exhausted. Same lineage discipline as k-core
+    // (per-round localCheckpoint ↔ MATERIALIZED oracle CTEs).
+    Q(
+      "q_graph_bfs_hops", {
+        val base =
+          """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+            |           FROM lineitem),
+            |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+            |      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+            |        AND a.l_partkey < b.l_partkey
+            |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            |e AS MATERIALIZED (SELECT u, v FROM e0
+            |     UNION ALL SELECT v, u FROM e0),
+            |v0 AS MATERIALIZED (SELECT u AS node FROM (
+            |  SELECT u, COUNT(*) AS c FROM e GROUP BY u
+            |  ORDER BY c DESC, u LIMIT 1))""".stripMargin
+        val rounds = (1 to 5).map { r =>
+          s"""v$r AS MATERIALIZED (SELECT DISTINCT node FROM (
+             |  SELECT node FROM v${r - 1}
+             |  UNION ALL
+             |  SELECT e.v AS node FROM e JOIN v${r - 1} x ON e.u = x.node))"""
+            .stripMargin
+        }.mkString(",\n")
+        val counts = (0 to 5).map { r =>
+          s"SELECT $r AS hop, CAST(COUNT(*) AS BIGINT) AS n_reached" +
+            s" FROM v$r"
+        }.mkString("\nUNION ALL\n")
+        s"""$base,
+           |$rounds
+           |SELECT CAST(hop AS BIGINT) AS hop, n_reached FROM (
+           |$counts)
+           |ORDER BY hop""".stripMargin
+      }
+    ) { (s, d) =>
+      val pp = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e0 = pp.as("x")
+        .join(pp.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+        .select(col("u"), col("v"))
+      val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      var visited = e.groupBy(col("u"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("u"))
+        .limit(1)
+        .select(col("u").as("node"))
+        .localCheckpoint()
+      val counts = scala.collection.mutable.ArrayBuffer(
+        visited.agg(count(lit(1)).cast("long").as("n_reached"))
+          .select(lit(0L).as("hop"), col("n_reached")))
+      for (r <- 1 to 5) {
+        visited = visited
+          .unionByName(e.join(visited, col("u") === col("node"))
+            .select(col("v").as("node")))
+          .distinct()
+          .localCheckpoint()
+        counts += visited.agg(count(lit(1)).cast("long").as("n_reached"))
+          .select(lit(r.toLong).as("hop"), col("n_reached"))
+      }
+      counts.reduce(_ unionByName _).orderBy(col("hop"))
     }
   )
 

@@ -1117,6 +1117,184 @@ object RefQueries {
         .orderBy(col("event_date"))
     },
 
+    // --- Holt-Winters triple-exponential forecast (weekly season) --------
+    // The seasonal step past ref_holt_forecast: level, trend AND a
+    // 7-slot additive seasonal state smoothed jointly (l_t = α(y_t −
+    // s_{t−m}) + (1−α)(l+b); b_t = β(l_t−l) + (1−β)b; s_t = γ(y_t −
+    // l_t) + (1−γ)s_{t−m}), so a weekday-shaped series stops leaking
+    // its weekly ripple into the trend. State is (l, b, s[7]) with the
+    // seasonal ring rotating head→tail each day (s[1] is always the
+    // slot that applies NEXT); zero-seeded, so the first week runs as
+    // plain Holt while the ring warms. Same execution shape as the
+    // Holt pair: the engine folds the struct accumulator over per-row
+    // history prefixes (O(days²) lambda steps on the calendar-bounded
+    // rollup), the oracle replays a recursive CTE carrying the list —
+    // identical IEEE ops in identical order, so doubles match
+    // bit-for-bit and recomputing l_t inside the b/s updates is safe
+    // (the ref_holt_forecast precedent).
+    Q(
+      "ref_holt_winters",
+      """WITH RECURSIVE daily AS (SELECT CAST(ts AS DATE) AS event_date,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY event_date),
+        |idx AS (SELECT event_date, n,
+        |    row_number() OVER (ORDER BY event_date) AS i FROM daily),
+        |hw(i, event_date, n, l, b, s) AS (
+        |  SELECT i, event_date, n, CAST(n AS DOUBLE), CAST(0 AS DOUBLE),
+        |    [CAST(0 AS DOUBLE), 0, 0, 0, 0, 0, 0]
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.i, x.event_date, x.n,
+        |    0.3 * (CAST(x.n AS DOUBLE) - h.s[1]) + 0.7 * (h.l + h.b),
+        |    0.2 * ((0.3 * (CAST(x.n AS DOUBLE) - h.s[1])
+        |        + 0.7 * (h.l + h.b)) - h.l) + 0.8 * h.b,
+        |    list_append(h.s[2:7],
+        |      0.3 * (CAST(x.n AS DOUBLE)
+        |          - (0.3 * (CAST(x.n AS DOUBLE) - h.s[1])
+        |             + 0.7 * (h.l + h.b)))
+        |        + 0.7 * h.s[1])
+        |  FROM idx x JOIN hw h ON x.i = h.i + 1)
+        |SELECT event_date, n, ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+        |  ROUND(s[7], 6) AS seasonal,
+        |  ROUND(l + b + s[1], 6) AS forecast_next
+        |FROM hw ORDER BY event_date NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .where(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("n"))
+      val cum = Window.orderBy(col("event_date"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def fold(histCol: Column): Column = aggregate(
+        slice(histCol, lit(2), greatest(size(histCol) - 1, lit(0))),
+        struct(coalesce(get(histCol, lit(0)), lit(0.0)).as("l"),
+          lit(0.0).as("b"), array_repeat(lit(0.0), lit(7)).as("s")),
+        (acc, x) => {
+          val l = acc.getField("l")
+          val b = acc.getField("b")
+          val sArr = acc.getField("s")
+          val sHead = element_at(sArr, 1)
+          val lN = lit(0.3) * (x - sHead) + lit(0.7) * (l + b)
+          val bN = lit(0.2) * (lN - l) + lit(0.8) * b
+          val sN = lit(0.3) * (x - lN) + lit(0.7) * sHead
+          struct(lN.as("l"), bN.as("b"),
+            concat(slice(sArr, 2, 6), array(sN)).as("s"))
+        })
+      daily
+        .withColumn("hist", collect_list(col("n").cast("double")).over(cum))
+        .withColumn("st", fold(col("hist")))
+        .select(col("event_date"), col("n"),
+          round(col("st.l"), 6).as("level"),
+          round(col("st.b"), 6).as("trend"),
+          round(element_at(col("st.s"), 7), 6).as("seasonal"),
+          round(col("st.l") + col("st.b") + element_at(col("st.s"), 1), 6)
+            .as("forecast_next"))
+        .orderBy(col("event_date"))
+    },
+
+    // --- Holt vs Holt-Winters one-step backtest ---------------------------
+    // The model-selection readout the two smoothers need: replay BOTH
+    // recurrences over the same daily series and score each day's
+    // prior-day forecast (Holt: l+t; HW: l+b+s[1]) — if the series
+    // carries a real weekly ripple, the seasonal model's one-step MAE
+    // drops below the pair-state model's, and THAT delta (not theory)
+    // is what justifies the extra state at 100 TB. Same prefix-fold /
+    // recursive-CTE machinery as the parent queries, two bounded error
+    // rollups unioned; identical IEEE chains, ROUNDed.
+    Q(
+      "ref_hw_backtest",
+      """WITH RECURSIVE daily AS (SELECT CAST(ts AS DATE) AS event_date,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY event_date),
+        |idx AS (SELECT event_date, n,
+        |    row_number() OVER (ORDER BY event_date) AS i FROM daily),
+        |holt(i, n, l, t) AS (
+        |  SELECT i, n, CAST(n AS DOUBLE), CAST(0 AS DOUBLE)
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.i, x.n,
+        |    0.3 * CAST(x.n AS DOUBLE) + 0.7 * (h.l + h.t),
+        |    0.2 * ((0.3 * CAST(x.n AS DOUBLE) + 0.7 * (h.l + h.t)) - h.l)
+        |      + 0.8 * h.t
+        |  FROM idx x JOIN holt h ON x.i = h.i + 1),
+        |hw(i, n, l, b, s) AS (
+        |  SELECT i, n, CAST(n AS DOUBLE), CAST(0 AS DOUBLE),
+        |    [CAST(0 AS DOUBLE), 0, 0, 0, 0, 0, 0]
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.i, x.n,
+        |    0.3 * (CAST(x.n AS DOUBLE) - h.s[1]) + 0.7 * (h.l + h.b),
+        |    0.2 * ((0.3 * (CAST(x.n AS DOUBLE) - h.s[1])
+        |        + 0.7 * (h.l + h.b)) - h.l) + 0.8 * h.b,
+        |    list_append(h.s[2:7],
+        |      0.3 * (CAST(x.n AS DOUBLE)
+        |          - (0.3 * (CAST(x.n AS DOUBLE) - h.s[1])
+        |             + 0.7 * (h.l + h.b)))
+        |        + 0.7 * h.s[1])
+        |  FROM idx x JOIN hw h ON x.i = h.i + 1),
+        |eh AS (SELECT ABS(CAST(c.n AS DOUBLE) - (p.l + p.t)) AS abs_err
+        |  FROM holt c JOIN holt p ON p.i = c.i - 1),
+        |ew AS (SELECT ABS(CAST(c.n AS DOUBLE) - (p.l + p.b + p.s[1]))
+        |      AS abs_err
+        |  FROM hw c JOIN hw p ON p.i = c.i - 1)
+        |SELECT model, n_scored, mae FROM (
+        |  SELECT 'holt' AS model, CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |    ROUND(SUM(abs_err) / COUNT(*), 6) AS mae FROM eh
+        |  UNION ALL
+        |  SELECT 'hw', CAST(COUNT(*) AS BIGINT),
+        |    ROUND(SUM(abs_err) / COUNT(*), 6) FROM ew)
+        |ORDER BY model""".stripMargin
+    ) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .where(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("n"))
+      val prevW = Window.orderBy(col("event_date"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      def foldHolt(histCol: Column): Column = aggregate(
+        slice(histCol, lit(2), greatest(size(histCol) - 1, lit(0))),
+        struct(coalesce(get(histCol, lit(0)), lit(0.0)).as("l"),
+          lit(0.0).as("t")),
+        (acc, x) => {
+          val l = acc.getField("l"); val t = acc.getField("t")
+          val lNew = lit(0.3) * x + lit(0.7) * (l + t)
+          struct(lNew.as("l"),
+            (lit(0.2) * (lNew - l) + lit(0.8) * t).as("t"))
+        })
+      def foldHw(histCol: Column): Column = aggregate(
+        slice(histCol, lit(2), greatest(size(histCol) - 1, lit(0))),
+        struct(coalesce(get(histCol, lit(0)), lit(0.0)).as("l"),
+          lit(0.0).as("b"), array_repeat(lit(0.0), lit(7)).as("s")),
+        (acc, x) => {
+          val l = acc.getField("l")
+          val b = acc.getField("b")
+          val sArr = acc.getField("s")
+          val sHead = element_at(sArr, 1)
+          val lN = lit(0.3) * (x - sHead) + lit(0.7) * (l + b)
+          val bN = lit(0.2) * (lN - l) + lit(0.8) * b
+          val sN = lit(0.3) * (x - lN) + lit(0.7) * sHead
+          struct(lN.as("l"), bN.as("b"),
+            concat(slice(sArr, 2, 6), array(sN)).as("s"))
+        })
+      val base = daily
+        .withColumn("prev",
+          collect_list(col("n").cast("double")).over(prevW))
+        .where(size(col("prev")) > 0)
+      val eh = base.withColumn("sp", foldHolt(col("prev")))
+        .select(abs(col("n").cast("double")
+          - (col("sp.l") + col("sp.t"))).as("abs_err"))
+      val ew = base.withColumn("sp", foldHw(col("prev")))
+        .select(abs(col("n").cast("double")
+          - (col("sp.l") + col("sp.b") + element_at(col("sp.s"), 1)))
+          .as("abs_err"))
+      def rollup(df: DataFrame, model: String) =
+        df.agg(count(lit(1)).cast("long").as("n_scored"),
+          round(sum(col("abs_err")) / count(lit(1)), 6).as("mae"))
+          .select(lit(model).as("model"), col("n_scored"), col("mae"))
+      rollup(eh, "holt").unionByName(rollup(ew, "hw"))
+        .orderBy(col("model"))
+    },
+
     // --- partition-key advisor over candidate layout columns -------------
     // THE physical-layout decision the reference's date-partitioned lake
     // already made (ingestion_date) — stated as a measurable query so

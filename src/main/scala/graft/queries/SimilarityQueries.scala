@@ -1338,6 +1338,61 @@ object SimilarityQueries {
         .map { case (v, i) => ((i + 1).toLong, v.toLong) }.toSeq
         .toDF("dim", "component_ppm")
         .orderBy(col("dim"))
+    },
+
+    // --- cluster-label purity of the IVF cells ----------------------------
+    // The clustering-QUALITY metric the IVF family never reports: the
+    // corpus carries ground-truth labels, so each trained cell earns a
+    // purity score — the share of its members agreeing with the cell's
+    // majority label (ties to the smallest label id), plus the overall
+    // size-weighted purity. High purity means the quantizer's cells
+    // align with semantics (cell-restricted ANN probes stay
+    // label-consistent); a collapsed cell shows up as a low-purity
+    // giant. Training replays the SAME deterministic k=8×3-iteration
+    // Lloyd fit as emb_knn_ivf (shared helper, shared oracle CTEs);
+    // past the fit, one (cid,label) aggregate + an argmax on the
+    // ≤k·labels cell table — every window bounded by k.
+    Q(
+      "emb_cell_purity",
+      s"""WITH ${kmeansOracleCtes(8, 3)},
+         |p AS (SELECT af.cid, e.label, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM af JOIN embeddings e USING (vec_id)
+         |  GROUP BY af.cid, e.label),
+         |top AS (SELECT cid, label AS top_label, n AS top_n FROM (
+         |    SELECT cid, label, n, row_number() OVER (PARTITION BY cid
+         |        ORDER BY n DESC, label) AS rn FROM p) WHERE rn = 1),
+         |tot AS (SELECT cid, CAST(SUM(n) AS BIGINT) AS n_vecs FROM p
+         |        GROUP BY cid)
+         |SELECT CAST(t.cid AS BIGINT) AS cid, tot.n_vecs,
+         |  CAST(t.top_label AS BIGINT) AS top_label, t.top_n,
+         |  CAST(t.top_n * 1000000 // tot.n_vecs AS BIGINT) AS purity_ppm,
+         |  CAST(SUM(t.top_n) OVER () * 1000000
+         |    // SUM(tot.n_vecs) OVER () AS BIGINT) AS overall_ppm
+         |FROM top t JOIN tot USING (cid)
+         |ORDER BY cid""".stripMargin
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = KMeans.fit(emb, k = 8, iters = 3)
+      val p = emb
+        .withColumn("cid", KMeans.assignExpr(col("embedding"), cents))
+        .groupBy(col("cid"), col("label"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val w = Window.partitionBy(col("cid"))
+        .orderBy(col("n").desc, col("label"))
+      val top = p.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("cid"), col("label").cast("long").as("top_label"),
+          col("n").as("top_n"))
+      val tot = p.groupBy(col("cid"))
+        .agg(sum(col("n")).cast("long").as("n_vecs"))
+      top.join(tot, "cid")
+        .select(col("cid").cast("long").as("cid"), col("n_vecs"),
+          col("top_label"), col("top_n"),
+          expr("CAST(top_n * 1000000 div n_vecs AS BIGINT)")
+            .as("purity_ppm"),
+          expr("CAST(sum(top_n) over () * 1000000" +
+            " div sum(n_vecs) over () AS BIGINT)").as("overall_ppm"))
+        .orderBy(col("cid"))
     }
   )
 

@@ -2122,6 +2122,85 @@ object StatsQueries {
             " * e.n_in div (CAST(e.n_test AS DECIMAL(38,0)) * e.sum_in)" +
             " AS BIGINT)").as("mase_ppm"))
         .orderBy(col("model"))
+    },
+
+    // --- bootstrap confidence interval (deterministic resampling) ---------
+    // Resampling inference with NO random state: rep b's draw d selects
+    // day index md5(b:d) % n + 1 — the md5Low60 bridge both engines
+    // share (the pipe_epoch_shuffle permutation), so every resample is
+    // replayed bit-for-bit. B=30 full-size resamples of the daily
+    // revenue series, each rep's statistic the exact integer mean of
+    // its drawn days; the 90% percentile-method CI is the 2nd/29th
+    // order statistic of the 30 rep means (bounded window over B rows).
+    // The draw relation is reps × days (the day spine REUSED as the
+    // draw index — no generator needed) joined back to values on the
+    // drawn index: an equi-join on a hash-uniform key, B·days rows —
+    // calendar-bounded, embarrassingly parallel, nothing data-scale
+    // passes through a single partition.
+    Q(
+      "q_bootstrap_ci", {
+        val h = graft.functions.TextOps.md5Low60Sql(
+          "CAST(b.rep AS VARCHAR) || ':' || CAST(d.i AS VARCHAR)")
+        s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+           |      AS BIGINT) AS cents
+           |  FROM orders GROUP BY day),
+           |idx AS (SELECT cents,
+           |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+           |  FROM daily),
+           |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM idx),
+           |reps AS (SELECT CAST(unnest(range(1, 31)) AS BIGINT) AS rep),
+           |draws AS (SELECT b.rep, $h % n.n_days + 1 AS pick
+           |  FROM reps b, idx d, n),
+           |rm AS (SELECT dr.rep,
+           |    CAST(SUM(v.cents) // COUNT(*) AS BIGINT) AS mean_cents
+           |  FROM draws dr JOIN idx v ON dr.pick = v.i
+           |  GROUP BY dr.rep),
+           |rk AS (SELECT mean_cents,
+           |    row_number() OVER (ORDER BY mean_cents, rep) AS r
+           |  FROM rm)
+           |SELECT n.n_days, CAST(30 AS BIGINT) AS b_reps,
+           |  CAST((SELECT SUM(cents) // COUNT(*) FROM idx) AS BIGINT)
+           |    AS mean_cents,
+           |  (SELECT mean_cents FROM rk WHERE r = 2) AS ci_lo_cents,
+           |  (SELECT mean_cents FROM rk WHERE r = 29) AS ci_hi_cents
+           |FROM n ORDER BY n_days""".stripMargin
+      }
+    ) { (s, d) =>
+      import graft.functions.TextOps
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      val idx = daily
+        .withColumn("i",
+          row_number().over(Window.orderBy(col("day"))).cast("long"))
+        .select(col("cents"), col("i"))
+      val n = idx.agg(count(lit(1)).cast("long").as("n_days"))
+      val reps = idx.sparkSession.range(1, 31)
+        .select(col("id").as("rep"))
+      val draws = reps.crossJoin(idx.select(col("i")))
+        .crossJoin(broadcast(n))
+        .select(col("rep"),
+          (TextOps.md5Low60(concat(col("rep").cast("string"), lit(":"),
+            col("i").cast("string"))) % col("n_days") + 1).as("pick"))
+      val rm = draws.join(idx, col("pick") === col("i"))
+        .groupBy(col("rep"))
+        .agg(expr("CAST(sum(cents) div count(*) AS BIGINT)")
+          .as("mean_cents"))
+      val rk = rm.withColumn("r",
+        row_number().over(Window.orderBy(col("mean_cents"), col("rep"))))
+      val lo = rk.where(col("r") === 2)
+        .select(col("mean_cents").as("ci_lo_cents"))
+      val hi = rk.where(col("r") === 29)
+        .select(col("mean_cents").as("ci_hi_cents"))
+      val overall = idx.agg(
+        expr("CAST(sum(cents) div count(*) AS BIGINT)").as("mean_cents"))
+      n.withColumn("b_reps", lit(30L))
+        .crossJoin(broadcast(overall))
+        .crossJoin(broadcast(lo))
+        .crossJoin(broadcast(hi))
+        .orderBy(col("n_days"))
     }
   )
 }

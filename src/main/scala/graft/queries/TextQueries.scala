@@ -2105,6 +2105,94 @@ object TextQueries {
             " div (CAST(n_docs AS DECIMAL(38,0)) * n_docs - src)" +
             " AS BIGINT)").as("kappa_ppm"))
         .orderBy(col("n_docs"))
+    },
+
+    // --- decile lift table for the trained quality scorer -----------------
+    // The third leg of the model-eval tripod (threshold sweep = volume
+    // tradeoff, calibration = probability honesty, LIFT = ranking
+    // power): bucket the scored corpus into score deciles and report
+    // each decile's label rate plus cumulative lift over the base rate.
+    // Deciles are assigned at BIN granularity — the bounded floor-500
+    // score-bin table is ranked and each bin mapped to
+    // least(9, docs_before·10/total) — so no data-scale row ever rides
+    // a global ranking window (the bin-then-rank shape a 100 TB scorer
+    // eval actually uses); every window here is over the ≤bins-sized
+    // rollup. Training replays the same deterministic perceptron chain
+    // as text_quality_train (shared helpers, shared oracle CTEs).
+    Q(
+      "text_quality_lift",
+      s"""${perceptronChain(TrainIters)},
+         |sc AS (SELECT f.doc_id, CAST(SUM(f.cnt * w.w) AS BIGINT) AS score
+         |  FROM feat f JOIN w$TrainIters w USING (bucket)
+         |  GROUP BY f.doc_id),
+         |bu AS (SELECT CAST(floor(score / 500) * 500 AS BIGINT) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN l.label THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pos
+         |  FROM sc JOIN st l USING (doc_id) GROUP BY bin),
+         |cb AS (SELECT bin, n_docs, n_pos,
+         |    COALESCE(CAST(SUM(n_docs) OVER (ORDER BY bin DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) AS before_docs,
+         |    CAST(SUM(n_docs) OVER () AS BIGINT) AS tot_docs,
+         |    CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+         |  FROM bu),
+         |db AS (SELECT CAST(LEAST(9, before_docs * 10 // tot_docs)
+         |      AS BIGINT) AS decile,
+         |    n_docs, n_pos, tot_docs, tot_pos FROM cb),
+         |dc AS (SELECT decile, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+         |    MAX(tot_docs) AS tot_docs, MAX(tot_pos) AS tot_pos
+         |  FROM db GROUP BY decile)
+         |SELECT decile, n_docs, n_pos,
+         |  CAST(n_pos * 1000000 // n_docs AS BIGINT) AS pos_rate_ppm,
+         |  CAST(CAST(SUM(n_pos) OVER cw AS HUGEINT) * tot_docs * 1000000
+         |    // (CAST(SUM(n_docs) OVER cw AS HUGEINT) * tot_pos)
+         |    AS BIGINT) AS cum_lift_ppm
+         |FROM dc
+         |WINDOW cw AS (ORDER BY decile
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY decile""".stripMargin
+    ) { (s, d) =>
+      val wts = trainQualityWeights(s, d)
+      val (feat, st) = qualityTrainFrames(s, d)
+      val wlit = typedlit(wts.toSeq)
+      val scored = feat
+        .select(col("doc_id"), (col("cnt") *
+          element_at(wlit, (col("bucket") + 1).cast("int"))).as("p"))
+        .groupBy(col("doc_id")).agg(sum(col("p")).cast("long").as("score"))
+      val bu = scored.join(st, "doc_id")
+        .groupBy((floor(col("score") / lit(500)) * 500).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("label"), 1L).otherwise(0L)).cast("long")
+            .as("n_pos"))
+      val cb = bu
+        .withColumn("before_docs",
+          coalesce(expr("CAST(sum(n_docs) over (order by bin desc" +
+            " rows between unbounded preceding and 1 preceding)" +
+            " AS BIGINT)"), lit(0L)))
+        .withColumn("tot_docs", expr("CAST(sum(n_docs) over () AS BIGINT)"))
+        .withColumn("tot_pos", expr("CAST(sum(n_pos) over () AS BIGINT)"))
+      val dc = cb
+        .select(least(lit(9L), expr("before_docs * 10 div tot_docs"))
+          .cast("long").as("decile"),
+          col("n_docs"), col("n_pos"), col("tot_docs"), col("tot_pos"))
+        .groupBy(col("decile"))
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("n_pos")).cast("long").as("n_pos"),
+          max(col("tot_docs")).as("tot_docs"),
+          max(col("tot_pos")).as("tot_pos"))
+      dc.select(col("decile"), col("n_docs"), col("n_pos"),
+          expr("CAST(n_pos * 1000000 div n_docs AS BIGINT)")
+            .as("pos_rate_ppm"),
+          expr("CAST(CAST(sum(n_pos) over (order by decile rows between" +
+            " unbounded preceding and current row) AS DECIMAL(38,0))" +
+            " * tot_docs * 1000000" +
+            " div (CAST(sum(n_docs) over (order by decile rows between" +
+            " unbounded preceding and current row) AS DECIMAL(38,0))" +
+            " * tot_pos) AS BIGINT)").as("cum_lift_ppm"))
+        .orderBy(col("decile"))
     }
   )
 }

@@ -1319,6 +1319,50 @@ object WindowingQueries {
           expr("enc % 1048576").as("n_clamps"))
         .orderBy(col("final_cents").desc, col("user_id"))
         .limit(20)
+    },
+
+    // --- frequent event sequences (3-step sequential patterns) ------------
+    // Sequence MINING where the funnel queries only MATCH: enumerate
+    // every consecutive event-type trigram in each user's journey (two
+    // leads over the per-user time order — per-user windows, so the
+    // shuffle key is user_id and parallelism is user-count, never a
+    // global sort) and rank patterns by distinct-user support with raw
+    // occurrence count as tiebreak. The top pattern is what "typical
+    // journey" dashboards and next-event recommenders are built from;
+    // support counting per pattern is a hash aggregate on the trigram
+    // key. Deterministic total order inside a user: (ts, event_id) —
+    // both engines read µs timestamps, and the id tiebreak pins
+    // same-instant events.
+    Q(
+      "q_frequent_sequences",
+      """WITH s AS (SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM s WHERE e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY n_users DESC, n_occurrences DESC,
+        |  e1 NULLS FIRST, e2 NULLS FIRST, e3 NULLS FIRST
+        |LIMIT 10""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .where(col("e3").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(countDistinct(col("user_id")).cast("long").as("n_users"),
+          count(lit(1)).cast("long").as("n_occurrences"))
+        .orderBy(col("n_users").desc, col("n_occurrences").desc,
+          col("e1"), col("e2"), col("e3"))
+        .limit(10)
     }
   )
 }

@@ -64,7 +64,9 @@ object PlanScan {
       "q_rank_correlation" -> "calendar-bounded daily spine self-paired for Kendall S (days^2 by definition) + 1-row Spearman x Kendall cross-join",
       "text_langid_kappa" -> "1-row (N, diag) frame cross-joined with the 1-row marginal-product frame",
       "retr_map" -> "1-row corpus stats broadcast into the scoring scan (the MRR shape)",
-      "q_spatial_grid_join" -> "1-row pair-count frame broadcast into the 20-row closest-pair head; the pair join itself is a (gx,gy) equi-join")
+      "q_spatial_grid_join" -> "1-row pair-count frame broadcast into the 20-row closest-pair head; the pair join itself is a (gx,gy) equi-join",
+      "q_bootstrap_ci" -> "30-row rep frame x calendar-bounded day spine (the B*days draw relation) + 1-row n/mean/CI frames; the draw->value join is an equi-join",
+      "pipe_dedup_cascade" -> "1-row stage-0 char total broadcast into the 4-row funnel; every dedup stage is a hash groupBy + semi-join, no pairwise compare")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
