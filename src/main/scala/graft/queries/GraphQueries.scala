@@ -438,6 +438,157 @@ object GraphQueries {
           .select(lit(r.toLong).as("hop"), col("n_reached"))
       }
       counts.reduce(_ unionByName _).orderBy(col("hop"))
+    },
+
+    // --- link prediction: common neighbors + Jaccard ---------------------
+    // The classic neighborhood-overlap link predictor (Liben-Nowell &
+    // Kleinberg, CIKM'03) over the part co-purchase graph: for every
+    // NON-adjacent pair sharing at least one neighbor, score by common
+    // neighbor count and by Jaccard overlap of the neighborhoods,
+    // serve the top 20. Candidate generation is the wedge equi-join
+    // (two edge copies meeting on the shared endpoint — the
+    // q_triangle_copurchase shape, O(Σ deg²) wedges), adjacency is
+    // removed with an anti-join, and degrees arrive by equi-join, so
+    // every step is a hash shuffle on a key — no pairwise scan. At
+    // 100 TB the standard production guard is a hub-degree cap on the
+    // wedge input (drop nodes above ~10k degree before pairing: hubs
+    // predict nothing — every pair shares them); the synthetic graph's
+    // max degree is far below any cap, so the query states the pure
+    // form. Jaccard in floor-ppm: cn·1e6 // (deg(x)+deg(y)−cn); both
+    // orderings are exact integers, ties broken by (x, y).
+    Q(
+      "q_link_prediction",
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |     FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+        |       AND a.l_partkey < b.l_partkey
+        |     GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS MATERIALIZED (SELECT u, v FROM e0
+        |     UNION ALL SELECT v, u FROM e0),
+        |dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY u),
+        |cand AS (SELECT a.v AS x, b.v AS y, CAST(COUNT(*) AS BIGINT) AS cn
+        |  FROM e a JOIN e b ON a.u = b.u AND a.v < b.v
+        |  GROUP BY 1, 2),
+        |ne AS (SELECT c.x, c.y, c.cn FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM e0
+        |                    WHERE e0.u = c.x AND e0.v = c.y)),
+        |sc AS (SELECT n.x, n.y, n.cn,
+        |    CAST(n.cn * 1000000 // (dx.deg + dy.deg - n.cn) AS BIGINT)
+        |      AS jaccard_ppm
+        |  FROM ne n JOIN dg dx ON n.x = dx.u JOIN dg dy ON n.y = dy.u)
+        |SELECT x, y, cn, jaccard_ppm FROM sc
+        |ORDER BY cn DESC, jaccard_ppm DESC, x, y LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val pp = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e0 = pp.as("a")
+        .join(pp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+        .select(col("u"), col("v"))
+      val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      val dg = e.groupBy(col("u")).agg(count(lit(1)).cast("long").as("deg"))
+      val cand = e.as("a")
+        .join(e.as("b"),
+          col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+        .groupBy(col("a.v").as("x"), col("b.v").as("y"))
+        .agg(count(lit(1)).cast("long").as("cn"))
+      val ne = cand.join(e0,
+        cand("x") === e0("u") && cand("y") === e0("v"), "left_anti")
+      ne.join(dg.withColumnRenamed("u", "x")
+            .withColumnRenamed("deg", "dx"), "x")
+        .join(dg.withColumnRenamed("u", "y")
+            .withColumnRenamed("deg", "dy"), "y")
+        .select(col("x"), col("y"), col("cn"),
+          expr("CAST(cn * 1000000 div (dx + dy - cn) AS BIGINT)")
+            .as("jaccard_ppm"))
+        .orderBy(col("cn").desc, col("jaccard_ppm").desc, col("x"),
+          col("y"))
+        .limit(20)
+    },
+
+    // --- label-propagation communities ------------------------------------
+    // Synchronous label propagation (Raghavan et al. 2007) made
+    // deterministic: every node starts labeled by its own id, and each
+    // of 3 synchronous rounds relabels every node with its neighbors'
+    // MOST FREQUENT label, ties broken by the smaller label — a
+    // (node, label) count aggregate plus a row_number pick per round,
+    // both hash shuffles on the node key. Iteration discipline is the
+    // k-core/BFS pair: per-round localCheckpoint on the Spark side ↔
+    // MATERIALIZED round CTEs on the oracle side (DuckDB's default CTE
+    // inlining is exponential in rounds — measured on the k-core
+    // oracle). Isolated parts (no qualifying co-purchase edge) have no
+    // neighbors and so no community — documented out. Output is the
+    // community-size head plus the global community count, both exact.
+    Q(
+      "q_label_propagation", {
+        val base =
+          """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+            |           FROM lineitem),
+            |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+            |      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+            |        AND a.l_partkey < b.l_partkey
+            |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            |e AS MATERIALIZED (SELECT u, v FROM e0
+            |     UNION ALL SELECT v, u FROM e0),
+            |l0 AS MATERIALIZED (SELECT u AS node, u AS label
+            |     FROM (SELECT DISTINCT u FROM e))""".stripMargin
+        val rounds = (1 to 3).map { r =>
+          s"""c$r AS MATERIALIZED (SELECT e.u AS node, p.label,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM e JOIN l${r - 1} p ON e.v = p.node GROUP BY 1, 2),
+             |l$r AS MATERIALIZED (SELECT node, label FROM (
+             |  SELECT node, label,
+             |    row_number() OVER (PARTITION BY node
+             |      ORDER BY c DESC, label) AS rn
+             |  FROM c$r) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""$base,
+           |$rounds,
+           |cs AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS csize
+           |       FROM l3 GROUP BY label)
+           |SELECT label, csize,
+           |  CAST(COUNT(*) OVER () AS BIGINT) AS n_communities
+           |FROM cs
+           |ORDER BY csize DESC, label LIMIT 20""".stripMargin
+      }
+    ) { (s, d) =>
+      val pp = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e0 = pp.as("a")
+        .join(pp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+        .select(col("u"), col("v"))
+      val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      var labels = e.select(col("u")).distinct()
+        .select(col("u").as("node"), col("u").as("label"))
+      val wn = Window.partitionBy(col("node"))
+        .orderBy(col("c").desc, col("label"))
+      for (_ <- 1 to 3) {
+        labels = e.join(labels, e("v") === labels("node"))
+          .groupBy(e("u").as("node2"), col("label"))
+          .agg(count(lit(1)).cast("long").as("c"))
+          .select(col("node2").as("node"), col("label"), col("c"))
+          .withColumn("rn", row_number().over(wn))
+          .where(col("rn") === 1)
+          .select(col("node"), col("label"))
+          .localCheckpoint()
+      }
+      labels.groupBy(col("label"))
+        .agg(count(lit(1)).cast("long").as("csize"))
+        .withColumn("n_communities",
+          count(lit(1)).over(Window.partitionBy()).cast("long"))
+        .orderBy(col("csize").desc, col("label"))
+        .limit(20)
     }
   )
 

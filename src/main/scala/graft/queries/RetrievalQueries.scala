@@ -37,6 +37,14 @@ object RetrievalQueries {
     * near-stopword, which exercises the all-scores-tie path). */
   private val MrrTerms = Seq("spark", "merge", "window", "the")
 
+  /** floor(1e6 / log2(rank+1)) for ranks 1..10 — the NDCG position
+    * discounts as exact integer constants (both engines consume the
+    * same literals; no libm in any plan). */
+  private val NdcgDiscounts: Seq[(Int, Long)] = Seq(
+    1 -> 1000000L, 2 -> 630929L, 3 -> 500000L, 4 -> 430676L,
+    5 -> 386852L, 6 -> 356207L, 7 -> 333333L, 8 -> 315464L,
+    9 -> 301029L, 10 -> 289064L)
+
   /** Oracle for `retr_mrr`: the BM25 s/g CTE shape (one tf column per
     * term, corpus stats in one row), per-term score legs with EXPLICIT
     * idf × (num // den) grouping (DuckDB's `//` is left-associative at
@@ -440,6 +448,139 @@ object RetrievalQueries {
           expr("CAST(sum(prec_ppm) div count(*) AS BIGINT)").as("ap_ppm"))
       ap.withColumn("map_ppm",
           expr("CAST(sum(ap_ppm) over () div count(*) over () AS BIGINT)"))
+        .orderBy(col("term"))
+    },
+
+    // --- NDCG@10 of the BM25 ranker ---------------------------------------
+    // The GRADED companion to retr_map's binary AP: relevance earns
+    // grade 2 when the eval term sits in the document's first 10 tokens
+    // (title zone), grade 1 in tokens 11–20 (lead zone), 0 otherwise —
+    // so the metric rewards ranking title hits over lead hits, which
+    // whole-document BM25 does not directly optimize. Gains are the
+    // standard 2^g−1 ∈ {0,1,3}; position discounts 1/log2(r+1) are the
+    // ONE transcendental in the formula, so they enter as a 10-row
+    // LITERAL table in floor-ppm (precomputed constants shared verbatim
+    // by both engines — the no-libm discipline, same as the quality
+    // scorer's weight table). DCG@10 rides the retr_map per-term
+    // ranking window; IDCG@10 ranks by grade directly; ndcg_ppm is one
+    // exact 64-bit division. At 100 TB the eval-set-bounded windows are
+    // the scaling story, exactly as in retr_map.
+    Q(
+      "retr_ndcg", {
+        val discVals = NdcgDiscounts
+          .map { case (r, p) => s"($r, $p)" }.mkString(", ")
+        val tfs = MrrTerms.zipWithIndex.map { case (t, i) =>
+          s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
+        }.mkString(",\n        ")
+        val grades = MrrTerms.zipWithIndex.map { case (t, i) =>
+          s"""CASE WHEN len(list_filter(toks[1:10], x -> x = '$t')) > 0
+             |  THEN 3 WHEN len(list_filter(toks[1:20], x -> x = '$t')) > 0
+             |  THEN 1 ELSE 0 END AS gain$i""".stripMargin
+        }.mkString(",\n        ")
+        val dfs = MrrTerms.indices.map { i =>
+          s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT)" +
+            s" AS df$i"
+        }.mkString(",\n        ")
+        val legs = MrrTerms.zipWithIndex.map { case (t, i) =>
+          s"""SELECT '$t' AS term, doc_id,
+             |  CAST(CASE WHEN tf$i > 0 THEN
+             |    (length(bin(n_docs)) - length(bin(df$i)))
+             |    * ((20 * tf$i * avgdl * 1000000)
+             |       // (8 * tf$i * avgdl + 3 * avgdl + 9 * dl)) ELSE 0 END
+             |    AS BIGINT) AS score,
+             |  CAST(gain$i AS BIGINT) AS gain FROM s, g""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH disc(rank, disc_ppm) AS (VALUES $discVals),
+           |s AS (SELECT doc_id, len(toks) AS dl,
+           |        $tfs,
+           |        $grades
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+           |        FROM documents)),
+           |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |        CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+           |          AS avgdl,
+           |        $dfs
+           |  FROM s),
+           |sc AS ($legs),
+           |rk AS (SELECT term, gain,
+           |    CAST(row_number() OVER (PARTITION BY term
+           |           ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+           |  FROM sc),
+           |ik AS (SELECT term, gain,
+           |    CAST(row_number() OVER (PARTITION BY term
+           |           ORDER BY gain DESC, doc_id) AS BIGINT) AS rank
+           |  FROM sc),
+           |dcg AS (SELECT term,
+           |    CAST(SUM(gain * disc_ppm) AS BIGINT) AS dcg_ppm
+           |  FROM rk JOIN disc USING (rank) GROUP BY term),
+           |idcg AS (SELECT term,
+           |    CAST(SUM(gain * disc_ppm) AS BIGINT) AS idcg_ppm
+           |  FROM ik JOIN disc USING (rank) GROUP BY term)
+           |SELECT term, dcg_ppm, idcg_ppm,
+           |  CAST(CASE WHEN idcg_ppm > 0
+           |    THEN dcg_ppm * 1000000 // idcg_ppm ELSE 0 END AS BIGINT)
+           |    AS ndcg_ppm
+           |FROM dcg JOIN idcg USING (term)
+           |ORDER BY term NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) =>
+      val toksCol = graft.functions.TextOps.tokens(col("text"))
+      val tfCols = MrrTerms.zipWithIndex.map { case (t, i) =>
+        size(filter(toksCol, x => x === t)).as(s"tf$i")
+      }
+      val gainCols = MrrTerms.zipWithIndex.map { case (t, i) =>
+        when(array_contains(slice(toksCol, 1, 10), t), 3L)
+          .when(array_contains(slice(toksCol, 1, 20), t), 1L)
+          .otherwise(0L).as(s"gain$i")
+      }
+      val sfr = Tables.documents(s, d)
+        .select(Seq(col("doc_id"), size(toksCol).as("dl"))
+          ++ tfCols ++ gainCols: _*)
+      val dfAggs = MrrTerms.indices.map { i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("long")
+          .as(s"df$i")
+      }
+      val gCols = Seq(count(lit(1)).cast("long").as("n_docs"),
+        expr("CAST(sum(dl) AS BIGINT) div count(*)").as("avgdl")) ++ dfAggs
+      val g = sfr.agg(gCols.head, gCols.tail: _*)
+      def flog2(c: org.apache.spark.sql.Column) = length(bin(c))
+      val legs = MrrTerms.zipWithIndex.map { case (t, i) =>
+        struct(
+          lit(t).as("term"),
+          ((flog2(col("n_docs")) - flog2(col(s"df$i"))).cast("long") *
+            expr(s"CASE WHEN tf$i > 0 THEN (20 * tf$i * avgdl * 1000000)" +
+              s" div (8 * tf$i * avgdl + 3 * avgdl + 9 * dl)" +
+              " ELSE 0 END")).as("score"),
+          col(s"gain$i").as("gain"))
+      }
+      val sc = sfr.crossJoin(broadcast(g))
+        .select(col("doc_id"), explode(array(legs: _*)).as("e"))
+        .select(col("doc_id"), col("e.term").as("term"),
+          col("e.score").as("score"), col("e.gain").as("gain"))
+      import s.implicits._
+      val disc = broadcast(
+        NdcgDiscounts.toDF("rank", "disc_ppm")
+          .select(col("rank").cast("long"),
+            col("disc_ppm").cast("long")))
+      val wr = Window.partitionBy(col("term"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val wi = Window.partitionBy(col("term"))
+        .orderBy(col("gain").desc, col("doc_id"))
+      val dcg = sc.withColumn("rank", row_number().over(wr).cast("long"))
+        .join(disc, "rank")
+        .groupBy(col("term"))
+        .agg(sum(col("gain") * col("disc_ppm")).cast("long")
+          .as("dcg_ppm"))
+      val idcg = sc.withColumn("rank", row_number().over(wi).cast("long"))
+        .join(disc, "rank")
+        .groupBy(col("term"))
+        .agg(sum(col("gain") * col("disc_ppm")).cast("long")
+          .as("idcg_ppm"))
+      dcg.join(idcg, "term")
+        .select(col("term"), col("dcg_ppm"), col("idcg_ppm"),
+          expr("CAST(CASE WHEN idcg_ppm > 0 THEN" +
+            " dcg_ppm * 1000000 div idcg_ppm ELSE 0 END AS BIGINT)")
+            .as("ndcg_ppm"))
         .orderBy(col("term"))
     }
   )

@@ -1393,6 +1393,65 @@ object SimilarityQueries {
           expr("CAST(sum(top_n) over () * 1000000" +
             " div sum(n_vecs) over () AS BIGINT)").as("overall_ppm"))
         .orderBy(col("cid"))
+    },
+
+    // --- cosine-similarity calibration histogram ----------------------------
+    // The distribution every similarity THRESHOLD in this module is
+    // calibrated against (dedup_embedding_cosine's 0.4 line, the hard-
+    // negative mining cut): pairwise cosine over a deterministic
+    // 100-vector sample — the k-smallest md5 hashes of vec_id, the KMV
+    // sampling idiom, so the sample is REPLAYABLE and corpus-size-
+    // independent (top-k by hash, never a full sort at scale; 4 950
+    // pairs regardless of corpus size). Pairs bin into fixed 0.2-wide
+    // cosine bins via a comparison CASE ladder — binning by COMPARISON,
+    // not by float arithmetic on the rounded value, is what keeps the
+    // two engines' bin assignment bit-identical at the bin edges.
+    Q(
+      "emb_pair_hist", {
+        val ladder = (8 to -8 by -2)
+          .map(b => s"WHEN cos >= ${b / 10.0} THEN $b")
+          .mkString("CASE ", " ", " ELSE -10 END")
+        s"""WITH smp AS (SELECT vec_id, embedding FROM (
+           |    SELECT vec_id, embedding,
+           |      ${graft.functions.TextOps.md5Low60Sql(
+              "CAST(vec_id AS VARCHAR)")} AS hv
+           |    FROM embeddings ORDER BY hv, vec_id LIMIT 100)),
+           |pr AS (SELECT ROUND(${Sql.cos("a.embedding", "b.embedding")}, 6)
+           |      AS cos
+           |  FROM smp a JOIN smp b ON a.vec_id < b.vec_id),
+           |bn AS (SELECT CAST($ladder AS BIGINT) AS bin FROM pr),
+           |h AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs
+           |  FROM bn GROUP BY bin)
+           |SELECT bin, n_pairs,
+           |  CAST(n_pairs * 1000000 // SUM(n_pairs) OVER () AS BIGINT)
+           |    AS share_ppm
+           |FROM h ORDER BY bin""".stripMargin
+      }
+    ) { (s, d) =>
+      val ladder = (8 to -8 by -2)
+        .map(b => s"WHEN cos >= ${b / 10.0} THEN ${b}L")
+        .mkString("CASE ", " ", " ELSE -10L END")
+      val smp = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.TextOps.md5Low60(col("vec_id").cast("string"))
+            .as("hv"))
+        .orderBy(col("hv"), col("vec_id"))
+        .limit(100)
+        .select(col("vec_id"), col("embedding"))
+      val a = smp.select(col("vec_id").as("a_id"),
+        col("embedding").as("a_vec"))
+      val b = smp.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_vec"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(round(VectorOps.cosine(col("a_vec"), col("b_vec")), 6)
+          .as("cos"))
+        .select(expr(ladder).cast("long").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+        .withColumn("share_ppm",
+          expr("CAST(n_pairs * 1000000 div sum(n_pairs) over ()" +
+            " AS BIGINT)"))
+        .orderBy(col("bin"))
     }
   )
 

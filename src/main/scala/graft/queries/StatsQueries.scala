@@ -2201,6 +2201,70 @@ object StatsQueries {
         .crossJoin(broadcast(lo))
         .crossJoin(broadcast(hi))
         .orderBy(col("n_days"))
+    },
+
+    // --- Herfindahl–Hirschman supplier concentration ------------------------
+    // Market-concentration audit per nation: each supplier's share of
+    // the nation's discounted revenue in floor-ppm, HHI = Σ share² the
+    // antitrust way (≈1e6/n when even, →1e12/1e6 = 1e6 under monopoly;
+    // the same index the curation inventory uses for SOURCE
+    // concentration screens — this is the relational form over the star
+    // schema). Revenue is exact integer cents×(100−pct); nation totals
+    // come back via a 25-row broadcast join, never a data-scale window;
+    // shares and Σshare² stay under 2^63 by construction (Σshare ≤ 1e6
+    // ⇒ Σshare² ≤ 1e12). At 100 TB the per-supplier rollup is the only
+    // data-scale aggregate, keyed on l_suppkey — a map-side-combinable
+    // hash shuffle. Revenue accumulates in DECIMAL(38,0)/HUGEINT so
+    // year-scale fact tables can't overflow the cents·pct units.
+    Q(
+      "q_herfindahl_suppliers",
+      """WITH r AS (SELECT l_suppkey,
+        |    CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |          AS BIGINT)
+        |        * (100 - CAST(CAST(l_discount AS DECIMAL(3,2)) * 100
+        |            AS BIGINT)) AS HUGEINT)) AS HUGEINT) AS rev
+        |  FROM lineitem GROUP BY l_suppkey),
+        |j AS (SELECT n.n_name, r.l_suppkey, r.rev FROM r
+        |  JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+        |t AS (SELECT n_name, CAST(SUM(rev) AS HUGEINT) AS tot
+        |  FROM j GROUP BY n_name),
+        |sh AS (SELECT j.n_name,
+        |    CAST(j.rev * 1000000 // t.tot AS BIGINT) AS share_ppm
+        |  FROM j JOIN t ON j.n_name = t.n_name)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |  CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm,
+        |  CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm
+        |FROM sh GROUP BY n_name
+        |ORDER BY n_name NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val r = Tables.lineitem(s, d)
+        .select(col("l_suppkey"),
+          (expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100" +
+            " AS BIGINT)").cast("decimal(19,0)") *
+            expr("100 - CAST(CAST(l_discount AS DECIMAL(3,2)) * 100" +
+              " AS BIGINT)")).as("rc"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("rc")).cast("decimal(38,0)").as("rev"))
+      val j = r
+        .join(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("rev"))
+      val t = j.groupBy(col("n_name").as("tn"))
+        .agg(sum(col("rev")).cast("decimal(38,0)").as("tot"))
+      j.join(broadcast(t), col("n_name") === col("tn"))
+        .select(col("n_name"),
+          expr("CAST(rev * 1000000 div tot AS BIGINT)").as("share_ppm"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).cast("long").as("n_suppliers"),
+          expr("CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)")
+            .as("hhi_ppm"),
+          max(col("share_ppm")).cast("long").as("top_share_ppm"))
+        .orderBy(col("n_name"))
     }
   )
 }

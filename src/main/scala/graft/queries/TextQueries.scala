@@ -2193,6 +2193,53 @@ object TextQueries {
             " unbounded preceding and current row) AS DECIMAL(38,0))" +
             " * tot_pos) AS BIGINT)").as("cum_lift_ppm"))
         .orderBy(col("decile"))
+    },
+
+    // --- lexical diversity per source ---------------------------------------
+    // The two diversity indices quality pipelines gate crawl sources
+    // on, both exact rationals (no logs, so no libm): type–token ratio
+    // (distinct words per token, the vocabulary-richness screen that
+    // catches keyword-stuffed or template spam) and Gini–Simpson
+    // diversity 1 − Σpᵢ² (the probability two random tokens differ —
+    // the no-transcendentals stand-in for entropy, same ranking power
+    // for the degenerate-source screen). One (source, word) hash
+    // aggregate then a per-source rollup; Σcnt² reaches Σcnt² ≤ N², so
+    // it accumulates in DECIMAL(38,0)/HUGEINT (128-bit exact on both
+    // engines) and the final ppm division happens at 128 bits too.
+    Q(
+      "text_token_diversity",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY source, w),
+        |a AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sq
+        |  FROM c GROUP BY source)
+        |SELECT source, n_tokens, n_types,
+        |  CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+        |  CAST(1000000 - sq * 1000000
+        |    // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+        |    AS simpson_ppm
+        |FROM a ORDER BY source NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          count(lit(1)).cast("long").as("n_types"),
+          sum(expr("CAST(c AS DECIMAL(19,0)) * c"))
+            .cast("decimal(38,0)").as("sq"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          expr("CAST(n_types * 1000000 div n_tokens AS BIGINT)")
+            .as("ttr_ppm"),
+          expr("CAST(1000000 - sq * 1000000" +
+            " div (CAST(n_tokens AS DECIMAL(19,0)) * n_tokens)" +
+            " AS BIGINT)").as("simpson_ppm"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -66,7 +66,9 @@ object PlanScan {
       "retr_map" -> "1-row corpus stats broadcast into the scoring scan (the MRR shape)",
       "q_spatial_grid_join" -> "1-row pair-count frame broadcast into the 20-row closest-pair head; the pair join itself is a (gx,gy) equi-join",
       "q_bootstrap_ci" -> "30-row rep frame x calendar-bounded day spine (the B*days draw relation) + 1-row n/mean/CI frames; the draw->value join is an equi-join",
-      "pipe_dedup_cascade" -> "1-row stage-0 char total broadcast into the 4-row funnel; every dedup stage is a hash groupBy + semi-join, no pairwise compare")
+      "pipe_dedup_cascade" -> "1-row stage-0 char total broadcast into the 4-row funnel; every dedup stage is a hash groupBy + semi-join, no pairwise compare",
+      "retr_ndcg" -> "1-row corpus stats broadcast into the scoring scan, twice (DCG and IDCG both rank the same scored relation — the retr_map shape)",
+      "emb_pair_hist" -> "100-row md5-KMV sample self-paired (4950 pairs, corpus-size-independent calibration sample)")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
