@@ -1452,6 +1452,72 @@ object SimilarityQueries {
           expr("CAST(n_pairs * 1000000 div sum(n_pairs) over ()" +
             " AS BIGINT)"))
         .orderBy(col("bin"))
+    },
+
+    // --- k-NN graph reciprocity (hubness diagnostic) -------------------------
+    // The standard ANN-index health check: build the directed 3-NN
+    // graph over the LSH-bucketed candidate sets (the
+    // dedup_embedding_cosine generation — equi-join on the 8-bit
+    // sign-bucket key, so candidates are O(bucket), never O(corpus)),
+    // and measure edge reciprocity. Low reciprocity = hub vectors that
+    // appear in everyone's neighbor list without reciprocating — the
+    // degraded-recall regime that tells an embedding pipeline to
+    // re-normalize or re-train before serving. Mutuality is an exact
+    // self-semi-join of the edge list on the swapped pair; the result
+    // is two integers and one floor-ppm ratio — nothing float-ordered
+    // survives to the output.
+    Q(
+      "emb_knn_reciprocity", {
+        val planes = VectorOps.hyperplanes(Dim, 8, 7L)
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |    ${Sql.bucket("embedding", planes)} AS bucket
+           |  FROM embeddings),
+           |c AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+           |    ROUND(${Sql.cos("a.embedding", "b.embedding")}, 6) AS cos
+           |  FROM e a JOIN e b
+           |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+           |k AS (SELECT src, dst FROM (
+           |    SELECT src, dst, row_number() OVER (PARTITION BY src
+           |      ORDER BY cos DESC, dst) AS rn FROM c) WHERE rn <= 3),
+           |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM k),
+           |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_mutual FROM k x
+           |  WHERE EXISTS (SELECT 1 FROM k y
+           |                WHERE y.src = x.dst AND y.dst = x.src))
+           |SELECT n_edges, n_mutual,
+           |  CAST(n_mutual * 1000000 // n_edges AS BIGINT)
+           |    AS reciprocity_ppm
+           |FROM t, m ORDER BY n_edges""".stripMargin
+      }
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .withColumn("bucket",
+          VectorOps.lshBucket(col("embedding"), Dim, nBits = 8))
+      val a = emb.select(col("bucket"), col("vec_id").as("src"),
+        col("embedding").as("a_vec"))
+      val b = emb.select(col("bucket").as("b_bucket"),
+        col("vec_id").as("dst"), col("embedding").as("b_vec"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst"))
+      val k = a.join(b, col("bucket") === col("b_bucket")
+            && col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(VectorOps.cosine(col("a_vec"), col("b_vec")), 6)
+            .as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      val t = k.agg(count(lit(1)).cast("long").as("n_edges"))
+      val m = k.join(
+          k.select(col("src").as("ysrc"), col("dst").as("ydst")),
+          col("src") === col("ydst") && col("dst") === col("ysrc"),
+          "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_mutual"))
+      t.crossJoin(broadcast(m))
+        .select(col("n_edges"), col("n_mutual"),
+          expr("CAST(n_mutual * 1000000 div n_edges AS BIGINT)")
+            .as("reciprocity_ppm"))
+        .orderBy(col("n_edges"))
     }
   )
 

@@ -1091,6 +1091,51 @@ object StarQueries {
       pairs.orderBy(col("d2"), col("a_id"), col("b_id")).limit(20)
         .crossJoin(broadcast(n))
         .orderBy(col("d2"), col("a_id"), col("b_id"))
+    },
+
+    // --- catalog freshness: new items per ship week --------------------------
+    // The assortment-growth curve (and, for a training corpus, the
+    // new-entity analogue of text_ngram_novelty): per ship week, how
+    // many distinct parts ship at all, how many ship for the FIRST
+    // time, and the newcomer share. First-appearance is a min-aggregate
+    // on the part key joined back to the per-week activity rollup —
+    // the same first-seen shape as the n-gram novelty curve, two hash
+    // aggregates and one join on the ≤weeks-sized frames after the
+    // initial (part, week) distinct. Both engines truncate to Monday
+    // weeks, so the keys agree bit-for-bit as DATEs.
+    Q(
+      "q_new_items_weekly",
+      """WITH pw AS (SELECT l_partkey,
+        |    CAST(date_trunc('week', l_shipdate) AS DATE) AS wk
+        |  FROM lineitem GROUP BY l_partkey, wk),
+        |fw AS (SELECT l_partkey, MIN(wk) AS first_wk FROM pw
+        |  GROUP BY l_partkey),
+        |act AS (SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM pw GROUP BY wk),
+        |nw AS (SELECT first_wk AS wk, CAST(COUNT(*) AS BIGINT) AS n_new
+        |  FROM fw GROUP BY first_wk)
+        |SELECT a.wk, a.n_active, COALESCE(n.n_new, 0) AS n_new,
+        |  CAST(COALESCE(n.n_new, 0) * 1000000 // a.n_active AS BIGINT)
+        |    AS new_share_ppm
+        |FROM act a LEFT JOIN nw n ON a.wk = n.wk
+        |ORDER BY a.wk NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val pw = Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          date_trunc("week", col("l_shipdate")).cast("date").as("wk"))
+        .distinct()
+      val fw = pw.groupBy(col("l_partkey"))
+        .agg(min(col("wk")).as("first_wk"))
+      val act = pw.groupBy(col("wk"))
+        .agg(count(lit(1)).cast("long").as("n_active"))
+      val nw = fw.groupBy(col("first_wk").as("nwk"))
+        .agg(count(lit(1)).cast("long").as("n_new"))
+      act.join(nw, col("wk") === col("nwk"), "left")
+        .select(col("wk"), col("n_active"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("new_share_ppm",
+          expr("CAST(n_new * 1000000 div n_active AS BIGINT)"))
+        .orderBy(col("wk"))
     }
   )
 }

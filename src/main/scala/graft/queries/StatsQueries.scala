@@ -2265,6 +2265,71 @@ object StatsQueries {
             .as("hhi_ppm"),
           max(col("share_ppm")).cast("long").as("top_share_ppm"))
         .orderBy(col("n_name"))
+    },
+
+    // --- weekly-seasonality strength of daily revenue -----------------------
+    // Hyndman's seasonal-strength diagnostic, restated exactly: fit the
+    // day-of-week means model (seasonal component s_dow = floor-mean of
+    // the dow's daily cents — an integer-DEFINED statistic, the
+    // ref_deseasonalized_daily convention), take residuals r = x − s_dow,
+    // and report strength_ppm = max(0, 1e6 − SSR·1e6/SST) where SSR/SST
+    // are the variance NUMERATORS N·Σv²−(Σv)² (the shared N² factor
+    // cancels in the ratio, so no rational mean ever materializes — the
+    // q_mann_whitney discipline). Squares accumulate in DECIMAL(38,0)/
+    // HUGEINT so year-scale daily cents can't overflow. Everything
+    // rides the calendar-bounded daily rollup: one data-scale hash
+    // aggregate, then O(days) frames.
+    Q(
+      "q_seasonality_strength",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    dayofweek(ts) + 1 AS dow,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'
+        |  GROUP BY d, dow),
+        |sea AS (SELECT dow, CAST(SUM(x) // COUNT(*) AS BIGINT) AS s
+        |  FROM daily GROUP BY dow),
+        |r AS (SELECT daily.d, daily.x, daily.x - sea.s AS r
+        |  FROM daily JOIN sea ON daily.dow = sea.dow),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(x) // COUNT(*) AS BIGINT) AS mean_daily_cents,
+        |    CAST(COUNT(*) AS HUGEINT)
+        |      * SUM(CAST(x AS HUGEINT) * x)
+        |      - CAST(SUM(x) AS HUGEINT) * CAST(SUM(x) AS HUGEINT) AS sst,
+        |    CAST(COUNT(*) AS HUGEINT)
+        |      * SUM(CAST(r AS HUGEINT) * r)
+        |      - CAST(SUM(r) AS HUGEINT) * CAST(SUM(r) AS HUGEINT) AS ssr
+        |  FROM r)
+        |SELECT n_days, mean_daily_cents,
+        |  CAST(GREATEST(0, 1000000 - ssr * 1000000 // sst) AS BIGINT)
+        |    AS strength_ppm
+        |FROM m ORDER BY n_days""".stripMargin
+    ) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .where(col("ts").isNotNull && col("event_type") === "purchase")
+        .groupBy(col("ts").cast("date").as("d"),
+          dayofweek(col("ts")).as("dow"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .cast("long").as("x"))
+      val sea = daily.groupBy(col("dow").as("sdow"))
+        .agg(expr("CAST(sum(x) div count(*) AS BIGINT)").as("s"))
+      daily.join(broadcast(sea), col("dow") === col("sdow"))
+        .select(col("x"), (col("x") - col("s")).as("r"))
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          expr("CAST(sum(x) div count(*) AS BIGINT)")
+            .as("mean_daily_cents"),
+          (count(lit(1)).cast("decimal(38,0)") *
+            sum(expr("CAST(x AS DECIMAL(19,0)) * x")) -
+            sum(col("x")).cast("decimal(38,0)") *
+            sum(col("x")).cast("decimal(38,0)")).as("sst"),
+          (count(lit(1)).cast("decimal(38,0)") *
+            sum(expr("CAST(r AS DECIMAL(19,0)) * r")) -
+            sum(col("r")).cast("decimal(38,0)") *
+            sum(col("r")).cast("decimal(38,0)")).as("ssr"))
+        .select(col("n_days"), col("mean_daily_cents"),
+          expr("CAST(GREATEST(0, 1000000 - ssr * 1000000 div sst)" +
+            " AS BIGINT)").as("strength_ppm"))
+        .orderBy(col("n_days"))
     }
   )
 }

@@ -2240,6 +2240,56 @@ object TextQueries {
             " div (CAST(n_tokens AS DECIMAL(19,0)) * n_tokens)" +
             " AS BIGINT)").as("simpson_ppm"))
         .orderBy(col("source"))
+    },
+
+    // --- term burstiness (Fano factor) --------------------------------------
+    // Church & Gale's burstiness diagnostic: content words CLUMP (a doc
+    // that mentions a topic word mentions it repeatedly → per-doc count
+    // variance far above Poisson), function words spread evenly
+    // (Fano ≈ 1e6, the Poisson line). Fano = Var/mean over per-doc
+    // counts INCLUDING zero-occurrence docs, evaluated without ever
+    // materializing the zeros: with S = Σtf, Q = Σtf² over occurring
+    // docs only, the zero docs contribute nothing to either, so
+    // Fano_ppm = (N·Q − S²)·1e6 / (N·S) — one (term, doc) hash agg, one
+    // term rollup, 128-bit products. The candidate set is the top-20
+    // df terms (deterministic term tiebreak); the 1-row corpus size
+    // broadcasts into that bounded head.
+    Q(
+      "text_burstiness",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY w, doc_id),
+        |st AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(tf) AS BIGINT) AS s,
+        |    CAST(SUM(CAST(tf AS HUGEINT) * tf) AS HUGEINT) AS q
+        |  FROM tf GROUP BY w),
+        |top AS (SELECT * FROM st ORDER BY df DESC, w LIMIT 20),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT w AS term, df, s AS total_tf,
+        |  CAST((n_docs * q - CAST(s AS HUGEINT) * s) * 1000000
+        |    // (CAST(n_docs AS HUGEINT) * s) AS BIGINT) AS fano_ppm
+        |FROM top, n
+        |ORDER BY fano_ppm DESC, term""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val st = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w"), col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("tf"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).cast("long").as("df"),
+          sum(col("tf")).cast("long").as("s"),
+          sum(expr("CAST(tf AS DECIMAL(19,0)) * tf"))
+            .cast("decimal(38,0)").as("q"))
+      val top = st.orderBy(col("df").desc, col("w")).limit(20)
+      val n = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+      top.crossJoin(broadcast(n))
+        .select(col("w").as("term"), col("df"), col("s").as("total_tf"),
+          expr("CAST((n_docs * q - CAST(s AS DECIMAL(19,0)) * s)" +
+            " * 1000000 div (CAST(n_docs AS DECIMAL(19,0)) * s)" +
+            " AS BIGINT)").as("fano_ppm"))
+        .orderBy(col("fano_ppm").desc, col("term"))
     }
   )
 }

@@ -1407,6 +1407,55 @@ object WindowingQueries {
         .select(col("cur"), col("nxt"), col("n"),
           expr("CAST(n * 1000000 div row_n AS BIGINT)").as("p_ppm"))
         .orderBy(col("cur"), col("nxt"))
+    },
+
+    // --- last-touch conversion attribution ----------------------------------
+    // Marketing attribution over the event stream: every purchase is
+    // credited to the user's most recent PRECEDING non-purchase event
+    // type (the touch channel), via an ignore-nulls last_value window
+    // bounded at 1 PRECEDING — per-user partitions, so the scan
+    // parallelizes across users like sessionization, and the
+    // deterministic (ts, event_id) intra-user order pins same-instant
+    // events. Purchases with no prior touch in-window surface as the
+    // NULL channel row (ordered first — the NULLS FIRST contract), so
+    // credited + uncredited sum to total conversions. Revenue is exact
+    // integer cents (DECIMAL-cast, never float addition).
+    Q(
+      "q_attribution_last_touch",
+      """WITH s AS (SELECT user_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS channel
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |c AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |    CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |  FROM s WHERE event_type = 'purchase' GROUP BY channel)
+        |SELECT channel, n_conversions, revenue_cents,
+        |  CAST(n_conversions * 1000000 // SUM(n_conversions) OVER ()
+        |    AS BIGINT) AS share_ppm
+        |FROM c ORDER BY channel NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"),
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w).as("channel"))
+        .where(col("event_type") === "purchase")
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).cast("long").as("n_conversions"),
+          sum(col("cents")).cast("long").as("revenue_cents"))
+        .withColumn("share_ppm",
+          expr("CAST(n_conversions * 1000000" +
+            " div sum(n_conversions) over () AS BIGINT)"))
+        .orderBy(col("channel"))
     }
   )
 }

@@ -68,7 +68,9 @@ object PlanScan {
       "q_bootstrap_ci" -> "30-row rep frame x calendar-bounded day spine (the B*days draw relation) + 1-row n/mean/CI frames; the draw->value join is an equi-join",
       "pipe_dedup_cascade" -> "1-row stage-0 char total broadcast into the 4-row funnel; every dedup stage is a hash groupBy + semi-join, no pairwise compare",
       "retr_ndcg" -> "1-row corpus stats broadcast into the scoring scan, twice (DCG and IDCG both rank the same scored relation — the retr_map shape)",
-      "emb_pair_hist" -> "100-row md5-KMV sample self-paired (4950 pairs, corpus-size-independent calibration sample)")
+      "emb_pair_hist" -> "100-row md5-KMV sample self-paired (4950 pairs, corpus-size-independent calibration sample)",
+      "text_burstiness" -> "1-row corpus doc count broadcast into the bounded top-20-df head",
+      "emb_knn_reciprocity" -> "1-row edge total cross-joined with the 1-row mutual total; the kNN edges themselves ride the LSH-bucket equi-join")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
