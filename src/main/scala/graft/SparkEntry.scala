@@ -14,13 +14,20 @@ import graft.queries._
 object SparkEntry {
 
   /** Full inventory: reference-parity + star-schema extensions (+ text /
-    * dedup / similarity modules as they land). */
-  def inventory: Seq[Q] =
-    RefQueries.all ++ StarQueries.all ++ TpchQueries.all ++
-      WindowingQueries.all ++ StatsQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      CurationQueries.all ++ GraphQueries.all ++ SnapshotQueries.all ++
-      RecallQueries.all ++ RetrievalQueries.all ++ RankStatsQueries.all
+    * dedup / similarity modules as they land). Names must be unique —
+    * `queries`/`oracleSql` are maps, so a duplicate would silently
+    * shadow one implementation while the bench (list-driven) times both. */
+  def inventory: Seq[Q] = {
+    val all =
+      RefQueries.all ++ StarQueries.all ++ TpchQueries.all ++
+        WindowingQueries.all ++ StatsQueries.all ++ TextQueries.all ++
+        DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
+        CurationQueries.all ++ GraphQueries.all ++ SnapshotQueries.all ++
+        RecallQueries.all ++ RetrievalQueries.all ++ RankStatsQueries.all
+    val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q5-style 6-way star join — exercises scans, broadcasts, a

@@ -1398,6 +1398,125 @@ object RefQueries {
           expr("CAST(n * 1000000000 div factor_ppm AS BIGINT)")
             .as("adjusted_milli"))
         .orderBy(col("d"))
+    },
+
+    // --- day-over-day distribution drift (total variation) ------------------
+    // The log-free drift gate: per day, the total-variation distance
+    // ½·Σ|p_t − q_t| between today's and yesterday's event-type mix —
+    // the metric DQ pipelines page on when an upstream producer changes
+    // its emission mix (PSI and KL need logarithms; TV bounds both and
+    // stays in exact integers). Evaluated WITHOUT per-type floor-ppm
+    // rounding: TV_ppm = Σ|n_t·N_prev − m_t·N_cur|·1e6 // (2·N_cur·
+    // N_prev) cross-multiplies so only one floor happens at the end.
+    // The (days × types) spine is bounded (calendar × enum), so the
+    // lag windows ride frames thousands of rows wide at any corpus
+    // size; the only data-scale stage is the (day, type) count.
+    Q(
+      "ref_tv_drift",
+      """WITH cnt AS (SELECT CAST(ts AS DATE) AS d, event_type AS t,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY d, t),
+        |spine AS (SELECT d, t FROM (SELECT DISTINCT d FROM cnt),
+        |                          (SELECT DISTINCT t FROM cnt)),
+        |f AS (SELECT spine.d, spine.t, COALESCE(cnt.n, 0) AS n
+        |  FROM spine LEFT JOIN cnt ON spine.d = cnt.d AND spine.t = cnt.t),
+        |w AS (SELECT d, t, n,
+        |    lag(n) OVER (PARTITION BY t ORDER BY d) AS np,
+        |    CAST(SUM(n) OVER (PARTITION BY d) AS BIGINT) AS nd
+        |  FROM f),
+        |w2 AS (SELECT d, t, n, np, nd,
+        |    lag(nd) OVER (PARTITION BY t ORDER BY d) AS ndp
+        |  FROM w)
+        |SELECT d, CAST(MAX(nd) AS BIGINT) AS n_cur,
+        |  CAST(MAX(ndp) AS BIGINT) AS n_prev,
+        |  CAST(SUM(ABS(CAST(n AS HUGEINT) * ndp
+        |      - CAST(np AS HUGEINT) * nd)) * 1000000
+        |    // (2 * CAST(MAX(nd) AS HUGEINT) * MAX(ndp)) AS BIGINT)
+        |    AS tv_ppm
+        |FROM w2 WHERE np IS NOT NULL
+        |GROUP BY d ORDER BY d NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val cnt = Tables.events(s, d)
+        .where(col("ts").isNotNull)
+        .groupBy(col("ts").cast("date").as("d"),
+          col("event_type").as("t"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val days = cnt.select(col("d")).distinct()
+      val types = cnt.select(col("t")).distinct()
+      val f = days.crossJoin(types)
+        .join(cnt, Seq("d", "t"), "left")
+        .select(col("d"), col("t"), coalesce(col("n"), lit(0L)).as("n"))
+      val wt = Window.partitionBy(col("t")).orderBy(col("d"))
+      val wd = Window.partitionBy(col("d"))
+      val w2 = f
+        .withColumn("np", lag(col("n"), 1).over(wt))
+        .withColumn("nd", sum(col("n")).over(wd).cast("long"))
+        .withColumn("ndp", lag(col("nd"), 1).over(wt))
+        .where(col("np").isNotNull)
+      w2.groupBy(col("d"))
+        .agg(max(col("nd")).cast("long").as("n_cur"),
+          max(col("ndp")).cast("long").as("n_prev"),
+          expr("CAST(sum(abs(CAST(n AS DECIMAL(19,0)) * ndp" +
+            " - CAST(np AS DECIMAL(19,0)) * nd)) * 1000000" +
+            " div (2 * CAST(max(nd) AS DECIMAL(19,0)) * max(ndp))" +
+            " AS BIGINT)").as("tv_ppm"))
+        .orderBy(col("d"))
+    },
+
+    // --- one-pass column completeness/cardinality profile --------------------
+    // The data-profiler head every ingestion DQ report starts with: per
+    // column of the raw events table, null count, null rate, and
+    // distinct cardinality — the profile that catches a producer
+    // silently dropping a field (nulls spike) or fat-fingering an enum
+    // (cardinality jumps) before any downstream rule fires. One corpus
+    // scan computes all 6×2 aggregates side by side (Spark expands the
+    // multi-DISTINCT into one Expand — still a single pass over the
+    // files); the 6-row readout is then unpivoted from the 1-row frame.
+    // At 100 TB this is the same shape as the DQ counters: one
+    // combiner-friendly pass, O(columns) output.
+    Q(
+      "ref_column_profile", {
+        val cols = Seq("event_id", "ts", "user_id", "event_type",
+          "value", "props")
+        val aggs = cols.map { c =>
+          s"""CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |  AS null_$c,
+             |CAST(COUNT(DISTINCT $c) AS BIGINT) AS dist_$c"""
+            .stripMargin
+        }.mkString(",\n")
+        val legs = cols.map { c =>
+          s"""SELECT '$c' AS column_name, n_rows, null_$c AS n_null,
+             |  CAST(null_$c * 1000000 // n_rows AS BIGINT) AS null_ppm,
+             |  dist_$c AS n_distinct FROM a""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |$aggs
+           |  FROM events)
+           |$legs
+           |ORDER BY column_name NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) =>
+      val colsP = Seq("event_id", "ts", "user_id", "event_type",
+        "value", "props")
+      val aggExprs = Seq(count(lit(1)).cast("long").as("n_rows")) ++
+        colsP.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")
+              .as(s"null_$c"),
+            countDistinct(col(c)).cast("long").as(s"dist_$c"))
+        }
+      val a = Tables.events(s, d).agg(aggExprs.head, aggExprs.tail: _*)
+      val legs = colsP.map { c =>
+        struct(lit(c).as("column_name"), col("n_rows"),
+          col(s"null_$c").as("n_null"),
+          expr(s"CAST(null_$c * 1000000 div n_rows AS BIGINT)")
+            .as("null_ppm"),
+          col(s"dist_$c").as("n_distinct"))
+      }
+      a.select(explode(array(legs: _*)).as("r"))
+        .select(col("r.column_name"), col("r.n_rows"), col("r.n_null"),
+          col("r.null_ppm"), col("r.n_distinct"))
+        .orderBy(col("column_name"))
     }
   )
 }

@@ -1136,6 +1136,72 @@ object StarQueries {
         .withColumn("new_share_ppm",
           expr("CAST(n_new * 1000000 div n_active AS BIGINT)"))
         .orderBy(col("wk"))
+    },
+
+    // --- year-over-year rank movers within brand -----------------------------
+    // The "biggest movers" dashboard staple: each part's revenue rank
+    // WITHIN ITS BRAND for 1996 vs 1997, and the top-20 largest rank
+    // swings among parts active in both years. Ranking is partitioned
+    // by (brand, year) — bounded, balanced groups over the part-level
+    // rollup, never one global sort — and revenue is exact integer
+    // cents·(100−pct), so ranks are deterministic under the
+    // (revenue DESC, partkey) tiebreak. The data-scale work is one
+    // filtered lineitem rollup keyed on (partkey, year); everything
+    // after rides the dimension-sized frame. The inner join drops
+    // single-year parts by design (they have no rank delta; the
+    // new-items curve covers arrivals).
+    Q(
+      "q_rank_movers",
+      """WITH r AS (SELECT l_partkey,
+        |    CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |          AS BIGINT)
+        |        * (100 - CAST(CAST(l_discount AS DECIMAL(3,2)) * 100
+        |            AS BIGINT))) AS BIGINT) AS rev
+        |  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+        |  GROUP BY l_partkey, yr),
+        |j AS (SELECT p.p_brand, r.l_partkey, r.yr, r.rev
+        |  FROM r JOIN part p ON r.l_partkey = p.p_partkey),
+        |rk AS (SELECT p_brand, l_partkey, yr,
+        |    CAST(row_number() OVER (PARTITION BY p_brand, yr
+        |      ORDER BY rev DESC, l_partkey) AS BIGINT) AS rnk
+        |  FROM j)
+        |SELECT a.p_brand, a.l_partkey AS p_partkey,
+        |  a.rnk AS rank_1996, b.rnk AS rank_1997,
+        |  b.rnk - a.rnk AS rank_delta
+        |FROM rk a JOIN rk b ON a.l_partkey = b.l_partkey
+        |  AND a.yr = 1996 AND b.yr = 1997
+        |ORDER BY ABS(b.rnk - a.rnk) DESC, a.p_brand, p_partkey
+        |LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val r = Tables.lineitem(s, d)
+        .where(year(col("l_shipdate")).isin(1996, 1997))
+        .groupBy(col("l_partkey"),
+          year(col("l_shipdate")).cast("long").as("yr"))
+        .agg(sum(
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100" +
+            " AS BIGINT)") *
+          expr("100 - CAST(CAST(l_discount AS DECIMAL(3,2)) * 100" +
+            " AS BIGINT)")).cast("long").as("rev"))
+      val j = r.join(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("l_partkey"), col("yr"), col("rev"))
+      val w = Window.partitionBy(col("p_brand"), col("yr"))
+        .orderBy(col("rev").desc, col("l_partkey"))
+      val rk = j.withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("p_brand"), col("l_partkey"), col("yr"), col("rnk"))
+      val a = rk.where(col("yr") === 1996)
+        .select(col("p_brand"), col("l_partkey"), col("rnk").as("rank_1996"))
+      val b = rk.where(col("yr") === 1997)
+        .select(col("l_partkey").as("pk2"), col("rnk").as("rank_1997"))
+      a.join(b, col("l_partkey") === col("pk2"))
+        .select(col("p_brand"), col("l_partkey").as("p_partkey"),
+          col("rank_1996"), col("rank_1997"),
+          (col("rank_1997") - col("rank_1996")).as("rank_delta"))
+        .orderBy(abs(col("rank_delta")).desc, col("p_brand"),
+          col("p_partkey"))
+        .limit(20)
     }
   )
 }

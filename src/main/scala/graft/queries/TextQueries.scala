@@ -2290,6 +2290,70 @@ object TextQueries {
             " * 1000000 div (CAST(n_docs AS DECIMAL(19,0)) * s)" +
             " AS BIGINT)").as("fano_ppm"))
         .orderBy(col("fano_ppm").desc, col("term"))
+    },
+
+    // --- windowed word association (Dice coefficient) ------------------------
+    // Word-association mining beyond adjacency: unordered token pairs
+    // co-occurring within a ±3 window, scored by the log-free Dice
+    // coefficient 2·c(a,b)/(c(a)+c(b)) in floor-ppm (text_collocations
+    // covers ADJACENT bigrams by lift; association windows catch
+    // "merge … conflict"-style skip-gram affinities the bigram misses).
+    // Pair generation is position arithmetic INSIDE the row — an offset
+    // explode (k ∈ 1..3) plus 1-based element_at, no self-join, so the
+    // only shuffles are the two hash aggregates (pair counts, unigram
+    // counts) and the bounded top-20 head. Unordered = lexicographic
+    // min/max, identical byte-compare in both engines.
+    Q(
+      "text_word_association",
+      """WITH t AS (SELECT string_split(text, ' ') AS toks
+        |  FROM documents),
+        |p AS (SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM t),
+        |k AS (SELECT toks, i, unnest([1, 2, 3]) AS k FROM p),
+        |pr AS (SELECT
+        |    LEAST(toks[CAST(i AS INT)], toks[CAST(i + k AS INT)]) AS w1,
+        |    GREATEST(toks[CAST(i AS INT)], toks[CAST(i + k AS INT)])
+        |      AS w2
+        |  FROM k WHERE i + k <= len(toks)
+        |    AND toks[CAST(i AS INT)] <> toks[CAST(i + k AS INT)]),
+        |pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        |  FROM pr GROUP BY w1, w2),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(toks) AS w FROM t) GROUP BY w)
+        |SELECT w1, w2, c_xy,
+        |  CAST(2 * c_xy * 1000000 // (u1.c + u2.c) AS BIGINT)
+        |    AS dice_ppm
+        |FROM pc JOIN uni u1 ON pc.w1 = u1.w
+        |        JOIN uni u2 ON pc.w2 = u2.w
+        |WHERE c_xy >= 5
+        |ORDER BY dice_ppm DESC, w1, w2 LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(TextOps.tokens(col("text")).as("toks"))
+      val pr = t
+        .select(col("toks"), posexplode(col("toks")).as(Seq("i0", "w")))
+        .select(col("toks"), (col("i0") + 1).as("i"), col("w"),
+          explode(array(lit(1), lit(2), lit(3))).as("k"))
+        .where(col("i") + col("k") <= size(col("toks")))
+        .select(col("w").as("wa"),
+          element_at(col("toks"), (col("i") + col("k")).cast("int"))
+            .as("wb"))
+        .where(col("wa") =!= col("wb"))
+        .select(least(col("wa"), col("wb")).as("w1"),
+          greatest(col("wa"), col("wb")).as("w2"))
+      val pc = pr.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).cast("long").as("c_xy"))
+        .where(col("c_xy") >= 5)
+      val uni = t.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c"))
+      pc.join(uni.select(col("w").as("uw1"), col("c").as("c1")),
+          col("w1") === col("uw1"))
+        .join(uni.select(col("w").as("uw2"), col("c").as("c2")),
+          col("w2") === col("uw2"))
+        .select(col("w1"), col("w2"), col("c_xy"),
+          expr("CAST(2 * c_xy * 1000000 div (c1 + c2) AS BIGINT)")
+            .as("dice_ppm"))
+        .orderBy(col("dice_ppm").desc, col("w1"), col("w2"))
+        .limit(20)
     }
   )
 }

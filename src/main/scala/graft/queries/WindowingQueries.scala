@@ -1456,6 +1456,57 @@ object WindowingQueries {
           expr("CAST(n_conversions * 1000000" +
             " div sum(n_conversions) over () AS BIGINT)"))
         .orderBy(col("channel"))
+    },
+
+    // --- audience overlap matrix (Jaccard between event-type cohorts) -------
+    // Segment-overlap analytics: for every pair of event types, the
+    // Jaccard similarity of their USER sets — the matrix behind "do
+    // purchasers also view?" dashboards and behavioral-cohort merges.
+    // Candidate generation is the wedge join on the user key (two
+    // copies of the distinct (type, user) relation meeting on user —
+    // the q_link_prediction shape with users as the shared endpoint),
+    // so intersections arrive by hash shuffle, never a set comparison;
+    // per-type cohort sizes come back by two equi-joins on the
+    // enum-bounded key, and |A∪B| = |A|+|B|−|A∩B| closes the Jaccard
+    // without ever materializing the union.
+    Q(
+      "q_audience_overlap",
+      """WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |sz AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY t),
+        |ix AS (SELECT a.t AS t1, b.t AS t2, CAST(COUNT(*) AS BIGINT)
+        |      AS n_both
+        |  FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+        |  GROUP BY a.t, b.t)
+        |SELECT ix.t1, ix.t2, s1.n AS n_users_1, s2.n AS n_users_2,
+        |  ix.n_both,
+        |  CAST(ix.n_both * 1000000 // (s1.n + s2.n - ix.n_both)
+        |    AS BIGINT) AS jaccard_ppm
+        |FROM ix JOIN sz s1 ON ix.t1 = s1.t
+        |        JOIN sz s2 ON ix.t2 = s2.t
+        |ORDER BY ix.t1 NULLS FIRST, ix.t2 NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val tu = Tables.events(s, d)
+        .where(col("user_id").isNotNull)
+        .select(col("event_type").as("t"), col("user_id").as("u"))
+        .distinct()
+      val sz = tu.groupBy(col("t"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val ix = tu.as("a")
+        .join(tu.as("b"), col("a.u") === col("b.u")
+          && col("a.t") < col("b.t"))
+        .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
+        .agg(count(lit(1)).cast("long").as("n_both"))
+      ix.join(broadcast(sz.select(col("t").as("st1"),
+          col("n").as("n_users_1"))), col("t1") === col("st1"))
+        .join(broadcast(sz.select(col("t").as("st2"),
+          col("n").as("n_users_2"))), col("t2") === col("st2"))
+        .select(col("t1"), col("t2"), col("n_users_1"),
+          col("n_users_2"), col("n_both"),
+          expr("CAST(n_both * 1000000" +
+            " div (n_users_1 + n_users_2 - n_both) AS BIGINT)")
+            .as("jaccard_ppm"))
+        .orderBy(col("t1"), col("t2"))
     }
   )
 }
