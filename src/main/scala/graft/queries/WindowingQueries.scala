@@ -1365,50 +1365,6 @@ object WindowingQueries {
         .limit(10)
     },
 
-    // --- first-order Markov transition matrix ------------------------------
-    // The event-type transition model under q_frequent_sequences' raw
-    // pattern counts: P(next | current) as a row-stochastic matrix in
-    // floor-ppm. One lead window per user stream (the per-user
-    // sessionization partitioning — parallel in users, never a global
-    // sort), then a hash aggregate on the (cur, nxt) pair; row
-    // normalization joins the TYPE-cardinality-bounded row totals back
-    // by equi-join, not a data-scale window. The same deterministic
-    // (ts, event_id) intra-user order as the sequence miner. This is
-    // the transition table behind next-event prediction and behavioral
-    // anomaly scoring (a session whose transitions have low matrix
-    // probability), and rows sum to ≤1e6 with the deficit = floor loss.
-    Q(
-      "q_markov_transitions",
-      """WITH s AS (SELECT user_id, event_type AS cur,
-        |    lead(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS nxt
-        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-        |t AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM s WHERE nxt IS NOT NULL GROUP BY cur, nxt),
-        |r AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS row_n
-        |  FROM t GROUP BY cur)
-        |SELECT t.cur, t.nxt, t.n,
-        |  CAST(t.n * 1000000 // r.row_n AS BIGINT) AS p_ppm
-        |FROM t JOIN r ON t.cur = r.cur
-        |ORDER BY t.cur NULLS FIRST, t.nxt NULLS FIRST""".stripMargin
-    ) { (s, d) =>
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val t = Tables.events(s, d)
-        .where(col("ts").isNotNull && col("user_id").isNotNull)
-        .select(col("event_type").as("cur"),
-          lead(col("event_type"), 1).over(w).as("nxt"))
-        .where(col("nxt").isNotNull)
-        .groupBy(col("cur"), col("nxt"))
-        .agg(count(lit(1)).cast("long").as("n"))
-      val r = t.groupBy(col("cur").as("rcur"))
-        .agg(sum(col("n")).cast("long").as("row_n"))
-      t.join(broadcast(r), col("cur") === col("rcur"))
-        .select(col("cur"), col("nxt"), col("n"),
-          expr("CAST(n * 1000000 div row_n AS BIGINT)").as("p_ppm"))
-        .orderBy(col("cur"), col("nxt"))
-    },
-
     // --- last-touch conversion attribution ----------------------------------
     // Marketing attribution over the event stream: every purchase is
     // credited to the user's most recent PRECEDING non-purchase event
