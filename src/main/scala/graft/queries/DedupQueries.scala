@@ -1036,6 +1036,55 @@ object DedupQueries {
         .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"),
           (abs(col("est") - col("jac")) <= 0.25).as("within_bound"))
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // --- dedup impact by source ------------------------------------------------
+    // The per-source accounting of what exact dedup REMOVES — the audit
+    // that catches a mirror-heavy crawl source before its survivors are
+    // over-represented downstream: per source, document and char counts,
+    // how many documents lose to keep-first (min doc_id per md5 key,
+    // the dedup_exact_groups rule), and the removed char share. Losers
+    // arrive by an anti-join of the corpus against the keeper set, so
+    // the query is two hash aggregates and one key-equi anti-join — the
+    // exact-dedup cost shape, per-source readout.
+    Q(
+      "dedup_impact_by_source",
+      """WITH k AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(text)),
+        |lost AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_dupes,
+        |    CAST(SUM(d.n_chars) AS BIGINT) AS chars_removed
+        |  FROM documents d
+        |  WHERE NOT EXISTS (SELECT 1 FROM k WHERE k.doc_id = d.doc_id)
+        |  GROUP BY d.source),
+        |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY source)
+        |SELECT t.source, t.n_docs, COALESCE(l.n_dupes, 0) AS n_dupes,
+        |  COALESCE(l.chars_removed, 0) AS chars_removed,
+        |  CAST(COALESCE(l.chars_removed, 0) * 1000000 // t.n_chars
+        |    AS BIGINT) AS removed_share_ppm
+        |FROM tot t LEFT JOIN lost l ON t.source = l.source
+        |ORDER BY t.source NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val k = docs.groupBy(md5(col("text")))
+        .agg(min(col("doc_id")).as("kid"))
+        .select(col("kid"))
+      val lost = docs
+        .join(k, col("doc_id") === col("kid"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_dupes"),
+          sum(col("n_chars")).cast("long").as("chars_removed"))
+      val tot = docs.groupBy(col("source").as("tsource"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars"))
+      tot.join(lost, col("tsource") === col("source"), "left")
+        .select(col("tsource").as("source"), col("n_docs"),
+          coalesce(col("n_dupes"), lit(0L)).as("n_dupes"),
+          coalesce(col("chars_removed"), lit(0L)).as("chars_removed"),
+          expr("CAST(COALESCE(chars_removed, 0) * 1000000 div n_chars" +
+            " AS BIGINT)").as("removed_share_ppm"))
+        .orderBy(col("source"))
     }
   )
 

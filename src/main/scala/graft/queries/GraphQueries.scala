@@ -589,8 +589,179 @@ object GraphQueries {
           count(lit(1)).over(Window.partitionBy()).cast("long"))
         .orderBy(col("csize").desc, col("label"))
         .limit(20)
+    },
+
+    // --- modularity of the LPA partition --------------------------------------
+    // The quality score FOR q_label_propagation's output: Newman
+    // modularity Q = Σ_c [m_c/m − (d_c/2m)²] of the 3-round LPA
+    // partition over the same part co-purchase graph. Everything is
+    // exact integers until ONE division: the per-community terms
+    // cross-multiply into num = Σ_c (4·m·m_c − d_c²) (128-bit — d_c²
+    // outgrows int64 on hub-heavy graphs), then Q_ppm = num·1e6/(4m²)
+    // with the division sign-split to truncation because num CAN be
+    // negative (a partition worse than random) and DuckDB's // floors
+    // while Spark's div truncates. Intra-community edge counts and
+    // degree sums are label equi-joins on the undirected edge list —
+    // the LPA superstep shape again, so the modularity audit costs one
+    // more superstep, not a new computation class.
+    Q(
+      "q_modularity_lpa", {
+        val base =
+          """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+            |           FROM lineitem),
+            |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+            |      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+            |        AND a.l_partkey < b.l_partkey
+            |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            |e AS MATERIALIZED (SELECT u, v FROM e0
+            |     UNION ALL SELECT v, u FROM e0),
+            |l0 AS MATERIALIZED (SELECT u AS node, u AS label
+            |     FROM (SELECT DISTINCT u FROM e))""".stripMargin
+        val rounds = (1 to 3).map { r =>
+          s"""c$r AS MATERIALIZED (SELECT e.u AS node, p.label,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM e JOIN l${r - 1} p ON e.v = p.node GROUP BY 1, 2),
+             |l$r AS MATERIALIZED (SELECT node, label FROM (
+             |  SELECT node, label,
+             |    row_number() OVER (PARTITION BY node
+             |      ORDER BY c DESC, label) AS rn
+             |  FROM c$r) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""$base,
+           |$rounds,
+           |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+           |dc AS (SELECT l.label, CAST(COUNT(*) AS BIGINT) AS d_c
+           |  FROM e JOIN l3 l ON e.u = l.node GROUP BY l.label),
+           |mc AS (SELECT la.label, CAST(COUNT(*) AS BIGINT) AS m_c
+           |  FROM e0 JOIN l3 la ON e0.u = la.node
+           |          JOIN l3 lb ON e0.v = lb.node
+           |  WHERE la.label = lb.label GROUP BY la.label),
+           |num AS (SELECT CAST(SUM(4 * CAST(m.m AS HUGEINT)
+           |      * COALESCE(mc.m_c, 0)
+           |      - CAST(dc.d_c AS HUGEINT) * dc.d_c) AS HUGEINT) AS num,
+           |    CAST(COUNT(*) AS BIGINT) AS n_communities, MAX(m.m) AS m
+           |  FROM dc LEFT JOIN mc ON dc.label = mc.label, m)
+           |SELECT n_communities, m AS m_edges,
+           |  CAST(CASE WHEN num < 0
+           |    THEN -(ABS(num) * 1000000
+           |           // (4 * CAST(m AS HUGEINT) * m))
+           |    ELSE num * 1000000 // (4 * CAST(m AS HUGEINT) * m) END
+           |    AS BIGINT) AS modularity_ppm
+           |FROM num ORDER BY n_communities""".stripMargin
+      }
+    ) { (s, d) =>
+      val (e0, e) = partEdges(s, d)
+      val labels = lpaLabels(e, rounds = 3)
+      val m = e0.agg(count(lit(1)).cast("long").as("m"))
+      val dc = e.join(labels, e("u") === labels("node"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).cast("long").as("d_c"))
+      val mc = e0
+        .join(labels.select(col("node").as("na"), col("label").as("la")),
+          col("u") === col("na"))
+        .join(labels.select(col("node").as("nb"), col("label").as("lb")),
+          col("v") === col("nb"))
+        .where(col("la") === col("lb"))
+        .groupBy(col("la").as("mlabel"))
+        .agg(count(lit(1)).cast("long").as("m_c"))
+      dc.join(mc, col("label") === col("mlabel"), "left")
+        .crossJoin(broadcast(m))
+        .agg(
+          sum(expr("4 * CAST(m AS DECIMAL(19,0)) * COALESCE(m_c, 0)" +
+            " - CAST(d_c AS DECIMAL(19,0)) * d_c"))
+            .cast("decimal(38,0)").as("num"),
+          count(lit(1)).cast("long").as("n_communities"),
+          max(col("m")).as("m_edges"))
+        .select(col("n_communities"), col("m_edges"),
+          expr("CAST(CASE WHEN num < 0 THEN -(ABS(num) * 1000000" +
+            " div (4 * CAST(m_edges AS DECIMAL(19,0)) * m_edges))" +
+            " ELSE num * 1000000" +
+            " div (4 * CAST(m_edges AS DECIMAL(19,0)) * m_edges) END" +
+            " AS BIGINT)").as("modularity_ppm"))
+        .orderBy(col("n_communities"))
+    },
+
+    // --- degree distribution (power-of-two buckets) ---------------------------
+    // The degree histogram every graph pipeline prints before choosing
+    // an algorithm variant (broadcast vs shuffle pagerank, hub caps for
+    // wedge joins): node counts per power-of-two degree bucket. The
+    // bucket is length(bin(deg)) — the integer log2 idiom the BM25 idf
+    // already uses, no libm — so the histogram is one degree aggregate
+    // plus one bounded (≤64-key) rollup; share in floor-ppm of the
+    // node count. The heavy tail visible here is exactly why
+    // q_link_prediction documents a production hub cap.
+    Q(
+      "q_degree_distribution",
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |     FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+        |       AND a.l_partkey < b.l_partkey
+        |     GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY u),
+        |b AS (SELECT CAST(1 << (length(bin(deg)) - 1) AS BIGINT)
+        |      AS bucket_lo, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |  FROM dg GROUP BY bucket_lo)
+        |SELECT bucket_lo, n_nodes,
+        |  CAST(n_nodes * 1000000 // SUM(n_nodes) OVER () AS BIGINT)
+        |    AS share_ppm
+        |FROM b ORDER BY bucket_lo""".stripMargin
+    ) { (s, d) =>
+      val (_, e) = partEdges(s, d)
+      e.groupBy(col("u"))
+        .agg(count(lit(1)).cast("long").as("deg"))
+        .select(expr("CAST(shiftleft(1, length(bin(deg)) - 1) AS BIGINT)")
+          .as("bucket_lo"))
+        .groupBy(col("bucket_lo"))
+        .agg(count(lit(1)).cast("long").as("n_nodes"))
+        .withColumn("share_ppm",
+          expr("CAST(n_nodes * 1000000 div sum(n_nodes) over ()" +
+            " AS BIGINT)"))
+        .orderBy(col("bucket_lo"))
     }
   )
+
+  /** The part co-purchase graph shared by the BFS / link-prediction /
+    * LPA / modularity / degree entries: parts co-occurring in ≥2
+    * orders, as (canonical u<v edges, checkpointed undirected list). */
+  private def partEdges(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val pp = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e0 = pp.as("a")
+      .join(pp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .select(col("u"), col("v"))
+    val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    (e0, e)
+  }
+
+  /** Synchronous LPA labels after `rounds` supersteps (the
+    * q_label_propagation iteration, factored for reuse by the
+    * modularity audit). */
+  private def lpaLabels(e: org.apache.spark.sql.DataFrame, rounds: Int)
+      : org.apache.spark.sql.DataFrame = {
+    var labels = e.select(col("u")).distinct()
+      .select(col("u").as("node"), col("u").as("label"))
+    val wn = Window.partitionBy(col("node"))
+      .orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels, e("v") === labels("node"))
+        .groupBy(e("u").as("node2"), col("label"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .select(col("node2").as("node"), col("label"), col("c"))
+        .withColumn("rn", row_number().over(wn))
+        .where(col("rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 
   /** The pagerank power iteration as a LAZY pair: (top-50 result frame,
     * pinned edge cache). The Q entry materializes the first and

@@ -2354,6 +2354,50 @@ object TextQueries {
             .as("dice_ppm"))
         .orderBy(col("dice_ppm").desc, col("w1"), col("w2"))
         .limit(20)
+    },
+
+    // --- document length profile per language ----------------------------------
+    // The length-distribution report a per-language filter threshold is
+    // read off of (too-short = boilerplate, too-long = concatenation
+    // bugs): per language, exact median and p90 of n_chars via the
+    // bounded length GRID — counts per (lang, n_chars) first, then the
+    // cumulative rank walk over the grid (the q_weighted_median_price
+    // two-level discipline: the window rides |distinct lengths| rows
+    // per language, never the corpus). Both quantiles are the standard
+    // lower-rank order statistic: smallest value whose cumulative count
+    // reaches ⌈q·N⌉, stated integer-exactly as k·cum ≥ q·k·N.
+    Q(
+      "text_length_profile",
+      """WITH g AS (SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang, n_chars),
+        |c AS (SELECT lang, n_chars, w,
+        |    CAST(SUM(w) OVER (PARTITION BY lang ORDER BY n_chars)
+        |      AS BIGINT) AS cumw,
+        |    CAST(SUM(w) OVER (PARTITION BY lang) AS BIGINT) AS tot
+        |  FROM g)
+        |SELECT lang, MAX(tot) AS n_docs,
+        |  CAST(MIN(CASE WHEN 2 * cumw >= tot THEN n_chars END)
+        |    AS BIGINT) AS median_chars,
+        |  CAST(MIN(CASE WHEN 10 * cumw >= 9 * tot THEN n_chars END)
+        |    AS BIGINT) AS p90_chars
+        |FROM c GROUP BY lang
+        |ORDER BY lang NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .groupBy(col("lang"), col("n_chars"))
+        .agg(count(lit(1)).cast("long").as("w"))
+      val wc = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wl = Window.partitionBy(col("lang"))
+      g.withColumn("cumw", sum(col("w")).over(wc).cast("long"))
+        .withColumn("tot", sum(col("w")).over(wl).cast("long"))
+        .groupBy(col("lang"))
+        .agg(max(col("tot")).as("n_docs"),
+          min(when(lit(2) * col("cumw") >= col("tot"), col("n_chars")))
+            .cast("long").as("median_chars"),
+          min(when(lit(10) * col("cumw") >= lit(9) * col("tot"),
+            col("n_chars"))).cast("long").as("p90_chars"))
+        .orderBy(col("lang"))
     }
   )
 }

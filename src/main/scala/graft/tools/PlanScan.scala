@@ -71,7 +71,8 @@ object PlanScan {
       "emb_pair_hist" -> "100-row md5-KMV sample self-paired (4950 pairs, corpus-size-independent calibration sample)",
       "text_burstiness" -> "1-row corpus doc count broadcast into the bounded top-20-df head",
       "emb_knn_reciprocity" -> "1-row edge total cross-joined with the 1-row mutual total; the kNN edges themselves ride the LSH-bucket equi-join",
-      "ref_tv_drift" -> "bounded days x event-type-enum spine (calendar x enum cross); the data-scale stage is the (day, type) count upstream")
+      "ref_tv_drift" -> "bounded days x event-type-enum spine (calendar x enum cross); the data-scale stage is the (day, type) count upstream",
+      "q_modularity_lpa" -> "1-row total-edge-count frame broadcast into the per-community terms; community stats are label equi-joins")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
