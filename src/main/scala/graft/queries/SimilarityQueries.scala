@@ -578,6 +578,72 @@ object SimilarityQueries {
       }
     ) { (s, d) => knnLsh(Tables.embeddings(s, d)) },
 
+    // --- multi-probe LSH ANN (one table, Hamming-1 probes) ----------------
+    // Lv et al. (VLDB'07): instead of OR-amplifying recall with 16
+    // index TABLES (emb_knn_lsh — 16× index footprint), keep ONE 8-bit
+    // sign-LSH table and probe the query's bucket plus its 8 Hamming-1
+    // neighbors — the buckets a near-neighbor most likely fell into
+    // when one hyperplane's sign flipped. 9 probe keys × equi-join on
+    // the bucket column = same join shape as single-table LSH with 9×
+    // the PROBE cost and 1× the INDEX cost — the trade a 100 TB vector
+    // store makes when the index dominates storage (probes explode on
+    // the tiny query side; the corpus is scanned/bucketed once). Exact
+    // cosine rerank of the deduped candidate union, same contract as
+    // the other ANN entries.
+    Q(
+      "emb_knn_lsh_multiprobe", {
+        val planes = VectorOps.hyperplanes(Dim, 8, 7L)
+        val probes = (0 until 8)
+          .map(i => s"xor(bucket, ${1L << i})")
+          .mkString("[bucket, ", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |    ${Sql.bucket("embedding", planes)} AS bucket
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_vec,
+           |    unnest($probes) AS probe
+           |  FROM e WHERE vec_id < 10),
+           |cand AS (SELECT DISTINCT q.q_id, c.vec_id
+           |  FROM e c JOIN q ON c.bucket = q.probe
+           |    AND c.vec_id <> q.q_id),
+           |s AS (SELECT cand.q_id, cand.vec_id,
+           |    ROUND(${Sql.cos("qe.embedding", "ce.embedding")}, 6) AS cos
+           |  FROM cand
+           |    JOIN embeddings qe ON qe.vec_id = cand.q_id
+           |    JOIN embeddings ce ON ce.vec_id = cand.vec_id)
+           |SELECT q_id, vec_id, cos,
+           |  CAST(row_number() OVER (PARTITION BY q_id
+           |         ORDER BY cos DESC, vec_id) AS INT) AS rank
+           |FROM s
+           |QUALIFY rank <= 3
+           |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .withColumn("bucket",
+          VectorOps.lshBucket(col("embedding"), Dim, nBits = 8))
+      val probes = col("bucket") +:
+        (0 until 8).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          explode(array(probes: _*)).as("probe"))
+      val cand = emb.select(col("bucket"), col("vec_id"),
+          col("embedding"))
+        .join(q, col("bucket") === col("probe")
+          && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("q_vec"),
+          col("embedding"))
+        .distinct() // union of the 9 probe hits
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      cand
+        .select(col("q_id"), col("vec_id"),
+          round(VectorOps.cosine(col("q_vec"), col("embedding")), 6)
+            .as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     // --- IVF ANN (inverted-file index, the other classic scale path) -----
     // Coarse quantizer → inverted lists → probe nprobe nearest lists →
     // exact rerank within probed lists. The quantizer is a LEARNED
