@@ -644,6 +644,117 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // --- IVF nprobe tuning curve (recall@3 vs probed lists) ----------------
+    // The tuning artifact behind emb_knn_ivf's fixed nprobe=4 (chosen in
+    // r4 when nprobe=2 measured recall 0.47): ONE trained quantizer,
+    // ONE assignment pass, ONE brute-force ground truth, then the
+    // recall@3 readout at nprobe ∈ {1,2,4,8} from the SAME probe
+    // ranking — the marginal cost of each extra curve point is a probe
+    // filter, not a retrain (every leg slices the rank-≤8 probe set).
+    // This is the curve a 100 TB store reads to price recall against
+    // probed-list I/O, and why nprobe lives in serving config rather
+    // than the index: the index is identical at every point.
+    Q(
+      "emb_ivf_nprobe_curve", {
+        val iters = 3
+        val legs = Seq(1, 2, 4, 8).map { np =>
+          s"""SELECT CAST($np AS BIGINT) AS nprobe, q_id, vec_id FROM (
+             |  SELECT cand.q_id, cand.vec_id,
+             |    row_number() OVER (PARTITION BY cand.q_id
+             |      ORDER BY ${Sql.cos("q.q_vec", "cand.embedding")} DESC,
+             |        cand.vec_id) AS rk
+             |  FROM (SELECT p.q_id, a.vec_id, a.embedding
+             |        FROM alla a JOIN probe p ON a.cid = p.cid
+             |          AND p.pr <= $np AND a.vec_id <> p.q_id) cand
+             |    JOIN q ON q.q_id = cand.q_id) WHERE rk <= 3"""
+            .stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ${kmeansCtes(k = 8, iters = iters)},
+           |alla AS (SELECT vec_id, embedding, cid FROM (
+           |    SELECT e.vec_id, e.embedding, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${Sql.l2sq("e.embedding", "c.cvec")}, c.cid)
+           |        AS rn
+           |    FROM embeddings e CROSS JOIN c$iters c) WHERE rn = 1),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_vec
+           |      FROM embeddings WHERE vec_id < 10),
+           |probe AS (SELECT q_id, cid,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY d, cid)
+           |      AS pr
+           |  FROM (SELECT q_id, cid, ${Sql.l2sq("q_vec", "cvec")} AS d
+           |        FROM q CROSS JOIN c$iters)),
+           |truth AS (SELECT q_id, vec_id FROM (
+           |    SELECT q.q_id, e.vec_id,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY ${Sql.cos("q.q_vec", "e.embedding")} DESC,
+           |          e.vec_id) AS rk
+           |    FROM embeddings e CROSS JOIN q
+           |    WHERE e.vec_id <> q.q_id) WHERE rk <= 3),
+           |legs AS ($legs),
+           |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+           |SELECT nprobe, CAST(COUNT(t.q_id) AS BIGINT) AS n_hits,
+           |  MAX(nt.n_truth) AS n_truth,
+           |  CAST(COUNT(t.q_id) * 1000000 // MAX(nt.n_truth) AS BIGINT)
+           |    AS recall_ppm
+           |FROM legs l
+           |  LEFT JOIN truth t ON l.q_id = t.q_id AND l.vec_id = t.vec_id,
+           |  nt
+           |GROUP BY nprobe
+           |ORDER BY nprobe""".stripMargin
+      }
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = KMeans.fit(emb, k = 8, iters = 3)
+      val assigned = emb.withColumn("cid",
+        KMeans.assignExpr(col("embedding"), cents))
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val probeEntries = array_sort(array(cents.map(c =>
+        struct(
+          graft.functions.VectorOps.l2sq(col("q_vec"),
+            array(c.cvec.map(lit): _*)).as("d"),
+          lit(c.cid).as("cid"))): _*))
+      val probe = queries
+        .select(col("q_id"), col("q_vec"),
+          posexplode(slice(probeEntries, 1, 8)).as(Seq("pr0", "pc")))
+        .select(col("q_id"), col("q_vec"),
+          (col("pr0") + 1).as("pr"), col("pc.cid").as("probe_cid"))
+      val wRank = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val truth = emb.crossJoin(broadcast(queries))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          VectorOps.cosine(col("q_vec"), col("embedding")).as("cos"))
+        .withColumn("rk", row_number().over(wRank))
+        .where(col("rk") <= 3)
+        .select(col("q_id").as("t_q"), col("vec_id").as("t_v"))
+        .localCheckpoint()
+      val legs = Seq(1, 2, 4, 8).map { np =>
+        assigned.join(
+            broadcast(probe.where(col("pr") <= np)),
+            col("cid") === col("probe_cid")
+              && col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            VectorOps.cosine(col("q_vec"), col("embedding")).as("cos"))
+          .withColumn("rk", row_number().over(wRank))
+          .where(col("rk") <= 3)
+          .select(lit(np.toLong).as("nprobe"), col("q_id"),
+            col("vec_id"))
+      }
+      val nt = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+      legs.reduce(_ unionByName _)
+        .join(truth, col("q_id") === col("t_q")
+          && col("vec_id") === col("t_v"), "left")
+        .crossJoin(broadcast(nt))
+        .groupBy(col("nprobe"))
+        .agg(count(col("t_q")).cast("long").as("n_hits"),
+          max(col("n_truth")).as("n_truth"))
+        .select(col("nprobe"), col("n_hits"), col("n_truth"),
+          expr("CAST(n_hits * 1000000 div n_truth AS BIGINT)")
+            .as("recall_ppm"))
+        .orderBy(col("nprobe"))
+    },
+
     // --- IVF ANN (inverted-file index, the other classic scale path) -----
     // Coarse quantizer → inverted lists → probe nprobe nearest lists →
     // exact rerank within probed lists. The quantizer is a LEARNED

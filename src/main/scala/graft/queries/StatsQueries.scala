@@ -2330,6 +2330,84 @@ object StatsQueries {
           expr("CAST(GREATEST(0, 1000000 - ssr * 1000000 div sst)" +
             " AS BIGINT)").as("strength_ppm"))
         .orderBy(col("n_days"))
+    },
+
+    // --- weekly growth accounting (new / retained / resurrected / churned) --
+    // The 5-state user-growth matrix (Social Capital's "growth
+    // accounting"): per active week, every user is exactly one of NEW
+    // (first active week), RETAINED (also active the previous week), or
+    // RESURRECTED (active before, but not last week) — so n_active =
+    // new + retained + resurrected by construction — plus CHURNED
+    // (active last week, silent this week), reported against this
+    // week's spine. q_new_vs_returning answers the 2-state daily
+    // version; the lag states need the shifted self-join on
+    // (user, week−7), which stays a hash equi-join on the distinct
+    // (week, user) relation — two aggregates, two joins, nothing
+    // data-scale beyond the initial distinct.
+    Q(
+      "q_growth_accounting",
+      """WITH au AS (SELECT DISTINCT
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk, user_id AS u
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |fs AS (SELECT u, MIN(wk) AS fw FROM au GROUP BY u),
+        |prev AS (SELECT wk + 7 AS wk, u FROM au),
+        |cls AS (SELECT a.wk,
+        |    CASE WHEN a.wk = fs.fw THEN 'new'
+        |         WHEN p.u IS NOT NULL THEN 'retained'
+        |         ELSE 'resurrected' END AS st
+        |  FROM au a JOIN fs ON a.u = fs.u
+        |  LEFT JOIN prev p ON a.u = p.u AND a.wk = p.wk),
+        |agg AS (SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |    CAST(SUM(CASE WHEN st = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(SUM(CASE WHEN st = 'retained' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN st = 'resurrected' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM cls GROUP BY wk),
+        |ch AS (SELECT p.wk, CAST(COUNT(*) AS BIGINT) AS n_churned
+        |  FROM prev p LEFT JOIN au a ON p.u = a.u AND p.wk = a.wk
+        |  WHERE a.u IS NULL GROUP BY p.wk)
+        |SELECT g.wk, g.n_active, g.n_new, g.n_retained,
+        |  g.n_resurrected, COALESCE(ch.n_churned, 0) AS n_churned
+        |FROM agg g LEFT JOIN ch ON g.wk = ch.wk
+        |ORDER BY g.wk NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val au = Tables.events(s, d)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(date_trunc("week", col("ts")).cast("date").as("wk"),
+          col("user_id").as("u"))
+        .distinct()
+        .localCheckpoint() // au feeds three branches; one computation
+      val fs = au.groupBy(col("u").as("fu")).agg(min(col("wk")).as("fw"))
+      val prev = au.select(date_add(col("wk"), 7).as("pwk"),
+        col("u").as("pu"))
+      val cls = au
+        .join(fs, col("u") === col("fu"))
+        .join(prev, col("u") === col("pu") && col("wk") === col("pwk"),
+          "left")
+        .select(col("wk"),
+          when(col("wk") === col("fw"), "new")
+            .when(col("pu").isNotNull, "retained")
+            .otherwise("resurrected").as("st"))
+      val agg = cls.groupBy(col("wk"))
+        .agg(count(lit(1)).cast("long").as("n_active"),
+          sum(when(col("st") === "new", 1L).otherwise(0L)).cast("long")
+            .as("n_new"),
+          sum(when(col("st") === "retained", 1L).otherwise(0L))
+            .cast("long").as("n_retained"),
+          sum(when(col("st") === "resurrected", 1L).otherwise(0L))
+            .cast("long").as("n_resurrected"))
+      val ch = prev
+        .join(au, col("pu") === col("u") && col("pwk") === col("wk"),
+          "left_anti")
+        .groupBy(col("pwk"))
+        .agg(count(lit(1)).cast("long").as("n_churned"))
+      agg.join(ch, col("wk") === col("pwk"), "left")
+        .select(col("wk"), col("n_active"), col("n_new"),
+          col("n_retained"), col("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy(col("wk"))
     }
   )
 }
