@@ -1446,6 +1446,10 @@ object WindowingQueries {
         .where(col("user_id").isNotNull)
         .select(col("event_type").as("t"), col("user_id").as("u"))
         .distinct()
+        // tu feeds three branches (sizes + both wedge sides): checkpoint
+        // so the corpus is scanned/deduped once, not four times — the
+        // q_growth_accounting discipline
+        .localCheckpoint()
       val sz = tu.groupBy(col("t"))
         .agg(count(lit(1)).cast("long").as("n"))
       val ix = tu.as("a")
