@@ -1167,14 +1167,21 @@ object CurationQueries {
         |    AS BIGINT) AS retained_ppm
         |FROM f ORDER BY stage""".stripMargin
     ) { (s, d) =>
+      // each stage is CHECKPOINTED before feeding the next — the
+      // production staging discipline (write survivors per stage):
+      // without it every stage re-derives from the raw parquet through
+      // the whole upstream lineage (measured: 16 scans of documents in
+      // the final plan), and at 100 TB that's 16 corpus reads for a
+      // 3-stage cascade
       val d0 = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("n_chars"))
+        .localCheckpoint()
       def keepFirst(df: org.apache.spark.sql.DataFrame,
           key: org.apache.spark.sql.Column) = {
         val k = df.groupBy(key.as("k"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
-        df.join(k, "doc_id")
+        df.join(k, "doc_id").localCheckpoint()
       }
       val s1 = keepFirst(d0, md5(col("text")))
       val n2 = s1.select(col("doc_id"),

@@ -728,6 +728,11 @@ object GraphQueries {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val pp = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // e0 is checkpointed too: the modularity audit references it in two
+    // further joins (intra-community edges, edge total), and without
+    // the cut each reference re-runs the wedge self-join from raw
+    // lineitem; e derives from the checkpointed e0 by a narrow union
+    // but is ALSO cut because LPA supersteps join it repeatedly
     val e0 = pp.as("a")
       .join(pp.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -736,6 +741,7 @@ object GraphQueries {
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= 2)
       .select(col("u"), col("v"))
+      .localCheckpoint()
     val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
     (e0, e)
