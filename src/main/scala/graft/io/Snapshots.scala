@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   *     _manifests/v{N}/part-*.parquet            ONLY this commit's adds
   *     _manifests/v{N}/_delta_meta               partition tombstones
   *     _CURRENT                                  "vN", temp+rename publish
+  *     _vacuum_floor                             "vN", temp+rename publish
   * }}}
   *
   * Manifests form a METADATA LOG (the Delta-Lake checkpoint/log shape):
@@ -93,17 +94,7 @@ object Snapshots {
     val tmp = new Path(table, "_CURRENT.tmp")
     if (!f.exists(cur) && f.exists(tmp)) f.rename(tmp, cur)
     if (!f.exists(cur)) 0
-    else {
-      val in = f.open(cur)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](64)
-        var r = in.read(chunk)
-        while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
-        new String(buf.toByteArray, StandardCharsets.UTF_8)
-          .trim.stripPrefix("v").toInt
-      } finally in.close()
-    }
+    else readSmallFile(f, cur).trim.stripPrefix("v").toInt
   }
 
   private def publish(spark: SparkSession, table: String, v: Int): Unit = {
@@ -118,6 +109,45 @@ object Snapshots {
   }
 
   private def manifestDir(table: String, v: Int) = s"$table/_manifests/v$v"
+
+  private def readSmallFile(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var r = in.read(chunk)
+      while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  // ---- retention floor -------------------------------------------------
+
+  private def floorPath(table: String) = new Path(table, "_vacuum_floor")
+
+  /** Retention floor published by the most recent [[vacuum]]: versions
+    * below it are VACUUMED — their data files may be reclaimed and
+    * fresh resolutions fail — even while their manifest dirs linger
+    * through vacuum's one-cycle grace period (which exists for
+    * in-flight lazy plans, not new readers). */
+  def retentionFloor(spark: SparkSession, table: String): Int = {
+    val f = fs(spark, table)
+    val p = floorPath(table)
+    if (!f.exists(p)) 1
+    else readSmallFile(f, p).trim.stripPrefix("v").toInt
+  }
+
+  private def publishFloor(spark: SparkSession, table: String, v: Int)
+      : Unit = {
+    val f = fs(spark, table)
+    val tmp = new Path(table, "_vacuum_floor.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"v$v".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(floorPath(table), false)
+    require(f.rename(tmp, floorPath(table)),
+      s"Snapshots.vacuum: failed to publish retention floor v$v of $table")
+  }
 
   // ---- delta manifests + checkpoints (metadata log) -------------------
   //
@@ -166,16 +196,7 @@ object Snapshots {
     val f = fs(spark, table)
     val p = ckptPtrPath(table, v)
     if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](256)
-        var r = in.read(chunk)
-        while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
-        Some(new String(buf.toByteArray, StandardCharsets.UTF_8).trim)
-      } finally in.close()
-    }
+    else Some(readSmallFile(f, p).trim)
   }
 
   /** Where this version's checkpoint parquet lives: the re-checkpoint
@@ -195,15 +216,7 @@ object Snapshots {
     if (readCkptPtr(spark, table, v).isDefined) None
     else if (!f.exists(p)) None
     else {
-      val in = f.open(p)
-      val txt =
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](4096)
-          var r = in.read(chunk)
-          while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
-          new String(buf.toByteArray, StandardCharsets.UTF_8)
-        } finally in.close()
+      val txt = readSmallFile(f, p)
       val kv = txt.split('\n').filter(_.contains('='))
         .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
         .toMap
@@ -234,19 +247,37 @@ object Snapshots {
     finally out.close()
   }
 
-  /** Nearest checkpoint at or below `v` — the resolution base. Derived
-    * by walking (never stored), so re-checkpointing a version in place
-    * (vacuum's retention-floor compaction) transparently re-bases every
-    * later delta. Chain length is bounded by [[CheckpointEvery]]. */
-  private def baseOf(spark: SparkSession, table: String, v: Int): Int = {
+  /** One walk down from `v` to the nearest checkpoint, reading each
+    * version's `_delta_meta` (and its ckpt-ptr override) EXACTLY once:
+    * returns (base checkpoint version, chain metas ascending). Both
+    * [[baseOf]] and [[manifestDF]] consume this walk — before the
+    * factoring, resolving one delta version re-read every meta across
+    * baseOf's walk AND the rebuild (O(chain²) filesystem round-trips
+    * per resolution, repeated per version by [[history]]; on an object
+    * store each is a network request). The base is still DERIVED,
+    * never stored, so re-checkpointing a version in place (vacuum's
+    * retention-floor compaction) transparently re-bases every later
+    * delta; chain length is bounded by [[CheckpointEvery]]. */
+  private def chainOf(spark: SparkSession, table: String, v: Int)
+      : (Int, List[(Int, DeltaMeta)]) = {
     var w = v
-    while (w >= 1 && readDeltaMeta(spark, table, w).isDefined) w -= 1
+    var metas = List.empty[(Int, DeltaMeta)]
+    var m = if (w >= 1) readDeltaMeta(spark, table, w) else None
+    while (w >= 1 && m.isDefined) {
+      metas = (w -> m.get) :: metas
+      w -= 1
+      m = if (w >= 1) readDeltaMeta(spark, table, w) else None
+    }
     require(w >= 1 &&
       fs(spark, table).exists(new Path(manifestDir(table, w))),
       s"Snapshots: no checkpoint at or below v$v of $table " +
         "(base manifest vacuumed)")
-    w
+    (w, metas)
   }
+
+  /** Nearest checkpoint at or below `v` — the resolution base. */
+  private def baseOf(spark: SparkSession, table: String, v: Int): Int =
+    chainOf(spark, table, v)._1
 
   /** Route one commit's manifest: checkpoint (complete set, plan-side
     * carry) when the chain would exceed [[CheckpointEvery]], else a
@@ -310,26 +341,27 @@ object Snapshots {
   def manifestDF(spark: SparkSession, table: String, v: Int): DataFrame = {
     require(v >= 1 && v <= currentVersion(spark, table),
       s"Snapshots: version $v does not exist under $table")
+    // below-floor versions are vacuumed even while their manifest dirs
+    // linger through the one-cycle grace period (see [[vacuum]]) —
+    // fresh resolutions must fail with the clean retention error, not
+    // scan a version whose data files are already reclaimed
+    val floor = retentionFloor(spark, table)
+    require(v >= floor,
+      s"Snapshots: manifest v$v has been vacuumed from $table " +
+        s"(retention floor is v$floor)")
     val dir = manifestDir(table, v)
     require(fs(spark, table).exists(new Path(dir)),
       s"Snapshots: manifest v$v has been vacuumed from $table")
-    readDeltaMeta(spark, table, v) match {
-      case None => // checkpoint: the complete set
+    chainOf(spark, table, v) match {
+      case (_, Nil) => // checkpoint: the complete set
         spark.read.parquet(checkpointParquetDir(spark, table, v))
-      case Some(_) =>
+      case (b, metas) =>
         // delta chain: nearest checkpoint + each delta's adds, tagged
         // with their origin version; a row survives unless its
         // partition carries a tombstone from a LATER version (an
         // overwrite's own adds survive their own tombstone). All of it
         // composes lazily — downstream pruning/diff/aggregation still
         // runs over one plan.
-        val b = baseOf(spark, table, v)
-        val metas = ((b + 1) to v).map { w =>
-          w -> readDeltaMeta(spark, table, w).getOrElse(
-            throw new IllegalStateException(
-              s"Snapshots: v$w of $table is a checkpoint inside " +
-                s"v$v's delta chain (corrupt walk)"))
-        }
         val segs =
           spark.read.parquet(checkpointParquetDir(spark, table, b))
             .withColumn("_origin", lit(b)) +:
@@ -645,7 +677,9 @@ object Snapshots {
     import spark.implicits._
     val f = fs(spark, table)
     val cur = currentVersion(spark, table)
-    val retained = (1 to cur).filter(v =>
+    // graced below-floor dirs may linger (vacuum's one-cycle grace);
+    // they are vacuumed, not retained
+    val retained = (retentionFloor(spark, table) to cur).filter(v =>
       f.exists(new Path(manifestDir(table, v))))
     // per-version counts aggregate INSIDE the plan; the driver sees one
     // summary row plus the touched-partition list (bounded by the
@@ -678,7 +712,8 @@ object Snapshots {
   def versionAsOfTime(spark: SparkSession, table: String, tsMillis: Long)
       : Int = {
     val f = fs(spark, table)
-    val vs = (1 to currentVersion(spark, table)).filter { v =>
+    val vs = (retentionFloor(spark, table) to
+        currentVersion(spark, table)).filter { v =>
       val p = new Path(manifestDir(table, v))
       f.exists(p) && f.getFileStatus(p).getModificationTime <= tsMillis
     }
@@ -777,25 +812,56 @@ object Snapshots {
 
   // ---- retention ------------------------------------------------------
 
-  /** Drop history: delete manifests below `retainFrom` and every data
-    * file no surviving manifest references. Time travel to vacuumed
-    * versions fails with a clear error; [[read]] and all retained
-    * versions are untouched. Returns deleted file count. */
+  /** Drop history: publish `retainFrom` as the retention floor, delete
+    * every data file no retained manifest references, and delete
+    * below-floor manifest DIRS one vacuum cycle late (grace period).
+    * Time travel to vacuumed versions fails with a clear error the
+    * moment the floor publishes; [[read]] and all retained versions
+    * are untouched. Returns deleted data-file count.
+    *
+    * Why the grace period: a reader that resolved a retained delta
+    * version's chain JUST BEFORE this vacuum's re-checkpoint holds a
+    * lazy plan ([[manifestDF]] is the documented lazy planning surface)
+    * referencing checkpoint/delta parquet in below-floor dirs. Deleting
+    * those dirs in the same call would fail that reader at action time
+    * with FILE_NOT_EXIST — the readers-safe-during-rewrites contract
+    * broken at the metadata layer. Instead each vacuum deletes only the
+    * dirs below the PREVIOUS vacuum's floor: any plan referencing them
+    * resolved before that floor published and has had a full vacuum
+    * cycle to finish — the same retention-vs-longest-reader sizing rule
+    * the data files already follow. New resolutions of graced versions
+    * are refused by the floor check in [[manifestDF]], so the lingering
+    * dirs serve only in-flight plans, never fresh reads of versions
+    * whose data files this call reclaims. */
   def vacuum(spark: SparkSession, table: String, retainFrom: Int): Int = {
     val f = fs(spark, table)
     val cur = currentVersion(spark, table)
     require(retainFrom <= cur,
       s"Snapshots.vacuum: retainFrom=$retainFrom > current=$cur")
+    // floors never regress: versions below an already-published floor
+    // are gone or graced, so a lower retainFrom cannot resurrect them
+    val prevFloor = retentionFloor(spark, table)
+    val floor = math.max(retainFrom, prevFloor)
     // retention-floor compaction: if the floor version is a delta, its
-    // chain resolves through manifests we are about to delete —
+    // chain resolves through manifests scheduled for deletion —
     // materialize it as a checkpoint IN PLACE first (later deltas
     // re-base onto it automatically, because the base is found by
     // walking, never stored). `_applied_*` markers and the dir mtime
     // (versionAsOfTime's clock) are preserved across the rewrite.
-    if (retainFrom >= 1 && f.exists(new Path(manifestDir(table, retainFrom)))
-        && readDeltaMeta(spark, table, retainFrom).isDefined) {
-      val dir = new Path(manifestDir(table, retainFrom))
+    if (floor >= 1 && f.exists(new Path(manifestDir(table, floor)))
+        && readDeltaMeta(spark, table, floor).isDefined) {
+      val dir = new Path(manifestDir(table, floor))
       val mtime = f.getFileStatus(dir).getModificationTime
+      // A crash between the `_ckpt_<id>` parquet write and the pointer
+      // rename strands both the subdir and a `_ckpt_ptr.tmp*` file in a
+      // RETAINED dir forever (later vacuums mint fresh ids and never
+      // revisit). Sweep that debris first: in this branch no pointer is
+      // published (readDeltaMeta would have returned None), so every
+      // `_ckpt_*` entry is an orphan no reader ever resolved to.
+      f.listStatus(dir).foreach { st =>
+        if (st.getPath.getName.startsWith("_ckpt_"))
+          f.delete(st.getPath, true)
+      }
       // Immutable re-checkpoint (see [[ckptPtrPath]]): materialize the
       // resolved set into a fresh `_ckpt_<id>` subdir, then publish it
       // with ONE atomic rename of the pointer file. Nothing an
@@ -808,24 +874,30 @@ object Snapshots {
       // construction; only the mtime needs restoring after the child
       // writes bump it.
       val id = java.util.UUID.randomUUID().toString.substring(0, 8)
-      manifestDF(spark, table, retainFrom).coalesce(1)
+      manifestDF(spark, table, floor).coalesce(1)
         .write.mode("overwrite")
         .parquet(new Path(dir, s"_ckpt_$id").toString)
       val tmp = new Path(dir, s"_ckpt_ptr.tmp$id")
       val out = f.create(tmp, true)
       try out.write(id.getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      f.rename(tmp, ckptPtrPath(table, retainFrom))
+      require(f.rename(tmp, ckptPtrPath(table, floor)),
+        s"Snapshots.vacuum: failed to publish the v$floor " +
+          s"re-checkpoint pointer of $table")
       f.setTimes(dir, mtime, -1)
     }
+    // floor publishes BEFORE any deletion: from this instant fresh
+    // resolutions of below-floor versions fail cleanly, while in-flight
+    // plans keep their graced manifest dirs for one more cycle
+    publishFloor(spark, table, floor)
     // paths only (no stats maps) — the live set is the one driver
     // materialization a delete-compare walk genuinely needs
-    val live = (retainFrom to cur).flatMap { v =>
+    val live = (floor to cur).flatMap { v =>
       if (f.exists(new Path(manifestDir(table, v))))
         manifestPaths(spark, table, v)
       else Nil
     }.toSet
-    (1 until retainFrom).foreach(v =>
+    (1 until prevFloor).foreach(v =>
       f.delete(new Path(manifestDir(table, v)), true))
     val dataRoot = new Path(table, "data")
     if (!f.exists(dataRoot)) return 0

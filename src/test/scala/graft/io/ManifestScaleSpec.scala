@@ -199,7 +199,18 @@ class ManifestScaleSpec extends SparkSpec {
     Snapshots.vacuum(spark, t, 10)
     assert(Snapshots.readDeltaMeta(spark, t, 10).isEmpty,
       "the retention floor must become a checkpoint")
-    assert(!java.nio.file.Files.exists(manifestVersionDir(t, 9)))
+    // GRACE PERIOD: below-floor manifest dirs survive the vacuum that
+    // floored them (an in-flight lazy plan resolved just before the
+    // re-checkpoint still references their parquet) — but fresh
+    // resolutions are refused immediately via the published floor
+    assert(java.nio.file.Files.exists(manifestVersionDir(t, 9)),
+      "below-floor dirs must linger one cycle for in-flight plans")
+    assert(Snapshots.retentionFloor(spark, t) == 10)
+    val gErr = intercept[IllegalArgumentException] {
+      Snapshots.readAsOf(spark, t, 9)
+    }
+    assert(gErr.getMessage.contains("vacuumed"),
+      s"graced version must refuse fresh reads: ${gErr.getMessage}")
     val after = java.nio.file.Files.list(floorDir).toArray
       .map(_.toString).toSet
     assert(before.subsetOf(after),
@@ -208,6 +219,12 @@ class ManifestScaleSpec extends SparkSpec {
       "the re-checkpoint must be published as new _ckpt artifacts")
     (10 to 12).foreach(v => assert(asMap(v) == expect(v),
       s"version $v after vacuum"))
+    // the NEXT vacuum cycle reclaims the graced dirs
+    Snapshots.vacuum(spark, t, 10)
+    assert(!java.nio.file.Files.exists(manifestVersionDir(t, 9)),
+      "graced dirs must be reclaimed by the following vacuum")
+    (10 to 12).foreach(v => assert(asMap(v) == expect(v),
+      s"version $v after the grace reclaim"))
     intercept[IllegalArgumentException] {
       Snapshots.readAsOf(spark, t, 9)
     }

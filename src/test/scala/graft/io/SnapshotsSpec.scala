@@ -268,4 +268,37 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.currentVersion(spark, t) == 1, "pointer recovered")
     assert(Snapshots.read(spark, t).count() == 3)
   }
+
+  test("vacuum sweeps orphan _ckpt debris stranded by a crashed " +
+      "re-checkpoint before publishing a fresh one") {
+    val t = tmpDir("snap_ckpt_debris")
+    Snapshots.commitFull(rows("d1", 1 to 5, 0), t, "day")
+    Snapshots.commitOverwritePartition(rows("d1", 1 to 5, 100), t,
+      "day", "d1")
+    Snapshots.commitOverwritePartition(rows("d1", 1 to 5, 200), t,
+      "day", "d1")
+    val want = snapshotMap(Snapshots.read(spark, t))
+    // simulate a prior vacuum that crashed between the _ckpt parquet
+    // write and the pointer rename: an unpublished _ckpt_<id> subdir
+    // plus a _ckpt_ptr.tmp* file stranded inside the (delta) v3 dir
+    val v3 = new java.io.File(t, "_manifests/v3")
+    val orphanDir = new java.io.File(v3, "_ckpt_deadbeef")
+    assert(orphanDir.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(orphanDir, "junk.parquet").toPath,
+      "not parquet".getBytes)
+    java.nio.file.Files.write(
+      new java.io.File(v3, "_ckpt_ptr.tmpdeadbeef").toPath,
+      "deadbeef".getBytes)
+    Snapshots.vacuum(spark, t, 3)
+    assert(!orphanDir.exists(), "orphan _ckpt dir must be swept")
+    assert(!new java.io.File(v3, "_ckpt_ptr.tmpdeadbeef").exists(),
+      "stale tmp pointer must be swept")
+    assert(new java.io.File(v3, "_ckpt_ptr").exists(),
+      "a fresh re-checkpoint pointer must be published")
+    assert(Snapshots.readDeltaMeta(spark, t, 3).isEmpty,
+      "the floor resolves as a checkpoint")
+    assert(snapshotMap(Snapshots.read(spark, t)) == want,
+      "the re-checkpointed floor answers identically")
+  }
 }
