@@ -449,13 +449,26 @@ object GraphQueries {
     // (two edge copies meeting on the shared endpoint — the
     // q_triangle_copurchase shape, O(Σ deg²) wedges), adjacency is
     // removed with an anti-join, and degrees arrive by equi-join, so
-    // every step is a hash shuffle on a key — no pairwise scan. At
-    // 100 TB the standard production guard is a hub-degree cap on the
-    // wedge input (drop nodes above ~10k degree before pairing: hubs
-    // predict nothing — every pair shares them); the synthetic graph's
-    // max degree is far below any cap, so the query states the pure
-    // form. Jaccard in floor-ppm: cn·1e6 // (deg(x)+deg(y)−cn); both
-    // orderings are exact integers, ties broken by (x, y).
+    // every step is a hash shuffle on a key — no pairwise scan.
+    //
+    // HUB-DEGREE CAP (the 100 TB guard, now CODED, not just named):
+    // nodes whose degree exceeds `spark.graft.graph.hubcap` (default
+    // [[DefaultHubCap]]) are dropped as WEDGE CENTERS before the
+    // e ⋈ e pairing. On a power-law graph one hub of degree h floods
+    // the self-join with C(h,2) candidate pairs — quadratic in the
+    // hub, and predictively worthless (every pair shares the hub, so
+    // it separates nothing; the same reasoning stopword pruning
+    // applies to df-heavy terms). Capping bounds the wedge stage at
+    // Σ_{deg≤cap} deg² regardless of skew; cn then counts COMMON
+    // NON-HUB NEIGHBORS, and the Jaccard denominators keep the FULL
+    // degrees (the score semantics are unchanged — only candidate
+    // generation is pruned). The oracle replays the same cap at the
+    // default literal; the synthetic graph's max degree is far below
+    // it, so base-tier results equal the pure form bit-for-bit, and
+    // LinkPredictionSpec proves engagement + bounded candidates on an
+    // adversarial planted-hub fixture (the emb_lsh_occupancy/PPJoin
+    // occupancy-cap discipline). Jaccard in floor-ppm:
+    // cn·1e6 // (deg(x)+deg(y)−cn); exact integers, ties by (x, y).
     Q(
       "q_link_prediction",
       """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -466,8 +479,10 @@ object GraphQueries {
         |e AS MATERIALIZED (SELECT u, v FROM e0
         |     UNION ALL SELECT v, u FROM e0),
         |dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY u),
+        |wc AS (SELECT e.u, e.v FROM e JOIN dg ON e.u = dg.u
+        |  WHERE dg.deg <= 10000),
         |cand AS (SELECT a.v AS x, b.v AS y, CAST(COUNT(*) AS BIGINT) AS cn
-        |  FROM e a JOIN e b ON a.u = b.u AND a.v < b.v
+        |  FROM wc a JOIN wc b ON a.u = b.u AND a.v < b.v
         |  GROUP BY 1, 2),
         |ne AS (SELECT c.x, c.y, c.cn FROM cand c
         |  WHERE NOT EXISTS (SELECT 1 FROM e0
@@ -479,33 +494,10 @@ object GraphQueries {
         |SELECT x, y, cn, jaccard_ppm FROM sc
         |ORDER BY cn DESC, jaccard_ppm DESC, x, y LIMIT 20""".stripMargin
     ) { (s, d) =>
-      val pp = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e0 = pp.as("a")
-        .join(pp.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .where(col("w") >= 2)
-        .select(col("u"), col("v"))
-      val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint()
-      val dg = e.groupBy(col("u")).agg(count(lit(1)).cast("long").as("deg"))
-      val cand = e.as("a")
-        .join(e.as("b"),
-          col("a.u") === col("b.u") && col("a.v") < col("b.v"))
-        .groupBy(col("a.v").as("x"), col("b.v").as("y"))
-        .agg(count(lit(1)).cast("long").as("cn"))
-      val ne = cand.join(e0,
-        cand("x") === e0("u") && cand("y") === e0("v"), "left_anti")
-      ne.join(dg.withColumnRenamed("u", "x")
-            .withColumnRenamed("deg", "dx"), "x")
-        .join(dg.withColumnRenamed("u", "y")
-            .withColumnRenamed("deg", "dy"), "y")
-        .select(col("x"), col("y"), col("cn"),
-          expr("CAST(cn * 1000000 div (dx + dy - cn) AS BIGINT)")
-            .as("jaccard_ppm"))
+      val (e0, e) = partEdges(s, d)
+      val cap = s.conf.getOption("spark.graft.graph.hubcap")
+        .map(_.toLong).getOrElse(DefaultHubCap)
+      linkPredictionScores(e0, e, cap)
         .orderBy(col("cn").desc, col("jaccard_ppm").desc, col("x"),
           col("y"))
         .limit(20)
@@ -720,6 +712,45 @@ object GraphQueries {
         .orderBy(col("bucket_lo"))
     }
   )
+
+  /** Wedge-stage hub-degree cap default (`spark.graft.graph.hubcap`).
+    * MUST match the literal in q_link_prediction's oracle SQL — the
+    * conf exists for specs and operators, the default is the oracle
+    * contract. 10k keeps the per-hub wedge contribution under
+    * C(10k,2) ≈ 5·10⁷ pairs — one shuffle partition's worth — while
+    * sitting far above any genuine product neighborhood. */
+  private[queries] val DefaultHubCap = 10000L
+
+  /** Link-prediction scoring over a prepared edge set, factored so the
+    * adversarial planted-hub fixture (LinkPredictionSpec) can drive it
+    * directly: wedge candidates from HUB-CAPPED centers, adjacency
+    * anti-join, Jaccard over FULL degrees. `e0` is the canonical u<v
+    * edge list, `e` its undirected doubling. */
+  private[queries] def linkPredictionScores(
+      e0: org.apache.spark.sql.DataFrame,
+      e: org.apache.spark.sql.DataFrame,
+      cap: Long): org.apache.spark.sql.DataFrame = {
+    val dg = e.groupBy(col("u")).agg(count(lit(1)).cast("long").as("deg"))
+    // the cap prunes wedge CENTERS only — a left-semi join against the
+    // under-cap node set, so no payload moves and the subsequent
+    // self-join's worst case is Σ_{deg≤cap} deg², independent of skew
+    val wc = e.join(dg.where(col("deg") <= cap).select(col("u")),
+      Seq("u"), "left_semi")
+    val cand = wc.as("a")
+      .join(wc.as("b"),
+        col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+      .groupBy(col("a.v").as("x"), col("b.v").as("y"))
+      .agg(count(lit(1)).cast("long").as("cn"))
+    val ne = cand.join(e0,
+      cand("x") === e0("u") && cand("y") === e0("v"), "left_anti")
+    ne.join(dg.withColumnRenamed("u", "x")
+          .withColumnRenamed("deg", "dx"), "x")
+      .join(dg.withColumnRenamed("u", "y")
+          .withColumnRenamed("deg", "dy"), "y")
+      .select(col("x"), col("y"), col("cn"),
+        expr("CAST(cn * 1000000 div (dx + dy - cn) AS BIGINT)")
+          .as("jaccard_ppm"))
+  }
 
   /** The part co-purchase graph shared by the BFS / link-prediction /
     * LPA / modularity / degree entries: parts co-occurring in ≥2

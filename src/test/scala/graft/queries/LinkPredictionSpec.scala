@@ -70,4 +70,61 @@ class LinkPredictionSpec extends SparkSpec {
           s"${(brute.keySet diff got.keySet).take(5)} missing")
     } finally { e0.unpersist(); () }
   }
+
+  // ---- adversarial planted-hub fixture for the hub-degree cap ----------
+  // One hub of degree 2000 (nodes 1..2000 all touch it) plus a tiny
+  // non-hub structure: nodes 1 and 2 share the low-degree neighbor
+  // 50000. Uncapped, the hub alone floods the wedge join with
+  // C(2000,2) = 1,999,000 candidate pairs; capped, the candidate set
+  // collapses to the 2 pairs that carry real signal. Degrees: hub
+  // 2000; nodes 1, 2, 50000 each 2; nodes 3..2000 each 1.
+
+  private val HubId = 100000L
+  private val SharedId = 50000L
+
+  private def hubFixture = {
+    val s = spark
+    import s.implicits._
+    val e0 = ((1L to 2000L).map(i => (i, HubId)) ++
+      Seq((1L, SharedId), (2L, SharedId))).toDF("u", "v")
+    val e = e0.unionByName(
+      e0.select(col("v").as("u"), col("u").as("v")))
+    (e0, e)
+  }
+
+  private def scored(cap: Long) = {
+    val (e0, e) = hubFixture
+    GraphQueries.linkPredictionScores(e0, e, cap)
+  }
+
+  test("hub cap bounds the wedge candidate volume on a planted " +
+      "power-law hub and keeps small-degree recall intact") {
+    // engaged cap: the hub (degree 2000) is dropped as a wedge center
+    val capped = scored(cap = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(capped.size == 2,
+      s"capped candidates must collapse to the 2 signal pairs: $capped")
+    // (1,2) share the NON-hub neighbor 50000: recall intact, cn counts
+    // common non-hub neighbors, Jaccard keeps FULL degrees (2 and 2)
+    assert(capped((1L, 2L)) == ((1L, 1000000L / 3)),
+      "small-degree pair must survive with its non-hub wedge count")
+    // (50000, hub) is reached through the low-degree centers 1 and 2 —
+    // the cap drops the hub as a CENTER, never as an endpoint
+    assert(capped((SharedId, HubId)) == ((2L, 1000L)),
+      "hub may still appear as a wedge ENDPOINT")
+
+    // uncapped (default cap = 10000 > hub degree): the hub floods the
+    // candidate set — C(2000,2) hub pairs + the (50000, hub) pair
+    val pure = scored(cap = GraphQueries.DefaultHubCap)
+    assert(pure.count() == 1999001L,
+      "uncapped candidate volume must show the quadratic hub flood")
+  }
+
+  test("the cap engages exactly at the degree threshold") {
+    // cap just below the hub degree → hub dropped, 2 candidates
+    assert(scored(cap = 1999L).count() == 2L)
+    // cap at the hub degree → hub kept, pure-form volume
+    assert(scored(cap = 2000L).count() == 1999001L)
+  }
 }
