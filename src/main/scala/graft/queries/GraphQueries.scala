@@ -51,6 +51,75 @@ object GraphQueries {
        |ORDER BY rank DESC, node LIMIT 50""".stripMargin
   }
 
+  /** k-core peeling oracle: 6 unrolled MATERIALIZED rounds (DuckDB's
+    * default CTE inlining is exponential in rounds — measured hang).
+    * Shared verbatim by q_kcore_copurchase (inline derivation) and
+    * q_graph_append (serve from the committed edge store) — the same
+    * SQL proving both execution shapes answer identically. */
+  private def kcoreSql: String = {
+    val base =
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+        |           FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS MATERIALIZED (SELECT u, v FROM e0
+        |     UNION ALL SELECT v, u FROM e0),
+        |a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM e)"""
+        .stripMargin
+    val rounds = (1 to 6).map { r =>
+      s"""a$r AS MATERIALIZED (SELECT e.u AS node
+         |  FROM e JOIN a${r - 1} x ON e.u = x.node
+         |         JOIN a${r - 1} y ON e.v = y.node
+         |  GROUP BY e.u HAVING COUNT(*) >= 2)""".stripMargin
+    }.mkString(",\n")
+    val counts = (0 to 6).map { r =>
+      s"SELECT $r AS round, CAST(COUNT(*) AS BIGINT) AS n_alive" +
+        s" FROM a$r"
+    }.mkString("\nUNION ALL\n")
+    s"""$base,
+       |$rounds
+       |SELECT CAST(round AS BIGINT) AS round, n_alive FROM (
+       |$counts)
+       |ORDER BY round""".stripMargin
+  }
+
+  /** 3-round synchronous LPA + community-size head oracle. Shared
+    * verbatim by q_label_propagation (inline derivation) and
+    * q_graph_persist (serve from the committed edge store). */
+  private def lpaSql: String = {
+    val base =
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+        |           FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS MATERIALIZED (SELECT u, v FROM e0
+        |     UNION ALL SELECT v, u FROM e0),
+        |l0 AS MATERIALIZED (SELECT u AS node, u AS label
+        |     FROM (SELECT DISTINCT u FROM e))""".stripMargin
+    val rounds = (1 to 3).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT e.u AS node, p.label,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM e JOIN l${r - 1} p ON e.v = p.node GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (SELECT node, label FROM (
+         |  SELECT node, label,
+         |    row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, label) AS rn
+         |  FROM c$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds,
+       |cs AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS csize
+       |       FROM l3 GROUP BY label)
+       |SELECT label, csize,
+       |  CAST(COUNT(*) OVER () AS BIGINT) AS n_communities
+       |FROM cs
+       |ORDER BY csize DESC, label LIMIT 20""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     // --- PageRank over the customer–supplier co-purchase graph ----------
     // Undirected bipartite graph: customer c and supplier s are linked
@@ -304,65 +373,9 @@ object GraphQueries {
     // inlining made the plan EXPONENTIAL in rounds (measured hang at 8
     // rounds; materialization makes it linear, the same fix the
     // localCheckpoint applies on the Spark side).
-    Q(
-      "q_kcore_copurchase", {
-        val base =
-          """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
-            |           FROM lineitem),
-            |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
-            |      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
-            |        AND a.l_partkey < b.l_partkey
-            |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-            |e AS MATERIALIZED (SELECT u, v FROM e0
-            |     UNION ALL SELECT v, u FROM e0),
-            |a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM e)"""
-            .stripMargin
-        val rounds = (1 to 6).map { r =>
-          s"""a$r AS MATERIALIZED (SELECT e.u AS node
-             |  FROM e JOIN a${r - 1} x ON e.u = x.node
-             |         JOIN a${r - 1} y ON e.v = y.node
-             |  GROUP BY e.u HAVING COUNT(*) >= 2)""".stripMargin
-        }.mkString(",\n")
-        val counts = (0 to 6).map { r =>
-          s"SELECT $r AS round, CAST(COUNT(*) AS BIGINT) AS n_alive" +
-            s" FROM a$r"
-        }.mkString("\nUNION ALL\n")
-        s"""$base,
-           |$rounds
-           |SELECT CAST(round AS BIGINT) AS round, n_alive FROM (
-           |$counts)
-           |ORDER BY round""".stripMargin
-      }
-    ) { (s, d) =>
-      val pp = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e0 = pp.as("x")
-        .join(pp.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .where(col("w") >= 2)
-        .select(col("u"), col("v"))
-      val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint()
-      var alive = e.select(col("u").as("node")).distinct()
-      val counts = scala.collection.mutable.ArrayBuffer(
-        alive.agg(count(lit(1)).cast("long").as("n_alive"))
-          .select(lit(0L).as("round"), col("n_alive")))
-      for (r <- 1 to 6) {
-        alive = e
-          .join(alive, col("u") === col("node"), "left_semi")
-          .join(alive, col("v") === col("node"), "left_semi")
-          .groupBy(col("u"))
-          .agg(count(lit(1)).as("deg"))
-          .where(col("deg") >= 2)
-          .select(col("u").as("node"))
-          .localCheckpoint()
-        counts += alive.agg(count(lit(1)).cast("long").as("n_alive"))
-          .select(lit(r.toLong).as("round"), col("n_alive"))
-      }
-      counts.reduce(_ unionByName _).orderBy(col("round"))
+    Q("q_kcore_copurchase", kcoreSql) { (s, d) =>
+      val (_, e) = partEdges(s, d)
+      kcoreTrace(e)
     },
 
     // --- BFS reachability frontier from the hub part ----------------------
@@ -516,71 +529,9 @@ object GraphQueries {
     // oracle). Isolated parts (no qualifying co-purchase edge) have no
     // neighbors and so no community — documented out. Output is the
     // community-size head plus the global community count, both exact.
-    Q(
-      "q_label_propagation", {
-        val base =
-          """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
-            |           FROM lineitem),
-            |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
-            |      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
-            |        AND a.l_partkey < b.l_partkey
-            |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-            |e AS MATERIALIZED (SELECT u, v FROM e0
-            |     UNION ALL SELECT v, u FROM e0),
-            |l0 AS MATERIALIZED (SELECT u AS node, u AS label
-            |     FROM (SELECT DISTINCT u FROM e))""".stripMargin
-        val rounds = (1 to 3).map { r =>
-          s"""c$r AS MATERIALIZED (SELECT e.u AS node, p.label,
-             |    CAST(COUNT(*) AS BIGINT) AS c
-             |  FROM e JOIN l${r - 1} p ON e.v = p.node GROUP BY 1, 2),
-             |l$r AS MATERIALIZED (SELECT node, label FROM (
-             |  SELECT node, label,
-             |    row_number() OVER (PARTITION BY node
-             |      ORDER BY c DESC, label) AS rn
-             |  FROM c$r) WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
-        s"""$base,
-           |$rounds,
-           |cs AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS csize
-           |       FROM l3 GROUP BY label)
-           |SELECT label, csize,
-           |  CAST(COUNT(*) OVER () AS BIGINT) AS n_communities
-           |FROM cs
-           |ORDER BY csize DESC, label LIMIT 20""".stripMargin
-      }
-    ) { (s, d) =>
-      val pp = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e0 = pp.as("a")
-        .join(pp.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .where(col("w") >= 2)
-        .select(col("u"), col("v"))
-      val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint()
-      var labels = e.select(col("u")).distinct()
-        .select(col("u").as("node"), col("u").as("label"))
-      val wn = Window.partitionBy(col("node"))
-        .orderBy(col("c").desc, col("label"))
-      for (_ <- 1 to 3) {
-        labels = e.join(labels, e("v") === labels("node"))
-          .groupBy(e("u").as("node2"), col("label"))
-          .agg(count(lit(1)).cast("long").as("c"))
-          .select(col("node2").as("node"), col("label"), col("c"))
-          .withColumn("rn", row_number().over(wn))
-          .where(col("rn") === 1)
-          .select(col("node"), col("label"))
-          .localCheckpoint()
-      }
-      labels.groupBy(col("label"))
-        .agg(count(lit(1)).cast("long").as("csize"))
-        .withColumn("n_communities",
-          count(lit(1)).over(Window.partitionBy()).cast("long"))
-        .orderBy(col("csize").desc, col("label"))
-        .limit(20)
+    Q("q_label_propagation", lpaSql) { (s, d) =>
+      val (_, e) = partEdges(s, d)
+      communityHead(lpaLabels(e, rounds = 3))
     },
 
     // --- modularity of the LPA partition --------------------------------------
@@ -710,6 +661,62 @@ object GraphQueries {
           expr("CAST(n_nodes * 1000000 div sum(n_nodes) over ()" +
             " AS BIGINT)"))
         .orderBy(col("bucket_lo"))
+    },
+
+    // --- co-purchase graph persisted as a snapshot table, then served ----
+    // Identical answer to q_label_propagation (same oracle, by design):
+    // what changes is the execution shape — the edge derivation commits
+    // ONCE as raw pair counts (see the store comment above
+    // [[rawPairCounts]]) and the LPA supersteps run off the committed
+    // table. This is the build-once/serve-many shape the 8 inline graph
+    // queries would share in production (each verify query stays
+    // hermetic, so the inline twins keep their own derivation — the
+    // same split as emb_knn_ivf vs emb_ivf_persist).
+    Q("q_graph_persist", lpaSql) { (s, d) =>
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table =
+        s"${sys.props("java.io.tmpdir")}/graft_copurchase/$tag"
+      // clean slate so version numbers are deterministic per run
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val pp = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      graft.io.Snapshots.commitFull(
+        rawPairCounts(pp).withColumn("ub", pmod(col("u"), lit(8))),
+        table, "ub", statsCols = Seq("u", "v"))
+      val (_, e) = servedEdges(s, table)
+      communityHead(lpaLabels(e, rounds = 3))
+    },
+
+    // --- O(delta) edge append, serve across generations ------------------
+    // The incremental half (the text_bm25_append / emb_ivf_append
+    // twin): the base commit holds pair counts from half the orders,
+    // the arriving orders' pair counts APPEND as a second generation —
+    // cost O(delta orders), no base re-scan — and serving merges
+    // generations by summing counts before the >= 2 threshold. The
+    // oracle is q_kcore_copurchase's full-corpus SQL verbatim: a hash
+    // match proves the split-build is semantically invisible, including
+    // pairs whose count crosses the edge threshold only ACROSS the two
+    // generations (w=1 base + w=1 delta — the case a thresholded store
+    // would lose; GraphPersistSpec plants it explicitly).
+    Q("q_graph_append", kcoreSql) { (s, d) =>
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table =
+        s"${sys.props("java.io.tmpdir")}/graft_copurchase_append/$tag"
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val pp = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      def half(parity: Int) =
+        pp.where(pmod(col("l_orderkey"), lit(2)) === parity)
+      graft.io.Snapshots.commitFull(
+        rawPairCounts(half(0)).withColumn("ub", pmod(col("u"), lit(8))),
+        table, "ub", statsCols = Seq("u", "v"))
+      graft.io.Snapshots.commitAppend(
+        rawPairCounts(half(1)).withColumn("ub", pmod(col("u"), lit(8))),
+        table, "ub", statsCols = Seq("u", "v"))
+      val (_, e) = servedEdges(s, table)
+      kcoreTrace(e)
     }
   )
 
@@ -770,6 +777,92 @@ object GraphQueries {
           col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .select(col("u"), col("v"))
+      .localCheckpoint()
+    val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    (e0, e)
+  }
+
+  /** The 6-round k-core peel over an undirected edge list (the
+    * q_kcore_copurchase iteration, factored so q_graph_append can run
+    * it off the committed edge store). Per-round localCheckpoint ↔
+    * the oracle's MATERIALIZED round CTEs. */
+  private def kcoreTrace(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    var alive = e.select(col("u").as("node")).distinct()
+    val counts = scala.collection.mutable.ArrayBuffer(
+      alive.agg(count(lit(1)).cast("long").as("n_alive"))
+        .select(lit(0L).as("round"), col("n_alive")))
+    for (r <- 1 to 6) {
+      alive = e
+        .join(alive, col("u") === col("node"), "left_semi")
+        .join(alive, col("v") === col("node"), "left_semi")
+        .groupBy(col("u"))
+        .agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= 2)
+        .select(col("u").as("node"))
+        .localCheckpoint()
+      counts += alive.agg(count(lit(1)).cast("long").as("n_alive"))
+        .select(lit(r.toLong).as("round"), col("n_alive"))
+    }
+    counts.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** Community-size head of an LPA labeling (top-20 by size + global
+    * community count) — the q_label_propagation projection, shared by
+    * the persisted-graph serve path. */
+  private def communityHead(labels: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    labels.groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("csize"))
+      .withColumn("n_communities",
+        count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .orderBy(col("csize").desc, col("label"))
+      .limit(20)
+
+  // ---- the co-purchase graph as a snapshot table -----------------------
+  //
+  // Build-once/serve-many (the text_bm25_persist / emb_ivf_persist
+  // twin for graphs): the expensive edge derivation — the order-pair
+  // self-join over all of lineitem — runs ONCE and commits to a
+  // graft.io.Snapshots table; every downstream graph algorithm then
+  // reads the committed edge list (O(edges)) instead of re-deriving it
+  // from the raw corpus (O(lineitem) + a wedge self-join, today repeated
+  // by each of the 8 graph queries). The store holds RAW per-order-split
+  // pair counts (u, v, w) — NOT thresholded edges — because counts are
+  // the mergeable statistic: an order contributes its pairs to exactly
+  // one commit, so generation-wise counts SUM to the full-corpus count,
+  // and a pair at w=1 in the base and w=1 in the delta correctly
+  // crosses the >= 2 edge threshold only in the merged view (a
+  // thresholded store could never recover it). Append cost is O(delta
+  // orders); serve is one groupBy over the edge list. Partitioned by
+  // pmod(u, 8) with per-file (u, v) min/max manifest stats, so a
+  // targeted neighborhood read (one node's edges) prunes to one
+  // bucket's files at planning time (GraphPersistSpec audits this).
+
+  /** RAW canonical pair counts (u < v, w = co-occurrence count over the
+    * given order subset) — unthresholded, the mergeable store row. */
+  private[queries] def rawPairCounts(pp: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    pp.as("a")
+      .join(pp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).cast("long").as("w"))
+
+  /** Serve the committed edge store: merge all generations' raw counts,
+    * apply the >= 2 edge threshold, return the (e0, e) pair every graph
+    * algorithm consumes — checkpointed, the iteration working-set
+    * discipline of [[partEdges]]. */
+  private[queries] def servedEdges(s: org.apache.spark.sql.SparkSession,
+      table: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val e0 = graft.io.Snapshots.read(s, table)
+      .groupBy(col("u"), col("v"))
+      .agg(sum(col("w")).as("w"))
       .where(col("w") >= 2)
       .select(col("u"), col("v"))
       .localCheckpoint()
