@@ -596,6 +596,37 @@ object Snapshots {
       table, partCol, value, statsCols)
   }
 
+  /** Copy-on-write row-level delete (the GDPR/retraction path): every
+    * partition holding a key in `keys` is rewritten WITHOUT the
+    * matching rows, one snapshot commit per affected partition — all
+    * other partitions carry by reference, pinned readers keep their
+    * pre-delete version (the snapshot contract), and vacuum reclaims
+    * the superseded files on the usual retention schedule. A partition
+    * whose every row matches publishes as a pure tombstone (the
+    * partition disappears from the new version). Untouched partitions
+    * cost nothing; the scan to FIND affected partitions is one
+    * semi-join pruned to `partCol`. Returns the rewritten partition
+    * count. Merge-on-read is the query-side dual: serve paths
+    * anti-join a small tombstone set instead (see emb_ivf_delete),
+    * then call this to compact the tombstones away. */
+  def deleteRows(spark: SparkSession, table: String, partCol: String,
+      keyCol: String, keys: DataFrame): Int = {
+    import spark.implicits._
+    val affected = read(spark, table)
+      .join(keys.select(keyCol), Seq(keyCol), "left_semi")
+      .select(col(partCol).cast("string")).distinct()
+      .as[String].collect().sorted
+    affected.foreach { pv =>
+      val mine = manifestDF(spark, table, currentVersion(spark, table))
+        .where(col("partition") === lit(pv))
+        .select("path").as[String].collect().toSeq
+      val kept = scanPaths(spark, table, mine)
+        .join(keys.select(keyCol), Seq(keyCol), "left_anti")
+      commitOverwritePartition(kept, table, partCol, pv)
+    }
+    affected.length
+  }
+
   // ---- reads ----------------------------------------------------------
 
   private def scanPaths(spark: SparkSession, table: String,

@@ -212,9 +212,16 @@ object SimilarityQueries {
 
   /** SERVE half of the persisted-IVF pipeline: probe nprobe=4 nearest
     * centroids per query, read ONLY the probed cells off the snapshot
-    * manifest (one stats-pruned read per cell), exact-rerank, top-3. */
+    * manifest (one stats-pruned read per cell), exact-rerank, top-3.
+    * `deletes`, when given, is the merge-on-read tombstone set: its ids
+    * are anti-joined out of the probed lists BEFORE rerank (broadcast —
+    * a delete batch is small by nature; compaction via
+    * [[graft.io.Snapshots.deleteRows]] rewrites the affected cells and
+    * retires the tombstones, IvfDeleteSpec proves the two shapes answer
+    * identically). */
   private def ivfServe(s: SparkSession, emb: DataFrame,
-      cents: Seq[KMeans.Centroid], table: String): DataFrame = {
+      cents: Seq[KMeans.Centroid], table: String,
+      deletes: Option[DataFrame] = None): DataFrame = {
     val queries = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val probeEntries = array_sort(array(cents.map(c =>
@@ -229,10 +236,13 @@ object SimilarityQueries {
     // bounded driver list: ≤ k distinct probed cells
     val probedCells = probe.select(col("probe_cid")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val index = probedCells.map(c =>
+    val stored = probedCells.map(c =>
         graft.io.Snapshots.readRange(s, table, "cell",
           c.toString, c.toString))
       .reduce(_.unionByName(_))
+    val index = deletes.fold(stored)(dl =>
+      stored.join(broadcast(dl.select(col("vec_id"))), Seq("vec_id"),
+        "left_anti"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     index.join(broadcast(probe),
@@ -270,6 +280,44 @@ object SimilarityQueries {
     graft.io.Snapshots.commitAppend(assign(delta), table, "cid",
       statsCols = Seq("cell"))
     ivfServe(s, emb, cents, table)
+  }
+
+  /** Vector DELETES in the persisted store (GDPR erasure, dedup
+    * retractions): the delete batch commits as a TOMBSTONE table — a
+    * tiny sibling snapshot of ids, O(batch) to write, no index file
+    * touched — and serving filters tombstoned ids inside the probed
+    * cells (merge-on-read). Centroids never retrain on delete: cell
+    * geometry is unchanged, so recall over the survivors is exactly
+    * the recall a survivor-only serve would have (the oracle proves it
+    * by excluding the ids from the candidate set of the FULL-corpus
+    * training replay). `compact = true` runs the reclaim half instead:
+    * [[graft.io.Snapshots.deleteRows]] rewrites the affected cells
+    * copy-on-write and serving drops the tombstone filter —
+    * IvfDeleteSpec proves both shapes answer identically and that the
+    * compacted store physically holds no deleted row. */
+  def knnIvfDeleted(s: SparkSession, d: String, table: String,
+      compact: Boolean = false): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val p = new org.apache.hadoop.fs.Path(table)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val tomb = s"${table}_tomb"
+    val pt = new org.apache.hadoop.fs.Path(tomb)
+    pt.getFileSystem(s.sparkContext.hadoopConfiguration).delete(pt, true)
+    val cents = KMeans.fit(emb, k = 8, iters = 3)
+    val assigned = emb
+      .withColumn("cid", KMeans.assignExpr(col("embedding"), cents))
+      .withColumn("cell", col("cid"))
+    graft.io.Snapshots.commitFull(assigned, table, "cid",
+      statsCols = Seq("cell"))
+    graft.io.Snapshots.commitFull(
+      emb.where(expr(DeletePred)).select(col("vec_id"))
+        .withColumn("db", lit(0)),
+      tomb, "db")
+    val tombIds = graft.io.Snapshots.read(s, tomb)
+    if (compact) {
+      graft.io.Snapshots.deleteRows(s, table, "cid", "vec_id", tombIds)
+      ivfServe(s, emb, cents, table)
+    } else ivfServe(s, emb, cents, table, deletes = Some(tombIds))
   }
 
   def knnIvf(emb: DataFrame): DataFrame = {
@@ -448,7 +496,10 @@ object SimilarityQueries {
     * verbatim by emb_knn_ivf (inline build) and emb_ivf_persist (the
     * same result served from a committed snapshot index table — the
     * storage layer must be invisible to the answer). */
-  private lazy val IvfOracle: String = {
+  /** The IVF serve oracle, with an optional extra candidate predicate
+    * (emb_ivf_delete excludes the tombstoned ids here — centroids still
+    * train on the FULL corpus, the no-retrain-on-delete contract). */
+  private def ivfOracleSql(candFilter: String): String = {
     val iters = 3
     s"""WITH ${kmeansCtes(k = 8, iters = iters)},
        |q AS (SELECT vec_id AS q_id, embedding AS q_vec
@@ -461,7 +512,7 @@ object SimilarityQueries {
        |    FROM qd) WHERE pr <= 4),
        |cand AS (SELECT p.q_id, a.vec_id, a.embedding
        |         FROM af a JOIN probe p ON a.cid = p.cid
-       |         WHERE a.vec_id <> p.q_id),
+       |         WHERE a.vec_id <> p.q_id$candFilter),
        |s AS (SELECT cand.q_id, cand.vec_id,
        |        ROUND(${Sql.cos("q.q_vec", "cand.embedding")}, 6) AS cos
        |      FROM cand JOIN q ON q.q_id = cand.q_id)
@@ -472,6 +523,16 @@ object SimilarityQueries {
        |QUALIFY rank <= 3
        |ORDER BY q_id NULLS FIRST, rank NULLS FIRST""".stripMargin
   }
+
+  private lazy val IvfOracle: String = ivfOracleSql("")
+
+  /** The delete batch emb_ivf_delete uses — one predicate, engine and
+    * oracle forms kept side by side (queries vec_id < 10 stay alive so
+    * the result keys are stable). */
+  private val DeletePred = "vec_id % 7 = 3 AND vec_id >= 10"
+
+  private lazy val IvfDeleteOracle: String = ivfOracleSql(
+    " AND NOT (a.vec_id % 7 = 3 AND a.vec_id >= 10)")
 
   val all: Seq[Q] = Seq(
     // --- per-vector L2 norm — deterministic row-local fold → oracle-able
@@ -867,6 +928,18 @@ object SimilarityQueries {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       knnIvfAppended(s, d,
         s"${sys.props("java.io.tmpdir")}/graft_ivf_append/$tag")
+    },
+
+    // --- vector deletes: tombstone delta + merge-on-read serve -----------
+    // The lifecycle leg emb_ivf_persist/append lack: erase vectors
+    // without touching index files (see [[knnIvfDeleted]]). The oracle
+    // trains on the FULL corpus and excludes the deleted ids only from
+    // the candidate set — a hash match proves deleted vectors never
+    // serve AND survivor ranking is exactly the no-retrain serve.
+    Q("emb_ivf_delete", IvfDeleteOracle) { (s, d) =>
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      knnIvfDeleted(s, d,
+        s"${sys.props("java.io.tmpdir")}/graft_ivf_delete/$tag")
     },
 
     // --- embedding-cosine near-duplicate pairs ---------------------------
