@@ -68,6 +68,188 @@ object TextQueries {
        |FROM tok JOIN enc USING (word)
        |GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // ---- unigram-LM tokenizer (SentencePiece-style sibling of BPE) -------
+  //
+  // Kudo's unigram LM trainer (ACL 2018, public) seeds a large
+  // substring vocabulary and alternates segment → re-estimate → prune.
+  // The engine-exact restatement here keeps that loop shape but swaps
+  // the float EM for integer machinery both engines replay bit-for-bit:
+  //
+  //  - SEED: all corpus substrings of length 1..UniMaxLen scored by
+  //    occurrence frequency; keep the top UniSeedK multi-char pieces by
+  //    (freq DESC, piece ASC) plus every single char (coverage). This
+  //    ordering makes the seed PREFIX-CLOSED for free: a prefix occurs
+  //    at least wherever its extension does (freq(prefix) ≥ freq(p)),
+  //    and on ties the prefix sorts first — so p in the top-K implies
+  //    every prefix is too.
+  //  - SEGMENT: greedy longest-match, implemented as a single
+  //    char-fold — extend the last token while the extension is in the
+  //    vocabulary, else start a new token. With a prefix-closed
+  //    vocabulary extend-while-member IS longest-match (the chain of
+  //    prefixes to the longest piece is all present), which is what
+  //    makes the fold exact in both engines (DuckDB list_reduce ↔
+  //    Spark aggregate, the text_bpe_train codec: tokens never contain
+  //    spaces, so the accumulator is the space-joined segmentation).
+  //  - PRUNE: usage = Σ word_freq per piece used; keep the top
+  //    UniKeepK(r) multi-char pieces by (usage DESC, piece ASC), then
+  //    RE-CLOSE by AUGMENTATION — union the kept pieces' proper
+  //    prefixes back in (usage is not antitone: segmentation consumes
+  //    prefixes inside longer matches, so a useful piece's prefix can
+  //    have zero usage of its own; dropping unclosed pieces instead
+  //    was measured to collapse the vocabulary to near-alphabet in one
+  //    round, while augmentation costs at most 2 extra pieces per kept
+  //    one at UniMaxLen = 4).
+  //
+  // Vocabulary state between rounds is BOUNDED (≤ UniSeedK + alphabet)
+  // and passes through the driver as literals — the KMeans-centroid /
+  // BPE-merge discipline — so rounds never nest lineage. The only
+  // corpus-sized work is the word-vocab build and the encode join;
+  // every segmentation runs over DISTINCT words (the vocab trick).
+  private val UniMaxLen = 4
+  private val UniSeedK = 120
+  // keep budgets BELOW the used-piece count so each prune forces a
+  // re-segmentation (a budget above it only drops unused pieces and
+  // the loop trivially fixpoints — measured: 80 left corpus_tokens
+  // unchanged across all rounds at sf0.01, 40/25 moves every round)
+  private val UniKeepK = Seq(40, 25)
+  private val UniRounds = 3
+
+  /** Oracle WITH-chain through seg$UniRounds: same seed, same fold,
+    * same prune+close per round. MATERIALIZED throughout — v0 and each
+    * seg are referenced twice downstream (the k-core CTE lesson). */
+  private def unigramWithChain: String = {
+    val fold = (src: String) =>
+      s"""SELECT word, wf, list_reduce(string_split(word, ''),
+         |        (acc, c) -> CASE WHEN list_contains(vl,
+         |            regexp_extract(acc, '[^ ]*$$') || c)
+         |          THEN acc || c ELSE acc || ' ' || c END) AS s
+         |      FROM v0, $src""".stripMargin
+    val rounds = (1 until UniRounds).map { r =>
+      s"""use$r AS MATERIALIZED (SELECT piece,
+         |        CAST(SUM(wf) AS BIGINT) AS u
+         |      FROM (SELECT unnest(string_split(s, ' ')) AS piece, wf
+         |            FROM seg$r) GROUP BY piece),
+         |kept$r AS MATERIALIZED (SELECT piece FROM use$r
+         |      WHERE length(piece) >= 2
+         |      ORDER BY u DESC, piece LIMIT ${UniKeepK(r - 1)}),
+         |cl$r AS MATERIALIZED (SELECT DISTINCT piece FROM (
+         |      SELECT piece FROM kept$r
+         |      UNION ALL SELECT substr(piece, 1, 2) AS piece
+         |        FROM kept$r WHERE length(piece) >= 3
+         |      UNION ALL SELECT substr(piece, 1, 3) AS piece
+         |        FROM kept$r WHERE length(piece) >= 4)),
+         |vl${r + 1} AS (SELECT list(piece) AS vl FROM
+         |      (SELECT piece FROM chars UNION ALL SELECT piece FROM cl$r)),
+         |seg${r + 1} AS MATERIALIZED (${fold(s"vl${r + 1}")})"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text,
+       |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS word FROM documents),
+       |v0 AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS wf
+       |      FROM tok GROUP BY word),
+       |sub AS MATERIALIZED (SELECT
+       |        substr(word, CAST(p AS INT), CAST(l AS INT)) AS piece,
+       |        CAST(SUM(wf) AS BIGINT) AS freq
+       |      FROM v0,
+       |        UNNEST(range(1, length(word) + 1)) AS tp(p),
+       |        UNNEST(range(1, ${UniMaxLen + 1})) AS tl(l)
+       |      WHERE p + l - 1 <= length(word)
+       |      GROUP BY piece),
+       |chars AS MATERIALIZED (SELECT piece FROM sub
+       |      WHERE length(piece) = 1),
+       |seed AS MATERIALIZED (SELECT piece FROM sub
+       |      WHERE length(piece) >= 2
+       |      ORDER BY freq DESC, piece LIMIT $UniSeedK),
+       |vl1 AS (SELECT list(piece) AS vl FROM
+       |      (SELECT piece FROM chars UNION ALL SELECT piece FROM seed)),
+       |seg1 AS MATERIALIZED (${fold("vl1")}),
+       |$rounds""".stripMargin
+  }
+
+  private def unigramTrainOracle: String = {
+    val vocabOf = Seq("seed", "cl1", "cl2")
+    val out = (1 to UniRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  CAST((SELECT COUNT(*) FROM chars)
+         |    + (SELECT COUNT(*) FROM ${vocabOf(r - 1)}) AS BIGINT)
+         |    AS vocab_size,
+         |  CAST((SELECT SUM(wf * len(string_split(s, ' '))) FROM seg$r)
+         |    AS BIGINT) AS corpus_tokens""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$unigramWithChain
+       |SELECT * FROM (
+       |$out)
+       |ORDER BY round""".stripMargin
+  }
+
+  private def unigramEncodeOracle: String =
+    s"""$unigramWithChain,
+       |enc AS (SELECT word,
+       |      CAST(len(string_split(s, ' ')) AS BIGINT) AS n_p
+       |      FROM seg$UniRounds)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_p) AS BIGINT) AS n_pieces
+       |FROM tok JOIN enc USING (word)
+       |GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** The engine loop: returns (per-round trace, final vocabulary, the
+    * checkpointed word vocab for the encode join). Bounded driver
+    * state only — the per-round vocabulary and usage head. */
+  private def unigramRounds(s: org.apache.spark.sql.SparkSession,
+      d: String): (Seq[(Long, Long, Long)], Seq[String],
+      org.apache.spark.sql.DataFrame) = {
+    val v0 = Tables.documents(s, d)
+      .select(explode(TextOps.regexTokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("wf"))
+      .localCheckpoint()
+    val sub = v0.select(col("wf"), explode(expr(
+        s"flatten(transform(sequence(1, length(word)), p -> " +
+          s"transform(sequence(1, least($UniMaxLen, length(word) - p + 1))," +
+          s" l -> substring(word, p, l))))")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wf")).as("freq"))
+    val chars = sub.where(length(col("piece")) === 1)
+      .select(col("piece")).collect().map(_.getString(0)).toSeq.sorted
+    var multi = sub.where(length(col("piece")) >= 2)
+      .orderBy(col("freq").desc, col("piece")).limit(UniSeedK)
+      .select(col("piece")).collect().map(_.getString(0)).toSeq
+    val trace = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+    for (r <- 1 to UniRounds) {
+      val seg = unigramSegment(v0, chars ++ multi)
+      val tokens = seg
+        .agg(sum(col("wf") * size(split(col("s"), " "))).cast("long"))
+        .head().getLong(0)
+      trace += ((r.toLong, (chars.size + multi.size).toLong, tokens))
+      if (r < UniRounds) {
+        val usage = seg
+          .select(explode(split(col("s"), " ")).as("piece"), col("wf"))
+          .groupBy(col("piece")).agg(sum(col("wf")).cast("long").as("u"))
+          .where(length(col("piece")) >= 2)
+          .orderBy(col("u").desc, col("piece")).limit(UniKeepK(r - 1))
+          .select(col("piece")).collect().map(_.getString(0)).toSeq
+        multi = (usage ++
+          usage.filter(_.length >= 3).map(_.substring(0, 2)) ++
+          usage.filter(_.length >= 4).map(_.substring(0, 3))).distinct
+      }
+    }
+    (trace.toSeq, chars ++ multi, v0)
+  }
+
+  /** The greedy longest-match fold over a prefix-closed vocabulary —
+    * the Spark twin of the oracle's list_reduce. */
+  private def unigramSegment(v0: org.apache.spark.sql.DataFrame,
+      vocab: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val vlArr = array(vocab.map(lit): _*)
+    v0.withColumn("cs", filter(split(col("word"), ""), c => c =!= ""))
+      .withColumn("s", aggregate(
+        expr("slice(cs, 2, size(cs) - 1)"),
+        element_at(col("cs"), 1),
+        (acc, c) => when(
+          array_contains(vlArr,
+            concat(regexp_extract(acc, "[^ ]*$", 0), c)),
+          concat(acc, c)).otherwise(concat(acc, lit(" "), c))))
+  }
+
   /** DuckDB list literal of the English stopwords (shared by quality +
     * langid + pipeline oracles — one source, no drift). */
   private def stopwordsSql: String =
@@ -653,6 +835,42 @@ object TextQueries {
       docsW.join(perWord, "word")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- unigram-LM tokenizer training (SentencePiece-style) ------------
+    // BPE's missing sibling (see the unigram block comment above
+    // [[unigramWithChain]]): seed a big substring vocabulary, then
+    // alternate segment → usage-count → prune+re-close for UniRounds
+    // rounds. The output is the convergence trace — per round, the
+    // vocabulary size in force and the total corpus tokens its
+    // segmentation produces — which proves the oracle replayed every
+    // round, not just the final state (the text_bpe_train contract).
+    Q("text_unigram_train", unigramTrainOracle) { (s, d) =>
+      val (trace, _, _) = unigramRounds(s, d)
+      import s.implicits._
+      trace.toDF("round", "vocab_size", "corpus_tokens")
+        .orderBy(col("round"))
+    },
+
+    // --- encode the corpus with the trained unigram vocabulary ----------
+    // The lifecycle's second half (text_bpe_encode's twin): per-document
+    // word and piece counts under the FINAL pruned vocabulary — the
+    // token-pricing number for THIS tokenizer. Distinct words encode
+    // once (the vocab trick); the only corpus-sized step is the
+    // word→piece-count join, stats-driven like the BPE encode join.
+    Q("text_unigram_encode", unigramEncodeOracle) { (s, d) =>
+      val (_, vocab, v0) = unigramRounds(s, d)
+      val perWord = unigramSegment(v0, vocab)
+        .select(col("word"),
+          size(split(col("s"), " ")).cast("long").as("n_p"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.regexTokens(col("text"))).as("word"))
+        .join(perWord, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_p")).as("n_pieces"))
         .orderBy(col("doc_id"))
     },
 
