@@ -60,6 +60,16 @@ object Bench {
       if (args.isEmpty) SparkEntry.inventory
       else SparkEntry.inventory.filter(q => args.contains(q.name))
 
+    // JVM warm-up lap, untimed: the closing runs' first ~dozen small
+    // ref_* entries used to measure a uniform ~+0.6 s of cold-JVM
+    // JIT/codegen/GC warmup that then needed manual attribution every
+    // round (BASELINE.md r8d). Two flagship passes compile the scan /
+    // join / aggregate / shuffle hot paths before the first timed
+    // sample, so in-run numbers match isolated-run numbers from query
+    // one.
+    SparkEntry.inventory.find(_.name == "q5_local_supplier_volume")
+      .foreach(q => (1 to 2).foreach(_ => runOnce(q.run)))
+
     val results = selected.map { q =>
       val (t, fp) =
         try {

@@ -46,8 +46,16 @@ import org.apache.spark.sql.functions._
   * [[graft.Tables.events]] branches on the resolved type and handles
   * both.
   *
+  *  - `--skew`: plants ONE hot user in `events` — every 10th event
+  *    (by event_id, uniform across copies) is reassigned to user 13,
+  *    so a single key owns ~10% of the tier regardless of factor. The
+  *    key-offset copies otherwise keep user activity uniform, which
+  *    never exercises the skew machinery (AQE skew-join splits,
+  *    [[graft.operators.Salting]]); this is the adversarial tier the
+  *    window/groupBy family runs on (SkewTierSpec pins the handling).
+  *
   * Usage: `runMain graft.gen.ScaleUp <srcDir> <dstDir> [factor]
-  *         [dimFactor] [--fresh-text] [--tables=a,b,c]`
+  *         [dimFactor] [--fresh-text] [--skew] [--tables=a,b,c]`
   * (`--tables=` restricts generation — spot tiers that bench a single
   * table's queries need not copy the whole directory)
   */
@@ -56,6 +64,21 @@ object ScaleUp {
   private val Stride = 10000000L
 
   def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, args)
+    spark.stop()
+  }
+
+  /** The generation body, session-agnostic (SkewTierSpec drives it on
+    * the shared test session — main owns start/stop). */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
     val freshText = args.contains("--fresh-text")
     val onlyTables: Set[String] = args
       .collectFirst { case a if a.startsWith("--tables=") =>
@@ -66,14 +89,6 @@ object ScaleUp {
     val Array(src, dst) = pos.take(2)
     val factor = if (pos.length > 2) pos(2).toInt else 10
     val dimFactor = if (pos.length > 3) pos(3).toInt else 1
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
-      .config("spark.sql.shuffle.partitions", 16)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
     def copies(t: String, keyCols: Seq[String], n: Int,
         perturb: DataFrame => DataFrame = identity): Unit = if (wanted(t)) {
@@ -108,10 +123,18 @@ object ScaleUp {
     copies("part", Seq("p_partkey"), dimN)
     copies("orders", Seq("o_orderkey", "o_custkey"), factor)
     copies("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), factor)
-    copies("events", Seq("event_id", "user_id"), factor)
+    // hot-key planting AFTER the key offset: event_id offsets are
+    // multiples of Stride (divisible by 10), so "every 10th event" stays
+    // uniform across copies and the hot user ends up with ~10% of the
+    // WHOLE tier — one genuinely skewed shuffle key, not one per copy
+    val plantHotUser: DataFrame => DataFrame = df =>
+      df.withColumn("user_id",
+        when(pmod(col("event_id"), lit(10)) === 0, lit(13L))
+          .otherwise(col("user_id")))
+    copies("events", Seq("event_id", "user_id"), factor,
+      if (args.contains("--skew")) plantHotUser else identity)
     copies("documents", Seq("doc_id"), factor,
       if (freshText) freshen else identity)
     copies("embeddings", Seq("vec_id"), factor)
-    spark.stop()
   }
 }
