@@ -229,4 +229,68 @@ class ManifestScaleSpec extends SparkSpec {
       Snapshots.readAsOf(spark, t, 9)
     }
   }
+
+  test("years-of-commits history (200 versions x 100k files): current " +
+      "resolution touches ONLY the nearest checkpoint + its tail") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("mlog-long")
+    val nBase = 100000
+    val versions = 200
+    val addsPer = 50
+    def entry(i: Int): FileEntry =
+      FileEntry(s"data/c1/p=x/f$i.parquet", "x", 10L,
+        Map("cents" -> StatRange("long",
+          (i * 100L).toString, (i * 100L + 99).toString)))
+    // v1: a 100k-file checkpoint; then 199 append commits of 50 files,
+    // with a fresh checkpoint at the cadence commitManifest uses
+    // ((v - 1) % 8 == 0) — the shape years of streaming appends leave
+    var cum = (0 until nBase).map(entry)
+    cum.toDS().coalesce(1).write.parquet(s"$t/_manifests/v1")
+    var nextId = nBase
+    (2 to versions).foreach { v =>
+      val adds = (nextId until nextId + addsPer).map(entry)
+      nextId += addsPer
+      cum = cum ++ adds
+      if ((v - 1) % 8 == 0)
+        cum.toDS().coalesce(1).write.parquet(s"$t/_manifests/v$v")
+      else Snapshots.writeDelta(spark, t, v, adds, removes = Nil)
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t, "_CURRENT"), s"v$versions")
+
+    val total = nBase + (versions - 1) * addsPer
+    assert(Snapshots.readManifest(spark, t, versions).size == total)
+    assert(Snapshots.readManifest(spark, t, 1).size == nBase)
+    assert(Snapshots.readManifest(spark, t, 100).size ==
+      nBase + 99 * addsPer)
+
+    // THE O(checkpoint + tail) proof, behavioral rather than timed:
+    // destroy every manifest dir below the final checkpoint (v193 for
+    // 200 at cadence 8). If resolving the current version read ANY of
+    // the destroyed metadata — a full-log walk, an O(all commits)
+    // rebuild — it would now fail; it keeps answering exactly because
+    // chainOf stops at the nearest checkpoint and reads only the tail.
+    val lastCkpt = ((versions - 1) / 8) * 8 + 1
+    assert((lastCkpt - 1) % 8 == 0 && lastCkpt > versions - 8)
+    (1 until lastCkpt).foreach { v =>
+      val d = manifestVersionDir(t, v)
+      if (java.nio.file.Files.exists(d)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    assert(Snapshots.readManifest(spark, t, versions).size == total,
+      "current resolution must not depend on below-checkpoint metadata")
+    // stats pruning composes through the long log the same way
+    val hit = Snapshots.prunedFiles(spark, t, versions, "cents",
+      "500000", "500099")
+    assert(hit.size == 1 && hit.head.path.endsWith("f5000.parquet"),
+      s"got ${hit.take(3)}")
+    // and destroyed history fails loudly, not wrongly
+    intercept[IllegalArgumentException] {
+      Snapshots.readAsOf(spark, t, 2)
+    }
+  }
 }
