@@ -52,6 +52,24 @@ def main(old_path, new_path, ratio=1.5):
             bad += 1
         elif t0 > t1 * ratio and t0 - t1 > 0.2:
             print(f"FASTER  {name}: {t0:.2f}s -> {t1:.2f}s (same plan)")
+    # per-class s/query over the COMMON queries: separates composition
+    # drift (new heavy classes joined the inventory) from same-class
+    # regression — see bench_classes.py
+    from bench_classes import classify, CLASSES
+    common = [n for n in oq if n in nq and oq[n] >= 0 and nq[n] >= 0]
+    per = {c: [0, 0.0, 0.0] for c in CLASSES}
+    for n in common:
+        c = classify(n)
+        per[c][0] += 1
+        per[c][1] += oq[n]
+        per[c][2] += nq[n]
+    print(f"\nper-class s/query over {len(common)} common queries "
+          "(old -> new):")
+    for c in CLASSES:
+        k, t0, t1 = per[c]
+        if k:
+            print(f"  {c:<12} n={k:<4} {t0 / k:.3f} -> {t1 / k:.3f} "
+                  f"({t1 / t0:.2f}x)")
     print("diff done" + (f" — {bad} finding(s)" if bad else " — clean"))
     return 1 if bad else 0
 
