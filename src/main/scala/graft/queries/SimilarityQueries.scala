@@ -942,6 +942,22 @@ object SimilarityQueries {
         s"${sys.props("java.io.tmpdir")}/graft_ivf_delete/$tag")
     },
 
+    // --- delete compaction: copy-on-write reclaim, tombstone-free serve --
+    // Same oracle as emb_ivf_delete BY DESIGN (the emb_knn_ivf vs
+    // emb_ivf_persist split): what changes is the execution shape —
+    // Snapshots.deleteRows rewrites only the cells holding deleted
+    // vectors, and serving reads the compacted store with NO tombstone
+    // anti-join in the plan. The hash match proves merge-on-read and
+    // compacted serving are interchangeable, which is the rotation a
+    // production store runs continuously (deletes accumulate as
+    // tombstones, compaction retires them off the query path).
+    Q("emb_ivf_compact", IvfDeleteOracle) { (s, d) =>
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      knnIvfDeleted(s, d,
+        s"${sys.props("java.io.tmpdir")}/graft_ivf_compact/$tag",
+        compact = true)
+    },
+
     // --- embedding-cosine near-duplicate pairs ---------------------------
     // same LSH bucketing, self-join, high-threshold filter: the
     // embedding-space analogue of MinHash dedup. Oracle replays the

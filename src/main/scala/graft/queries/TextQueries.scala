@@ -195,7 +195,7 @@ object TextQueries {
   /** The engine loop: returns (per-round trace, final vocabulary, the
     * checkpointed word vocab for the encode join). Bounded driver
     * state only — the per-round vocabulary and usage head. */
-  private def unigramRounds(s: org.apache.spark.sql.SparkSession,
+  private[queries] def unigramRounds(s: org.apache.spark.sql.SparkSession,
       d: String): (Seq[(Long, Long, Long)], Seq[String],
       org.apache.spark.sql.DataFrame) = {
     val v0 = Tables.documents(s, d)
@@ -237,7 +237,7 @@ object TextQueries {
 
   /** The greedy longest-match fold over a prefix-closed vocabulary —
     * the Spark twin of the oracle's list_reduce. */
-  private def unigramSegment(v0: org.apache.spark.sql.DataFrame,
+  private[queries] def unigramSegment(v0: org.apache.spark.sql.DataFrame,
       vocab: Seq[String]): org.apache.spark.sql.DataFrame = {
     val vlArr = array(vocab.map(lit): _*)
     v0.withColumn("cs", filter(split(col("word"), ""), c => c =!= ""))
