@@ -844,7 +844,7 @@ object GraphQueries {
 
   /** RAW canonical pair counts (u < v, w = co-occurrence count over the
     * given order subset) — unthresholded, the mergeable store row. */
-  private[queries] def rawPairCounts(pp: org.apache.spark.sql.DataFrame)
+  private[graft] def rawPairCounts(pp: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     pp.as("a")
       .join(pp.as("b"),
@@ -857,7 +857,7 @@ object GraphQueries {
     * apply the >= 2 edge threshold, return the (e0, e) pair every graph
     * algorithm consumes — checkpointed, the iteration working-set
     * discipline of [[partEdges]]. */
-  private[queries] def servedEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def servedEdges(s: org.apache.spark.sql.SparkSession,
       table: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val e0 = graft.io.Snapshots.read(s, table)
