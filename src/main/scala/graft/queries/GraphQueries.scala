@@ -688,6 +688,92 @@ object GraphQueries {
       communityHead(lpaLabels(e, rounds = 3))
     },
 
+    // --- random-walk corpus generation (DeepWalk/node2vec-style) ---------
+    // The graph→sequence bridge embedding trainers consume (Perozzi et
+    // al., DeepWalk, KDD'14; Grover & Leskovec, node2vec, KDD'16 —
+    // public): fixed-length walks over the co-purchase graph, emitted
+    // as (walk_id, step, node) sequence rows — the "sentences" a
+    // skip-gram trainer would read. The RNG is replaced by the
+    // engine-exact deterministic draw the sampling family already uses
+    // ([[graft.functions.TextOps.md5Low60]] ≡ DuckDB md5_number_upper
+    // % 2^60): at step s the walk at node c moves to neighbor index
+    // H(walk_id‖s‖c) mod deg(c) over the (u, v)-sorted adjacency list,
+    // so both engines replay identical walks and the corpus is
+    // reproducible run to run — the property a training corpus needs
+    // anyway (resumable generation, debuggable lineage).
+    //
+    // Scale shape: the adjacency index is one row_number window over
+    // the edge list; every step is one hash equi-join of the walk frontier
+    // against (u, idx) — frontier-sized, never corpus-sized. Walks
+    // here seed from the top-20 degree nodes; a production corpus
+    // seeds from every node with walks_per_node × id salts, same plan.
+    Q(
+      "q_graph_random_walks", {
+        val base =
+          """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+            |           FROM lineitem),
+            |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+            |      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+            |        AND a.l_partkey < b.l_partkey
+            |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            |e AS MATERIALIZED (SELECT u, v FROM e0
+            |     UNION ALL SELECT v, u FROM e0),
+            |dg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+            |     FROM e GROUP BY u),
+            |nb AS MATERIALIZED (SELECT u, v,
+            |      CAST(row_number() OVER (PARTITION BY u ORDER BY v) - 1
+            |        AS BIGINT) AS idx
+            |     FROM e),
+            |w0 AS MATERIALIZED (SELECT u AS walk_id, u AS node FROM (
+            |     SELECT u FROM dg ORDER BY deg DESC, u LIMIT 20))"""
+            .stripMargin
+        val steps = (1 to 4).map { k =>
+          s"""w$k AS MATERIALIZED (SELECT w.walk_id, nb.v AS node
+             |  FROM w${k - 1} w
+             |  JOIN dg ON w.node = dg.u
+             |  JOIN nb ON nb.u = w.node AND nb.idx =
+             |    CAST(md5_number_upper(concat(CAST(w.walk_id AS VARCHAR),
+             |      '_${k}_', CAST(w.node AS VARCHAR)))
+             |      % 1152921504606846976 AS BIGINT) % dg.deg)"""
+            .stripMargin
+        }.mkString(",\n")
+        val out = (0 to 4).map { k =>
+          s"SELECT walk_id, CAST($k AS BIGINT) AS step, node FROM w$k"
+        }.mkString("\nUNION ALL\n")
+        s"""$base,
+           |$steps
+           |SELECT walk_id, step, node FROM (
+           |$out)
+           |ORDER BY walk_id NULLS FIRST, step NULLS FIRST""".stripMargin
+      }
+    ) { (s, d) =>
+      val (_, e) = partEdges(s, d)
+      val dg = e.groupBy(col("u")).agg(count(lit(1)).cast("long").as("deg"))
+      val nb = e.withColumn("idx",
+        (row_number().over(Window.partitionBy(col("u")).orderBy(col("v")))
+          - 1).cast("long"))
+      var walk = dg.orderBy(col("deg").desc, col("u")).limit(20)
+        .select(col("u").as("walk_id"), col("u").as("node"))
+      val rows = scala.collection.mutable.ArrayBuffer(
+        walk.select(col("walk_id"), lit(0L).as("step"), col("node")))
+      for (k <- 1 to 4) {
+        walk = walk
+          .join(dg, walk("node") === dg("u"))
+          .withColumn("pick",
+            pmod(graft.functions.TextOps.md5Low60(
+              concat(col("walk_id").cast("string"), lit(s"_${k}_"),
+                col("node").cast("string"))), col("deg")))
+          .join(nb.select(col("u").as("nu"), col("v").as("nv"),
+              col("idx")),
+            col("node") === col("nu") && col("pick") === col("idx"))
+          .select(col("walk_id"), col("nv").as("node"))
+        rows += walk.select(col("walk_id"), lit(k.toLong).as("step"),
+          col("node"))
+      }
+      rows.reduce(_ unionByName _)
+        .orderBy(col("walk_id"), col("step"))
+    },
+
     // --- O(delta) edge append, serve across generations ------------------
     // The incremental half (the text_bm25_append / emb_ivf_append
     // twin): the base commit holds pair counts from half the orders,

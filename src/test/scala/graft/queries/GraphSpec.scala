@@ -28,4 +28,31 @@ class GraphSpec extends SparkSpec {
   test("iteration is deterministic across independent runs") {
     assert(run().toSeq == run().toSeq)
   }
+
+  test("random walks are VALID paths (every consecutive step is an " +
+      "edge) and deterministic across runs") {
+    import org.apache.spark.sql.functions._
+    def walks() = GraphQueries.all
+      .find(_.name == "q_graph_random_walks").get
+      .run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val w = walks()
+    assert(w.length % 5 == 0 && w.nonEmpty, s"20 walks x 5 steps: ${w.length}")
+    // undirected edge set, straight from the same derivation
+    val pp = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = GraphQueries.rawPairCounts(pp)
+      .where(col("w") >= 2).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0)))).toSet
+    w.groupBy(_._1).foreach { case (id, steps) =>
+      val path = steps.sortBy(_._2).map(_._3)
+      assert(path.head == id, "walks start at their seed")
+      path.zip(path.tail).foreach { case (a, b) =>
+        assert(edges.contains((a, b)),
+          s"walk $id hops a non-edge ($a,$b)")
+      }
+    }
+    assert(w.toSeq == walks().toSeq, "walk corpus must be reproducible")
+  }
 }
