@@ -120,6 +120,80 @@ object GraphQueries {
        |ORDER BY csize DESC, label LIMIT 20""".stripMargin
   }
 
+  /** Walk-corpus oracle CTEs through `wall` (walk_id, step, node) —
+    * shared by q_graph_random_walks and q_graph_skipgram_pairs. Same
+    * deterministic draw as the engine: neighbor index
+    * md5_number_upper(walk‖step‖node) % 2^60 % degree over the
+    * (u, v)-sorted adjacency. */
+  private def walkChainSql: String = {
+    val base =
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+        |           FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS MATERIALIZED (SELECT u, v FROM e0
+        |     UNION ALL SELECT v, u FROM e0),
+        |dg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+        |     FROM e GROUP BY u),
+        |nb AS MATERIALIZED (SELECT u, v,
+        |      CAST(row_number() OVER (PARTITION BY u ORDER BY v) - 1
+        |        AS BIGINT) AS idx
+        |     FROM e),
+        |w0 AS MATERIALIZED (SELECT u AS walk_id, u AS node FROM (
+        |     SELECT u FROM dg ORDER BY deg DESC, u LIMIT 20))"""
+        .stripMargin
+    val steps = (1 to 4).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT w.walk_id, nb.v AS node
+         |  FROM w${k - 1} w
+         |  JOIN dg ON w.node = dg.u
+         |  JOIN nb ON nb.u = w.node AND nb.idx =
+         |    CAST(md5_number_upper(concat(CAST(w.walk_id AS VARCHAR),
+         |      '_${k}_', CAST(w.node AS VARCHAR)))
+         |      % 1152921504606846976 AS BIGINT) % dg.deg)"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (0 to 4).map { k =>
+      s"SELECT walk_id, CAST($k AS BIGINT) AS step, node FROM w$k"
+    }.mkString("\nUNION ALL\n")
+    s"""$base,
+       |$steps,
+       |wall AS MATERIALIZED (
+       |$out)""".stripMargin
+  }
+
+  /** Engine walk corpus: (walk_id, step, node), unsorted — the
+    * q_graph_random_walks iteration, factored for the skip-gram pair
+    * extraction. */
+  private def walkCorpus(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val (_, e) = partEdges(s, d)
+    val dg = e.groupBy(col("u")).agg(count(lit(1)).cast("long").as("deg"))
+    val nb = e.withColumn("idx",
+      (row_number().over(Window.partitionBy(col("u")).orderBy(col("v")))
+        - 1).cast("long"))
+    var walk = dg.orderBy(col("deg").desc, col("u")).limit(20)
+      .select(col("u").as("walk_id"), col("u").as("node"))
+    val rows = scala.collection.mutable.ArrayBuffer(
+      walk.select(col("walk_id"), lit(0L).as("step"), col("node")))
+    for (k <- 1 to 4) {
+      walk = walk
+        .join(dg, walk("node") === dg("u"))
+        .withColumn("pick",
+          pmod(graft.functions.TextOps.md5Low60(
+            concat(col("walk_id").cast("string"), lit(s"_${k}_"),
+              col("node").cast("string"))), col("deg")))
+        .join(nb.select(col("u").as("nu"), col("v").as("nv"),
+            col("idx")),
+          col("node") === col("nu") && col("pick") === col("idx"))
+        .select(col("walk_id"), col("nv").as("node"))
+      rows += walk.select(col("walk_id"), lit(k.toLong).as("step"),
+        col("node"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   val all: Seq[Q] = Seq(
     // --- PageRank over the customer–supplier co-purchase graph ----------
     // Undirected bipartite graph: customer c and supplier s are linked
@@ -708,70 +782,42 @@ object GraphQueries {
     // here seed from the top-20 degree nodes; a production corpus
     // seeds from every node with walks_per_node × id salts, same plan.
     Q(
-      "q_graph_random_walks", {
-        val base =
-          """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
-            |           FROM lineitem),
-            |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
-            |      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
-            |        AND a.l_partkey < b.l_partkey
-            |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-            |e AS MATERIALIZED (SELECT u, v FROM e0
-            |     UNION ALL SELECT v, u FROM e0),
-            |dg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
-            |     FROM e GROUP BY u),
-            |nb AS MATERIALIZED (SELECT u, v,
-            |      CAST(row_number() OVER (PARTITION BY u ORDER BY v) - 1
-            |        AS BIGINT) AS idx
-            |     FROM e),
-            |w0 AS MATERIALIZED (SELECT u AS walk_id, u AS node FROM (
-            |     SELECT u FROM dg ORDER BY deg DESC, u LIMIT 20))"""
-            .stripMargin
-        val steps = (1 to 4).map { k =>
-          s"""w$k AS MATERIALIZED (SELECT w.walk_id, nb.v AS node
-             |  FROM w${k - 1} w
-             |  JOIN dg ON w.node = dg.u
-             |  JOIN nb ON nb.u = w.node AND nb.idx =
-             |    CAST(md5_number_upper(concat(CAST(w.walk_id AS VARCHAR),
-             |      '_${k}_', CAST(w.node AS VARCHAR)))
-             |      % 1152921504606846976 AS BIGINT) % dg.deg)"""
-            .stripMargin
-        }.mkString(",\n")
-        val out = (0 to 4).map { k =>
-          s"SELECT walk_id, CAST($k AS BIGINT) AS step, node FROM w$k"
-        }.mkString("\nUNION ALL\n")
-        s"""$base,
-           |$steps
-           |SELECT walk_id, step, node FROM (
-           |$out)
-           |ORDER BY walk_id NULLS FIRST, step NULLS FIRST""".stripMargin
-      }
+      "q_graph_random_walks",
+      s"""$walkChainSql
+         |SELECT walk_id, step, node FROM wall
+         |ORDER BY walk_id NULLS FIRST, step NULLS FIRST""".stripMargin
     ) { (s, d) =>
-      val (_, e) = partEdges(s, d)
-      val dg = e.groupBy(col("u")).agg(count(lit(1)).cast("long").as("deg"))
-      val nb = e.withColumn("idx",
-        (row_number().over(Window.partitionBy(col("u")).orderBy(col("v")))
-          - 1).cast("long"))
-      var walk = dg.orderBy(col("deg").desc, col("u")).limit(20)
-        .select(col("u").as("walk_id"), col("u").as("node"))
-      val rows = scala.collection.mutable.ArrayBuffer(
-        walk.select(col("walk_id"), lit(0L).as("step"), col("node")))
-      for (k <- 1 to 4) {
-        walk = walk
-          .join(dg, walk("node") === dg("u"))
-          .withColumn("pick",
-            pmod(graft.functions.TextOps.md5Low60(
-              concat(col("walk_id").cast("string"), lit(s"_${k}_"),
-                col("node").cast("string"))), col("deg")))
-          .join(nb.select(col("u").as("nu"), col("v").as("nv"),
-              col("idx")),
-            col("node") === col("nu") && col("pick") === col("idx"))
-          .select(col("walk_id"), col("nv").as("node"))
-        rows += walk.select(col("walk_id"), lit(k.toLong).as("step"),
-          col("node"))
-      }
-      rows.reduce(_ unionByName _)
-        .orderBy(col("walk_id"), col("step"))
+      walkCorpus(s, d).orderBy(col("walk_id"), col("step"))
+    },
+
+    // --- skip-gram training pairs from the walk corpus -------------------
+    // The stage AFTER walk generation in the DeepWalk pipeline: the
+    // (center, context) co-occurrence pairs a skip-gram embedding
+    // trainer actually optimizes over — every ordered pair of nodes
+    // within window ±2 inside one walk, aggregated to pair counts.
+    // One self-join of the walk corpus on walk_id (walks are short, so
+    // the join fans out by window width, not corpus size) + one hash
+    // aggregate on the pair key. Counts are symmetric by construction
+    // (both orderings emitted) — the trainer consumes them as-is.
+    Q(
+      "q_graph_skipgram_pairs",
+      s"""$walkChainSql
+         |SELECT a.node AS center, b.node AS context,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM wall a JOIN wall b ON a.walk_id = b.walk_id
+         |  AND a.step <> b.step AND abs(a.step - b.step) <= 2
+         |GROUP BY 1, 2
+         |ORDER BY center NULLS FIRST, context NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val w = walkCorpus(s, d)
+      w.as("a")
+        .join(w.as("b"),
+          col("a.walk_id") === col("b.walk_id") &&
+            col("a.step") =!= col("b.step") &&
+            abs(col("a.step") - col("b.step")) <= 2)
+        .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+        .orderBy(col("center"), col("context"))
     },
 
     // --- O(delta) edge append, serve across generations ------------------
