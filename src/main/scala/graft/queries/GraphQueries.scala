@@ -178,6 +178,14 @@ object GraphQueries {
     val rows = scala.collection.mutable.ArrayBuffer(
       walk.select(col("walk_id"), lit(0L).as("step"), col("node")))
     for (k <- 1 to 4) {
+      // iteration shape, MEASURED both ways at sf0.1: per-step
+      // localCheckpoint makes the tiny frontier's stats visible (AQE
+      // then broadcasts it, smj 16→0) but the 4 job barriers cost
+      // more than the saved shuffles at this walk count (1.9 → 3.4 s —
+      // the same barrier-vs-broadcast trade the pagerank scaladoc
+      // documents); the lazy stats-driven form wins until the frontier
+      // (seeds × walks/node) is itself data-scale, where the
+      // checkpointed variant takes over exactly like shuffle-pagerank
       walk = walk
         .join(dg, walk("node") === dg("u"))
         .withColumn("pick",
