@@ -120,6 +120,167 @@ object GraphQueries {
        |ORDER BY csize DESC, label LIMIT 20""".stripMargin
   }
 
+  /** 5-hop BFS reachability oracle from the hub node — shared verbatim
+    * by q_graph_bfs_hops (inline derivation) and q_graph_serve_bfs
+    * (committed edge store). */
+  private def bfsSql: String = {
+    val base =
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+        |           FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS MATERIALIZED (SELECT u, v FROM e0
+        |     UNION ALL SELECT v, u FROM e0),
+        |v0 AS MATERIALIZED (SELECT u AS node FROM (
+        |  SELECT u, COUNT(*) AS c FROM e GROUP BY u
+        |  ORDER BY c DESC, u LIMIT 1))""".stripMargin
+    val rounds = (1 to 5).map { r =>
+      s"""v$r AS MATERIALIZED (SELECT DISTINCT node FROM (
+         |  SELECT node FROM v${r - 1}
+         |  UNION ALL
+         |  SELECT e.v AS node FROM e JOIN v${r - 1} x ON e.u = x.node))"""
+        .stripMargin
+    }.mkString(",\n")
+    val counts = (0 to 5).map { r =>
+      s"SELECT $r AS hop, CAST(COUNT(*) AS BIGINT) AS n_reached" +
+        s" FROM v$r"
+    }.mkString("\nUNION ALL\n")
+    s"""$base,
+       |$rounds
+       |SELECT CAST(hop AS BIGINT) AS hop, n_reached FROM (
+       |$counts)
+       |ORDER BY hop""".stripMargin
+  }
+
+  /** The 5-hop BFS frontier expansion over an undirected edge list
+    * (the q_graph_bfs_hops iteration, factored for the edge-store
+    * serve path). */
+  private def bfsTrace(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    var visited = e.groupBy(col("u"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("u"))
+      .limit(1)
+      .select(col("u").as("node"))
+      .localCheckpoint()
+    val counts = scala.collection.mutable.ArrayBuffer(
+      visited.agg(count(lit(1)).cast("long").as("n_reached"))
+        .select(lit(0L).as("hop"), col("n_reached")))
+    for (r <- 1 to 5) {
+      visited = visited
+        .unionByName(e.join(visited, col("u") === col("node"))
+          .select(col("v").as("node")))
+        .distinct()
+        .localCheckpoint()
+      counts += visited.agg(count(lit(1)).cast("long").as("n_reached"))
+        .select(lit(r.toLong).as("hop"), col("n_reached"))
+    }
+    counts.reduce(_ unionByName _).orderBy(col("hop"))
+  }
+
+  /** Newman-modularity-of-LPA oracle (3 LPA rounds + the 128-bit exact
+    * modularity audit) — shared verbatim by q_modularity_lpa and
+    * q_graph_serve_modularity. */
+  private def modularitySql: String = {
+    val base =
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+        |           FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS MATERIALIZED (SELECT u, v FROM e0
+        |     UNION ALL SELECT v, u FROM e0),
+        |l0 AS MATERIALIZED (SELECT u AS node, u AS label
+        |     FROM (SELECT DISTINCT u FROM e))""".stripMargin
+    val rounds = (1 to 3).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT e.u AS node, p.label,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM e JOIN l${r - 1} p ON e.v = p.node GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (SELECT node, label FROM (
+         |  SELECT node, label,
+         |    row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, label) AS rn
+         |  FROM c$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds,
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+       |dc AS (SELECT l.label, CAST(COUNT(*) AS BIGINT) AS d_c
+       |  FROM e JOIN l3 l ON e.u = l.node GROUP BY l.label),
+       |mc AS (SELECT la.label, CAST(COUNT(*) AS BIGINT) AS m_c
+       |  FROM e0 JOIN l3 la ON e0.u = la.node
+       |          JOIN l3 lb ON e0.v = lb.node
+       |  WHERE la.label = lb.label GROUP BY la.label),
+       |num AS (SELECT CAST(SUM(4 * CAST(m.m AS HUGEINT)
+       |      * COALESCE(mc.m_c, 0)
+       |      - CAST(dc.d_c AS HUGEINT) * dc.d_c) AS HUGEINT) AS num,
+       |    CAST(COUNT(*) AS BIGINT) AS n_communities, MAX(m.m) AS m
+       |  FROM dc LEFT JOIN mc ON dc.label = mc.label, m)
+       |SELECT n_communities, m AS m_edges,
+       |  CAST(CASE WHEN num < 0
+       |    THEN -(ABS(num) * 1000000
+       |           // (4 * CAST(m AS HUGEINT) * m))
+       |    ELSE num * 1000000 // (4 * CAST(m AS HUGEINT) * m) END
+       |    AS BIGINT) AS modularity_ppm
+       |FROM num ORDER BY n_communities""".stripMargin
+  }
+
+  /** The modularity audit body over (e0, e) — 3 LPA rounds + the
+    * exact-integer Newman score (factored for the edge-store serve
+    * path; see q_modularity_lpa's scaladoc for the arithmetic). */
+  private def modularityOf(e0: org.apache.spark.sql.DataFrame,
+      e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val labels = lpaLabels(e, rounds = 3)
+    val m = e0.agg(count(lit(1)).cast("long").as("m"))
+    val dc = e.join(labels, e("u") === labels("node"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("d_c"))
+    val mc = e0
+      .join(labels.select(col("node").as("na"), col("label").as("la")),
+        col("u") === col("na"))
+      .join(labels.select(col("node").as("nb"), col("label").as("lb")),
+        col("v") === col("nb"))
+      .where(col("la") === col("lb"))
+      .groupBy(col("la").as("mlabel"))
+      .agg(count(lit(1)).cast("long").as("m_c"))
+    dc.join(mc, col("label") === col("mlabel"), "left")
+      .crossJoin(broadcast(m))
+      .agg(
+        sum(expr("4 * CAST(m AS DECIMAL(19,0)) * COALESCE(m_c, 0)" +
+          " - CAST(d_c AS DECIMAL(19,0)) * d_c"))
+          .cast("decimal(38,0)").as("num"),
+        count(lit(1)).cast("long").as("n_communities"),
+        max(col("m")).as("m_edges"))
+      .select(col("n_communities"), col("m_edges"),
+        expr("CAST(CASE WHEN num < 0 THEN -(ABS(num) * 1000000" +
+          " div (4 * CAST(m_edges AS DECIMAL(19,0)) * m_edges))" +
+          " ELSE num * 1000000" +
+          " div (4 * CAST(m_edges AS DECIMAL(19,0)) * m_edges) END" +
+          " AS BIGINT)").as("modularity_ppm"))
+      .orderBy(col("n_communities"))
+  }
+
+  /** Derive + commit the co-purchase pair-count store (clean slate for
+    * deterministic versions) and return its table path — the build
+    * half shared by the serve-off-the-store queries. */
+  private def edgeStore(s: org.apache.spark.sql.SparkSession, d: String,
+      sub: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"${sys.props("java.io.tmpdir")}/$sub/$tag"
+    val p = new org.apache.hadoop.fs.Path(table)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val pp = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    graft.io.Snapshots.commitFull(
+      rawPairCounts(pp).withColumn("ub", pmod(col("u"), lit(8))),
+      table, "ub", statsCols = Seq("u", "v"))
+    table
+  }
+
   /** Walk-corpus oracle CTEs through `wall` (walk_id, step, node) —
     * shared by q_graph_random_walks and q_graph_skipgram_pairs. Same
     * deterministic draw as the engine: neighbor index
@@ -470,69 +631,26 @@ object GraphQueries {
     // round count fixed, convergence visible in the trace when the
     // component is exhausted. Same lineage discipline as k-core
     // (per-round localCheckpoint ↔ MATERIALIZED oracle CTEs).
-    Q(
-      "q_graph_bfs_hops", {
-        val base =
-          """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
-            |           FROM lineitem),
-            |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
-            |      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
-            |        AND a.l_partkey < b.l_partkey
-            |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-            |e AS MATERIALIZED (SELECT u, v FROM e0
-            |     UNION ALL SELECT v, u FROM e0),
-            |v0 AS MATERIALIZED (SELECT u AS node FROM (
-            |  SELECT u, COUNT(*) AS c FROM e GROUP BY u
-            |  ORDER BY c DESC, u LIMIT 1))""".stripMargin
-        val rounds = (1 to 5).map { r =>
-          s"""v$r AS MATERIALIZED (SELECT DISTINCT node FROM (
-             |  SELECT node FROM v${r - 1}
-             |  UNION ALL
-             |  SELECT e.v AS node FROM e JOIN v${r - 1} x ON e.u = x.node))"""
-            .stripMargin
-        }.mkString(",\n")
-        val counts = (0 to 5).map { r =>
-          s"SELECT $r AS hop, CAST(COUNT(*) AS BIGINT) AS n_reached" +
-            s" FROM v$r"
-        }.mkString("\nUNION ALL\n")
-        s"""$base,
-           |$rounds
-           |SELECT CAST(hop AS BIGINT) AS hop, n_reached FROM (
-           |$counts)
-           |ORDER BY hop""".stripMargin
-      }
-    ) { (s, d) =>
-      val pp = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e0 = pp.as("x")
-        .join(pp.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .where(col("w") >= 2)
-        .select(col("u"), col("v"))
-      val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint()
-      var visited = e.groupBy(col("u"))
-        .agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("u"))
-        .limit(1)
-        .select(col("u").as("node"))
-        .localCheckpoint()
-      val counts = scala.collection.mutable.ArrayBuffer(
-        visited.agg(count(lit(1)).cast("long").as("n_reached"))
-          .select(lit(0L).as("hop"), col("n_reached")))
-      for (r <- 1 to 5) {
-        visited = visited
-          .unionByName(e.join(visited, col("u") === col("node"))
-            .select(col("v").as("node")))
-          .distinct()
-          .localCheckpoint()
-        counts += visited.agg(count(lit(1)).cast("long").as("n_reached"))
-          .select(lit(r.toLong).as("hop"), col("n_reached"))
-      }
-      counts.reduce(_ unionByName _).orderBy(col("hop"))
+    Q("q_graph_bfs_hops", bfsSql) { (s, d) =>
+      val (_, e) = partEdges(s, d)
+      bfsTrace(e)
+    },
+
+    // --- serve BFS off the committed edge store --------------------------
+    // Completes the build-once/serve-many family: the reachability
+    // probe runs off the persisted pair-count table (oracle =
+    // q_graph_bfs_hops's full-corpus SQL verbatim — the commit is
+    // semantically invisible).
+    Q("q_graph_serve_bfs", bfsSql) { (s, d) =>
+      val (_, e) = servedEdges(s, edgeStore(s, d, "graft_copurchase_bfs"))
+      bfsTrace(e)
+    },
+
+    // --- serve the modularity audit off the committed edge store ---------
+    Q("q_graph_serve_modularity", modularitySql) { (s, d) =>
+      val (e0, e) =
+        servedEdges(s, edgeStore(s, d, "graft_copurchase_mod"))
+      modularityOf(e0, e)
     },
 
     // --- link prediction: common neighbors + Jaccard ---------------------
@@ -629,81 +747,9 @@ object GraphQueries {
     // degree sums are label equi-joins on the undirected edge list —
     // the LPA superstep shape again, so the modularity audit costs one
     // more superstep, not a new computation class.
-    Q(
-      "q_modularity_lpa", {
-        val base =
-          """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
-            |           FROM lineitem),
-            |e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
-            |      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
-            |        AND a.l_partkey < b.l_partkey
-            |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-            |e AS MATERIALIZED (SELECT u, v FROM e0
-            |     UNION ALL SELECT v, u FROM e0),
-            |l0 AS MATERIALIZED (SELECT u AS node, u AS label
-            |     FROM (SELECT DISTINCT u FROM e))""".stripMargin
-        val rounds = (1 to 3).map { r =>
-          s"""c$r AS MATERIALIZED (SELECT e.u AS node, p.label,
-             |    CAST(COUNT(*) AS BIGINT) AS c
-             |  FROM e JOIN l${r - 1} p ON e.v = p.node GROUP BY 1, 2),
-             |l$r AS MATERIALIZED (SELECT node, label FROM (
-             |  SELECT node, label,
-             |    row_number() OVER (PARTITION BY node
-             |      ORDER BY c DESC, label) AS rn
-             |  FROM c$r) WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
-        s"""$base,
-           |$rounds,
-           |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
-           |dc AS (SELECT l.label, CAST(COUNT(*) AS BIGINT) AS d_c
-           |  FROM e JOIN l3 l ON e.u = l.node GROUP BY l.label),
-           |mc AS (SELECT la.label, CAST(COUNT(*) AS BIGINT) AS m_c
-           |  FROM e0 JOIN l3 la ON e0.u = la.node
-           |          JOIN l3 lb ON e0.v = lb.node
-           |  WHERE la.label = lb.label GROUP BY la.label),
-           |num AS (SELECT CAST(SUM(4 * CAST(m.m AS HUGEINT)
-           |      * COALESCE(mc.m_c, 0)
-           |      - CAST(dc.d_c AS HUGEINT) * dc.d_c) AS HUGEINT) AS num,
-           |    CAST(COUNT(*) AS BIGINT) AS n_communities, MAX(m.m) AS m
-           |  FROM dc LEFT JOIN mc ON dc.label = mc.label, m)
-           |SELECT n_communities, m AS m_edges,
-           |  CAST(CASE WHEN num < 0
-           |    THEN -(ABS(num) * 1000000
-           |           // (4 * CAST(m AS HUGEINT) * m))
-           |    ELSE num * 1000000 // (4 * CAST(m AS HUGEINT) * m) END
-           |    AS BIGINT) AS modularity_ppm
-           |FROM num ORDER BY n_communities""".stripMargin
-      }
-    ) { (s, d) =>
+    Q("q_modularity_lpa", modularitySql) { (s, d) =>
       val (e0, e) = partEdges(s, d)
-      val labels = lpaLabels(e, rounds = 3)
-      val m = e0.agg(count(lit(1)).cast("long").as("m"))
-      val dc = e.join(labels, e("u") === labels("node"))
-        .groupBy(col("label"))
-        .agg(count(lit(1)).cast("long").as("d_c"))
-      val mc = e0
-        .join(labels.select(col("node").as("na"), col("label").as("la")),
-          col("u") === col("na"))
-        .join(labels.select(col("node").as("nb"), col("label").as("lb")),
-          col("v") === col("nb"))
-        .where(col("la") === col("lb"))
-        .groupBy(col("la").as("mlabel"))
-        .agg(count(lit(1)).cast("long").as("m_c"))
-      dc.join(mc, col("label") === col("mlabel"), "left")
-        .crossJoin(broadcast(m))
-        .agg(
-          sum(expr("4 * CAST(m AS DECIMAL(19,0)) * COALESCE(m_c, 0)" +
-            " - CAST(d_c AS DECIMAL(19,0)) * d_c"))
-            .cast("decimal(38,0)").as("num"),
-          count(lit(1)).cast("long").as("n_communities"),
-          max(col("m")).as("m_edges"))
-        .select(col("n_communities"), col("m_edges"),
-          expr("CAST(CASE WHEN num < 0 THEN -(ABS(num) * 1000000" +
-            " div (4 * CAST(m_edges AS DECIMAL(19,0)) * m_edges))" +
-            " ELSE num * 1000000" +
-            " div (4 * CAST(m_edges AS DECIMAL(19,0)) * m_edges) END" +
-            " AS BIGINT)").as("modularity_ppm"))
-        .orderBy(col("n_communities"))
+      modularityOf(e0, e)
     },
 
     // --- degree distribution (power-of-two buckets) ---------------------------
@@ -755,18 +801,7 @@ object GraphQueries {
     // hermetic, so the inline twins keep their own derivation — the
     // same split as emb_knn_ivf vs emb_ivf_persist).
     Q("q_graph_persist", lpaSql) { (s, d) =>
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val table =
-        s"${sys.props("java.io.tmpdir")}/graft_copurchase/$tag"
-      // clean slate so version numbers are deterministic per run
-      val p = new org.apache.hadoop.fs.Path(table)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      val pp = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      graft.io.Snapshots.commitFull(
-        rawPairCounts(pp).withColumn("ub", pmod(col("u"), lit(8))),
-        table, "ub", statsCols = Seq("u", "v"))
-      val (_, e) = servedEdges(s, table)
+      val (_, e) = servedEdges(s, edgeStore(s, d, "graft_copurchase"))
       communityHead(lpaLabels(e, rounds = 3))
     },
 
