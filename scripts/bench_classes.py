@@ -25,8 +25,8 @@ import re
 import sys
 
 INDEX_BUILD = re.compile(
-    r"(_persist|_append|_delete)$"
-    r"|^q_graph_(persist|append)$"
+    r"(_persist|_append|_delete|_compact)$"
+    r"|^q_graph_(persist|append|serve_)"
     r"|^q_(time_travel|snapshot_prune|partition_evolution)$"
     r"|^dedup_incremental$")
 ITERATIVE = re.compile(

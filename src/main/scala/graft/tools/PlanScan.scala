@@ -73,6 +73,7 @@ object PlanScan {
       "emb_knn_reciprocity" -> "1-row edge total cross-joined with the 1-row mutual total; the kNN edges themselves ride the LSH-bucket equi-join",
       "ref_tv_drift" -> "bounded days x event-type-enum spine (calendar x enum cross); the data-scale stage is the (day, type) count upstream",
       "q_modularity_lpa" -> "1-row total-edge-count frame broadcast into the per-community terms; community stats are label equi-joins",
+      "q_graph_serve_modularity" -> "same 1-row edge-total broadcast as q_modularity_lpa (shared modularityOf body), served off the committed edge store",
       "emb_ivf_nprobe_curve" -> "10-row query set vs corpus is the brute ground-truth leg (the emb_knn_brute shape); every IVF leg is a bucket equi-join")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
