@@ -533,6 +533,43 @@ object Snapshots {
     v
   }
 
+  /** Replace SEVERAL partitions in ONE atomic commit: `df` must hold
+    * exactly the new content of every partition in `values` (a value
+    * with no rows in `df` publishes as a pure tombstone — the
+    * partition disappears); every other partition carries by
+    * reference. One fused write job + one metadata job + one manifest
+    * regardless of how many partitions the commit touches — the batch
+    * sibling of [[commitOverwritePartition]], and what keeps a
+    * multi-cell compaction ([[deleteRows]]) at one version instead of
+    * one commit per cell. Returns the new version. */
+  def commitOverwritePartitions(df: DataFrame, table: String,
+      partCol: String, values: Seq[String],
+      statsCols: Seq[String] = Nil): Int = {
+    val spark = df.sparkSession
+    val prev = currentVersion(spark, table)
+    require(prev >= 1, s"Snapshots: no initial commit under $table")
+    require(values.nonEmpty,
+      "Snapshots.commitOverwritePartitions: no partitions named")
+    require(!df.columns.contains("gp"),
+      "Snapshots.commitOverwritePartitions: column name 'gp' is " +
+        "reserved for the commit layout")
+    val v = prev + 1
+    reserve(spark, table, v)
+    val restricted = df
+      .where(col(partCol).cast("string").isin(values: _*))
+    // partitions whose entire content was dropped write no files — the
+    // tombstone alone removes them (an empty parquet dir would fail
+    // the read-back metadata job)
+    val present = restricted.select(col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0))
+    val fresh =
+      if (present.isEmpty) Nil
+      else writeCommitData(restricted, table, v, partCol, statsCols)
+    commitManifest(spark, table, v, prev, fresh, values)
+    publish(spark, table, v)
+    v
+  }
+
   /** Append-only commit — the streaming-sink building block: new files
     * for the batch's touched partitions are ADDED to the carried
     * manifest (nothing replaced). `tag`, when given, is recorded inside
@@ -598,17 +635,19 @@ object Snapshots {
 
   /** Copy-on-write row-level delete (the GDPR/retraction path): every
     * partition holding a key in `keys` is rewritten WITHOUT the
-    * matching rows, one snapshot commit per affected partition — all
-    * other partitions carry by reference, pinned readers keep their
-    * pre-delete version (the snapshot contract), and vacuum reclaims
-    * the superseded files on the usual retention schedule. A partition
-    * whose every row matches publishes as a pure tombstone (the
-    * partition disappears from the new version). Untouched partitions
-    * cost nothing; the scan to FIND affected partitions is one
-    * semi-join pruned to `partCol`. Returns the rewritten partition
-    * count. Merge-on-read is the query-side dual: serve paths
-    * anti-join a small tombstone set instead (see emb_ivf_delete),
-    * then call this to compact the tombstones away. */
+    * matching rows, all together in ONE snapshot commit
+    * ([[commitOverwritePartitions]] — one write job, one metadata job,
+    * one manifest; a first cut committed per-cell and paid ~8 commit
+    * round-trips on an 8-cell store). All other partitions carry by
+    * reference, pinned readers keep their pre-delete version (the
+    * snapshot contract), and vacuum reclaims the superseded files on
+    * the usual retention schedule. A partition whose every row matches
+    * publishes as a pure tombstone. Untouched partitions cost nothing;
+    * the scan to FIND affected partitions is one semi-join pruned to
+    * `partCol`. Returns the rewritten partition count. Merge-on-read
+    * is the query-side dual: serve paths anti-join a small tombstone
+    * set instead (see emb_ivf_delete), then call this to compact the
+    * tombstones away. */
   def deleteRows(spark: SparkSession, table: String, partCol: String,
       keyCol: String, keys: DataFrame): Int = {
     import spark.implicits._
@@ -616,14 +655,13 @@ object Snapshots {
       .join(keys.select(keyCol), Seq(keyCol), "left_semi")
       .select(col(partCol).cast("string")).distinct()
       .as[String].collect().sorted
-    affected.foreach { pv =>
-      val mine = manifestDF(spark, table, currentVersion(spark, table))
-        .where(col("partition") === lit(pv))
-        .select("path").as[String].collect().toSeq
-      val kept = scanPaths(spark, table, mine)
-        .join(keys.select(keyCol), Seq(keyCol), "left_anti")
-      commitOverwritePartition(kept, table, partCol, pv)
-    }
+    if (affected.isEmpty) return 0
+    val mine = manifestDF(spark, table, currentVersion(spark, table))
+      .where(col("partition").isin(affected.toSeq: _*))
+      .select("path").as[String].collect().toSeq
+    val kept = scanPaths(spark, table, mine)
+      .join(keys.select(keyCol), Seq(keyCol), "left_anti")
+    commitOverwritePartitions(kept, table, partCol, affected.toSeq)
     affected.length
   }
 

@@ -269,6 +269,28 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).count() == 3)
   }
 
+  test("commitOverwritePartitions replaces several partitions in ONE " +
+      "version, tombstones an emptied one, and never disturbs a " +
+      "pinned reader") {
+    val t = tmpDir("snap_multi_ow")
+    Snapshots.commitFull(
+      rows("d1", 1 to 5, 0).unionByName(rows("d2", 1 to 5, 100))
+        .unionByName(rows("d3", 1 to 5, 200)), t, "day")
+    val pinned = Snapshots.read(spark, t)
+    val before = snapshotMap(pinned)
+    // one commit: d1 rewritten smaller, d2 emptied (pure tombstone),
+    // d3 untouched (not named — carried by reference)
+    val v = Snapshots.commitOverwritePartitions(
+      rows("d1", 1 to 2, 1000), t, "day", Seq("d1", "d2"))
+    assert(v == 2, "all three partitions' changes land as ONE version")
+    val after = snapshotMap(Snapshots.read(spark, t))
+    assert(after.keySet == Set("d1", "d3"),
+      s"d2 must disappear via its tombstone: $after")
+    assert(after("d1") == (1001L + 1002L) && after("d3") == before("d3"))
+    assert(snapshotMap(pinned) == before,
+      "the pinned pre-commit reader must keep answering with v1")
+  }
+
   test("vacuum sweeps orphan _ckpt debris stranded by a crashed " +
       "re-checkpoint before publishing a fresh one") {
     val t = tmpDir("snap_ckpt_debris")
