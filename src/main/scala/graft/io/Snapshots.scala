@@ -133,6 +133,14 @@ object Snapshots {
   def retentionFloor(spark: SparkSession, table: String): Int = {
     val f = fs(spark, table)
     val p = floorPath(table)
+    // crash-window self-heal (the _CURRENT discipline): a writer that
+    // died between delete(old floor) and rename(tmp) left only the tmp —
+    // without recovery the floor would silently REGRESS to 1 and graced
+    // versions whose data files vacuum already reclaimed would resolve
+    // again, failing readers at action time instead of with the clean
+    // retention error ("floors never regress" broken)
+    val tmp = new Path(table, "_vacuum_floor.tmp")
+    if (!f.exists(p) && f.exists(tmp)) f.rename(tmp, p)
     if (!f.exists(p)) 1
     else readSmallFile(f, p).trim.stripPrefix("v").toInt
   }
@@ -562,6 +570,25 @@ object Snapshots {
     // the read-back metadata job)
     val present = restricted.select(col(partCol).cast("string"))
       .distinct().collect().map(_.getString(0))
+    // the requireCommittable invariant, restated for tombstone commits:
+    // a published version whose manifest names NO files could never
+    // resolve a scan — reachable when the overwrite drops every row of
+    // every partition the table has (e.g. deleteRows matching the whole
+    // table). One limit-1 probe of the carried manifest, only on the
+    // path that could actually publish empty; the refused slot's
+    // reservation is released so the table isn't wedged.
+    if (present.isEmpty) {
+      val survivors = manifestDF(spark, table, prev)
+        .where(!col("partition").isin(values: _*))
+        .limit(1).count()
+      if (survivors == 0L) {
+        breakReservation(spark, table, v)
+        throw new IllegalArgumentException(
+          "Snapshots.commitOverwritePartitions: refusing to publish an " +
+            "EMPTY version (the commit tombstones every partition and " +
+            "adds no files; a reader of it could never resolve a scan)")
+      }
+    }
     val fresh =
       if (present.isEmpty) Nil
       else writeCommitData(restricted, table, v, partCol, statsCols)
@@ -649,7 +676,8 @@ object Snapshots {
     * set instead (see emb_ivf_delete), then call this to compact the
     * tombstones away. */
   def deleteRows(spark: SparkSession, table: String, partCol: String,
-      keyCol: String, keys: DataFrame): Int = {
+      keyCol: String, keys: DataFrame,
+      statsCols: Seq[String] = Nil): Int = {
     import spark.implicits._
     val affected = read(spark, table)
       .join(keys.select(keyCol), Seq(keyCol), "left_semi")
@@ -661,7 +689,13 @@ object Snapshots {
       .select("path").as[String].collect().toSeq
     val kept = scanPaths(spark, table, mine)
       .join(keys.select(keyCol), Seq(keyCol), "left_anti")
-    commitOverwritePartitions(kept, table, partCol, affected.toSeq)
+    // statsCols must survive the rewrite: a compaction that dropped the
+    // manifest min/max of the store's range column would silently turn
+    // every later stats-pruned read (readRange / readWhere) into a
+    // full-file scan of the rewritten partitions — overlapCol fails
+    // open, so answers stay right while the targeted-read contract rots
+    commitOverwritePartitions(kept, table, partCol, affected.toSeq,
+      statsCols)
     affected.length
   }
 

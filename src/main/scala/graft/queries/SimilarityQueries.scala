@@ -315,7 +315,8 @@ object SimilarityQueries {
       tomb, "db")
     val tombIds = graft.io.Snapshots.read(s, tomb)
     if (compact) {
-      graft.io.Snapshots.deleteRows(s, table, "cid", "vec_id", tombIds)
+      graft.io.Snapshots.deleteRows(s, table, "cid", "vec_id", tombIds,
+        statsCols = Seq("cell"))
       ivfServe(s, emb, cents, table)
     } else ivfServe(s, emb, cents, table, deletes = Some(tombIds))
   }

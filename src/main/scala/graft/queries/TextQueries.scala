@@ -167,7 +167,14 @@ object TextQueries {
   }
 
   private def unigramTrainOracle: String = {
-    val vocabOf = Seq("seed", "cl1", "cl2")
+    // derived, never hand-listed: round r segments with the vocab named
+    // here, so the list MUST track UniRounds/UniKeepK — a literal
+    // Seq("seed","cl1","cl2") compiled fine after a constant bump but
+    // silently desynchronized oracle from engine
+    require(UniKeepK.length == UniRounds - 1,
+      s"unigram config: UniKeepK has ${UniKeepK.length} entries " +
+        s"but UniRounds=$UniRounds needs ${UniRounds - 1}")
+    val vocabOf = "seed" +: (1 until UniRounds).map(r => s"cl$r")
     val out = (1 to UniRounds).map { r =>
       s"""SELECT CAST($r AS BIGINT) AS round,
          |  CAST((SELECT COUNT(*) FROM chars)

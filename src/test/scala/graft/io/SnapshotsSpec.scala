@@ -291,6 +291,60 @@ class SnapshotsSpec extends SparkSpec {
       "the pinned pre-commit reader must keep answering with v1")
   }
 
+  test("an overwrite that would publish an EMPTY version is refused " +
+      "(all partitions tombstoned, no adds) and the table stays intact") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("snap_empty_guard")
+    Snapshots.commitFull(
+      rows("d1", 1 to 3, 0).unionByName(rows("d2", 1 to 3, 100)),
+      t, "day")
+    val before = snapshotMap(Snapshots.read(spark, t))
+    // deleteRows with keys matching EVERY row: the copy-on-write
+    // rewrite would tombstone both partitions and add nothing — a
+    // published empty version could never resolve a scan, so the
+    // commit must refuse (requireCommittable's invariant, restated)
+    val allKeys = Snapshots.read(spark, t).select("id")
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.deleteRows(spark, t, "day", "id", allKeys)
+    }
+    assert(ex.getMessage.contains("EMPTY version"))
+    // nothing published, reservation released: still v1, still
+    // readable, same content, and a partial delete lands normally
+    assert(Snapshots.currentVersion(spark, t) == 1)
+    assert(snapshotMap(Snapshots.read(spark, t)) == before)
+    val some = Seq("d1-1", "d1-2").toDF("id")
+    assert(Snapshots.deleteRows(spark, t, "day", "id", some) == 1)
+    assert(Snapshots.read(spark, t).count() == 4)
+  }
+
+  test("retentionFloor recovers a _vacuum_floor.tmp stranded between " +
+      "delete and rename (floors never regress)") {
+    val t = tmpDir("snap_floor_crash")
+    Snapshots.commitFull(rows("d1", 1 to 3, 0), t, "day")
+    Snapshots.commitOverwritePartition(rows("d1", 1 to 3, 100), t,
+      "day", "d1")
+    Snapshots.commitOverwritePartition(rows("d1", 1 to 3, 200), t,
+      "day", "d1")
+    Snapshots.vacuum(spark, t, 3)
+    assert(Snapshots.retentionFloor(spark, t) == 3)
+    // simulate the publishFloor crash window: floor file deleted, tmp
+    // (with the same content) still present
+    val dir = new java.io.File(t)
+    val floor = new java.io.File(dir, "_vacuum_floor")
+    val tmp = new java.io.File(dir, "_vacuum_floor.tmp")
+    java.nio.file.Files.copy(floor.toPath, tmp.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(floor.delete())
+    assert(Snapshots.retentionFloor(spark, t) == 3,
+      "floor must self-heal from the tmp, not regress to 1")
+    // a regressed floor would let this vacuumed version resolve again
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.readAsOf(spark, t, 1)
+    }
+    assert(ex.getMessage.contains("vacuumed"))
+  }
+
   test("vacuum sweeps orphan _ckpt debris stranded by a crashed " +
       "re-checkpoint before publishing a fresh one") {
     val t = tmpDir("snap_ckpt_debris")

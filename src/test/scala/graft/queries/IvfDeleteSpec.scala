@@ -77,4 +77,29 @@ class IvfDeleteSpec extends SparkSpec {
     assert(Snapshots.deleteRows(spark, t, "cid", "vec_id", tombIds) == 0,
       "re-running compaction must be a no-op")
   }
+
+  test("compacted store keeps manifest stats: a single-cell readRange " +
+      "still prunes to that cell's files") {
+    val t = tmpDir("ivf-del-stats") + "/index"
+    SimilarityQueries.knnIvfDeleted(spark, dir, t, compact = true)
+      .collect()
+    val cur = Snapshots.currentVersion(spark, t)
+    val entries = Snapshots.readManifest(spark, t, cur)
+    // deleteRows must forward statsCols — a rewrite that dropped the
+    // 'cell' min/max would fail open in overlapCol and silently turn
+    // every post-compaction targeted read into a full scan
+    assert(entries.forall(_.stats.contains("cell")),
+      "a rewritten file lost its 'cell' manifest stats")
+    val total = entries.size
+    val pruned = Snapshots.read(spark, t)
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).map { c =>
+        Snapshots.prunedFiles(spark, t, cur, "cell", c.toString,
+          c.toString).size
+      }
+    assert(pruned.forall(_ < total),
+      s"single-cell prune did not skip any of the $total files: $pruned")
+    assert(pruned.sum == total,
+      "per-cell pruned file sets must partition the manifest exactly " +
+        s"(got ${pruned.sum} of $total)")
+  }
 }
