@@ -699,6 +699,66 @@ object Snapshots {
     affected.length
   }
 
+  /** Transactional MERGE INTO the snapshot table — the CDC landing
+    * path (the last quarter of the reference's "Iceberg/Delta for
+    * transactional upserts and time travel" roadmap item, reference
+    * `docs/design.md:168`): [[graft.operators.Merge.upsert]] supplies
+    * the row semantics (op 'U'/'I' upserts, 'D' deletes, unmatched
+    * target rows pass through), this supplies the transaction — ONE
+    * atomic version, pinned readers undisturbed, time travel across
+    * the merge.
+    *
+    * Copy-on-write, partition-scoped: the batch touches only
+    *  - partitions holding a CHANGED key (one semi-join, pruned to
+    *    `partCol`), and
+    *  - partitions non-delete change rows LAND in (the change's own
+    *    `partCol` value — which may be brand-new, or differ from the
+    *    key's current partition: a partition-key-changing update
+    *    rewrites both the old home and the new one);
+    * everything else carries by reference. The merge join itself runs
+    * over ONLY the affected partitions' files (resolved once from the
+    * manifest — the same pinning discipline as [[readAsOf]]), so a
+    * 100-row CDC batch against a 100 TB table reads and rewrites the
+    * touched partitions, never the table. A partition emptied by its
+    * deletes publishes as a pure tombstone; a batch that would empty
+    * the whole table is refused (the EMPTY-version guard).
+    *
+    * Caller contract (the MERGE contract [[graft.operators.Merge]]
+    * documents): `keyCol` is unique in the table and at most one
+    * change row per key per batch. `changes` carries the table's
+    * columns plus `opCol`. Returns the new version, or 0 when the
+    * batch touches nothing (no commit). */
+  def mergeRows(spark: SparkSession, table: String, partCol: String,
+      keyCol: String, changes: DataFrame, opCol: String = "op",
+      statsCols: Seq[String] = Nil): Int = {
+    import spark.implicits._
+    val target = read(spark, table)
+    val attrCols = target.columns.filterNot(_ == keyCol).toSeq
+    val matched = target
+      .join(changes.select(keyCol), Seq(keyCol), "left_semi")
+      .select(col(partCol).cast("string"))
+    val landing = changes.where(col(opCol) =!= "D")
+      .select(col(partCol).cast("string"))
+    val affected = matched.unionByName(landing).distinct()
+      .as[String].collect().sorted
+    if (affected.isEmpty) return 0
+    // pin the affected partitions' file set now — the merge plan reads
+    // exactly these files however long it runs, and a concurrent commit
+    // cannot make it see a mix (brand-new landing partitions have no
+    // files yet; their rows come solely from the change batch)
+    val mine = manifestDF(spark, table, currentVersion(spark, table))
+      .where(col("partition").isin(affected.toSeq: _*))
+      .select("path").as[String].collect().toSeq
+    val pinned =
+      if (mine.isEmpty) target.where(lit(false)) // pure-insert batch
+      else scanPaths(spark, table, mine)
+    val merged = graft.operators.Merge
+      .upsert(pinned, changes, keyCol, attrCols, opCol)
+      .drop("merge_status")
+    commitOverwritePartitions(merged, table, partCol, affected.toSeq,
+      statsCols)
+  }
+
   // ---- reads ----------------------------------------------------------
 
   private def scanPaths(spark: SparkSession, table: String,

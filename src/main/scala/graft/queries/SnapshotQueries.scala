@@ -114,6 +114,78 @@ object SnapshotQueries {
         .orderBy(col("event_type"))
     },
 
+    // --- transactional MERGE into the snapshot store ----------------------
+    // The CDC landing path (Snapshots.mergeRows): one deterministic
+    // change batch — updates (event_id%10=3 triples its cents), deletes
+    // (event_id%10=7), and inserts under brand-new keys into a brand-new
+    // partition ('restated') — lands as ONE atomic version. The result
+    // reads BOTH sides of the commit: the pinned pre-merge version and
+    // the merged current one; the oracle recomputes each as a flat MERGE
+    // over the raw parquet, so a hash match proves the upsert/delete/
+    // insert semantics AND that time travel across the merge returns
+    // precisely the pre-merge rows. Scale shape: the change batch
+    // touches only the partitions holding changed keys plus the insert
+    // landing partition — the merge join reads those partitions' files
+    // off the pinned manifest, never the table.
+    Q(
+      "q_snapshot_merge",
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL),
+        |v2 AS (
+        |  SELECT event_type,
+        |    cents * CASE WHEN event_id % 10 = 3 THEN 3 ELSE 1 END AS cents
+        |  FROM e WHERE event_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT 'restated' AS event_type, cents + 7 AS cents
+        |  FROM e WHERE event_id % 10 = 1)
+        |SELECT tag, event_type, n, sum_cents FROM (
+        |  SELECT 'v1' AS tag, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |  FROM e GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'v2_merged' AS tag, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |  FROM v2 GROUP BY event_type)
+        |ORDER BY tag, event_type""".stripMargin
+    ) { (s, d) =>
+      val table = scratch(d) + "_merge"
+      val p = new Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      val v1 = Snapshots.commitFull(ev, table, "event_type")
+      // the CDC batch: disjoint key sets by construction (inserts mint
+      // keys far above the corpus id range), one change row per key
+      val changes = ev.where(pmod(col("event_id"), lit(10)) === 3)
+        .withColumn("cents", col("cents") * 3)
+        .withColumn("op", lit("U"))
+        .unionByName(ev.where(pmod(col("event_id"), lit(10)) === 7)
+          .withColumn("op", lit("D")))
+        .unionByName(ev.where(pmod(col("event_id"), lit(10)) === 1)
+          .select((col("event_id") + 1000000000000L).as("event_id"),
+            lit("restated").as("event_type"),
+            (col("cents") + 7).as("cents"))
+          .withColumn("op", lit("I")))
+      Snapshots.mergeRows(s, table, "event_type", "event_id", changes)
+
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("sum_cents"))
+          .select(lit(tag).as("tag"), col("event_type"), col("n"),
+            col("sum_cents"))
+
+      agg(Snapshots.readAsOf(s, table, v1), "v1")
+        .unionByName(agg(Snapshots.read(s, table), "v2_merged"))
+        .orderBy(col("tag"), col("event_type"))
+    },
+
     // --- partition evolution: new layout, no rewrite ---------------------
     // The Iceberg marquee capability the manifest design earns for free:
     // era 1 commits half the events partitioned BY DATE (the original
