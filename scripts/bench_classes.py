@@ -28,6 +28,8 @@ INDEX_BUILD = re.compile(
     r"(_persist|_append|_delete|_compact)$"
     r"|^q_graph_(persist|append|serve_)"
     r"|^q_(time_travel|snapshot_prune|partition_evolution)$"
+    r"|^q_snapshot_(merge|schema_evolution)$"
+    r"|^(text_unigram_serve|emb_knn_graph)$"
     r"|^dedup_incremental$")
 ITERATIVE = re.compile(
     r"pagerank|kcore|components|graph_bfs|label_propagation|modularity"

@@ -157,6 +157,98 @@ object Snapshots {
       s"Snapshots.vacuum: failed to publish retention floor v$v of $table")
   }
 
+  // ---- schema tracking (add-only evolution) ----------------------------
+  //
+  // Every version records the table schema it was committed under as a
+  // `_schema` JSON file in its manifest dir (underscore name: invisible
+  // to the parquet reader sharing the dir). Append/overwrite commits
+  // MERGE their frame's schema into the previous version's — new
+  // columns append (nullable: files written before the change simply
+  // lack them), common columns must keep their exact type (a type
+  // change needs a rewrite, not an evolution — the Iceberg add-only
+  // contract). Reads resolve a version's file list AND its schema, and
+  // scan with the schema EXPLICIT: Spark's parquet reader null-fills
+  // columns a file lacks, so a 100 TB history never rewrites for a new
+  // column, never pays a mergeSchema footer stampede, and time travel
+  // to a pre-change version returns exactly that version's columns.
+
+  private def schemaPath(table: String, v: Int) =
+    new Path(manifestDir(table, v), "_schema")
+
+  private def writeSchema(spark: SparkSession, table: String, v: Int,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val f = fs(spark, table)
+    f.mkdirs(new Path(manifestDir(table, v)))
+    val out = f.create(schemaPath(table, v), true)
+    try out.write(schema.json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The schema version `v` was committed under; None only for tables
+    * written before schema tracking (those read as before — schema
+    * from the scanned files themselves). */
+  def schemaOf(spark: SparkSession, table: String, v: Int)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val f = fs(spark, table)
+    val p = schemaPath(table, v)
+    try {
+      if (!f.exists(p)) None
+      else Some(org.apache.spark.sql.types.DataType
+        .fromJson(readSmallFile(f, p))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    } catch {
+      // a graced manifest dir can be reclaimed between the exists
+      // probe and the open (vacuum churn); fall back to the legacy
+      // schema-from-files read — the same in-flight-plan failure mode
+      // the grace period already bounds, not a new one
+      case _: java.io.FileNotFoundException => None
+    }
+  }
+
+  /** prev ++ columns new to `next`, add-only: a common column changing
+    * type is refused (fail-fast — silently casting would corrupt the
+    * old files' reads). All fields go nullable: an evolved read must
+    * null-fill added columns in old files and dropped-from-the-frame
+    * columns in new ones. */
+  private def evolveSchema(
+      prev: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType, op: String)
+      : org.apache.spark.sql.types.StructType = {
+    val prevByName = prev.fields.map(f => f.name.toLowerCase -> f).toMap
+    next.fields.foreach { f =>
+      prevByName.get(f.name.toLowerCase).foreach { p =>
+        require(p.dataType == f.dataType,
+          s"Snapshots.$op: schema evolution is add-only — column " +
+            s"'${f.name}' cannot change ${p.dataType} -> ${f.dataType} " +
+            "(a type change needs a table rewrite)")
+      }
+    }
+    val added = next.fields
+      .filterNot(f => prevByName.contains(f.name.toLowerCase))
+    org.apache.spark.sql.types.StructType(
+      (prev.fields ++ added).map(_.copy(nullable = true)))
+  }
+
+  /** The schema an evolving commit on top of `prev` publishes. */
+  private def commitSchema(spark: SparkSession, table: String, prev: Int,
+      df: DataFrame, op: String)
+      : org.apache.spark.sql.types.StructType =
+    schemaOf(spark, table, prev) match {
+      case Some(s) => evolveSchema(s, df.schema, op)
+      case None => df.schema // legacy table: adopt the frame's schema
+    }
+
+  /** [[commitSchema]] validated BEFORE any data write: an add-only
+    * violation must refuse the commit with nothing on disk and the
+    * version slot released, not strand a half-written version. */
+  private def validatedSchema(spark: SparkSession, table: String,
+      prev: Int, df: DataFrame, op: String, v: Int)
+      : org.apache.spark.sql.types.StructType =
+    try commitSchema(spark, table, prev, df, op)
+    catch {
+      case e: Throwable => breakReservation(spark, table, v); throw e
+    }
+
   // ---- delta manifests + checkpoints (metadata log) -------------------
   //
   // A version's manifest dir is either a CHECKPOINT (parquet holding the
@@ -491,6 +583,9 @@ object Snapshots {
     requireCommittable(df, partCol, "commitFull", allowEmpty = false)
     val entries = writeCommitData(df, table, v, partCol, statsCols)
     writeManifest(spark, table, v, entries)
+    // wholesale re-commit: the frame's schema IS the table schema (no
+    // carried files to stay compatible with)
+    writeSchema(spark, table, v, df.schema)
     publish(spark, table, v)
     v
   }
@@ -527,6 +622,8 @@ object Snapshots {
     require(prev >= 1, s"Snapshots: no initial commit under $table")
     val v = prev + 1
     reserve(spark, table, v)
+    val sch = validatedSchema(spark, table, prev, df,
+      "commitOverwritePartition", v)
     val dir = s"data/c$v/$partCol=$value"
     df.where(col(partCol).cast("string") === value)
       .write.mode("overwrite").parquet(s"$table/$dir")
@@ -537,6 +634,7 @@ object Snapshots {
     // partition tombstone (O(commit)); every CheckpointEvery-th version
     // materializes the carried set plan-side into a fresh checkpoint
     commitManifest(spark, table, v, prev, fresh, Seq(value))
+    writeSchema(spark, table, v, sch)
     publish(spark, table, v)
     v
   }
@@ -563,6 +661,8 @@ object Snapshots {
         "reserved for the commit layout")
     val v = prev + 1
     reserve(spark, table, v)
+    val sch = validatedSchema(spark, table, prev, df,
+      "commitOverwritePartitions", v)
     val restricted = df
       .where(col(partCol).cast("string").isin(values: _*))
     // partitions whose entire content was dropped write no files — the
@@ -593,6 +693,7 @@ object Snapshots {
       if (present.isEmpty) Nil
       else writeCommitData(restricted, table, v, partCol, statsCols)
     commitManifest(spark, table, v, prev, fresh, values)
+    writeSchema(spark, table, v, sch)
     publish(spark, table, v)
     v
   }
@@ -610,6 +711,9 @@ object Snapshots {
     val prev = currentVersion(spark, table)
     val v = prev + 1
     reserve(spark, table, v)
+    val sch =
+      if (prev == 0) df.schema
+      else validatedSchema(spark, table, prev, df, "commitAppend", v)
     // empty micro-batches are legal appends: the version still publishes
     // (carrying the previous file set) so the batch tag lands atomically
     val parts = requireCommittable(df, partCol, "commitAppend",
@@ -618,6 +722,7 @@ object Snapshots {
       if (parts.isEmpty) Nil
       else writeCommitData(df, table, v, partCol, statsCols)
     commitManifest(spark, table, v, prev, fresh, Nil)
+    writeSchema(spark, table, v, sch)
     tag.foreach { t =>
       val f = fs(spark, table)
       f.create(new Path(manifestDir(table, v), s"_applied_$t"), true).close()
@@ -656,7 +761,8 @@ object Snapshots {
     require(mine.nonEmpty,
       s"Snapshots.commitCompact: no files for $partCol=$value")
     commitOverwritePartition(
-      scanPaths(spark, table, mine).coalesce(targetFiles),
+      scanPaths(spark, table, mine, schemaOf(spark, table, cur))
+        .coalesce(targetFiles),
       table, partCol, value, statsCols)
   }
 
@@ -687,7 +793,8 @@ object Snapshots {
     val mine = manifestDF(spark, table, currentVersion(spark, table))
       .where(col("partition").isin(affected.toSeq: _*))
       .select("path").as[String].collect().toSeq
-    val kept = scanPaths(spark, table, mine)
+    val kept = scanPaths(spark, table, mine,
+        schemaOf(spark, table, currentVersion(spark, table)))
       .join(keys.select(keyCol), Seq(keyCol), "left_anti")
     // statsCols must survive the rewrite: a compaction that dropped the
     // manifest min/max of the store's range column would silently turn
@@ -751,7 +858,8 @@ object Snapshots {
       .select("path").as[String].collect().toSeq
     val pinned =
       if (mine.isEmpty) target.where(lit(false)) // pure-insert batch
-      else scanPaths(spark, table, mine)
+      else scanPaths(spark, table, mine,
+        schemaOf(spark, table, currentVersion(spark, table)))
     val merged = graft.operators.Merge
       .upsert(pinned, changes, keyCol, attrCols, opCol)
       .drop("merge_status")
@@ -762,16 +870,23 @@ object Snapshots {
   // ---- reads ----------------------------------------------------------
 
   private def scanPaths(spark: SparkSession, table: String,
-      paths: Seq[String]): DataFrame = {
+      paths: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     require(paths.nonEmpty, s"Snapshots: empty file set under $table")
-    spark.read.parquet(paths.map(p => s"$table/$p"): _*)
+    // the version's recorded schema is passed EXPLICITLY: the reader
+    // null-fills columns a pre-evolution file lacks, no per-file footer
+    // merge, and time travel returns exactly that version's columns
+    val r = schema.fold(spark.read)(spark.read.schema)
+    r.parquet(paths.map(p => s"$table/$p"): _*)
   }
 
   /** Read as of a PINNED version: the file set is resolved here, once,
     * so the returned frame keeps answering with version `v`'s rows no
     * matter how many commits land afterwards. */
   def readAsOf(spark: SparkSession, table: String, v: Int): DataFrame =
-    scanPaths(spark, table, manifestPaths(spark, table, v))
+    scanPaths(spark, table, manifestPaths(spark, table, v),
+      schemaOf(spark, table, v))
 
   /** Read the latest snapshot — pinned at CALL time (the manifest is
     * resolved now), so a concurrent commit cannot make this frame see
@@ -803,12 +918,13 @@ object Snapshots {
       else to.join(manifestDF(spark, table, fromV).select("path"),
         Seq("path"), "left_anti")
       ).select("path").as[String].collect().toSeq
+    val sch = schemaOf(spark, table, toV)
     if (added.isEmpty) {
-      // nothing new: an empty frame with the table's schema (one file
-      // is enough to resolve it — all files share the table schema)
+      // nothing new: an empty frame with the version's schema (one
+      // file resolves it when the table predates schema tracking)
       val one = to.select("path").limit(1).as[String].collect().toSeq
-      scanPaths(spark, table, one).where(lit(false))
-    } else scanPaths(spark, table, added)
+      scanPaths(spark, table, one, sch).where(lit(false))
+    } else scanPaths(spark, table, added, sch)
   }
 
   /** Row-level diff between two versions: (added, removed) frames via
@@ -952,12 +1068,13 @@ object Snapshots {
     // pruning runs inside the manifest plan; the driver holds only the
     // surviving paths (and, on a fully-pruned read, the single path
     // needed to resolve the table schema)
+    val sch = schemaOf(spark, table, v)
     val keep = mdf.where(pred).select("path").as[String].collect().toSeq
     if (keep.isEmpty) {
       val one = mdf.select("path").limit(1).as[String].collect().toSeq
-      scanPaths(spark, table, one).where(lit(false))
+      scanPaths(spark, table, one, sch).where(lit(false))
     } else {
-      val kept = scanPaths(spark, table, keep)
+      val kept = scanPaths(spark, table, keep, sch)
       val residual = ranges.map { case (c, (lo, hi)) =>
         col(c) >= lit(lo).cast(kept.schema(c).dataType) &&
           col(c) <= lit(hi).cast(kept.schema(c).dataType)

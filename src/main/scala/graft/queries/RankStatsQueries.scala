@@ -23,9 +23,10 @@ import graft.functions.TextOps
   * are derived from a groupBy on the VALUE GRID (purchase amounts are a
   * 2-decimal cents lattice, ≤ ~37k distinct cells at any corpus size), so
   * the only ordered window runs over a bounded, pre-aggregated frame.
-  * Daily/weekly spines are calendar-bounded. The one per-entity window
-  * (Gini's row_number over users) follows the q_revenue_concentration
-  * precedent and is flagged there, not here.
+  * Daily/weekly spines are calendar-bounded. Gini's per-USER-total grid
+  * is unbounded, so its cumulative rides [[graft.operators.RangeCum]]
+  * (two-phase bucket offsets — no single-partition window anywhere in
+  * this family).
   */
 object RankStatsQueries {
 
@@ -176,9 +177,15 @@ object RankStatsQueries {
     // The inequality summary behind q_revenue_concentration's whale curve:
     // G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with x ascending. The rank
     // product and both sums stay in exact BIGINT cents; the single
-    // closing division is the only IEEE op. row_number over per-user
-    // totals follows the q_revenue_concentration precedent (a global sort
-    // of the USER aggregate, not the event stream).
+    // closing division is the only IEEE op. NO per-user rank is ever
+    // materialized: users collapse to the distinct-total grid (ranks of
+    // a tie group are consecutive, so Σ rn·x over the group is the
+    // closed form x·(t·before + t(t+1)/2) — the user_id tiebreak can't
+    // matter when x is constant within the group), and `before` comes
+    // from the two-phase RangeCum, so the only ordered global window
+    // runs over the BUCKET frame, never users. The oracle keeps the
+    // textbook row_number formulation — a hash match proves the
+    // closed form IS the rank sum.
     Q(
       "q_gini_spend",
       s"""WITH p AS ($purchasesSql),
@@ -200,12 +207,16 @@ object RankStatsQueries {
       val u = purchases(s, d)
         .groupBy(col("user_id"))
         .agg(sum(col("cents")).cast("long").as("cents"))
-      val r = u.select(col("cents"),
-        row_number().over(Window.orderBy(col("cents"), col("user_id")))
-          .as("rn"))
-      val m = r.agg(count(lit(1)).as("n_users"),
-        sum(col("cents")).cast("long").as("total_cents"),
-        sum(col("rn") * col("cents")).cast("long").as("s1"))
+      val g = u.groupBy(col("cents")).agg(count(lit(1)).as("t"))
+      val wb = graft.operators.RangeCum.exclusive(g,
+        expr("cents div 4096"), Seq(col("cents")),
+        Seq((col("t"), "before")))
+      val m = wb.agg(
+        coalesce(sum(col("t")), lit(0L)).cast("long").as("n_users"),
+        sum(col("cents") * col("t")).cast("long").as("total_cents"),
+        sum(col("cents") *
+          (col("t") * col("before") + expr("t * (t + 1) div 2")))
+          .cast("long").as("s1"))
       val gini = dd(lit(2) * col("s1") - (col("n_users") + 1) * col("total_cents")) /
         (dd("n_users") * dd("total_cents"))
       m.select(col("n_users"), col("total_cents"),

@@ -28,15 +28,21 @@ object RecallQueries {
         val lsh = q("emb_knn_lsh").oracle.get
         val ivf = q("emb_knn_ivf").oracle.get
         val pq = q("emb_knn_pq").oracle.get
+        val graph = q("emb_knn_graph").oracle.get
         s"""WITH brute AS (SELECT q_id, vec_id, rank FROM ($brute)),
            |i_lsh AS (SELECT q_id, vec_id FROM ($lsh)),
            |i_ivf AS (SELECT q_id, vec_id FROM ($ivf)),
            |i_pq AS (SELECT q_id, vec_id FROM ($pq)),
+           |i_graph AS (SELECT q_id, vec_id FROM ($graph)),
            |m AS (
-           |  SELECT 'ivf' AS index_name, 3 AS k,
+           |  SELECT 'graph' AS index_name, 3 AS k,
+           |    (SELECT COUNT(*) FROM brute b
+           |       JOIN i_graph i USING (q_id, vec_id) WHERE b.rank <= 3)
+           |    AS hits
+           |  UNION ALL
+           |  SELECT 'ivf', 3,
            |    (SELECT COUNT(*) FROM brute b
            |       JOIN i_ivf i USING (q_id, vec_id) WHERE b.rank <= 3)
-           |    AS hits
            |  UNION ALL
            |  SELECT 'lsh', 3,
            |    (SELECT COUNT(*) FROM brute b
@@ -99,6 +105,11 @@ object RecallQueries {
       // after brute is cached (it would otherwise race to compute it)
       val ivfF = Future(hitsOf(SimilarityQueries.knnIvf(emb), 3))
       val pqF = Future(hitsOf(SimilarityQueries.knnPq(emb), 5))
+      // the graph leg builds + serves its own committed edge store (a
+      // recall-scoped dir, so it can't race the standalone query's)
+      val graphF = Future(hitsOf(SimilarityQueries.knnGraphServe(s, d,
+        s"${sys.props("java.io.tmpdir")}/graft_knn_graph/" +
+          s"${d.replaceAll("[^A-Za-z0-9]", "_")}_recall/edges"), 3))
       val nQueries: Long = brute.select(countDistinct(col("q_id")))
         .as[Long].head()
       val lshF = Future(hitsOf(SimilarityQueries.knnLsh(emb), 3))
@@ -107,8 +118,9 @@ object RecallQueries {
         (tag, k, nQueries, nQueries * k, hits,
           hits * 1000000L / (nQueries * k))
       }
-      // already index_name-ordered: ivf < lsh < pq
-      Seq(row("ivf", 3, ivfF), row("lsh", 3, lshF), row("pq", 5, pqF))
+      // already index_name-ordered: graph < ivf < lsh < pq
+      Seq(row("graph", 3, graphF), row("ivf", 3, ivfF),
+        row("lsh", 3, lshF), row("pq", 5, pqF))
         .toDF("index_name", "k", "n_queries", "possible", "hits",
           "recall_ppm")
     },

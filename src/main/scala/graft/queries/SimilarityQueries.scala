@@ -1785,8 +1785,124 @@ object SimilarityQueries {
           expr("CAST(n_mutual * 1000000 div n_edges AS BIGINT)")
             .as("reciprocity_ppm"))
         .orderBy(col("n_edges"))
+    },
+
+    // --- graph-index ANN: committed k-NN graph + 2-hop beam serve --------
+    // The graph-index alternative alongside IVF/PQ (the HNSW/NSG family
+    // reduced to its Spark-native core): BUILD commits the directed
+    // 3-NN edge relation — emb_knn_reciprocity's exact graph, LSH-
+    // bucketed candidate generation, never all-pairs — as a snapshot
+    // table RANGE-SORTED on src (each file covers a disjoint src range,
+    // recorded as manifest min/max), and SERVE answers a query by
+    // greedy 2-hop expansion over adjacency lists read OFF THE STORE:
+    // one stats-pruned read per probed node (O(k·|Q|) bounded probes,
+    // O(edges of probed nodes) bytes — never the corpus), exact-cosine
+    // rerank of the ≤ k+k² candidates, top-3. The oracle replays build
+    // and walk flat in SQL, so a hash match proves the persisted index
+    // serves exactly the walk's semantics; its recall rides
+    // emb_recall_at_k's 'graph' row against the same brute-force truth
+    // as IVF/LSH/PQ.
+    Q(
+      "emb_knn_graph", {
+        val planes = VectorOps.hyperplanes(Dim, 8, 7L)
+        val qcos = Sql.cos("q.q_vec", "b.embedding")
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |    ${Sql.bucket("embedding", planes)} AS bucket
+           |  FROM embeddings),
+           |c AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+           |    ROUND(${Sql.cos("a.embedding", "b.embedding")}, 6) AS cos
+           |  FROM e a JOIN e b
+           |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+           |k AS (SELECT src, dst FROM (
+           |    SELECT src, dst, row_number() OVER (PARTITION BY src
+           |      ORDER BY cos DESC, dst) AS rn FROM c) WHERE rn <= 3),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_vec
+           |  FROM embeddings WHERE vec_id < 10),
+           |h1 AS (SELECT q.q_id, k.dst FROM q JOIN k ON k.src = q.q_id),
+           |h2 AS (SELECT h1.q_id, k2.dst FROM h1
+           |  JOIN k k2 ON k2.src = h1.dst),
+           |cand AS (SELECT DISTINCT q_id, dst FROM (
+           |    SELECT q_id, dst FROM h1
+           |    UNION ALL SELECT q_id, dst FROM h2)
+           |  WHERE dst <> q_id),
+           |r AS (SELECT cand.q_id, cand.dst AS vec_id,
+           |    ROUND($qcos, 6) AS cos,
+           |    row_number() OVER (PARTITION BY cand.q_id
+           |      ORDER BY ROUND($qcos, 6) DESC, cand.dst) AS rn
+           |  FROM cand JOIN embeddings b ON b.vec_id = cand.dst
+           |  JOIN q ON q.q_id = cand.q_id)
+           |SELECT q_id, vec_id, cos, CAST(rn AS INT) AS rank
+           |FROM r WHERE rn <= 3
+           |ORDER BY q_id, rank""".stripMargin
+      }
+    ) { (s, d) =>
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      knnGraphServe(s, d,
+        s"${sys.props("java.io.tmpdir")}/graft_knn_graph/$tag/edges")
     }
   )
+
+  /** BUILD + SERVE of the committed k-NN-graph index (`emb_knn_graph`;
+    * reused by emb_recall_at_k's 'graph' row). Driver state is bounded
+    * by the probe sets: |Q| query ids and the ≤ k·|Q| 1-hop beam. */
+  def knnGraphServe(s: SparkSession, d: String, table: String)
+      : DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(table)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val emb = Tables.embeddings(s, d)
+    val withB = emb.withColumn("bucket",
+      VectorOps.lshBucket(col("embedding"), Dim, nBits = 8))
+    val a = withB.select(col("bucket"), col("vec_id").as("src"),
+      col("embedding").as("a_vec"))
+    val b = withB.select(col("bucket").as("b_bucket"),
+      col("vec_id").as("dst"), col("embedding").as("b_vec"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    val edges = a.join(b, col("bucket") === col("b_bucket")
+          && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(VectorOps.cosine(col("a_vec"), col("b_vec")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("src"), col("dst"))
+    // range-sorted on src so each file's manifest min/max covers a
+    // disjoint adjacency range — a probe read opens only its node's
+    // file (the BM25-postings layout, src for term)
+    graft.io.Snapshots.commitFull(
+      edges.repartitionByRange(8, col("src")).withColumn("sp", lit(0)),
+      table, "sp", statsCols = Seq("src"))
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val qIds = queries.select(col("q_id")).collect()
+      .map(_.getLong(0)).sorted.toSeq // |Q| = 10, bounded
+    def lists(ids: Seq[Long]) = ids.map(i =>
+        graft.io.Snapshots.readRange(s, table, "src",
+          i.toString, i.toString))
+      .reduce(_.unionByName(_))
+    val h1 = lists(qIds).select(col("src").as("q_id"), col("dst"))
+    val beam = h1.select(col("dst")).distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq // ≤ k·|Q| = 30, bounded
+    val h2 =
+      if (beam.isEmpty) h1.where(lit(false))
+      else h1.join(
+        lists(beam).select(col("src").as("dst"), col("dst").as("dst2")),
+        Seq("dst"))
+        .select(col("q_id"), col("dst2").as("dst"))
+    val cand = h1.unionByName(h2)
+      .where(col("dst") =!= col("q_id")).distinct()
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(emb.select(col("vec_id"), col("embedding")),
+        col("vec_id") === col("dst"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.cosine(col("q_vec"), col("embedding")), 6)
+          .as("cos"))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= 3)
+      .orderBy(col("q_id"), col("rank"))
+  }
 
   /** Unrolled 5-round power-iteration oracle (the perceptronChain /
     * bpeWithChain fixed-iteration replay pattern), all HUGEINT. */

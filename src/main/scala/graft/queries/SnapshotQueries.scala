@@ -186,6 +186,79 @@ object SnapshotQueries {
         .orderBy(col("tag"), col("event_type"))
     },
 
+    // --- schema evolution: a new column, no rewrite -----------------------
+    // Era 1 commits half the events under the original (event_id,
+    // event_type, cents) schema; era 2 appends the other half carrying a
+    // NEW 'channel' column. The evolved read serves BOTH eras — old
+    // files null-fill the column at scan time (the version's recorded
+    // schema is passed to the reader explicitly; no file rewritten, no
+    // mergeSchema footer pass) — and time travel to v1 returns exactly
+    // the pre-change columns. The oracle recomputes both sides flat:
+    // v1 = the era-1 subset (channel necessarily absent → the query
+    // projects the literal NULL the engine's old-file scan produces),
+    // v2 = both eras with era-1 rows under the NULL channel group.
+    Q(
+      "q_snapshot_schema_evolution",
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL),
+        |era2 AS (SELECT event_type, cents,
+        |    CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'web'
+        |         WHEN 1 THEN 'app' ELSE 'api' END AS channel
+        |  FROM e WHERE event_id % 2 <> 0),
+        |v2 AS (SELECT event_type, CAST(NULL AS VARCHAR) AS channel, cents
+        |    FROM e WHERE event_id % 2 = 0
+        |  UNION ALL SELECT event_type, channel, cents FROM era2)
+        |SELECT tag, event_type, channel, n, sum_cents FROM (
+        |  SELECT 'v1' AS tag, event_type, CAST(NULL AS VARCHAR) AS channel,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |  FROM e WHERE event_id % 2 = 0 GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'v2_evolved' AS tag, event_type, channel,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |  FROM v2 GROUP BY event_type, channel)
+        |ORDER BY tag, event_type, channel NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val table = scratch(d) + "_schema"
+      val p = new Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      val v1 = Snapshots.commitFull(
+        ev.where(pmod(col("event_id"), lit(2)) === 0), table, "event_type")
+      Snapshots.commitAppend(
+        ev.where(pmod(col("event_id"), lit(2)) =!= 0)
+          .withColumn("channel",
+            when(pmod(col("event_id"), lit(3)) === 0, "web")
+              .when(pmod(col("event_id"), lit(3)) === 1, "app")
+              .otherwise("api")),
+        table, "event_type")
+
+      // v1 pinned ACROSS the schema change: its own columns, no channel
+      val old = Snapshots.readAsOf(s, table, v1)
+      require(!old.columns.contains("channel"),
+        "time travel must return the pre-change schema")
+      val v1Agg = old.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .select(lit("v1").as("tag"), col("event_type"),
+          lit(null).cast("string").as("channel"), col("n"),
+          col("sum_cents"))
+      val v2Agg = Snapshots.read(s, table)
+        .groupBy(col("event_type"), col("channel"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .select(lit("v2_evolved").as("tag"), col("event_type"),
+          col("channel"), col("n"), col("sum_cents"))
+      v1Agg.unionByName(v2Agg)
+        .orderBy(col("tag"), col("event_type"), col("channel"))
+    },
+
     // --- partition evolution: new layout, no rewrite ---------------------
     // The Iceberg marquee capability the manifest design earns for free:
     // era 1 commits half the events partitioned BY DATE (the original

@@ -706,9 +706,13 @@ object StatsQueries {
     // by spend desc, user_id tiebreak), NOT an interpolated p99 boundary
     // — interpolation is float arithmetic two engines may round apart,
     // and a membership comparison can't absorb that with ROUND the way
-    // the percentile queries do. The user count is a driver-side scalar
-    // pull (the Dq counter precedent) that sizes the native bounded-heap
-    // TopK; share is cents·10⁶ div cents, positive integer division.
+    // the percentile queries do. Fully plan-side, no per-user rank and
+    // no driver scalar: users collapse to the distinct-spend grid, the
+    // users-before-each-group cumulative (spend DESC) comes from the
+    // two-phase RangeCum, and the top-k spend is the closed form
+    // Σ cents · max(0, min(t, k − before)) — the user_id tiebreak can't
+    // matter because every user of a tie group contributes the same
+    // cents. k rides the 1-row totals broadcast; share is integer ppm.
     Q(
       "q_revenue_concentration",
       """WITH u AS (SELECT user_id,
@@ -735,30 +739,25 @@ object StatsQueries {
         .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
           .cast("long").as("cents"))
       val totals = u.agg(count(lit(1)).as("n_users"),
-        coalesce(sum(col("cents")), lit(0L)).cast("long").as("total_cents"))
-        .head()
-      val nUsers = totals.getLong(0)
-      val totalCents = totals.getLong(1)
-      if (nUsers == 0L) {
-        // No purchases: the oracle's final FROM r, k is an empty cross
-        // join → 0 rows; match that shape instead of passing k=0 to the
-        // TopK and dividing by a zero total.
-        s.range(0).select(lit(0L).as("n_users"), lit(0L).as("top_k"),
-          lit(0L).as("total_cents"), lit(0L).as("top_cents"),
-          lit(0L).as("top_share_ppm"))
-      } else {
-        val k = ((nUsers + 99) / 100).toInt // ceil(n/100), driver scalar
-        val top = graft.operators.TopK.perGroup(u, k, Seq.empty,
-          Seq(graft.operators.TopK.desc("cents"),
-            graft.operators.TopK.asc("user_id")))
-        val ppm =
-          if (totalCents == 0L) lit(0L) // all-zero-value purchases
-          else expr(s"CAST(top_cents * 1000000 div ${totalCents}L AS BIGINT)")
-        top.agg(sum(col("cents")).cast("long").as("top_cents"))
-          .select(lit(nUsers).as("n_users"), lit(k.toLong).as("top_k"),
-            lit(totalCents).as("total_cents"), col("top_cents"),
-            ppm.as("top_share_ppm"))
-      }
+        coalesce(sum(col("cents")), lit(0L)).cast("long")
+          .as("total_cents"))
+        .withColumn("k", expr("(n_users + 99) div 100"))
+      val g = u.groupBy(col("cents")).agg(count(lit(1)).as("t"))
+      val wb = graft.operators.RangeCum.exclusive(g,
+        expr("-(cents div 4096)"), Seq(col("cents").desc),
+        Seq((col("t"), "before_cnt")))
+      // an empty grid (no purchases) GROUP-BYs to the oracle's empty
+      // cross join — 0 rows, no special case
+      wb.crossJoin(broadcast(totals))
+        .groupBy(col("n_users"), col("k"), col("total_cents"))
+        .agg(sum(col("cents") * greatest(lit(0L),
+          least(col("t"), col("k") - col("before_cnt"))))
+          .cast("long").as("top_cents"))
+        .select(col("n_users"), col("k").as("top_k"),
+          col("total_cents"), col("top_cents"),
+          when(col("total_cents") > 0,
+            expr("CAST(top_cents * 1000000 div total_cents AS BIGINT)"))
+            .otherwise(lit(0L)).as("top_share_ppm"))
     },
 
     // --- chi-square independence scan (event_type × weekday) -------------
@@ -1181,10 +1180,17 @@ object StatsQueries {
     // The inverse of q_revenue_concentration's top-share: the SMALLEST
     // set of users that accounts for ≥80% of events — the "how top-heavy
     // is the workload" number capacity planning and abuse review both
-    // start from. Exact integer cumulative over the per-user histogram
-    // under a total order (count DESC, user_id); the single-partition
-    // window runs over the USER histogram (not events), and at lake
-    // scale the same answer falls out of the equi-depth boundary shape.
+    // start from. NO per-user window anywhere: users collapse to the
+    // distinct-activity grid (n, t = users with exactly n events), the
+    // exclusive cumulative (events and users before each group under
+    // n DESC) comes from the two-phase RangeCum — the only ordered
+    // global window runs over the BUCKET frame — and the crossing user
+    // inside the unique threshold group is closed-form: the smallest j
+    // with 5·(before_sum + j·n) ≥ 4·total, i.e.
+    // j = ⌈(4·total − 5·before_sum) / (5n)⌉, all exact integers. The
+    // user_id tiebreak can't matter: every user in a tie group adds the
+    // same n. The oracle keeps the textbook row_number/cum formulation —
+    // a hash match proves the closed form IS the rank scan.
     Q(
       "q_pareto_users",
       """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events
@@ -1209,23 +1215,27 @@ object StatsQueries {
         .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
       val t = c.agg(sum(col("n")).as("total"),
         count(lit(1)).as("n_users"))
-      val w = Window.orderBy(col("n").desc, col("user_id"))
-      val r = c
-        .withColumn("cum",
-          sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)))
-        .withColumn("rk", row_number().over(w))
-      r.crossJoin(broadcast(t))
-        .groupBy(col("n_users"), col("total"))
-        .agg(min(when(col("cum") * 5 >= col("total") * 4, col("rk")))
-          .as("n_top80"))
+      val g = c.groupBy(col("n")).agg(count(lit(1)).as("t"))
+      val wb = graft.operators.RangeCum.exclusive(g,
+        expr("-(n div 1024)"), Seq(col("n").desc),
+        Seq((col("n") * col("t"), "before_sum"), (col("t"), "before_cnt")))
+      // the unique threshold group: its cum crosses 4/5·total and its
+      // predecessor's doesn't (the next group's before_sum = this cum,
+      // so no second group can satisfy both)
+      wb.crossJoin(broadcast(t))
+        .where(lit(5) * (col("before_sum") + col("n") * col("t")) >=
+          lit(4) * col("total") &&
+          lit(5) * col("before_sum") < lit(4) * col("total"))
         .select(col("n_users").cast("long").as("n_users"),
           col("total").cast("long").as("total_events"),
-          col("n_top80").cast("long").as("n_top80"),
-          // BIGINT before the multiply: at tier user counts the
-          // int32 product overflows under ANSI
+          (col("before_cnt") +
+            expr("(4 * total - 5 * before_sum + 5 * n - 1) div (5 * n)"))
+            .cast("long").as("n_top80"))
+        // BIGINT before the multiply: at tier user counts the int32
+        // product overflows under ANSI
+        .withColumn("top80_user_share_ppm",
           expr("CAST(n_top80 AS BIGINT) * 1000000 div n_users")
-            .cast("long").as("top80_user_share_ppm"))
+            .cast("long"))
     },
 
     // --- day-of-week × hour activity heat profile ------------------------

@@ -881,6 +881,47 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- encode served off a COMMITTED vocabulary store ------------------
+    // The build-once/serve-many split the BM25/IVF/graph families
+    // already have, for the tokenizer: training commits the
+    // prefix-closed vocabulary as a snapshot table (vocab-sized — the
+    // cheapest index in the repo, but the LIFECYCLE is the point:
+    // versioned, time-travelable, atomically replaceable under readers
+    // when the tokenizer retrains), and encoding reads the pieces OFF
+    // THE STORE — a tokenizer upgrade is a snapshot commit, not a
+    // redeploy. Shares text_unigram_encode's oracle VERBATIM: a hash
+    // match proves the store round-trip changed nothing. The corpus
+    // tokenization (v0) is the query's input, not index state — only
+    // the vocabulary crosses the store.
+    Q("text_unigram_serve", unigramEncodeOracle) { (s, d) =>
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"${sys.props("java.io.tmpdir")}/graft_unigram_vocab/$tag"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val (_, vocab, v0) = unigramRounds(s, d)
+      // BUILD: the trained vocab becomes a snapshot table, partitioned
+      // by piece length (bounded: 1..UniMaxLen partitions)
+      import s.implicits._
+      graft.io.Snapshots.commitFull(
+        vocab.toDF("piece").withColumn("pl", length(col("piece"))),
+        root, "pl")
+      // SERVE: the fold's vocabulary comes from the STORE (vocab-sized
+      // driver pull — the same bounded class the trainer itself holds)
+      val served = graft.io.Snapshots.read(s, root)
+        .select(col("piece")).collect().map(_.getString(0)).toSeq.sorted
+      val perWord = unigramSegment(v0, served)
+        .select(col("word"),
+          size(split(col("s"), " ")).cast("long").as("n_p"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.regexTokens(col("text"))).as("word"))
+        .join(perWord, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_p")).as("n_pieces"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- quality-model threshold sweep (operating curve) ----------------
     // The go/no-go artifact every filtered pretraining corpus ships
     // with: for each score threshold, how many documents and tokens

@@ -48,7 +48,8 @@ object PlanScan {
       "ref_join_size_estimate" -> "1-row estimate cross-joined with the 1-row exact yardstick",
       "pipe_interleave_shards" -> "1-row source-count frame broadcast into the closed-form positions",
       "pipe_dedup_eval" -> "three 1-row pair-count frames cross-joined into the audit row",
-      "q_pareto_users" -> "1-row totals frame broadcast into the user histogram",
+      "q_pareto_users" -> "1-row totals frame broadcast into the distinct-activity grid",
+      "q_revenue_concentration" -> "1-row totals/k frame broadcast into the distinct-spend grid",
       "q_dow_hour_profile" -> "1-row week total broadcast into the 168-cell grid",
       "ref_theil_sen_trend" -> "calendar-bounded daily spine self-paired (O(days^2) by definition) + 1-row day count",
       "q_survival_hazard" -> "1-row horizon broadcast + weeks x (conv,obs)-cell range join, both calendar-bounded",

@@ -1,0 +1,99 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+import graft.SparkSpec
+
+/** Add-only schema evolution on the snapshot store: an append that
+  * carries a new column evolves the table schema without touching old
+  * files, reads null-fill the column in pre-change files, time travel
+  * to a pre-change version returns exactly that version's columns,
+  * manifest stats pruning still skips pre-change files, and a type
+  * change is refused.
+  */
+class SnapshotsSchemaSpec extends SparkSpec {
+
+  private def v1Rows: DataFrame = {
+    val s = spark
+    import s.implicits._
+    (1 to 6).map(i => (s"a-$i", "d1", i.toLong))
+      .toDF("id", "day", "cents")
+  }
+
+  private def v2Rows: DataFrame = {
+    val s = spark
+    import s.implicits._
+    (1 to 4).map(i => (s"b-$i", "d2", 100L + i, s"web-$i"))
+      .toDF("id", "day", "cents", "channel")
+  }
+
+  test("append with a new column: old files null-fill, time travel " +
+      "returns the pre-change columns, history stays walkable") {
+    val t = tmpDir("snap_schema")
+    Snapshots.commitFull(v1Rows, t, "day", statsCols = Seq("cents"))
+    Snapshots.commitAppend(v2Rows, t, "day", statsCols = Seq("cents"))
+
+    val cur = Snapshots.read(spark, t)
+    assert(cur.columns.toSeq == Seq("id", "day", "cents", "channel"),
+      s"evolved read must surface the union schema: ${cur.columns.toSeq}")
+    assert(cur.schema("channel").dataType == StringType)
+    assert(cur.where(col("day") === "d1" && col("channel").isNull)
+      .count() == 6, "pre-change rows must null-fill the added column")
+    assert(cur.where(col("day") === "d2" && col("channel").isNotNull)
+      .count() == 4)
+
+    // time travel ACROSS the change: v1 has exactly its own columns
+    val old = Snapshots.readAsOf(spark, t, 1)
+    assert(old.columns.toSeq == Seq("id", "day", "cents"),
+      s"pre-change version must not grow columns: ${old.columns.toSeq}")
+    assert(old.count() == 6)
+    assert(Snapshots.schemaOf(spark, t, 1).get.fieldNames.toSeq ==
+      Seq("id", "day", "cents"))
+    assert(Snapshots.schemaOf(spark, t, 2).get.fieldNames.toSeq ==
+      Seq("id", "day", "cents", "channel"))
+  }
+
+  test("stats pruning still skips pre-change files after the evolution") {
+    val t = tmpDir("snap_schema_prune")
+    Snapshots.commitFull(v1Rows, t, "day", statsCols = Seq("cents"))
+    Snapshots.commitAppend(v2Rows, t, "day", statsCols = Seq("cents"))
+    // cents ranges are disjoint (1..6 vs 101..104): a low-range read
+    // must plan zero post-change files and still parse the old ones
+    val low = Snapshots.readRange(spark, t, "cents", "1", "6")
+    assert(low.count() == 6)
+    val pruned = Snapshots.prunedFiles(spark, t,
+      Snapshots.currentVersion(spark, t), "cents", "1", "6")
+    assert(pruned.nonEmpty && pruned.forall(_.partition == "d1"),
+      s"low-range prune must keep only pre-change files: $pruned")
+    // and the pruned read STILL surfaces the evolved schema
+    assert(low.columns.contains("channel"))
+  }
+
+  test("a rewrite of a pre-change partition lands under the evolved " +
+      "schema; a type change is refused") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("snap_schema_rewrite")
+    Snapshots.commitFull(v1Rows, t, "day", statsCols = Seq("cents"))
+    Snapshots.commitAppend(v2Rows, t, "day", statsCols = Seq("cents"))
+    // deleteRows rewrites d1 copy-on-write: the surviving rows are
+    // re-written under the evolved schema (channel physically present)
+    Snapshots.deleteRows(spark, t, "day", "id",
+      Seq("a-1").toDF("id"), statsCols = Seq("cents"))
+    val cur = Snapshots.read(spark, t)
+    assert(cur.count() == 9)
+    assert(cur.where(col("day") === "d1").count() == 5)
+    assert(Snapshots.schemaOf(spark, t, 3).get.fieldNames.toSeq ==
+      Seq("id", "day", "cents", "channel"))
+
+    // add-only: cents long -> string must fail fast
+    val bad = Seq(("c-1", "d3", "oops")).toDF("id", "day", "cents")
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.commitAppend(bad, t, "day")
+    }
+    assert(ex.getMessage.contains("add-only"))
+    assert(Snapshots.read(spark, t).schema("cents").dataType == LongType)
+  }
+}
