@@ -26,9 +26,30 @@ object DqAudit {
 
   /** Append one run's report. `runTs` is the run's wall-clock id
     * (ISO-8601; caller-supplied so replays and tests are
-    * deterministic). Returns the audit table's new version. */
+    * deterministic). Returns the audit table's new version.
+    *
+    * Concurrency: a bounded-parallel backfill has several dates
+    * appending to ONE audit table, so a lost version-slot race
+    * ([[Snapshots.ConcurrentCommitException]]) is expected here, not
+    * exceptional — and retrying AFTER the winner publishes is exactly
+    * the exception's documented contract: audit rows are independent
+    * appends, so the retry simply rebases onto the winner's manifest. */
   def record(spark: SparkSession, table: String, report: DqReport,
       runTs: String): Int = {
+    var attempts = 0
+    while (true) {
+      try return recordOnce(spark, table, report, runTs)
+      catch {
+        case _: Snapshots.ConcurrentCommitException if attempts < 64 =>
+          attempts += 1
+          Thread.sleep(20L * (1 + attempts % 8))
+      }
+    }
+    -1 // unreachable
+  }
+
+  private def recordOnce(spark: SparkSession, table: String,
+      report: DqReport, runTs: String): Int = {
     import spark.implicits._
     val row = Seq((
       report.ingestionDate, runTs, report.status,

@@ -7,11 +7,17 @@ import org.apache.spark.sql.SparkSession
 import graft.dq.{Anomaly, DqReport}
 import graft.io.{CuratedWriter, RawEvents}
 
-/** Zone layout for one pipeline deployment (SURVEY §1.1). */
+/** Zone layout for one pipeline deployment (SURVEY §1.1).
+  * `auditTable`, when set, is the snapshot-versioned run-history table
+  * ([[graft.dq.DqAudit]]): every run's report — including gate
+  * FAILURES — appends there right after the per-run JSON report lands
+  * and before any gate throw, so the backfill audit trail is
+  * queryable, not a directory of JSON files. */
 final case class PipelineConfig(
     rawBase: String,
     curatedBase: String,
-    metricsBase: String)
+    metricsBase: String,
+    auditTable: Option[String] = None)
 
 /** Pipeline failed its DQ gate; curated data untouched
   * (fail-safe ordering, ref: docs/design.md:109-114). */
@@ -75,6 +81,11 @@ object Pipeline {
     val report = DqReport(ingestionDate, rawPath, curatedPath, counters,
       failures, warnings)
     CuratedWriter.writeSingleFile(spark, metricsPath, report.toJson)
+    // audit BEFORE the gate throw — failed attempts are the audit
+    // trail's whole point (the same report-precedes-raise contract as
+    // the JSON write above)
+    conf.auditTable.foreach(t => graft.dq.DqAudit.record(spark, t,
+      report, java.time.Instant.now().toString))
     if (report.status == "FAIL") throw new DqFailedException(report)
 
     CuratedWriter.overwritePartition(df, conf.curatedBase, ingestionDate)
@@ -128,6 +139,8 @@ object Pipeline {
     val report = DqReport(ingestionDate, rawPath, curatedPath, counters,
       failures, warnings)
     CuratedWriter.writeSingleFile(spark, metricsPath, report.toJson)
+    conf.auditTable.foreach(t => graft.dq.DqAudit.record(spark, t,
+      report, java.time.Instant.now().toString))
     if (report.status == "FAIL") throw new DqFailedException(report)
 
     CuratedWriter.overwritePartition(quarantined, quarantineBase,

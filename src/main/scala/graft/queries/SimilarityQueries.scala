@@ -1789,33 +1789,47 @@ object SimilarityQueries {
 
     // --- graph-index ANN: committed k-NN graph + 2-hop beam serve --------
     // The graph-index alternative alongside IVF/PQ (the HNSW/NSG family
-    // reduced to its Spark-native core): BUILD commits the directed
-    // 3-NN edge relation — emb_knn_reciprocity's exact graph, LSH-
-    // bucketed candidate generation, never all-pairs — as a snapshot
-    // table RANGE-SORTED on src (each file covers a disjoint src range,
-    // recorded as manifest min/max), and SERVE answers a query by
-    // greedy 2-hop expansion over adjacency lists read OFF THE STORE:
-    // one stats-pruned read per probed node (O(k·|Q|) bounded probes,
+    // reduced to its Spark-native core): BUILD commits a directed 3-NN
+    // edge relation over MULTI-TABLE LSH candidates (6 bits × 8 tables
+    // — OR-amplified like emb_knn_lsh; a single 8-bit table starves the
+    // graph: ~corpus/256 vectors per bucket leaves most nodes nearly
+    // edgeless at small corpora and low-recall at any size, measured
+    // 1/30 before the amplification) as a snapshot table RANGE-SORTED
+    // on src (each file covers a disjoint src range, recorded as
+    // manifest min/max), and SERVE answers a query by greedy 2-hop
+    // expansion over adjacency lists read OFF THE STORE: one
+    // stats-pruned read per probed node (O(k·|Q|) bounded probes,
     // O(edges of probed nodes) bytes — never the corpus), exact-cosine
-    // rerank of the ≤ k+k² candidates, top-3. The oracle replays build
-    // and walk flat in SQL, so a hash match proves the persisted index
-    // serves exactly the walk's semantics; its recall rides
+    // rerank of the ≤ M+M² candidates (M=8 graph degree), top-3. The graph's own edges
+    // amplify what the tables miss: a true neighbor reachable through
+    // any shared intermediate surfaces at hop 2. The oracle replays
+    // build and walk flat in SQL, so a hash match proves the persisted
+    // index serves exactly the walk's semantics; its recall rides
     // emb_recall_at_k's 'graph' row against the same brute-force truth
     // as IVF/LSH/PQ.
     Q(
       "emb_knn_graph", {
-        val planes = VectorOps.hyperplanes(Dim, 8, 7L)
+        val tables = (0 until 8).map { t =>
+          val planes = VectorOps.hyperplanes(Dim, 6, 7L + 1000L * t)
+          s"struct_pack(tbl := $t, bucket := ${Sql.bucket("embedding", planes)})"
+        }.mkString(",\n    ")
         val qcos = Sql.cos("q.q_vec", "b.embedding")
-        s"""WITH e AS (SELECT vec_id, embedding,
-           |    ${Sql.bucket("embedding", planes)} AS bucket
+        s"""WITH b0 AS (SELECT vec_id, embedding, unnest([
+           |    $tables]) AS tb
            |  FROM embeddings),
-           |c AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-           |    ROUND(${Sql.cos("a.embedding", "b.embedding")}, 6) AS cos
-           |  FROM e a JOIN e b
-           |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+           |x AS (SELECT vec_id, embedding, tb.tbl AS tbl,
+           |    tb.bucket AS bucket FROM b0),
+           |c AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+           |  FROM x a JOIN x b
+           |    ON a.tbl = b.tbl AND a.bucket = b.bucket
+           |      AND a.vec_id <> b.vec_id),
+           |cs AS (SELECT c.src, c.dst,
+           |    ROUND(${Sql.cos("ae.embedding", "be.embedding")}, 6) AS cos
+           |  FROM c JOIN embeddings ae ON ae.vec_id = c.src
+           |    JOIN embeddings be ON be.vec_id = c.dst),
            |k AS (SELECT src, dst FROM (
            |    SELECT src, dst, row_number() OVER (PARTITION BY src
-           |      ORDER BY cos DESC, dst) AS rn FROM c) WHERE rn <= 3),
+           |      ORDER BY cos DESC, dst) AS rn FROM cs) WHERE rn <= 8),
            |q AS (SELECT vec_id AS q_id, embedding AS q_vec
            |  FROM embeddings WHERE vec_id < 10),
            |h1 AS (SELECT q.q_id, k.dst FROM q JOIN k ON k.src = q.q_id),
@@ -1850,20 +1864,25 @@ object SimilarityQueries {
     val p = new org.apache.hadoop.fs.Path(table)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     val emb = Tables.embeddings(s, d)
-    val withB = emb.withColumn("bucket",
-      VectorOps.lshBucket(col("embedding"), Dim, nBits = 8))
-    val a = withB.select(col("bucket"), col("vec_id").as("src"),
+    val withT = emb.withColumn("t",
+      explode(VectorOps.lshTables(col("embedding"), Dim,
+        nBits = 6, nTables = 8)))
+    val a = withT.select(col("t"), col("vec_id").as("src"),
       col("embedding").as("a_vec"))
-    val b = withB.select(col("bucket").as("b_bucket"),
-      col("vec_id").as("dst"), col("embedding").as("b_vec"))
+    val b = withT.select(col("t").as("b_t"), col("vec_id").as("dst"),
+      col("embedding").as("b_vec"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos").desc, col("dst"))
-    val edges = a.join(b, col("bucket") === col("b_bucket")
+    val edges = a.join(b, col("t") === col("b_t")
           && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("a_vec"), col("b_vec"))
+      .distinct() // union of per-table collisions (the knnLsh shape)
       .select(col("src"), col("dst"),
         round(VectorOps.cosine(col("a_vec"), col("b_vec")), 6).as("cos"))
       .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 3)
+      // graph DEGREE M=8 (HNSW-class fanout), distinct from the k=3
+      // the serve returns: hop-1 probes 8 lists, rerank keeps 3
+      .where(col("rn") <= 8)
       .select(col("src"), col("dst"))
     // range-sorted on src so each file's manifest min/max covers a
     // disjoint adjacency range — a probe read opens only its node's

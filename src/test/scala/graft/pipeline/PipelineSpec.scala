@@ -206,6 +206,50 @@ class PipelineSpec extends SparkSpec {
       RawEvents.partitionPath(conf.curatedBase, "2025-01-03")).exists())
   }
 
+  test("backfill with auditTable: every attempt lands in the audit " +
+      "table, INCLUDING the gate failure (report-precedes-raise)") {
+    val conf0 = freshConf()
+    val conf = conf0.copy(
+      auditTable = Some(tmpDir("graft-pipe-audit") + "/audit"))
+    gen(conf, "2025-01-01")
+    val bad = EventsGen.generateDay("2025-01-02", nEvents = 5)
+      .map(_.copy(event_type = "hack"))
+    EventsGen.writeNdjson(bad, conf.rawBase, "2025-01-02")
+    intercept[DqFailedException] {
+      Pipeline.backfill(spark, conf, "2025-01-01", "2025-01-02")
+    }
+    val hist = graft.dq.DqAudit.history(spark, conf.auditTable.get)
+      .select("ingestion_date", "status").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(hist == Seq(("2025-01-01", "PASS"), ("2025-01-02", "FAIL")),
+      s"audit must hold both attempts: $hist")
+    // the failed date retries clean → audit keeps BOTH attempts, and
+    // the latest-per-date view flips to PASS
+    gen(conf, "2025-01-02")
+    Pipeline.runPartition(spark, conf, "2025-01-02")
+    assert(graft.dq.DqAudit.history(spark, conf.auditTable.get)
+      .count() == 3)
+    val latest = graft.dq.DqAudit.latestPerDate(spark, conf.auditTable.get)
+      .select("ingestion_date", "status").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(latest == Map("2025-01-01" -> "PASS", "2025-01-02" -> "PASS"))
+  }
+
+  test("parallel backfill with auditTable: concurrent appends to ONE " +
+      "audit table all land (reservation race retried, none lost)") {
+    val conf0 = freshConf()
+    val conf = conf0.copy(
+      auditTable = Some(tmpDir("graft-pipe-audit-par") + "/audit"))
+    val dates = (1 to 6).map(i => f"2025-02-0$i")
+    dates.foreach(gen(conf, _))
+    val reports = Pipeline.backfill(spark, conf, dates.head, dates.last,
+      maxParallel = 3)
+    assert(reports.length == 6)
+    val hist = graft.dq.DqAudit.history(spark, conf.auditTable.get)
+      .select("ingestion_date").collect().map(_.getString(0)).toSeq
+    assert(hist == dates, s"every concurrent run must audit: $hist")
+  }
+
   test("catalog: registered table prunes partitions and answers the audit query") {
     val conf = freshConf()
     gen(conf, "2025-01-01")

@@ -20,7 +20,7 @@ class RecallCacheSpec extends SparkSpec {
     val recall = RecallQueries.all.find(_.name == "emb_recall_at_k").get
     val df = recall.run(spark, sfDir)
     val rows = df.collect()
-    assert(rows.length == 3, rows.mkString("\n"))
+    assert(rows.length == 4, rows.mkString("\n"))
     // Dataset.storageLevel consults the cache manager by canonicalized
     // plan — NONE would mean the corpus was not registered as cached
     val emb = graft.Tables.embeddings(spark, sfDir)
@@ -54,6 +54,7 @@ class RecallCacheSpec extends SparkSpec {
     assert(recall("lsh") == expected("emb_knn_lsh", 3))
     assert(recall("ivf") == expected("emb_knn_ivf", 3))
     assert(recall("pq") == expected("emb_knn_pq", 5))
+    assert(recall("graph") == expected("emb_knn_graph", 3))
   }
 
   test("standalone index queries and the recall harness share builders " +
