@@ -67,8 +67,17 @@ object Bench {
     // join / aggregate / shuffle hot paths before the first timed
     // sample, so in-run numbers match isolated-run numbers from query
     // one.
-    SparkEntry.inventory.find(_.name == "q5_local_supplier_volume")
+    // Restricted tiers (ScaleUp --tables=...) legitimately lack the
+    // flagship's tables — fall back to warming with the first selected
+    // query instead of failing the whole run (each query still gets
+    // its own untimed warm pass below either way).
+    try SparkEntry.inventory.find(_.name == "q5_local_supplier_volume")
       .foreach(q => (1 to 2).foreach(_ => runOnce(q.run)))
+    catch {
+      case _: Throwable =>
+        selected.headOption.foreach(q =>
+          try runOnce(q.run) catch { case _: Throwable => () })
+    }
 
     val results = selected.map { q =>
       val (t, fp) =
