@@ -71,6 +71,39 @@ class SnapshotsSchemaSpec extends SparkSpec {
     assert(low.columns.contains("channel"))
   }
 
+  test("mergeRows into an evolved table: a CDC batch carrying the new " +
+      "column updates pre-change rows and the rewrite null-fills the " +
+      "rest") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("snap_schema_merge")
+    Snapshots.commitFull(v1Rows, t, "day")
+    Snapshots.commitAppend(v2Rows, t, "day")
+    // the CDC batch speaks the EVOLVED schema: update a pre-change row
+    // (gains a channel), delete another, insert into the old partition
+    val changes = Seq(
+      ("a-1", "d1", 999L, "email", "U"),
+      ("a-2", "d1", 0L, null.asInstanceOf[String], "D"),
+      ("a-9", "d1", 777L, "sms", "I"))
+      .toDF("id", "day", "cents", "channel", "op")
+    val v = Snapshots.mergeRows(spark, t, "day", "id", changes)
+    assert(v == 3)
+    val d1 = Snapshots.read(spark, t).where(col("day") === "d1")
+    assert(d1.count() == 6) // 6 - 1 deleted + 1 inserted
+    val byId = d1.collect().map(r => r.getAs[String]("id") ->
+      ((r.getAs[Long]("cents"), Option(r.getAs[String]("channel"))))).toMap
+    assert(byId("a-1") == ((999L, Some("email"))),
+      "updated pre-change row must carry the new column's value")
+    assert(byId("a-9") == ((777L, Some("sms"))))
+    assert(!byId.contains("a-2"), "deleted key must be gone")
+    assert(byId("a-3") == ((3L, None)),
+      "passed-through pre-change rows null-fill the new column")
+    // the untouched post-change partition still serves its values
+    assert(Snapshots.read(spark, t)
+      .where(col("day") === "d2" && col("channel").isNotNull)
+      .count() == 4)
+  }
+
   test("a rewrite of a pre-change partition lands under the evolved " +
       "schema; a type change is refused") {
     val s = spark
