@@ -616,12 +616,18 @@ object Snapshots {
     * the partition half-swapped. Returns the new version. */
   def commitOverwritePartition(df: DataFrame, table: String,
       partCol: String, value: String,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil,
+      expectedPrev: Option[Int] = None): Int = {
     val spark = df.sparkSession
     val prev = currentVersion(spark, table)
     require(prev >= 1, s"Snapshots: no initial commit under $table")
     val v = prev + 1
     reserve(spark, table, v)
+    // OCC snapshot validation — see commitOverwritePartitions
+    expectedPrev.filter(_ != prev).foreach { _ =>
+      breakReservation(spark, table, v)
+      throw new ConcurrentCommitException(table, v)
+    }
     val sch = validatedSchema(spark, table, prev, df,
       "commitOverwritePartition", v)
     val dir = s"data/c$v/$partCol=$value"
@@ -650,7 +656,8 @@ object Snapshots {
     * one commit per cell. Returns the new version. */
   def commitOverwritePartitions(df: DataFrame, table: String,
       partCol: String, values: Seq[String],
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil,
+      expectedPrev: Option[Int] = None): Int = {
     val spark = df.sparkSession
     val prev = currentVersion(spark, table)
     require(prev >= 1, s"Snapshots: no initial commit under $table")
@@ -661,6 +668,17 @@ object Snapshots {
         "reserved for the commit layout")
     val v = prev + 1
     reserve(spark, table, v)
+    // OCC snapshot validation (the Delta/Iceberg conflict check): a
+    // caller that computed `df` FROM version expectedPrev must not
+    // publish it on top of anything newer — that would silently drop
+    // the concurrent commit's changes to the named partitions (lost
+    // update). Checking AFTER the reservation is exact, not racy: the
+    // held slot is the only one that can publish next, so
+    // currentVersion is frozen at `prev` until we publish or release.
+    expectedPrev.filter(_ != prev).foreach { _ =>
+      breakReservation(spark, table, v)
+      throw new ConcurrentCommitException(table, v)
+    }
     val sch = validatedSchema(spark, table, prev, df,
       "commitOverwritePartitions", v)
     val restricted = df
@@ -763,7 +781,7 @@ object Snapshots {
     commitOverwritePartition(
       scanPaths(spark, table, mine, schemaOf(spark, table, cur))
         .coalesce(targetFiles),
-      table, partCol, value, statsCols)
+      table, partCol, value, statsCols, expectedPrev = Some(cur))
   }
 
   /** Copy-on-write row-level delete (the GDPR/retraction path): every
@@ -785,16 +803,19 @@ object Snapshots {
       keyCol: String, keys: DataFrame,
       statsCols: Seq[String] = Nil): Int = {
     import spark.implicits._
-    val affected = read(spark, table)
+    // the whole delete computes against ONE pinned version, and the
+    // commit validates it is still current (OCC) — a commit landing
+    // in between must fail the rewrite, not be silently overwritten
+    val baseV = currentVersion(spark, table)
+    val affected = readAsOf(spark, table, baseV)
       .join(keys.select(keyCol), Seq(keyCol), "left_semi")
       .select(col(partCol).cast("string")).distinct()
       .as[String].collect().sorted
     if (affected.isEmpty) return 0
-    val mine = manifestDF(spark, table, currentVersion(spark, table))
+    val mine = manifestDF(spark, table, baseV)
       .where(col("partition").isin(affected.toSeq: _*))
       .select("path").as[String].collect().toSeq
-    val kept = scanPaths(spark, table, mine,
-        schemaOf(spark, table, currentVersion(spark, table)))
+    val kept = scanPaths(spark, table, mine, schemaOf(spark, table, baseV))
       .join(keys.select(keyCol), Seq(keyCol), "left_anti")
     // statsCols must survive the rewrite: a compaction that dropped the
     // manifest min/max of the store's range column would silently turn
@@ -802,7 +823,7 @@ object Snapshots {
     // full-file scan of the rewritten partitions — overlapCol fails
     // open, so answers stay right while the targeted-read contract rots
     commitOverwritePartitions(kept, table, partCol, affected.toSeq,
-      statsCols)
+      statsCols, expectedPrev = Some(baseV))
     affected.length
   }
 
@@ -839,7 +860,11 @@ object Snapshots {
       keyCol: String, changes: DataFrame, opCol: String = "op",
       statsCols: Seq[String] = Nil): Int = {
     import spark.implicits._
-    val target = read(spark, table)
+    // one pinned version end-to-end, validated at commit (OCC): a
+    // concurrent commit between this read and the publish must fail
+    // the merge — retry from a fresh read — never be silently dropped
+    val baseV = currentVersion(spark, table)
+    val target = readAsOf(spark, table, baseV)
     val attrCols = target.columns.filterNot(_ == keyCol).toSeq
     val matched = target
       .join(changes.select(keyCol), Seq(keyCol), "left_semi")
@@ -853,18 +878,17 @@ object Snapshots {
     // exactly these files however long it runs, and a concurrent commit
     // cannot make it see a mix (brand-new landing partitions have no
     // files yet; their rows come solely from the change batch)
-    val mine = manifestDF(spark, table, currentVersion(spark, table))
+    val mine = manifestDF(spark, table, baseV)
       .where(col("partition").isin(affected.toSeq: _*))
       .select("path").as[String].collect().toSeq
     val pinned =
       if (mine.isEmpty) target.where(lit(false)) // pure-insert batch
-      else scanPaths(spark, table, mine,
-        schemaOf(spark, table, currentVersion(spark, table)))
+      else scanPaths(spark, table, mine, schemaOf(spark, table, baseV))
     val merged = graft.operators.Merge
       .upsert(pinned, changes, keyCol, attrCols, opCol)
       .drop("merge_status")
     commitOverwritePartitions(merged, table, partCol, affected.toSeq,
-      statsCols)
+      statsCols, expectedPrev = Some(baseV))
   }
 
   // ---- reads ----------------------------------------------------------
