@@ -133,12 +133,19 @@ object Anomaly {
       ingestionDate: String, batchTypeCounts: Map[String, Long],
       factor: Int = 2): Seq[String] = {
     val date = java.time.LocalDate.parse(ingestionDate)
+    // best-effort history: a trailing partition being REWRITTEN by a
+    // concurrent backfill date is transiently unreadable (purged dir /
+    // empty dir mid-write) — it reads as absent, exactly what a
+    // sequential run sees before that date lands. Warnings never gate,
+    // so absence is the safe degradation, not an error to propagate.
     val hist = (1 to 7).flatMap { back =>
       val d = date.minusDays(back.toLong).toString
       val path = RawEvents.partitionPath(curatedBase, d)
       if (graft.io.CuratedWriter.upstreamExists(spark, path))
-        spark.read.parquet(path).groupBy("event_type").count()
-          .collect().map(r => r.getString(0) -> r.getLong(1))
+        scala.util.Try(
+          spark.read.parquet(path).groupBy("event_type").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)))
+          .getOrElse(Array.empty[(String, Long)])
       else Array.empty[(String, Long)]
     }
     if (hist.isEmpty) return Nil
@@ -168,11 +175,13 @@ object Anomaly {
       ingestionDate: String, batchRows: Long,
       threshold: Double = DefaultThreshold): Option[String] = {
     val date = java.time.LocalDate.parse(ingestionDate)
+    // best-effort history — see typeDriftWarning: a sibling partition
+    // mid-rewrite under a concurrent backfill reads as absent
     val history = (1 to 7).flatMap { back =>
       val d = date.minusDays(back.toLong).toString
       val path = RawEvents.partitionPath(curatedBase, d)
       if (graft.io.CuratedWriter.upstreamExists(spark, path))
-        Some(spark.read.parquet(path).count())
+        scala.util.Try(spark.read.parquet(path).count()).toOption
       else None
     }
     if (history.isEmpty) None

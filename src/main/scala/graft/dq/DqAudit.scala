@@ -36,13 +36,22 @@ object DqAudit {
     * appends, so the retry simply rebases onto the winner's manifest. */
   def record(spark: SparkSession, table: String, report: DqReport,
       runTs: String): Int = {
-    var attempts = 0
+    // wall-clock retry budget, not a count: each rival append holds the
+    // slot for a full Spark write job (seconds), so N-way backfills
+    // serialize N jobs behind the winner — a fixed retry COUNT with
+    // millisecond sleeps starves the last writer (measured at 8-way).
+    // 120 s covers any realistic audit-append convoy; past it the slot
+    // is presumed orphaned by a crashed writer (fail-stop, operator
+    // breaks the reservation).
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    var backoff = 25L
     while (true) {
       try return recordOnce(spark, table, report, runTs)
       catch {
-        case _: Snapshots.ConcurrentCommitException if attempts < 64 =>
-          attempts += 1
-          Thread.sleep(20L * (1 + attempts % 8))
+        case e: Snapshots.ConcurrentCommitException =>
+          if (System.nanoTime() > deadline) throw e
+          Thread.sleep(backoff)
+          backoff = math.min(backoff * 2, 400L)
       }
     }
     -1 // unreachable

@@ -406,20 +406,40 @@ object Snapshots {
         "retry after it publishes")
 
   /** Optimistic concurrency: a commit must RESERVE currentVersion+1
-    * before writing anything. `create(path, overwrite=false)` is the
-    * filesystem's atomic test-and-set — exactly one writer per version
-    * slot, and only the slot directly above the published version can
-    * ever be reserved, so a racing writer can never base its manifest
-    * on a version that is about to be superseded. */
+    * before writing anything — exactly one writer per version slot, and
+    * only the slot directly above the published version can ever be
+    * reserved, so a racing writer can never base its manifest on a
+    * version that is about to be superseded.
+    *
+    * The test-and-set must be ATOMIC per filesystem. On HDFS/object
+    * stores `create(path, overwrite=false)` is; on the LOCAL filesystem
+    * it is exists-then-create — two threads could both pass the exists
+    * probe, both "win" the slot, and both write the same commit dir,
+    * where one job committer's cleanup deletes the other's _temporary
+    * tree mid-write (measured: TASK_WRITE_FAILED under a 3-way
+    * concurrent audit append). Local paths therefore use
+    * `java.io.File.createNewFile` — POSIX O_CREAT|O_EXCL, the atomic
+    * primitive. */
   private[graft] def reserve(spark: SparkSession, table: String, v: Int)
       : Unit = {
     val f = fs(spark, table)
     val marker = new Path(table, s"_commits/v$v.reserved")
     f.mkdirs(marker.getParent)
-    try f.create(marker, false).close()
-    catch {
-      case _: java.io.IOException =>
-        throw new ConcurrentCommitException(table, v)
+    val scheme = Option(marker.toUri.getScheme)
+      .getOrElse(Option(f.getUri).map(_.getScheme).getOrElse("file"))
+    if (scheme == "file") {
+      val local = new java.io.File(
+        new Path(f.makeQualified(marker).toUri.getPath).toString)
+      val won =
+        try local.createNewFile()
+        catch { case _: java.io.IOException => false }
+      if (!won) throw new ConcurrentCommitException(table, v)
+    } else {
+      try f.create(marker, false).close()
+      catch {
+        case _: java.io.IOException =>
+          throw new ConcurrentCommitException(table, v)
+      }
     }
   }
 

@@ -20,6 +20,22 @@ class DqAuditSpec extends SparkSpec {
       failures = DqCheck.all.flatMap(_.evaluate(c)))
   }
 
+  test("8 simultaneous record() calls all land, one version each " +
+      "(the reservation is an ATOMIC test-and-set, local fs included)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = tmpDir("dq_audit_race")
+    val fs = (1 to 8).map { i =>
+      Future(DqAudit.record(spark, t, report(f"2025-03-0$i", 0L), s"T$i"))
+    }
+    fs.foreach(Await.result(_, Duration.Inf))
+    assert(Snapshots.currentVersion(spark, t) == 8,
+      "every concurrent append must win exactly one version slot")
+    assert(DqAudit.history(spark, t).count() == 8,
+      "no append may be lost or doubled under the race")
+  }
+
   test("append-only run history; retry supersedes only in the " +
       "latest-per-date view; per-date reads prune; time travel works") {
     val t = tmpDir("dq_audit")
