@@ -71,12 +71,20 @@ object Bench {
     // flagship's tables — fall back to warming with the first selected
     // query instead of failing the whole run (each query still gets
     // its own untimed warm pass below either way).
+    // Only NonFatal is swallowed here: an OOM/linkage error during
+    // warm-up is a real failure that must crash the run, not surface
+    // confusingly inside the first timed sample.
     try SparkEntry.inventory.find(_.name == "q5_local_supplier_volume")
       .foreach(q => (1 to 2).foreach(_ => runOnce(q.run)))
     catch {
-      case _: Throwable =>
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] flagship warmup failed (${e.getMessage}); " +
+          "warming with first selected query")
         selected.headOption.foreach(q =>
-          try runOnce(q.run) catch { case _: Throwable => () })
+          try runOnce(q.run) catch {
+            case scala.util.control.NonFatal(e2) =>
+              System.err.println(s"[bench] fallback warmup failed too: ${e2.getMessage}")
+          })
     }
 
     val results = selected.map { q =>

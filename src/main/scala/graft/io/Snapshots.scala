@@ -153,8 +153,19 @@ object Snapshots {
     try out.write(s"v$v".getBytes(StandardCharsets.UTF_8))
     finally out.close()
     f.delete(floorPath(table), false)
-    require(f.rename(tmp, floorPath(table)),
-      s"Snapshots.vacuum: failed to publish retention floor v$v of $table")
+    if (!f.rename(tmp, floorPath(table))) {
+      // A reader running retentionFloor's crash-window self-heal can
+      // rename OUR tmp into place between the delete and the rename
+      // above — the publish then already happened (by the healer's
+      // hand), so re-read and accept an idempotent success instead of
+      // throwing on a floor that is in fact correctly published.
+      val now =
+        try readSmallFile(f, floorPath(table)).trim
+        catch { case scala.util.control.NonFatal(_) => "" }
+      require(now == s"v$v",
+        s"Snapshots.vacuum: failed to publish retention floor v$v of " +
+          s"$table (found '$now')")
+    }
   }
 
   // ---- schema tracking (add-only evolution) ----------------------------
@@ -229,13 +240,24 @@ object Snapshots {
       (prev.fields ++ added).map(_.copy(nullable = true)))
   }
 
-  /** The schema an evolving commit on top of `prev` publishes. */
+  /** The schema an evolving commit on top of `prev` publishes. Legacy
+    * adoption (a table written before schema tracking) resolves the
+    * CARRIED files' merged schema and evolves it against the frame's —
+    * adopting only `df.schema` would silently drop carried-file-only
+    * columns from every evolved read, and a type conflict with carried
+    * files would surface at scan time instead of refusing the commit.
+    * The mergeSchema footer pass is paid exactly once per pre-tracking
+    * table (every later commit finds a recorded `_schema`). */
   private def commitSchema(spark: SparkSession, table: String, prev: Int,
       df: DataFrame, op: String)
       : org.apache.spark.sql.types.StructType =
     schemaOf(spark, table, prev) match {
       case Some(s) => evolveSchema(s, df.schema, op)
-      case None => df.schema // legacy table: adopt the frame's schema
+      case None =>
+        val carriedPaths = manifestPaths(spark, table, prev)
+        val carried = spark.read.option("mergeSchema", "true")
+          .parquet(carriedPaths.map(p => s"$table/$p"): _*).schema
+        evolveSchema(carried, df.schema, op)
     }
 
   /** [[commitSchema]] validated BEFORE any data write: an add-only

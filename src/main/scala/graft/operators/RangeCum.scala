@@ -38,7 +38,14 @@ object RangeCum {
   def exclusive(df: DataFrame, bucket: Column, order: Seq[Column],
       sums: Seq[(Column, String)]): DataFrame = {
     require(sums.nonEmpty, "RangeCum.exclusive: no sums requested")
-    val b = df.withColumn("_rc_bucket", bucket)
+    // A NULL bucket would silently drop rows at the offsets equi-join
+    // (NULL never equi-joins) — fail fast instead of losing data. The
+    // guard lives INSIDE the consumed column so column pruning can't
+    // elide it (raise_error's NullType branch coerces to bucket's type).
+    val b = df.withColumn("_rc_bucket",
+      when(bucket.isNull, raise_error(lit(
+        "RangeCum.exclusive: bucket expression evaluated to NULL")))
+        .otherwise(bucket))
     // phase 1: per-bucket totals -> exclusive offsets. The global
     // window here runs over the BUCKET frame (#buckets rows), never
     // the data.

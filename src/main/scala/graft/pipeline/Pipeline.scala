@@ -12,7 +12,11 @@ import graft.io.{CuratedWriter, RawEvents}
   * ([[graft.dq.DqAudit]]): every run's report — including gate
   * FAILURES — appends there right after the per-run JSON report lands
   * and before any gate throw, so the backfill audit trail is
-  * queryable, not a directory of JSON files. */
+  * queryable, not a directory of JSON files. The append is
+  * BEST-EFFORT: an audit-table failure (e.g. an orphaned version
+  * reservation) is logged and swallowed — pipeline availability never
+  * couples to the audit table's health; the per-run JSON report file
+  * remains the hard record either way. */
 final case class PipelineConfig(
     rawBase: String,
     curatedBase: String,
@@ -84,13 +88,28 @@ object Pipeline {
     // audit BEFORE the gate throw — failed attempts are the audit
     // trail's whole point (the same report-precedes-raise contract as
     // the JSON write above)
-    conf.auditTable.foreach(t => graft.dq.DqAudit.record(spark, t,
-      report, java.time.Instant.now().toString))
+    auditBestEffort(spark, conf, report)
     if (report.status == "FAIL") throw new DqFailedException(report)
 
     CuratedWriter.overwritePartition(df, conf.curatedBase, ingestionDate)
     report
   }
+
+  /** Best-effort audit append (see [[PipelineConfig]]): a broken audit
+    * table must not abort a PASSING run's curated write, and on a
+    * failing run the DQ gate's own exception — not the audit error —
+    * is what the caller must see. The swallowed error is logged. */
+  private def auditBestEffort(spark: SparkSession, conf: PipelineConfig,
+      report: DqReport,
+      runTs: String = java.time.Instant.now().toString): Unit =
+    conf.auditTable.foreach { t =>
+      try graft.dq.DqAudit.record(spark, t, report, runTs)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[pipeline] audit append to $t failed " +
+            s"(best-effort; run status=${report.status}): ${e.getMessage}")
+      }
+    }
 
   /** Quarantine variant of [[runPartition]] — row-level diversion
     * instead of the all-or-nothing gate: offending rows land in a
@@ -139,8 +158,7 @@ object Pipeline {
     val report = DqReport(ingestionDate, rawPath, curatedPath, counters,
       failures, warnings)
     CuratedWriter.writeSingleFile(spark, metricsPath, report.toJson)
-    conf.auditTable.foreach(t => graft.dq.DqAudit.record(spark, t,
-      report, java.time.Instant.now().toString))
+    auditBestEffort(spark, conf, report)
     if (report.status == "FAIL") throw new DqFailedException(report)
 
     CuratedWriter.overwritePartition(quarantined, quarantineBase,
@@ -161,6 +179,66 @@ object Pipeline {
       start: String, end: String): Seq[DqReport] =
     dateRange(start, end)
       .map(d => runPartition(spark, conf, d)) // throws on first failure
+
+  /** Transient-by-default failure classes for [[backfillWithRetry]]:
+    * a missing upstream partition (late-landing feed — the reference's
+    * sensor wait, `docs/design.md:129-134`) and a lost snapshot
+    * version-slot race (another writer holds the audit/store slot —
+    * the same class the reference driver retries as
+    * `ConcurrentRunsExceededException`, `scripts/run_backfill.py:73-83`).
+    * A DQ gate failure is NOT transient: re-running over the same raw
+    * bytes recomputes the same counters. */
+  def defaultTransient(e: Throwable): Boolean = e match {
+    case _: MissingUpstreamException => true
+    case _: graft.io.Snapshots.ConcurrentCommitException => true
+    case _ => false
+  }
+
+  /** Backfill with bounded retry-with-backoff per date (the reference
+    * driver's retry loop, `scripts/run_backfill.py:73-83`, generalized):
+    * a TRANSIENT failure (per `isTransient`) retries with exponential
+    * backoff until the date's WALL-CLOCK budget runs out — time-bounded,
+    * not count-bounded, because each rival of a commit convoy holds its
+    * slot for a full Spark job (the round-10 DqAudit lesson). Every
+    * failed attempt is appended to the audit table (best-effort) as a
+    * FAIL row whose failure text carries attempt number and cause, so
+    * the history shows the retry trail, not just the final outcome;
+    * [[DqAudit.latestPerDate]] still surfaces the eventual PASS. A
+    * non-transient failure, or budget exhaustion, stops the wave (the
+    * sequential backfill contract — later dates never start). */
+  def backfillWithRetry(spark: SparkSession, conf: PipelineConfig,
+      start: String, end: String,
+      retryBudgetMs: Long = 120000L,
+      isTransient: Throwable => Boolean = defaultTransient,
+      initialBackoffMs: Long = 50L): Seq[DqReport] = {
+    require(retryBudgetMs >= 0, "retryBudgetMs must be >= 0")
+    dateRange(start, end).map { d =>
+      val deadline = System.nanoTime() + retryBudgetMs * 1000000L
+      var backoff = initialBackoffMs
+      var attempt = 1
+      var out: Option[DqReport] = None
+      while (out.isEmpty) {
+        try out = Some(runPartition(spark, conf, d))
+        catch {
+          case scala.util.control.NonFatal(e)
+              if isTransient(e) && System.nanoTime() < deadline =>
+            // runPartition audits only runs that got as far as a
+            // report; a pre-report transient (missing upstream, slot
+            // race) would otherwise leave no trace of the attempt
+            auditBestEffort(spark, conf, DqReport(d,
+              RawEvents.partitionPath(conf.rawBase, d),
+              RawEvents.partitionPath(conf.curatedBase, d),
+              graft.dq.DqCounters(0, 0, 0, 0, 0, 0),
+              failures = Seq(s"attempt $attempt (transient, will retry): " +
+                s"${e.getClass.getSimpleName}: ${e.getMessage}")))
+            Thread.sleep(backoff)
+            backoff = math.min(backoff * 2, 5000L)
+            attempt += 1
+        }
+      }
+      out.get
+    }
+  }
 
   /** Opt-in bounded-parallel backfill. Sequential stays the default
     * ([[backfill]] above = the reference's driver); this variant runs

@@ -129,4 +129,44 @@ class SnapshotsSchemaSpec extends SparkSpec {
     assert(ex.getMessage.contains("add-only"))
     assert(Snapshots.read(spark, t).schema("cents").dataType == LongType)
   }
+
+  test("legacy adoption resolves the CARRIED files' schema: a first " +
+      "tracked commit with a narrower frame keeps carried-only columns " +
+      "and refuses a type conflict with carried files") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("snap_schema_legacy")
+    Snapshots.commitFull(v2Rows, t, "day") // id, day, cents, channel
+    // simulate a pre-schema-tracking table: drop the recorded _schema
+    val f = new java.io.File(t, "_manifests/v1/_schema")
+    assert(f.delete(), "test setup: _schema must exist to delete")
+    assert(Snapshots.schemaOf(spark, t, 1).isEmpty)
+    // first tracked commit carries a frame LACKING `channel`: legacy
+    // adoption must take carried-files ++ frame, not just the frame —
+    // otherwise evolved reads silently drop `channel` from v2Rows' files
+    val narrow = Seq(("n-1", "d9", 7L)).toDF("id", "day", "cents")
+    Snapshots.commitAppend(narrow, t, "day")
+    val sch2 = Snapshots.schemaOf(spark, t, 2).get
+    assert(sch2.fieldNames.toSeq == Seq("id", "day", "cents", "channel"),
+      s"carried-file columns must survive legacy adoption: " +
+        s"${sch2.fieldNames.toSeq}")
+    val cur = Snapshots.read(spark, t)
+    assert(cur.where(col("channel").isNotNull).count() == 4)
+    assert(cur.where(col("day") === "d9" && col("channel").isNull)
+      .count() == 1)
+    // a type conflict with CARRIED files is refused at commit time
+    val t2 = tmpDir("snap_schema_legacy2")
+    Snapshots.commitFull(v1Rows, t2, "day")
+    assert(new java.io.File(t2, "_manifests/v1/_schema").delete())
+    val bad = Seq(("c-1", "d3", "oops")).toDF("id", "day", "cents")
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.commitAppend(bad, t2, "day")
+    }
+    assert(ex.getMessage.contains("add-only"),
+      s"legacy adoption must type-check against carried files: " +
+        ex.getMessage)
+    // the refused slot is released: the next good commit lands
+    Snapshots.commitAppend(narrow, t2, "day")
+    assert(Snapshots.currentVersion(spark, t2) == 2)
+  }
 }

@@ -78,4 +78,19 @@ class RangeCumSpec extends SparkSpec {
     assert(windows.exists(_.contains("_rc_tot_")),
       "missing the bucket-offsets window")
   }
+
+  test("a NULL bucket fails fast instead of silently dropping rows at " +
+      "the offsets equi-join") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", Some(1L)), ("b", None), ("c", Some(3L)))
+      .toDF("id", "v")
+    val out = RangeCum.exclusive(df, col("v") / 2,
+      Seq(col("v"), col("id")), Seq((col("v"), "cum")))
+    val e = intercept[Exception] { out.collect() }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: causes(t.getCause)
+    assert(causes(e).exists(m => m != null && m.contains(
+      "bucket expression evaluated to NULL")), s"got: ${causes(e)}")
+  }
 }

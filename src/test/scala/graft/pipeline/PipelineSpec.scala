@@ -309,6 +309,96 @@ class PipelineSpec extends SparkSpec {
       "a window past the failure must never start")
   }
 
+  test("backfillWithRetry: transient missing-upstream date succeeds on " +
+      "retry and the audit table shows BOTH attempts") {
+    val conf0 = freshConf()
+    val conf = conf0.copy(
+      auditTable = Some(tmpDir("graft-pipe-audit-retry") + "/audit"))
+    gen(conf, "2025-01-01")
+    // 2025-01-02's raw partition is absent at wave start; the feed
+    // "lands late" — modeled deterministically by generating it from
+    // inside the transient classifier (first retry sees it present)
+    var transientSeen = 0
+    val classify: Throwable => Boolean = { e =>
+      val t = Pipeline.defaultTransient(e)
+      if (t) {
+        transientSeen += 1
+        if (transientSeen == 1) gen(conf, "2025-01-02")
+      }
+      t
+    }
+    val reports = Pipeline.backfillWithRetry(spark, conf,
+      "2025-01-01", "2025-01-02", retryBudgetMs = 30000L,
+      isTransient = classify)
+    assert(reports.map(_.ingestionDate) == Seq("2025-01-01", "2025-01-02"))
+    assert(reports.forall(_.status == "PASS"))
+    assert(curated(conf, "2025-01-02").count() == 1010)
+    // audit trail: 01 PASS, 02 transient-FAIL attempt, 02 PASS retry
+    val hist = graft.dq.DqAudit.history(spark, conf.auditTable.get)
+      .select("ingestion_date", "status", "failures").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getSeq[String](r.fieldIndex("failures")).mkString(";")))
+    assert(hist.length == 3, s"expected 3 audit rows: ${hist.toSeq}")
+    assert(hist.count { case (d, s, _) => d == "2025-01-02" && s == "FAIL" }
+      == 1)
+    val failRow = hist.find(_._2 == "FAIL").get
+    assert(failRow._3.contains("attempt 1") &&
+      failRow._3.contains("MissingUpstreamException"),
+      s"the failed attempt must carry its cause: $failRow")
+    val latest = graft.dq.DqAudit.latestPerDate(spark, conf.auditTable.get)
+      .select("ingestion_date", "status").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(latest == Map("2025-01-01" -> "PASS", "2025-01-02" -> "PASS"))
+  }
+
+  test("backfillWithRetry: a permanent (DQ gate) failure stops the wave " +
+      "without retrying; budget exhaustion propagates the transient") {
+    val conf = freshConf()
+    gen(conf, "2025-01-01")
+    val bad = EventsGen.generateDay("2025-01-02", nEvents = 5)
+      .map(_.copy(event_type = "hack"))
+    EventsGen.writeNdjson(bad, conf.rawBase, "2025-01-02")
+    gen(conf, "2025-01-03")
+    var classifierCalls = 0
+    intercept[DqFailedException] {
+      Pipeline.backfillWithRetry(spark, conf, "2025-01-01", "2025-01-03",
+        retryBudgetMs = 30000L,
+        isTransient = { e => classifierCalls += 1
+          Pipeline.defaultTransient(e) })
+    }
+    assert(classifierCalls == 1, "the gate failure must not be retried")
+    assert(curated(conf, "2025-01-01").count() == 1010)
+    assert(!new File(
+      RawEvents.partitionPath(conf.curatedBase, "2025-01-03")).exists(),
+      "a date past the permanent failure must never start")
+    // budget 0: the first transient immediately propagates
+    val conf2 = freshConf()
+    intercept[MissingUpstreamException] {
+      Pipeline.backfillWithRetry(spark, conf2, "2025-01-01", "2025-01-01",
+        retryBudgetMs = 0L)
+    }
+  }
+
+  test("audit append is best-effort: a wedged audit table (orphaned " +
+      "reservation) does not abort a passing run's curated write") {
+    val conf0 = freshConf()
+    val audit = tmpDir("graft-pipe-audit-wedge") + "/audit"
+    val conf = conf0.copy(auditTable = Some(audit))
+    gen(conf, "2025-01-01")
+    Pipeline.runPartition(spark, conf, "2025-01-01")
+    // wedge the audit table: orphan the NEXT version slot so every
+    // append hits the 120 s convoy deadline… which would dwarf the
+    // test; instead corrupt the pointer file so recordOnce throws
+    // immediately (NumberFormatException — a NonFatal infra failure)
+    val cur = new File(audit, "_CURRENT")
+    java.nio.file.Files.writeString(cur.toPath, "not-a-version")
+    gen(conf, "2025-01-02")
+    val report = Pipeline.runPartition(spark, conf, "2025-01-02")
+    assert(report.status == "PASS")
+    assert(curated(conf, "2025-01-02").count() == 1010,
+      "curated write must land despite the broken audit table")
+  }
+
   test("recursive raw read recovers partition dates from file paths (S1/P4)") {
     val conf = freshConf()
     gen(conf, "2025-01-01", n = 50)
