@@ -1789,21 +1789,29 @@ object SimilarityQueries {
 
     // --- graph-index ANN: committed k-NN graph + 2-hop beam serve --------
     // The graph-index alternative alongside IVF/PQ (the HNSW/NSG family
-    // reduced to its Spark-native core): BUILD commits a directed 3-NN
-    // edge relation over MULTI-TABLE LSH candidates (6 bits × 8 tables
-    // — OR-amplified like emb_knn_lsh; a single 8-bit table starves the
-    // graph: ~corpus/256 vectors per bucket leaves most nodes nearly
-    // edgeless at small corpora and low-recall at any size, measured
-    // 1/30 before the amplification) as a snapshot table RANGE-SORTED
-    // on src (each file covers a disjoint src range, recorded as
-    // manifest min/max), and SERVE answers a query by greedy 2-hop
-    // expansion over adjacency lists read OFF THE STORE: one batched
-    // stats-pruned range read per hop (bounded probe sets, O(edges of
-    // probed files) bytes — never the corpus), exact-cosine
-    // rerank of the ≤ M+M² candidates (M=8 graph degree), top-3. The graph's own edges
-    // amplify what the tables miss: a true neighbor reachable through
-    // any shared intermediate surfaces at hop 2. The oracle replays
-    // build and walk flat in SQL, so a hash match proves the persisted
+    // reduced to its Spark-native core): BUILD commits a directed k-NN
+    // edge relation (degree M=24) as a snapshot table RANGE-SORTED on
+    // src (each file covers a disjoint src range, recorded as manifest
+    // min/max), and SERVE answers a query by greedy 2-hop expansion
+    // over adjacency lists read OFF THE STORE: one batched stats-pruned
+    // range read per hop (bounded probe sets, O(edges of probed files)
+    // bytes — never the corpus), exact-cosine rerank of the ≤ M+M²
+    // candidates, top-3.
+    //
+    // Build candidates = multi-table LSH (6 bits × 8 tables, the
+    // emb_knn_lsh amplification; one 8-bit table measured 1/30 recall
+    // from bucket starvation) REFINED by one NN-DESCENT round (Dong et
+    // al., WWW'11 — the billion-scale graph-build standard): the
+    // neighbor-of-a-neighbor pool (undirected, so reverse edges
+    // contribute) re-ranked to top-M repairs the edges LSH missed.
+    // Measured on the recall harness (GraphRecallLab, sf0.1/2000 vecs):
+    // LSH-only M=8 = 0.50 recall@3, +NN-descent M=16 plateaus at 0.87
+    // (disconnected LSH component), M=24 + 1 round = 0.97, 1.00 at
+    // sf0.01 — above IVF's 0.90 at comparable serve cost. Round cost is
+    // one self-join of the M-degree graph (O(N·M²) pairs, linear in N;
+    // production NN-descent samples the pool — ρ<1 — to cut the
+    // constant). The oracle replays build (LSH pool, NN-descent round,
+    // top-M) and walk flat in SQL, so a hash match proves the persisted
     // index serves exactly the walk's semantics; its recall rides
     // emb_recall_at_k's 'graph' row against the same brute-force truth
     // as IVF/LSH/PQ.
@@ -1827,9 +1835,21 @@ object SimilarityQueries {
            |    ROUND(${Sql.cos("ae.embedding", "be.embedding")}, 6) AS cos
            |  FROM c JOIN embeddings ae ON ae.vec_id = c.src
            |    JOIN embeddings be ON be.vec_id = c.dst),
+           |k0 AS (SELECT src, dst FROM (
+           |    SELECT src, dst, row_number() OVER (PARTITION BY src
+           |      ORDER BY cos DESC, dst) AS rn FROM cs) WHERE rn <= 24),
+           |und AS (SELECT src, dst FROM k0
+           |  UNION ALL SELECT dst AS src, src AS dst FROM k0),
+           |nn AS (SELECT a.src, b.dst FROM und a JOIN und b
+           |  ON a.dst = b.src AND a.src <> b.dst),
+           |c1 AS (SELECT src, dst FROM k0 UNION SELECT src, dst FROM nn),
+           |cs1 AS (SELECT c1.src, c1.dst,
+           |    ROUND(${Sql.cos("ae.embedding", "be.embedding")}, 6) AS cos
+           |  FROM c1 JOIN embeddings ae ON ae.vec_id = c1.src
+           |    JOIN embeddings be ON be.vec_id = c1.dst),
            |k AS (SELECT src, dst FROM (
            |    SELECT src, dst, row_number() OVER (PARTITION BY src
-           |      ORDER BY cos DESC, dst) AS rn FROM cs) WHERE rn <= 8),
+           |      ORDER BY cos DESC, dst) AS rn FROM cs1) WHERE rn <= 24),
            |q AS (SELECT vec_id AS q_id, embedding AS q_vec
            |  FROM embeddings WHERE vec_id < 10),
            |h1 AS (SELECT q.q_id, k.dst FROM q JOIN k ON k.src = q.q_id),
@@ -1869,27 +1889,45 @@ object SimilarityQueries {
         nBits = 6, nTables = 8)))
     val a = withT.select(col("t"), col("vec_id").as("src"))
     val b = withT.select(col("t").as("b_t"), col("vec_id").as("dst"))
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("cos").desc, col("dst"))
-    // dedupe the per-table collision union as NARROW (src, dst) pairs —
-    // a first cut carried both 64-float vectors through the distinct's
-    // shuffle and tripled the build (measured 30 s vs 9 at sf0.1);
-    // vectors re-attach by two id equi-joins (the oracle's own shape)
+    // dedupe every candidate pool as NARROW (src, dst) pairs — a first
+    // cut carried both 64-float vectors through the distinct's shuffle
+    // and tripled the build (measured 30 s vs 9 at sf0.1); vectors
+    // re-attach by two id equi-joins (the oracle's own shape). Graph
+    // DEGREE M=24 (HNSW-class fanout), distinct from the k=3 the serve
+    // returns: hop-1 probes 24 lists, rerank keeps 3.
+    def topM(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst"))
+      cand
+        .join(emb.select(col("vec_id").as("src"),
+          col("embedding").as("a_vec")), Seq("src"))
+        .join(emb.select(col("vec_id").as("dst"),
+          col("embedding").as("b_vec")), Seq("dst"))
+        .select(col("src"), col("dst"),
+          round(VectorOps.cosine(col("a_vec"), col("b_vec")), 6)
+            .as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 24)
+        .select(col("src"), col("dst"))
+    }
     val pairs = a.join(b, col("t") === col("b_t")
           && col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
-    val edges = pairs
-      .join(emb.select(col("vec_id").as("src"),
-        col("embedding").as("a_vec")), Seq("src"))
-      .join(emb.select(col("vec_id").as("dst"),
-        col("embedding").as("b_vec")), Seq("dst"))
-      .select(col("src"), col("dst"),
-        round(VectorOps.cosine(col("a_vec"), col("b_vec")), 6).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      // graph DEGREE M=8 (HNSW-class fanout), distinct from the k=3
-      // the serve returns: hop-1 probes 8 lists, rerank keeps 3
-      .where(col("rn") <= 8)
+    // ONE NN-DESCENT round over the LSH-seeded graph (Dong et al.,
+    // WWW'11): the undirected neighbor-of-a-neighbor pool re-ranked to
+    // top-M repairs edges the hash tables missed — recall@3 0.50 → 0.97
+    // at sf0.1 (measured, GraphRecallLab; scaladoc above). One
+    // self-join of the M-degree graph: O(N·M²) pairs, linear in N.
+    // localCheckpoint cuts the lineage before the self-join (the
+    // iterative-plan discipline) — N·M narrow rows, bounded.
+    val k0 = topM(pairs).localCheckpoint()
+    val und = k0.unionByName(
+      k0.select(col("dst").as("src"), col("src").as("dst")))
+    val nn = und.select(col("src"), col("dst").as("mid"))
+      .join(und.select(col("src").as("mid"), col("dst")), Seq("mid"))
       .select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+    val edges = topM(k0.unionByName(nn).distinct())
     // range-sorted on src so each file's manifest min/max covers a
     // disjoint adjacency range — a probe read opens only its node's
     // file (the BM25-postings layout, src for term)
