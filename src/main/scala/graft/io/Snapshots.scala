@@ -895,11 +895,18 @@ object Snapshots {
     *
     * Caller contract (the MERGE contract [[graft.operators.Merge]]
     * documents): `keyCol` is unique in the table and at most one
-    * change row per key per batch. `changes` carries the table's
-    * columns plus `opCol`. Returns the new version, or 0 when the
-    * batch touches nothing (no commit). */
+    * change row per key per batch. `changes` carries `keyCol`,
+    * `partCol`, `opCol`, and any subset of the table's other columns:
+    * a batch from a producer still emitting a PRE-EVOLUTION shape
+    * merges fine — table columns the batch lacks are null-filled in
+    * its rows (the write-path dual of the read path's null-fill of
+    * old files; a change row is a full-row statement in the schema its
+    * producer knows, so columns it has never heard of hold NULL, not a
+    * carried-over target value). Columns NEW to the batch evolve the
+    * table schema add-only, exactly as a commit would. Returns the new
+    * version, or 0 when the batch touches nothing (no commit). */
   def mergeRows(spark: SparkSession, table: String, partCol: String,
-      keyCol: String, changes: DataFrame, opCol: String = "op",
+      keyCol: String, changes0: DataFrame, opCol: String = "op",
       statsCols: Seq[String] = Nil): Int = {
     import spark.implicits._
     // one pinned version end-to-end, validated at commit (OCC): a
@@ -907,7 +914,21 @@ object Snapshots {
     // the merge — retry from a fresh read — never be silently dropped
     val baseV = currentVersion(spark, table)
     val target = readAsOf(spark, table, baseV)
-    val attrCols = target.columns.filterNot(_ == keyCol).toSeq
+    Seq(keyCol, partCol, opCol).foreach(c =>
+      require(changes0.columns.contains(c),
+        s"Snapshots.mergeRows: change batch must carry '$c'"))
+    // null-fill table columns the (schema-evolved-past) batch lacks
+    val changes = target.schema.fields
+      .filterNot(f => changes0.columns.contains(f.name))
+      .foldLeft(changes0)((df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType)))
+    // columns NEW to the batch ride through the merge and evolve the
+    // table schema add-only at the commit (target rows null-fill them,
+    // the same rule an append evolution applies to old files)
+    val batchNew = changes0.schema.fields
+      .filterNot(f => target.columns.contains(f.name) || f.name == opCol)
+    val attrCols = (target.columns.filterNot(_ == keyCol) ++
+      batchNew.map(_.name)).toSeq
     val matched = target
       .join(changes.select(keyCol), Seq(keyCol), "left_semi")
       .select(col(partCol).cast("string"))
@@ -923,9 +944,11 @@ object Snapshots {
     val mine = manifestDF(spark, table, baseV)
       .where(col("partition").isin(affected.toSeq: _*))
       .select("path").as[String].collect().toSeq
-    val pinned =
+    val pinned0 =
       if (mine.isEmpty) target.where(lit(false)) // pure-insert batch
       else scanPaths(spark, table, mine, schemaOf(spark, table, baseV))
+    val pinned = batchNew.foldLeft(pinned0)((df, f) =>
+      df.withColumn(f.name, lit(null).cast(f.dataType)))
     val merged = graft.operators.Merge
       .upsert(pinned, changes, keyCol, attrCols, opCol)
       .drop("merge_status")

@@ -259,6 +259,95 @@ object SnapshotQueries {
         .orderBy(col("tag"), col("event_type"), col("channel"))
     },
 
+    // --- MERGE × schema evolution: an old-shape CDC batch ----------------
+    // The first-schema-change-after-go-live scenario (reference
+    // `docs/design.md:165`): the table evolves (era-2 append adds
+    // 'channel'), but a producer still emits the PRE-EVOLUTION shape.
+    // mergeRows null-fills the table columns the batch lacks — the
+    // write-path dual of the read path's old-file null-fill: a change
+    // row is a full-row statement in the schema its producer knows, so
+    // an updated row's evolved column becomes NULL (not a carried-over
+    // target value), while untouched rows keep theirs. The result reads
+    // the pinned pre-merge version AND the merged current one; the
+    // oracle recomputes both flat, so a hash match proves the null-fill
+    // semantics and that time travel across the merge still returns the
+    // evolved-but-unmerged rows.
+    Q(
+      "q_snapshot_merge_evolved",
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL),
+        |v2 AS (SELECT event_id, event_type,
+        |    CAST(NULL AS VARCHAR) AS channel, cents
+        |  FROM e WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_id, event_type,
+        |    CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'web'
+        |         WHEN 1 THEN 'app' ELSE 'api' END AS channel, cents
+        |  FROM e WHERE event_id % 2 <> 0),
+        |v3 AS (SELECT event_type,
+        |    CASE WHEN event_id % 10 = 3 THEN CAST(NULL AS VARCHAR)
+        |         ELSE channel END AS channel,
+        |    cents * CASE WHEN event_id % 10 = 3 THEN 3 ELSE 1 END AS cents
+        |  FROM v2 WHERE event_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT 'restated' AS event_type, CAST(NULL AS VARCHAR) AS channel,
+        |    cents + 7 AS cents
+        |  FROM e WHERE event_id % 10 = 1)
+        |SELECT tag, event_type, channel, n, sum_cents FROM (
+        |  SELECT 'v2_premerge' AS tag, event_type, channel,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |  FROM v2 GROUP BY event_type, channel
+        |  UNION ALL
+        |  SELECT 'v3_merged' AS tag, event_type, channel,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |  FROM v3 GROUP BY event_type, channel)
+        |ORDER BY tag, event_type, channel NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      val table = scratch(d) + "_merge_evolved"
+      val p = new Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      Snapshots.commitFull(
+        ev.where(pmod(col("event_id"), lit(2)) === 0), table, "event_type")
+      val v2 = Snapshots.commitAppend(
+        ev.where(pmod(col("event_id"), lit(2)) =!= 0)
+          .withColumn("channel",
+            when(pmod(col("event_id"), lit(3)) === 0, "web")
+              .when(pmod(col("event_id"), lit(3)) === 1, "app")
+              .otherwise("api")),
+        table, "event_type")
+      // the OLD-SHAPE batch: event_id, event_type, cents, op — no channel
+      val oldShape = ev.where(pmod(col("event_id"), lit(10)) === 3)
+        .withColumn("cents", col("cents") * 3)
+        .withColumn("op", lit("U"))
+        .unionByName(ev.where(pmod(col("event_id"), lit(10)) === 7)
+          .withColumn("op", lit("D")))
+        .unionByName(ev.where(pmod(col("event_id"), lit(10)) === 1)
+          .select((col("event_id") + 1000000000000L).as("event_id"),
+            lit("restated").as("event_type"),
+            (col("cents") + 7).as("cents"))
+          .withColumn("op", lit("I")))
+      Snapshots.mergeRows(s, table, "event_type", "event_id", oldShape)
+
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(col("event_type"), col("channel"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("sum_cents"))
+          .select(lit(tag).as("tag"), col("event_type"), col("channel"),
+            col("n"), col("sum_cents"))
+
+      agg(Snapshots.readAsOf(s, table, v2), "v2_premerge")
+        .unionByName(agg(Snapshots.read(s, table), "v3_merged"))
+        .orderBy(col("tag"), col("event_type"), col("channel"))
+    },
+
     // --- partition evolution: new layout, no rewrite ---------------------
     // The Iceberg marquee capability the manifest design earns for free:
     // era 1 commits half the events partitioned BY DATE (the original

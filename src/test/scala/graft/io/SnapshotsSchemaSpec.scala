@@ -104,6 +104,64 @@ class SnapshotsSchemaSpec extends SparkSpec {
       .count() == 4)
   }
 
+  test("mergeRows accepts an OLD-SHAPE batch after an evolution " +
+      "(recorded-schema null-fill on write), a NEW-column batch evolves " +
+      "the schema through the merge, and time travel spans both") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("snap_schema_merge_old")
+    Snapshots.commitFull(v1Rows, t, "day") // v1: id, day, cents
+    val v2 = Snapshots.commitAppend(v2Rows, t, "day") // v2: + channel
+    // a producer still emitting the PRE-EVOLUTION shape: no channel
+    val oldShape = Seq(
+      ("a-1", "d1", 111L, "U"),
+      ("a-2", "d1", 0L, "D"),
+      ("b-1", "d2", 222L, "U"), // post-change row updated by old shape
+      ("z-1", "d3", 333L, "I")) // insert into a brand-new partition
+      .toDF("id", "day", "cents", "op")
+    val v3 = Snapshots.mergeRows(spark, t, "day", "id", oldShape)
+    assert(v3 == 3)
+    val cur = Snapshots.read(spark, t)
+    assert(cur.columns.toSeq == Seq("id", "day", "cents", "channel"))
+    assert(cur.count() == 10) // 6 + 4 - 1 deleted + 1 inserted
+    val byId = cur.collect().map(r => r.getAs[String]("id") ->
+      ((r.getAs[Long]("cents"), Option(r.getAs[String]("channel"))))).toMap
+    assert(byId("a-1") == ((111L, None)))
+    assert(!byId.contains("a-2"))
+    assert(byId("z-1") == ((333L, None)))
+    // the old-shape update is a full-row statement in ITS schema: the
+    // evolved column null-fills, mirroring the read path's rule
+    assert(byId("b-1") == ((222L, None)),
+      "old-shape update must null-fill the evolved column")
+    assert(byId("b-2")._2 == Some("web-2"),
+      "untouched post-change rows keep their values")
+    // time travel across the merge AND the evolution
+    assert(Snapshots.readAsOf(spark, t, 1).columns.toSeq ==
+      Seq("id", "day", "cents"))
+    assert(Snapshots.readAsOf(spark, t, v2)
+      .where(col("id") === "a-2").count() == 1)
+    // a batch carrying a column the TABLE has never seen evolves the
+    // schema add-only through the merge
+    val newer = Seq(("a-3", "d1", 555L, "promo", "U"))
+      .toDF("id", "day", "cents", "origin", "op")
+    val v4 = Snapshots.mergeRows(spark, t, "day", "id", newer)
+    val cur4 = Snapshots.read(spark, t)
+    assert(cur4.columns.toSeq ==
+      Seq("id", "day", "cents", "channel", "origin"))
+    val a3 = cur4.where(col("id") === "a-3").collect().head
+    assert(a3.getAs[Long]("cents") == 555L &&
+      a3.getAs[String]("origin") == "promo")
+    assert(cur4.where(col("origin").isNull).count() == cur4.count() - 1,
+      "every pre-existing row null-fills the merged-in column")
+    assert(Snapshots.schemaOf(spark, t, v4).get.fieldNames.contains("origin"))
+    // a key/part/op-less batch is refused fail-fast
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.mergeRows(spark, t, "day", "id",
+        Seq(("x", 1L)).toDF("id", "cents"))
+    }
+    assert(ex.getMessage.contains("must carry"))
+  }
+
   test("a rewrite of a pre-change partition lands under the evolved " +
       "schema; a type change is refused") {
     val s = spark
