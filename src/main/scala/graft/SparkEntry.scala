@@ -23,7 +23,8 @@ object SparkEntry {
         WindowingQueries.all ++ StatsQueries.all ++ TextQueries.all ++
         DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
         CurationQueries.all ++ GraphQueries.all ++ SnapshotQueries.all ++
-        RecallQueries.all ++ RetrievalQueries.all ++ RankStatsQueries.all
+        RecallQueries.all ++ RetrievalQueries.all ++ RankStatsQueries.all ++
+        PipelineQueries.all
     val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
     all
