@@ -168,6 +168,100 @@ object Snapshots {
     }
   }
 
+  // ---- named refs (tags) ------------------------------------------------
+  //
+  // A `_refs/<name>` file beside the metadata log pins one version
+  // under a human name — the reproducible-training handle ("the v the
+  // model saw" as `train-2026-08`, not an integer in a notebook; the
+  // Iceberg tag concept, reference `docs/design.md:168`'s "at scale"
+  // clause). Same publish discipline as `_CURRENT` (write-temp +
+  // rename, crash-window self-heal on read), and [[vacuum]] refuses to
+  // reclaim below any tagged version: the retention floor CLAMPS to
+  // the lowest tag, so a pinned training snapshot survives every
+  // routine vacuum until its tag is deleted.
+
+  private def refsDir(table: String) = new Path(table, "_refs")
+
+  private def refPath(table: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*")
+        && !name.endsWith(".tmp"),
+      s"Snapshots: invalid ref name '$name' (letters/digits/._- only, " +
+        "must not end with .tmp)")
+    new Path(refsDir(table), name)
+  }
+
+  /** Pin version `v` under `name`. Tags are immutable: re-tagging the
+    * same name is idempotent at the same version and refused at a
+    * different one unless `replace = true` (an explicit retarget, the
+    * audit-visible operation). Tagging a vacuumed version is refused —
+    * a tag is a retention promise and must be made while the version
+    * is still retained. */
+  def tag(spark: SparkSession, table: String, name: String, v: Int,
+      replace: Boolean = false): Unit = {
+    val f = fs(spark, table)
+    val cur = currentVersion(spark, table)
+    require(v >= 1 && v <= cur,
+      s"Snapshots.tag: version $v does not exist under $table")
+    require(v >= retentionFloor(spark, table),
+      s"Snapshots.tag: v$v of $table is below the retention floor " +
+        "(vacuumed versions cannot be tagged)")
+    val p = refPath(table, name)
+    versionOfRefOpt(spark, table, name).foreach { existing =>
+      if (existing == v) return // idempotent re-publish
+      require(replace,
+        s"Snapshots.tag: ref '$name' already pins v$existing of $table " +
+          s"(pass replace=true to retarget to v$v)")
+    }
+    f.mkdirs(refsDir(table))
+    val tmp = new Path(refsDir(table), s"$name.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"v$v".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(p, false)
+    require(f.rename(tmp, p),
+      s"Snapshots.tag: failed to publish ref '$name' of $table")
+  }
+
+  private def versionOfRefOpt(spark: SparkSession, table: String,
+      name: String): Option[Int] = {
+    val f = fs(spark, table)
+    val p = refPath(table, name)
+    // crash-window self-heal (the _CURRENT discipline)
+    val tmp = new Path(refsDir(table), s"$name.tmp")
+    if (!f.exists(p) && f.exists(tmp)) f.rename(tmp, p)
+    if (!f.exists(p)) None
+    else Some(readSmallFile(f, p).trim.stripPrefix("v").toInt)
+  }
+
+  /** The version a ref pins. */
+  def versionOfRef(spark: SparkSession, table: String, name: String): Int =
+    versionOfRefOpt(spark, table, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"Snapshots.versionOfRef: no ref '$name' under $table"))
+
+  /** Read the snapshot a ref pins — exactly [[readAsOf]] of its
+    * version. */
+  def readRef(spark: SparkSession, table: String, name: String): DataFrame =
+    readAsOf(spark, table, versionOfRef(spark, table, name))
+
+  /** Drop a ref; its version becomes reclaimable by the NEXT vacuum.
+    * Returns whether the ref existed. */
+  def deleteTag(spark: SparkSession, table: String, name: String): Boolean =
+    fs(spark, table).delete(refPath(table, name), false)
+
+  /** All published refs, (name, version), name-sorted. Metadata-only
+    * (one dir listing — O(refs)). */
+  def listRefs(spark: SparkSession, table: String): Seq[(String, Int)] = {
+    val f = fs(spark, table)
+    val dir = refsDir(table)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filterNot(_.endsWith(".tmp"))
+      .flatMap(n => versionOfRefOpt(spark, table, n).map(n -> _))
+      .sortBy(_._1)
+  }
+
   // ---- schema tracking (add-only evolution) ----------------------------
   //
   // Every version records the table schema it was committed under as a
@@ -1210,7 +1304,14 @@ object Snapshots {
     // floors never regress: versions below an already-published floor
     // are gone or graced, so a lower retainFrom cannot resurrect them
     val prevFloor = retentionFloor(spark, table)
-    val floor = math.max(retainFrom, prevFloor)
+    // tags are retention promises: the floor CLAMPS to the lowest
+    // tagged version, so a vacuum can never reclaim a version a ref
+    // still pins (delete the tag to release it). Tagging below the
+    // floor is refused at tag time, so minTag >= prevFloor always and
+    // the clamp cannot regress the floor.
+    val minTag = listRefs(spark, table).map(_._2)
+      .minOption.getOrElse(Int.MaxValue)
+    val floor = math.max(prevFloor, math.min(retainFrom, minTag))
     // retention-floor compaction: if the floor version is a delta, its
     // chain resolves through manifests scheduled for deletion —
     // materialize it as a checkpoint IN PLACE first (later deltas

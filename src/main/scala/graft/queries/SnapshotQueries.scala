@@ -26,24 +26,30 @@ object SnapshotQueries {
     s"${sys.props("java.io.tmpdir")}/graft_snapshot_q/$tag"
   }
 
+  /** Shared by q_time_travel and q_snapshot_tag VERBATIM: a ref read
+    * is defined as readAsOf of the pinned version, so the same oracle
+    * proving one proves the other. */
+  private val TimeTravelOracle: String =
+    """WITH e AS (SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type IS NOT NULL)
+      |SELECT tag, event_type, n, sum_cents FROM (
+      |  SELECT 'v1' AS tag, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |  FROM e GROUP BY event_type
+      |  UNION ALL
+      |  SELECT 'v2_current' AS tag, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 2 * cents
+      |              ELSE cents END) AS BIGINT) AS sum_cents
+      |  FROM e GROUP BY event_type)
+      |ORDER BY tag, event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "q_time_travel",
-      """WITH e AS (SELECT event_type,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM events WHERE event_type IS NOT NULL)
-        |SELECT tag, event_type, n, sum_cents FROM (
-        |  SELECT 'v1' AS tag, event_type,
-        |    CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(cents) AS BIGINT) AS sum_cents
-        |  FROM e GROUP BY event_type
-        |  UNION ALL
-        |  SELECT 'v2_current' AS tag, event_type,
-        |    CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 2 * cents
-        |              ELSE cents END) AS BIGINT) AS sum_cents
-        |  FROM e GROUP BY event_type)
-        |ORDER BY tag, event_type""".stripMargin
+      TimeTravelOracle
     ) { (s, d) =>
       val table = scratch(d)
       // clean slate → version numbers are deterministic per run
@@ -72,6 +78,51 @@ object SnapshotQueries {
       // the PINNED pre-rewrite version and the current version, read
       // AFTER the rewrite landed — time travel is the point
       agg(Snapshots.readAsOf(s, table, v1), "v1")
+        .unionByName(agg(Snapshots.read(s, table), "v2_current"))
+        .orderBy(col("tag"), col("event_type"))
+    },
+
+    // --- named refs: read-by-tag ≡ readAsOf ------------------------------
+    // The reproducible-training handle (reference `docs/design.md:168`'s
+    // "at scale" clause): v1 is tagged 'train-base' BEFORE the rewrite
+    // lands, and the result's v1 leg reads through Snapshots.readRef —
+    // by the tag name, not the integer. The oracle is q_time_travel's
+    // VERBATIM: a ref read is defined as readAsOf of the pinned
+    // version, so one hash proves both. The tag also pins retention
+    // (vacuum clamps its floor to the lowest tag — SnapshotsSpec's
+    // vacuum-protection case); here the engine additionally asserts
+    // the ref round-trips through listRefs.
+    Q(
+      "q_snapshot_tag",
+      TimeTravelOracle
+    ) { (s, d) =>
+      val table = scratch(d) + "_tag"
+      val p = new Path(table)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      val v1 = Snapshots.commitFull(ev, table, "event_type")
+      Snapshots.tag(s, table, "train-base", v1)
+      Snapshots.commitOverwritePartition(
+        ev.where(col("event_type") === "purchase")
+          .withColumn("cents", col("cents") * 2),
+        table, "event_type", "purchase")
+      require(Snapshots.listRefs(s, table) == Seq("train-base" -> v1),
+        "the published ref must round-trip through listRefs")
+
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("sum_cents"))
+          .select(lit(tag).as("tag"), col("event_type"), col("n"),
+            col("sum_cents"))
+
+      // the pinned version BY NAME, read after the rewrite landed
+      agg(Snapshots.readRef(s, table, "train-base"), "v1")
         .unionByName(agg(Snapshots.read(s, table), "v2_current"))
         .orderBy(col("tag"), col("event_type"))
     },

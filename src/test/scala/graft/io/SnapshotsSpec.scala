@@ -132,6 +132,56 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).where(col("day") === "d1").count() == 5)
   }
 
+  test("a tag pins retention: vacuum clamps to the lowest tagged " +
+      "version; deleting the tag releases it") {
+    val t = tmpDir("snap_tag")
+    Snapshots.commitFull(
+      rows("d1", 1 to 5, 0).unionByName(rows("d2", 1 to 5, 10)), t, "day")
+    Snapshots.commitOverwritePartition(rows("d2", 1 to 5, 100), t,
+      "day", "d2")
+    Snapshots.commitOverwritePartition(rows("d2", 1 to 5, 200), t,
+      "day", "d2")
+    Snapshots.tag(spark, t, "train-base", 1)
+    val pinned = snapshotMap(Snapshots.readRef(spark, t, "train-base"))
+    // the tag is a retention promise: retainFrom=3 clamps to the tag
+    Snapshots.vacuum(spark, t, retainFrom = 3)
+    assert(Snapshots.retentionFloor(spark, t) == 1,
+      "vacuum must not reclaim below a tagged version")
+    assert(snapshotMap(Snapshots.readRef(spark, t, "train-base")) == pinned,
+      "the tagged snapshot must survive the vacuum bit-for-bit")
+    assert(snapshotMap(Snapshots.readAsOf(spark, t, 1)) == pinned)
+    // immutability: retargeting needs replace=true
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.tag(spark, t, "train-base", 2)
+    }
+    assert(ex.getMessage.contains("replace=true"))
+    Snapshots.tag(spark, t, "train-base", 1) // idempotent re-publish
+    Snapshots.tag(spark, t, "train-base", 2, replace = true)
+    assert(Snapshots.versionOfRef(spark, t, "train-base") == 2)
+    assert(Snapshots.listRefs(spark, t) == Seq("train-base" -> 2))
+    // the retarget releases v1: the next vacuum reclaims it
+    assert(Snapshots.vacuum(spark, t, retainFrom = 3) >= 0)
+    assert(Snapshots.retentionFloor(spark, t) == 2)
+    intercept[IllegalArgumentException] {
+      Snapshots.readAsOf(spark, t, 1)
+    }
+    // a vacuumed version cannot be tagged (retention promises are made
+    // while the version is still retained)
+    val ex2 = intercept[IllegalArgumentException] {
+      Snapshots.tag(spark, t, "too-late", 1)
+    }
+    assert(ex2.getMessage.contains("retention floor"))
+    // deleting the tag releases v2 for the next cycle
+    assert(Snapshots.deleteTag(spark, t, "train-base"))
+    assert(!Snapshots.deleteTag(spark, t, "train-base"))
+    Snapshots.vacuum(spark, t, retainFrom = 3)
+    assert(Snapshots.retentionFloor(spark, t) == 3)
+    // invalid ref names are refused before touching the filesystem
+    intercept[IllegalArgumentException] {
+      Snapshots.tag(spark, t, "bad/name", 3)
+    }
+  }
+
   test("a reserved version slot rejects a racing commit; breaking the " +
       "orphaned reservation unblocks") {
     val t = tmpDir("snap_occ")
