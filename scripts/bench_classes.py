@@ -31,6 +31,7 @@ INDEX_BUILD = re.compile(
     r"|^q_snapshot_(merge|merge_evolved|schema_evolution|tag)$"
     r"|^(text_unigram_serve|emb_knn_graph)$"
     r"|^q_dq_(quarantine|audit_history)$"
+    r"|^q_raw_compaction$"
     r"|^dedup_incremental$")
 ITERATIVE = re.compile(
     r"pagerank|kcore|components|graph_bfs|label_propagation|modularity"

@@ -50,13 +50,41 @@ object Compaction {
 
   /** @return number of files after compaction */
   def compactPartition(spark: SparkSession, partitionDir: String,
-      targetBytes: Long = 128L * 1024 * 1024): Int = {
+      targetBytes: Long = 128L * 1024 * 1024): Int =
+    compactDir(spark, partitionDir, ".parquet", targetBytes,
+      read = spark.read.parquet(_),
+      write = (df, out) => df.write.mode("overwrite").parquet(out))
+
+  /** Raw-zone (NDJSON) variant — the reference's own tradeoff note
+    * ("in production, raw would usually be append-only with separate
+    * arrivals and a compaction step", ref: docs/design.md:155-157).
+    * Arrival files accumulate per partition (one append per producer
+    * flush); this merges them into ⌈bytes / targetBytes⌉ NDJSON files
+    * under the same crash-convergent swap as the parquet path. The
+    * caller's schema pins the read (raw dirs have no footer to infer
+    * from — and inference would cost an extra full pass); nulls are
+    * written EXPLICITLY so the rewritten lines keep the wire contract
+    * of one complete object per line ([[graft.io.RawEvents]]).
+    * Row-count/counter stability across the rewrite is pinned by
+    * PipelineSpec and the `q_raw_compaction` oracle. */
+  def compactRawPartition(spark: SparkSession, partitionDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      targetBytes: Long = 128L * 1024 * 1024): Int =
+    compactDir(spark, partitionDir, ".json", targetBytes,
+      read = spark.read.schema(schema).json(_),
+      write = (df, out) => df.write.mode("overwrite")
+        .option("ignoreNullFields", "false").json(out))
+
+  private def compactDir(spark: SparkSession, partitionDir: String,
+      ext: String, targetBytes: Long,
+      read: String => org.apache.spark.sql.DataFrame,
+      write: (org.apache.spark.sql.DataFrame, String) => Unit): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
     val dir = new Path(partitionDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(fs, dir)
     val dataFiles = fs.listStatus(dir)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(ext))
     if (dataFiles.isEmpty) return 0
     val totalBytes = dataFiles.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(
@@ -64,14 +92,12 @@ object Compaction {
 
     val (tmp, backup) = (tmpPath(dir), backupPath(dir))
     fs.delete(tmp, true)
-    spark.read.parquet(partitionDir)
-      .repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
+    write(read(partitionDir).repartition(nFiles), tmp.toString)
     // swap — original survives any failure; see recover() for each window
     fs.rename(dir, backup)
     fs.rename(tmp, dir)
     fs.delete(backup, true)
     fs.listStatus(dir)
-      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .count(f => f.isFile && f.getPath.getName.endsWith(ext))
   }
 }

@@ -252,6 +252,122 @@ object PipelineQueries {
           col("invalid_event_type"), col("null_user_id"),
           col("dup_extra_rows"))
         .orderBy(col("attempt"))
+    },
+
+    // --- append-only raw arrivals + compaction, counters byte-stable -----
+    // The reference's own production tradeoff (ref: docs/design.md:
+    // 155-157): raw is append-only — separate arrival files land per
+    // partition and a compaction step merges them later. Three arrival
+    // files (the clean feed split by event_id mod 3) land in one
+    // partition dir; the DQ gate runs over the MERGED multi-file view;
+    // [[graft.io.Compaction.compactRawPartition]] rewrites the dir into
+    // one NDJSON file under the crash-convergent swap; the gate re-runs
+    // over the compacted view. The query emits both phases' artifacts —
+    // file counts, the six report counters, curated row counts, gate
+    // status — as one (phase, metric, n) relation; the oracle restates
+    // the feed and the counter pass flat in SQL, once per phase, so a
+    // hash match proves the counters are byte-stable across the rewrite.
+    Q(
+      "q_raw_compaction",
+      """WITH f AS (SELECT
+        |    CAST(event_id AS VARCHAR) AS event_id,
+        |    CAST(user_id AS VARCHAR) AS user_id,
+        |    CASE WHEN event_type = 'click' THEN 'login'
+        |         WHEN event_type = 'view' THEN 'view_item'
+        |         WHEN event_type = 'signup' THEN 'add_to_cart'
+        |         ELSE 'purchase' END AS event_type
+        |  FROM events),
+        |c AS (SELECT COUNT(*) AS total_rows,
+        |    COUNT(CASE WHEN event_id IS NULL THEN 1 END) AS null_event_id,
+        |    COUNT(CASE WHEN event_type IS NULL THEN 1 END)
+        |      AS null_event_type,
+        |    COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS null_user_id,
+        |    COUNT(CASE WHEN event_type NOT IN
+        |      ('login','view_item','add_to_cart','purchase') THEN 1 END)
+        |      AS invalid_event_type,
+        |    COUNT(*) - COUNT(DISTINCT event_id)
+        |      - CASE WHEN COUNT(CASE WHEN event_id IS NULL THEN 1 END) > 0
+        |          THEN 1 ELSE 0 END AS dup_extra_rows
+        |  FROM f),
+        |p AS (SELECT * FROM (VALUES ('arrivals', 3), ('compacted', 1))
+        |  AS t(phase, n_files))
+        |SELECT phase, metric, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT phase, 'n_files' AS metric, n_files AS n FROM p
+        |  UNION ALL SELECT phase, 'total_rows', total_rows
+        |    FROM p CROSS JOIN c
+        |  UNION ALL SELECT phase, 'null_event_id', null_event_id
+        |    FROM p CROSS JOIN c
+        |  UNION ALL SELECT phase, 'null_event_type', null_event_type
+        |    FROM p CROSS JOIN c
+        |  UNION ALL SELECT phase, 'null_user_id', null_user_id
+        |    FROM p CROSS JOIN c
+        |  UNION ALL SELECT phase, 'invalid_event_type', invalid_event_type
+        |    FROM p CROSS JOIN c
+        |  UNION ALL SELECT phase, 'dup_extra_rows', dup_extra_rows
+        |    FROM p CROSS JOIN c
+        |  UNION ALL SELECT phase, 'curated_rows', total_rows
+        |    FROM p CROSS JOIN c
+        |  UNION ALL SELECT phase, 'status_pass', 1 FROM p)
+        |ORDER BY phase, metric""".stripMargin
+    ) { (s, d) =>
+      val root = scratch(d, "raw_compaction")
+      wipe(s, root)
+      val conf = PipelineConfig(s"$root/raw", s"$root/curated",
+        s"$root/metrics")
+      val rawDir = RawEvents.partitionPath(conf.rawBase, Date)
+      val feed = Tables.events(s, d).select(
+        col("event_id").cast("string").as("event_id"),
+        col("user_id").cast("string").as("user_id"),
+        when(col("event_type") === "click", "login")
+          .when(col("event_type") === "view", "view_item")
+          .when(col("event_type") === "signup", "add_to_cart")
+          .otherwise(lit("purchase")).as("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("event_ts"),
+        col("value").cast("double").as("amount"),
+        col("event_id").as("orig_id"))
+      // three append-only arrivals: separate producer flushes landing
+      // in the SAME partition dir (each exactly one NDJSON part file)
+      (0 until 3).foreach { i =>
+        feed.where(pmod(col("orig_id"), lit(3)) === i).drop("orig_id")
+          .repartition(1).write.mode("append").json(rawDir)
+      }
+      def jsonFiles(): Long = {
+        val p = new Path(rawDir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .listStatus(p)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".json"))
+          .toLong
+      }
+      def curatedRows(): Long = s.read.parquet(
+        RawEvents.partitionPath(conf.curatedBase, Date)).count()
+      def phaseRows(phase: String, nFiles: Long,
+          r: graft.dq.DqReport): DataFrame = {
+        val c = r.counters
+        val ms = Seq(
+          "n_files" -> nFiles, "total_rows" -> c.totalRows,
+          "null_event_id" -> c.nullEventId,
+          "null_event_type" -> c.nullEventType,
+          "null_user_id" -> c.nullUserId,
+          "invalid_event_type" -> c.invalidEventType,
+          "dup_extra_rows" -> c.dupExtraRows,
+          "curated_rows" -> curatedRows(),
+          "status_pass" -> (if (r.status == "PASS") 1L else 0L))
+        s.range(1).select(explode(array(ms.map { case (m, n) =>
+            struct(lit(m).as("metric"), lit(n).as("n")) }: _*)).as("x"))
+          .select(lit(phase).as("phase"), col("x.metric").as("metric"),
+            col("x.n").as("n"))
+      }
+      // DQ gate over the merged 3-arrival view, then compact, then the
+      // SAME gate over the compacted view — counters must not move
+      val pre = Pipeline.runPartition(s, conf, Date)
+      val preFiles = jsonFiles()
+      val postFiles = graft.io.Compaction.compactRawPartition(
+        s, rawDir, graft.schema.EventSchema.raw,
+        targetBytes = Long.MaxValue).toLong
+      val post = Pipeline.runPartition(s, conf, Date)
+      phaseRows("arrivals", preFiles, pre)
+        .unionByName(phaseRows("compacted", postFiles, post))
+        .orderBy(col("phase"), col("metric"))
     }
   )
 }

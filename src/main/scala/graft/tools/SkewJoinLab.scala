@@ -1,0 +1,130 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Skew-JOIN tier lab (verdict r10 task #7).
+  *
+  * The round-10 ×100 skew tier proved WINDOW partitions absorb a 10%
+  * hot key at local[32]; the riskier shape at 100 TB is a shuffled
+  * JOIN on the hot key — AQE's skew machinery splits join partitions,
+  * not stateful window partitions, so this is where the mitigation
+  * actually has something to do. This lab runs the join-on-user_id
+  * query family over a uniform ×N tier and a `--skew` ×N tier
+  * ([[graft.gen.ScaleUp]] plants user 13 with ~10% of all events) and
+  * records, per query and tier:
+  *
+  *   - median-of-3 warm wall time,
+  *   - the post-AQE plan fingerprint (join strategies + shuffles),
+  *   - how many join legs AQE actually skew-split (`skew=true` markers
+  *     in the final plan — the same marker SkewTierSpec pins).
+  *
+  * Two skew passes are taken: one at Spark's DEFAULT skew thresholds
+  * (256 MB compressed / 5× median — the honest "does it even engage at
+  * this tier size" answer), and one at representative thresholds
+  * (SkewTierSpec's compressed-bytes lesson: local tiers shuffle ~tens
+  * of MB where a 100 TB cluster shuffles ~tens of GB, so thresholds
+  * scale down by the same ratio to observe the behavior the defaults
+  * produce at production partition sizes). Both fingerprints land in
+  * BASELINE.md — the table is the deliverable, this main is the
+  * reproducible harness behind it.
+  *
+  * Usage: runMain graft.tools.SkewJoinLab <uniformDir> <skewDir>
+  *          [--queries=a,b,c]
+  */
+object SkewJoinLab {
+
+  /** Shuffled-join-on-user_id family over events (events-only tiers). */
+  private val DefaultQueries = Seq(
+    "q_attribution_first_touch", "q_decay_attribution",
+    "q_position_attribution", "q_new_vs_returning", "q_bot_screen",
+    "q_cohort_retention", "q_semi_additive_balance",
+    "ref_join_size_estimate", "ref_users_intersect")
+
+  def main(args: Array[String]): Unit = {
+    val pos = args.filterNot(_.startsWith("--"))
+    require(pos.length >= 2, "usage: SkewJoinLab <uniformDir> <skewDir>")
+    val Array(uniform, skew) = pos.take(2)
+    val names = args.collectFirst { case a if a.startsWith("--queries=") =>
+      a.stripPrefix("--queries=").split(',').map(_.trim).toSeq
+    }.getOrElse(DefaultQueries)
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-skewjoin-lab")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val queries = SparkEntry.inventory.filter(q => names.contains(q.name))
+
+    def fingerprint(p: String): String = {
+      def n(tok: String) = p.linesIterator.count(_.contains(tok))
+      val xchg = p.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("Broadcast"))
+      s"bhj=${n("BroadcastHashJoin")},smj=${n("SortMergeJoin")}," +
+        s"shj=${n("ShuffledHashJoin")},xchg=$xchg," +
+        s"skewed=${n("skew=true")}"
+    }
+
+    final case class Cell(sec: Double, fp: String)
+    def run(dir: String, conf: Map[String, String]): Map[String, Cell] = {
+      val prior = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try queries.map { q =>
+        def once(): (Double, String) = {
+          val t0 = System.nanoTime()
+          val df = q.run(spark, dir)
+          df.write.format("noop").mode("overwrite").save()
+          ((System.nanoTime() - t0) / 1e9,
+            df.queryExecution.executedPlan.toString)
+        }
+        val (_, plan) = once() // warm: plan + codegen + page cache
+        val med = Seq.fill(3)(once()._1).sorted.apply(1)
+        q.name -> Cell(med, fingerprint(plan))
+      }.toMap
+      finally prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+
+    // representative thresholds: same compressed-bytes scaling argument
+    // as SkewTierSpec — a local tier's hot join partition carries a few
+    // tens of MB where production carries GB, so the 256 MB default is
+    // scaled to 8 MB to observe production-regime behavior; the force
+    // flag buys the split even when the join output feeds a same-key
+    // aggregate (the attribution family's shape).
+    val repConf = Map(
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m")
+
+    val uni = run(uniform, Map.empty)
+    val skewDef = run(skew, Map.empty)
+    val skewRep = run(skew, repConf)
+
+    println("| query | uniform (s) | skew (s) | ratio | skew rep-thresh (s) | fp skew-default | fp skew-rep |")
+    println("|---|---|---|---|---|---|---|")
+    queries.foreach { q =>
+      val (u, sd, sr) = (uni(q.name), skewDef(q.name), skewRep(q.name))
+      val ratio = if (u.sec > 0) sd.sec / u.sec else -1
+      println(f"| ${q.name} | ${u.sec}%.2f | ${sd.sec}%.2f | ${ratio}%.2f " +
+        f"| ${sr.sec}%.2f | ${sd.fp} | ${sr.fp} |")
+    }
+    val js = queries.map { q =>
+      val (u, sd, sr) = (uni(q.name), skewDef(q.name), skewRep(q.name))
+      s""""${q.name}":{"uniform":${u.sec},"skew":${sd.sec},""" +
+        s""""skew_rep":${sr.sec},"fp_uniform":"${u.fp}",""" +
+        s""""fp_skew":"${sd.fp}","fp_skew_rep":"${sr.fp}"}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"lab":"skewjoin","uniform":"$uniform","skew":"$skew","queries":$js}""")
+    spark.stop()
+  }
+}

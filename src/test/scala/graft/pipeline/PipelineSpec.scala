@@ -409,4 +409,49 @@ class PipelineSpec extends SparkSpec {
     // 50 generated + max(1, 50*0.01)=1 injected duplicate per day
     assert(byDate == Map("2025-01-01" -> 51L, "2025-01-02" -> 51L))
   }
+
+  test("append-only raw arrivals: DQ over the merged view, compaction " +
+      "leaves counters and curated rows byte-stable (design.md:155-157)") {
+    val conf = freshConf()
+    val date = "2025-01-01"
+    // three separate producer flushes land in ONE partition dir
+    EventsGen.writeNdjson(EventsGen.generateDay(date, nEvents = 600),
+      conf.rawBase, date, fileName = "arrival_0001.json")
+    EventsGen.writeNdjson(EventsGen.generateDay(date, nEvents = 300,
+      seed = 43L), conf.rawBase, date, fileName = "arrival_0002.json")
+    EventsGen.writeNdjson(EventsGen.generateLate(date, nEvents = 100),
+      conf.rawBase, date, fileName = "arrival_0003.json")
+    val rawDir = new File(RawEvents.partitionPath(conf.rawBase, date))
+    def jsonFiles() =
+      rawDir.listFiles().count(_.getName.endsWith(".json"))
+    assert(jsonFiles() == 3)
+
+    // the DQ gate sees the MERGED multi-arrival view
+    val pre = Pipeline.runPartition(spark, conf, date)
+    assert(pre.status == "PASS")
+    assert(pre.counters.totalRows == 606 + 303 + 100)
+    val preRows = rowSet(curated(conf, date))
+
+    // compact: 3 arrival files → 1; a tiny target exercises ⌈bytes/target⌉
+    val n = graft.io.Compaction.compactRawPartition(spark,
+      rawDir.toString, graft.schema.EventSchema.raw)
+    assert(n == 1 && jsonFiles() == 1)
+
+    // re-run over the compacted view: identical report + curated rows
+    val post = Pipeline.runPartition(spark, conf, date)
+    assert(post.counters == pre.counters)
+    assert(post.status == "PASS")
+    assert(rowSet(curated(conf, date)) == preRows)
+
+    // multi-file target: ⌈bytes/target⌉ splits the partition again and
+    // the merged view STILL reads back the same counters
+    val bytes = rawDir.listFiles()
+      .filter(_.getName.endsWith(".json")).map(_.length).sum
+    val n2 = graft.io.Compaction.compactRawPartition(spark,
+      rawDir.toString, graft.schema.EventSchema.raw,
+      targetBytes = math.max(1L, bytes / 3))
+    assert(n2 >= 2, s"expected a multi-file rewrite, got $n2")
+    assert(graft.dq.DqCounters.compute(RawEvents.curate(
+      RawEvents.readPartition(spark, conf.rawBase, date))) == pre.counters)
+  }
 }
