@@ -738,16 +738,23 @@ object WindowingQueries {
     // --- first-touch attribution over a 7-day lookback --------------------
     // The marketing-analytics counterpart of the as-of join (last-touch):
     // each purchase is credited to the FIRST event of its user inside
-    // the trailing week. A range window can't express this
-    // deterministically (ties within one second have no orderable
-    // tiebreak in a RANGE frame), so the engine uses the banded
-    // range-join shape: purchases × user events bounded to the lookback
-    // interval, then min_by over the packed ts_s·2³²+event_id key
-    // (lexicographic by construction while ids stay under 2³²; DuckDB's
-    // arg_min takes scalar keys only) — no window. Fanout is bounded by
-    // per-user
-    // activity inside the window (the stream-stream join argument);
-    // revenue stays in integer cents.
+    // the trailing week. The oracle states it as the banded range join
+    // (purchases × user events in the lookback, arg_min over the packed
+    // ts_s·2³²+event_id key — lexicographic while ids stay under 2³²);
+    // the ENGINE plan is the skew-proof equivalent: the trailing
+    // sliding-window min of the packed key via
+    // [[graft.operators.SlidingMin]] (two-bucket decomposition —
+    // partitions are (user, week-bucket), both passes incremental
+    // cumulative mins), then one uniform-key join mapping each
+    // purchase's winning key back to its event_type. The conv ×
+    // touches join this replaces is QUADRATIC in the hot key (200k
+    // convs × 800k touches for one user at the round-11 ×100 skew
+    // tier) — the one shape AQE's splits cannot save because the
+    // blow-up is join OUTPUT, not partition size; and the single
+    // per-user RANGE window that replaces IT measured 63 s vs 6.5 s
+    // uniform on the same tier (one task owns the hot user's whole
+    // history). BASELINE.md round-11 skew-join tier records all three
+    // shapes. Revenue stays in integer cents.
     Q(
       "q_attribution_first_touch",
       """WITH s AS (SELECT user_id, event_id, event_type,
@@ -773,19 +780,23 @@ object WindowingQueries {
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_timestamp(date_trunc("second", col("ts"))).as("ts_s"),
           col("value"))
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("event_id").as("pid"),
-          col("ts_s").as("pts"),
-          (col("value").cast("decimal(18,2)") * 100).cast("long")
-            .as("cents"))
-      purchases
-        .join(ev, col("user_id") === col("p_user")
-          && col("ts_s") <= col("pts")
-          && col("ts_s") >= col("pts") - 604800L)
-        .groupBy(col("pid"), col("cents"))
-        .agg(min_by(col("event_type"),
+        .withColumn("packed",
           col("ts_s") * lit(4294967296L) + col("event_id"))
-          .as("first_touch_type"))
+      // trailing-window min per user, probed at purchases only; the
+      // [pts−604800, pts] interval is inclusive on both ends like the
+      // oracle's value predicate (SlidingMin's RANGE-frame contract)
+      val purchases = graft.operators.SlidingMin.trailing(
+          ev, "user_id", "ts_s", "packed", "packed", 604800L, "win_key",
+          probeFilter = col("event_type") === "purchase")
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"),
+          col("win_key"))
+      // uniform-key lookup of the winner's type (packed is unique)
+      purchases
+        .join(ev.select(col("packed").as("win_key"),
+          col("event_type").as("first_touch_type")), Seq("win_key"))
         .groupBy(col("first_touch_type"))
         .agg(count(lit(1)).as("n_purchases"),
           sum(col("cents")).cast("long").as("sum_cents"))
@@ -995,11 +1006,19 @@ object WindowingQueries {
     // per-conversion normalization is integer ppm (u·10⁶ div Σu), so the
     // whole model is exact arithmetic end-to-end: no pow(), no float
     // credit sums whose merge order could diverge. Day-granular by
-    // declared semantics (date diff, not timestamp). Plan: conversions ⋈
-    // touches is an equi-join on user_id with the lookback as a residual
-    // range predicate — O(conv × touches-per-window), never all-pairs;
-    // the normalization window partitions on conv_id (high-cardinality);
-    // the final rollup is a 5-group agg.
+    // declared semantics (date diff, not timestamp) — and day
+    // granularity is what makes the engine plan COLLAPSE the join's
+    // touch side: every touch sharing (user, type, day) earns the same
+    // u and the same per-touch credit, so touches pre-aggregate to
+    // (user, type, day, cnt) BEFORE the join. The conv ⋈ touches join
+    // is quadratic in a hot user (200k convs × 800k touches at the
+    // round-11 ×100 skew tier — join OUTPUT, which AQE's skew splits
+    // cannot shrink); conv ⋈ day-aggregates is bounded by 4 types ×
+    // the corpus day span per conversion regardless of skew. Credit
+    // reconstitutes exactly: Σu over touches = Σ(cnt·u) over groups,
+    // per-touch credit is constant within a group, group credit =
+    // cnt · (u·10⁶ div Σu). The normalization window partitions on
+    // conv_id (high-cardinality); the final rollup is a 5-group agg.
     Q(
       "q_decay_attribution",
       """WITH conv AS (SELECT event_id AS conv_id, user_id,
@@ -1025,20 +1044,24 @@ object WindowingQueries {
       val conv = ev.where(col("event_type") === "purchase")
         .select(col("event_id").as("conv_id"), col("user_id"),
           to_date(col("ts")).as("cd"))
-      val t = ev.where(col("event_type") =!= "purchase")
-        .select(col("user_id"), col("event_type"),
+      // touch side pre-aggregated to (user, type, day): the join's
+      // per-user fan-out becomes 4 types × day span, skew-immune
+      val tAgg = ev.where(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"), col("event_type"),
           to_date(col("ts")).as("td"))
+        .agg(count(lit(1)).as("cnt"))
       val dday = datediff(col("cd"), col("td"))
-      conv.join(t, Seq("user_id"))
+      conv.join(tAgg, Seq("user_id"))
         .where(dday.between(0, 7))
-        .select(col("conv_id"), col("event_type"),
+        .select(col("conv_id"), col("event_type"), col("cnt"),
           expr("shiftleft(1, 7 - datediff(cd, td))").as("u"))
         .withColumn("credit_ppm",
           expr("CAST(u AS BIGINT) * 1000000 div " +
-            "sum(u) over (partition by conv_id)").cast("long"))
+            "sum(cnt * u) over (partition by conv_id)").cast("long"))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_touches"),
-          sum(col("credit_ppm")).cast("long").as("credit_ppm"))
+        .agg(sum(col("cnt")).as("n_touches"),
+          sum(col("cnt") * col("credit_ppm")).cast("long")
+            .as("credit_ppm"))
         .orderBy(col("event_type"))
     },
 
@@ -1049,9 +1072,15 @@ object WindowingQueries {
     // "position-based". Exact integer ppm: 1-touch journeys take the
     // full 10⁶, 2-touch split 500k/500k, longer ones 400k/400k +
     // 200000 div (n−2) per middle touch (truncation remainder stays
-    // unallocated BY DESIGN — deterministic on both engines). Same
-    // conv ⋈ touches lookback join as q_decay_attribution; the
-    // position windows partition on conv_id.
+    // unallocated BY DESIGN — deterministic on both engines). The
+    // oracle states the model per touch (rn over conv_id); the engine
+    // reconstitutes it from DAY-aggregated touches, like
+    // q_decay_attribution's skew-proof plan: credits depend only on
+    // n, the first/last touch's TYPE, and per-type counts — first =
+    // argmin of (day, touch_id) over the window's per-day argmins,
+    // last the argmax, middles = cnt − the bookend indicators. Both
+    // join legs fan out ≤ day-span rows per conversion where the
+    // per-touch join was quadratic in a hot user.
     Q(
       "q_position_attribution",
       """WITH conv AS (SELECT event_id AS conv_id, user_id,
@@ -1086,22 +1115,47 @@ object WindowingQueries {
       val t = ev.where(col("event_type") =!= "purchase")
         .select(col("event_id").as("touch_id"), col("user_id"),
           col("event_type"), to_date(col("ts")).as("td"))
-      val j = conv.join(t, Seq("user_id"))
-        .where(datediff(col("cd"), col("td")).between(0, 7))
-        .select(col("conv_id"), col("touch_id"), col("event_type"),
-          col("td"))
-      val wOrd = Window.partitionBy(col("conv_id"))
-        .orderBy(col("td"), col("touch_id"))
-      val wAll = Window.partitionBy(col("conv_id"))
-      j.withColumn("rn", row_number().over(wOrd))
-        .withColumn("n", count(lit(1)).over(wAll))
+      // two day-granular reductions of the touch side: per-(user, type,
+      // day) counts, and per-(user, day) bookends (order within a conv
+      // is (td, touch_id), so a day's argmin/argmax by touch_id are the
+      // only candidates for the conv-level first/last)
+      val tCnt = t.groupBy(col("user_id"), col("event_type"), col("td"))
+        .agg(count(lit(1)).as("cnt"))
+      val tDay = t.groupBy(col("user_id"), col("td"))
+        .agg(count(lit(1)).as("day_cnt"),
+          min_by(col("event_type"), col("touch_id")).as("day_first_type"),
+          min(col("touch_id")).as("day_min_tid"),
+          max_by(col("event_type"), col("touch_id")).as("day_last_type"),
+          max(col("touch_id")).as("day_max_tid"))
+      val dday = datediff(col("cd"), col("td"))
+      // (td, touch_id) packs lexicographically while ids stay under 2³²
+      // (the q_attribution_first_touch key discipline)
+      val convStats = conv.join(tDay, Seq("user_id"))
+        .where(dday.between(0, 7))
+        .groupBy(col("conv_id"))
+        .agg(sum(col("day_cnt")).as("n"),
+          min_by(col("day_first_type"),
+            unix_date(col("td")) * lit(4294967296L) + col("day_min_tid"))
+            .as("first_type"),
+          max_by(col("day_last_type"),
+            unix_date(col("td")) * lit(4294967296L) + col("day_max_tid"))
+            .as("last_type"))
+      val typeCnt = conv.join(tCnt, Seq("user_id"))
+        .where(dday.between(0, 7))
+        .groupBy(col("conv_id"), col("event_type"))
+        .agg(sum(col("cnt")).as("cnt_t"))
+      val isFirst = (col("first_type") <=> col("event_type"))
+        .cast("long")
+      val isLast = (col("last_type") <=> col("event_type")).cast("long")
+      typeCnt.join(convStats, Seq("conv_id"))
         .withColumn("credit_ppm",
-          when(col("n") === 1, 1000000L)
-            .when(col("n") === 2, 500000L)
-            .when(col("rn") === 1 || col("rn") === col("n"), 400000L)
-            .otherwise(expr("200000 div (n - 2)")).cast("long"))
+          when(col("n") === 1, lit(1000000L) * col("cnt_t"))
+            .when(col("n") === 2, lit(500000L) * col("cnt_t"))
+            .otherwise(lit(400000L) * (isFirst + isLast) +
+              (col("cnt_t") - isFirst - isLast) *
+                expr("200000 div (n - 2)")).cast("long"))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_touches"),
+        .agg(sum(col("cnt_t")).as("n_touches"),
           sum(col("credit_ppm")).cast("long").as("credit_ppm"))
         .orderBy(col("event_type"))
     },

@@ -57,11 +57,37 @@ object SkewJoinLab {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE's skew split is BY MAP RANGE (SkewTierSpec lesson #2): a
+      // single-file local tier scans as ONE map task and a one-mapper
+      // reduce partition can never split. A 100 TB table has thousands
+      // of input files/mappers; 8 MB scan partitions are that proxy.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val queries = SparkEntry.inventory.filter(q => names.contains(q.name))
+    // The inventory's join family pre-shrinks its join sides (distinct /
+    // per-user aggregates) before any shuffle — by design no join
+    // partition is hot even when the DATA is. This synthetic entry is
+    // the shape that stays raw: enrich full-payload events with a
+    // per-user stats frame (1:1 output, linear) — the probe side's hot
+    // partition carries the whole payload, exactly what AQE's skew
+    // split exists for. Broadcast is disabled to force the shuffled
+    // join a 100 TB dim table would force anyway.
+    val rawEnrich = graft.queries.Q("raw_enrich_join",
+      (sess: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions._
+        val ev = sess.read.parquet(s"$dir/events.parquet")
+        val stats = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_user"),
+            countDistinct(col("event_type")).as("n_types"))
+        ev.hint("merge").join(stats, Seq("user_id"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("n_user")).as("s"),
+            max(length(col("props"))).as("p"))
+      }, None)
+    val queries = SparkEntry.inventory.filter(q => names.contains(q.name)) :+
+      rawEnrich
 
     def fingerprint(p: String): String = {
       def n(tok: String) = p.linesIterator.count(_.contains(tok))
@@ -73,20 +99,37 @@ object SkewJoinLab {
     }
 
     final case class Cell(sec: Double, fp: String)
-    def run(dir: String, conf: Map[String, String]): Map[String, Cell] = {
+    def run(dir: String, tag: String, conf: Map[String, String])
+        : Map[String, Cell] = {
       val prior = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
       conf.foreach { case (k, v) => spark.conf.set(k, v) }
       try queries.map { q =>
-        def once(): (Double, String) = {
+        def once(): Double = {
           val t0 = System.nanoTime()
-          val df = q.run(spark, dir)
-          df.write.format("noop").mode("overwrite").save()
-          ((System.nanoTime() - t0) / 1e9,
-            df.queryExecution.executedPlan.toString)
+          q.run(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
         }
-        val (_, plan) = once() // warm: plan + codegen + page cache
-        val med = Seq.fill(3)(once()._1).sorted.apply(1)
-        q.name -> Cell(med, fingerprint(plan))
+        // warm lap doubles as the plan capture. The noop WRITE executes
+        // a separate command QueryExecution, so the frame's own
+        // executedPlan would print the INITIAL adaptive plan
+        // (isFinalPlan=false) — AQE's skew/demotion choices invisible.
+        // collect() executes the frame's own execution; every lab query
+        // ends in a small aggregate, so the driver-side result is tiny.
+        val warm = q.run(spark, dir)
+        warm.collect()
+        val plan = warm.queryExecution.executedPlan.toString
+        val med = Seq.fill(3)(once()).sorted.apply(1)
+        // ~100 executions over a 10M-row tier accumulate tens of GB of
+        // shuffle files in one long-lived context (the ContextCleaner
+        // only reclaims them when the ShuffleDependency is GC'd — the
+        // first lab run filled the disk this way). The frames are out
+        // of scope here; a GC nudge lets the cleaner reclaim between
+        // queries.
+        System.gc()
+        Thread.sleep(1500)
+        val cell = Cell(med, fingerprint(plan))
+        println(f"[skewlab] $tag ${q.name} ${cell.sec}%.2f s  ${cell.fp}")
+        q.name -> cell
       }.toMap
       finally prior.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
@@ -103,12 +146,12 @@ object SkewJoinLab {
     val repConf = Map(
       "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m")
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512k")
 
-    val uni = run(uniform, Map.empty)
-    val skewDef = run(skew, Map.empty)
-    val skewRep = run(skew, repConf)
+    val uni = run(uniform, "uniform", Map.empty)
+    val skewDef = run(skew, "skew-default", Map.empty)
+    val skewRep = run(skew, "skew-rep", repConf)
 
     println("| query | uniform (s) | skew (s) | ratio | skew rep-thresh (s) | fp skew-default | fp skew-rep |")
     println("|---|---|---|---|---|---|---|")
