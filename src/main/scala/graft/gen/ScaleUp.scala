@@ -54,8 +54,20 @@ import org.apache.spark.sql.functions._
   *    [[graft.operators.Salting]]); this is the adversarial tier the
   *    window/groupBy family runs on (SkewTierSpec pins the handling).
   *
+  *  - `--files=N`: write each table as N files instead of whatever the
+  *    crossJoin plan's partitioning yields (typically ONE file — and
+  *    one parquet ROW GROUP, which makes every downstream scan a
+  *    single map task no matter what maxPartitionBytes says: parquet
+  *    splits at row-group granularity). One-mapper shuffles can never
+  *    be skew-split BY DESIGN (AQE's PartialReducerPartitionSpec spans
+  *    map ranges), so tiers that exercise AQE's skew machinery must be
+  *    multi-file like any real table at scale (SkewJoinLab's round-11
+  *    finding — the round-10 single-file tiers silently pinned every
+  *    scan AND every skew decision to one mapper).
+  *
   * Usage: `runMain graft.gen.ScaleUp <srcDir> <dstDir> [factor]
-  *         [dimFactor] [--fresh-text] [--skew] [--tables=a,b,c]`
+  *         [dimFactor] [--fresh-text] [--skew] [--tables=a,b,c]
+  *         [--files=N]`
   * (`--tables=` restricts generation — spot tiers that bench a single
   * table's queries need not copy the whole directory)
   */
@@ -80,6 +92,10 @@ object ScaleUp {
     * the shared test session — main owns start/stop). */
   def run(spark: SparkSession, args: Array[String]): Unit = {
     val freshText = args.contains("--fresh-text")
+    val nFiles: Int = args
+      .collectFirst { case a if a.startsWith("--files=") =>
+        a.stripPrefix("--files=").toInt }
+      .getOrElse(0)
     val onlyTables: Set[String] = args
       .collectFirst { case a if a.startsWith("--tables=") =>
         a.stripPrefix("--tables=").split(',').map(_.trim).toSet }
@@ -97,7 +113,8 @@ object ScaleUp {
       val out = keyCols
         .foldLeft(base.crossJoin(broadcast(idx)))((d, k) =>
           d.withColumn(k, col(k) + col("_copy_idx") * Stride))
-      perturb(out).drop("_copy_idx")
+      val fin = perturb(out).drop("_copy_idx")
+      (if (nFiles > 0) fin.repartition(nFiles) else fin)
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scaleup] $t x$n")
     }
