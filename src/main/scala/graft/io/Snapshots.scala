@@ -92,20 +92,43 @@ object Snapshots {
     val f = fs(spark, table)
     val cur = new Path(table, "_CURRENT")
     val tmp = new Path(table, "_CURRENT.tmp")
-    if (!f.exists(cur) && f.exists(tmp)) f.rename(tmp, cur)
+    // legacy crash heal: pre-round-11 publishes could die between
+    // delete(cur) and rename(tmp, cur). Promote the tmp ONLY when it
+    // parses — an EMPTY or half-written tmp is a LIVE legacy writer
+    // mid-publish, and promoting it hands every reader a corrupt
+    // pointer (the round-11 concurrent-audit race: NumberFormat-
+    // Exception on "" under 3-way parallel appends).
+    if (!f.exists(cur) && f.exists(tmp) &&
+        scala.util.Try(
+          readSmallFile(f, tmp).trim.stripPrefix("v").toInt).isSuccess)
+      f.rename(tmp, cur)
     if (!f.exists(cur)) 0
     else readSmallFile(f, cur).trim.stripPrefix("v").toInt
   }
 
+  /** Atomic pointer flip. The old delete(cur)→rename(tmp, cur) dance
+    * had two windows a concurrent reader could fall into (missing
+    * pointer; half-written SHARED tmp promoted by the reader heal).
+    * FileContext.rename(OVERWRITE) is an atomic REPLACE on both POSIX
+    * and HDFS — readers always observe a complete pointer — and the
+    * tmp is writer-unique so no publisher can truncate another's
+    * in-flight file. FileContext bypasses ChecksumFileSystem, so any
+    * legacy `._CURRENT.crc` sidecar is dropped first (stale crc over
+    * new bytes fails every subsequent read). */
   private def publish(spark: SparkSession, table: String, v: Int): Unit = {
     val f = fs(spark, table)
-    val cur = new Path(table, "_CURRENT")
-    val tmp = new Path(table, "_CURRENT.tmp")
-    val out = f.create(tmp, true)
+    val cur = f.makeQualified(new Path(table, "_CURRENT"))
+    val tmp = f.makeQualified(new Path(table,
+      s"_CURRENT.${java.util.UUID.randomUUID}.tmp"))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      cur.toUri, spark.sparkContext.hadoopConfiguration)
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
     try out.write(s"v$v".getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    f.delete(cur, false)
-    f.rename(tmp, cur)
+    f.delete(new Path(cur.getParent, "." + cur.getName + ".crc"), false)
+    fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def manifestDir(table: String, v: Int) = s"$table/_manifests/v$v"

@@ -23,34 +23,45 @@ private[io] object VersionedState {
     val f = fs(spark, statePath)
     val cur = new Path(statePath, "_CURRENT")
     val tmp = new Path(statePath, "_CURRENT.tmp")
-    if (!f.exists(cur) && f.exists(tmp)) f.rename(tmp, cur)
+    // legacy crash heal, parse-verified like Snapshots.currentVersion:
+    // an empty/half-written tmp is a live legacy writer, not a crash
+    if (!f.exists(cur) && f.exists(tmp) &&
+        scala.util.Try(read(f, tmp).trim.stripPrefix("v").toInt).isSuccess)
+      f.rename(tmp, cur)
     if (!f.exists(cur)) 0
-    else {
-      val in = f.open(cur)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](256)
-        var r = in.read(chunk)
-        while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
-        new String(buf.toByteArray, StandardCharsets.UTF_8)
-          .trim.stripPrefix("v").toInt
-      } finally in.close()
-    }
+    else read(f, cur).trim.stripPrefix("v").toInt
+  }
+
+  private def read(f: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](256)
+      var r = in.read(chunk)
+      while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
   }
 
   def versionDir(statePath: String, v: Int): String = s"$statePath/v$v"
 
-  /** Flip `_CURRENT` to version `v` — the all-or-nothing publish. */
+  /** Flip `_CURRENT` to version `v` — the all-or-nothing publish, as an
+    * atomic REPLACE (writer-unique tmp + FileContext rename OVERWRITE —
+    * the Snapshots.publish discipline: no missing-pointer window, no
+    * shared tmp a reader heal could promote half-written). */
   def publish(spark: SparkSession, statePath: String, v: Int): Unit = {
     val f = fs(spark, statePath)
-    val tmp = new Path(statePath, "_CURRENT.tmp")
-    val out = f.create(tmp, true)
+    val cur = f.makeQualified(new Path(statePath, "_CURRENT"))
+    val tmp = f.makeQualified(new Path(statePath,
+      s"_CURRENT.${java.util.UUID.randomUUID}.tmp"))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      cur.toUri, spark.sparkContext.hadoopConfiguration)
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
     try out.write(s"v$v".getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val curPath = new Path(statePath, "_CURRENT")
-    f.delete(curPath, false)
-    if (!f.rename(tmp, curPath))
-      throw new java.io.IOException(
-        s"publish failed for ${versionDir(statePath, v)}")
+    f.delete(new Path(cur.getParent, "." + cur.getName + ".crc"), false)
+    fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }

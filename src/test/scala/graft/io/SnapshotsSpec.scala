@@ -319,6 +319,37 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).count() == 3)
   }
 
+  test("a live writer's half-written tmp is NOT promoted by the heal " +
+      "(round-11 concurrent-audit race)") {
+    val t = tmpDir("snap_live_tmp")
+    Snapshots.commitFull(rows("d1", 1 to 3, 0), t, "day")
+    val dir = new java.io.File(t)
+    // legacy-writer mid-publish: pointer deleted, tmp still EMPTY
+    assert(new java.io.File(dir, "_CURRENT").delete())
+    val tmp = new java.io.File(dir, "_CURRENT.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, "")
+    // the old heal renamed this into place and every reader crashed on
+    // NumberFormatException(""); now the unparseable tmp stays put
+    assert(Snapshots.currentVersion(spark, t) == 0)
+    assert(tmp.isFile, "half-written tmp left for its writer")
+    // the writer finishes: completes the tmp and the table recovers
+    java.nio.file.Files.writeString(tmp.toPath, "v1")
+    assert(Snapshots.currentVersion(spark, t) == 1)
+    assert(Snapshots.read(spark, t).count() == 3)
+  }
+
+  test("publish is an atomic replace: no pointer gap across versions, " +
+      "no lingering tmp") {
+    val t = tmpDir("snap_atomic_pub")
+    Snapshots.commitFull(rows("d1", 1 to 3, 0), t, "day")
+    Snapshots.commitAppend(rows("d1", 4 to 5, 10), t, "day")
+    assert(Snapshots.currentVersion(spark, t) == 2)
+    val leftovers = new java.io.File(t).listFiles()
+      .filter(_.getName.matches("_CURRENT\\..*tmp"))
+    assert(leftovers.isEmpty,
+      s"unique tmps must be consumed by the rename: ${leftovers.toSeq}")
+  }
+
   test("commitOverwritePartitions replaces several partitions in ONE " +
       "version, tombstones an emptied one, and never disturbs a " +
       "pinned reader") {
