@@ -129,7 +129,29 @@ object Snapshots {
     finally out.close()
     f.delete(new Path(cur.getParent, "." + cur.getName + ".crc"), false)
     fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    sweepStaleTmps(f, new Path(table), cur.getName)
   }
+
+  /** Best-effort reclaim of writer-unique `_CURRENT.<uuid>.tmp` files a
+    * publisher that crashed between create and rename left behind —
+    * without a sweep they accumulate forever (the heal only promotes
+    * the legacy shared-name tmp). Age-gated well past any publish's
+    * create→rename span so a LIVE writer's in-flight tmp is never
+    * touched; every failure is swallowed (the publish already
+    * succeeded). */
+  private[io] def sweepStaleTmps(f: FileSystem, dir: Path,
+      pointerName: String, maxAgeMs: Long = 15 * 60 * 1000L): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - maxAgeMs
+      f.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && n.startsWith(pointerName + ".") &&
+            n.endsWith(".tmp") && n != pointerName + ".tmp" &&
+            st.getModificationTime < cutoff)
+          try f.delete(st.getPath, false)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def manifestDir(table: String, v: Int) = s"$table/_manifests/v$v"
 
@@ -241,8 +263,19 @@ object Snapshots {
     try out.write(s"v$v".getBytes(StandardCharsets.UTF_8))
     finally out.close()
     f.delete(p, false)
-    require(f.rename(tmp, p),
-      s"Snapshots.tag: failed to publish ref '$name' of $table")
+    if (!f.rename(tmp, p)) {
+      // a concurrent reader's crash-window heal (versionOfRefOpt) can
+      // rename OUR tmp into place between the delete and the rename —
+      // the publish then already happened by the healer's hand, so
+      // re-read and accept the idempotent success (the publishFloor
+      // discipline) instead of throwing on a correctly-published ref
+      val now =
+        try readSmallFile(f, p).trim
+        catch { case scala.util.control.NonFatal(_) => "" }
+      require(now == s"v$v",
+        s"Snapshots.tag: failed to publish ref '$name' of $table " +
+          s"(found '$now')")
+    }
   }
 
   private def versionOfRefOpt(spark: SparkSession, table: String,

@@ -63,5 +63,9 @@ private[io] object VersionedState {
     finally out.close()
     f.delete(new Path(cur.getParent, "." + cur.getName + ".crc"), false)
     fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // best-effort: reclaim uuid tmps a crashed publisher stranded (the
+    // heal only promotes the legacy shared-name tmp; nothing else ever
+    // deletes these). Same age-gated sweep as Snapshots.publish.
+    Snapshots.sweepStaleTmps(f, new Path(statePath), cur.getName)
   }
 }

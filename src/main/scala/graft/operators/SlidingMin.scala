@@ -62,11 +62,15 @@ object SlidingMin {
       probeFilter: Column = lit(true)): DataFrame = {
     require(window > 0, "SlidingMin.trailing: window must be positive")
     val w = lit(window)
-    // floor division (sign-correct for negative ords via pmod)
-    def bucketOf(c: Column) = ((c - pmod(c, w)) / w).cast("long")
+    // floor division, sign-correct via pmod and EXACT for the full long
+    // range: `div` is integer division — Column./ is double division in
+    // Spark, which rounds |ord| > 2^53 into the wrong bucket and
+    // silently corrupts the decomposition
+    val bucket = expr(
+      s"(`$ordCol` - pmod(`$ordCol`, ${window}L)) div ${window}L")
 
     val base = df.withColumn("__probe", probeFilter)
-      .withColumn("__bkt", bucketOf(col(ordCol)))
+      .withColumn("__bkt", bucket)
 
     // pass 1: ASC-cumulative min within (key, bucket) — the prefix half
     val preW = Window.partitionBy(col(keyCol), col("__bkt"))
@@ -74,13 +78,18 @@ object SlidingMin {
     val withPre = base.withColumn("__pre", min(col(valueCol)).over(preW))
 
     // pass 2: DESC-cumulative min within (key, bucket) over data ∪ probes
+    // the probe id rides UNCAST: casting to long would null out a
+    // non-long-castable id, silently dropping every probe and degrading
+    // the answer to the prefix-only min — the join key is the id's own
+    // type
+    val idType = df.schema(idCol).dataType
     val data = base.select(col(keyCol), col("__bkt"), col(ordCol),
-      col(valueCol).as("__v"), lit(null).cast("long").as("__pid"))
+      col(valueCol).as("__v"), lit(null).cast(idType).as("__pid"))
     val probes = base.where(col("__probe"))
       .select(col(keyCol), (col("__bkt") - 1).as("__bkt"),
         (col(ordCol) - w).as(ordCol),
         lit(null).cast(data.schema("__v").dataType.catalogString).as("__v"),
-        col(idCol).cast("long").as("__pid"))
+        col(idCol).as("__pid"))
     val sufW = Window.partitionBy(col(keyCol), col("__bkt"))
       .orderBy(col(ordCol).desc)
     val suffix = data.unionByName(probes)

@@ -340,7 +340,7 @@ object PipelineQueries {
       }
       def curatedRows(): Long = s.read.parquet(
         RawEvents.partitionPath(conf.curatedBase, Date)).count()
-      def phaseRows(phase: String, nFiles: Long,
+      def phaseRows(phase: String, nFiles: Long, curated: Long,
           r: graft.dq.DqReport): DataFrame = {
         val c = r.counters
         val ms = Seq(
@@ -350,7 +350,7 @@ object PipelineQueries {
           "null_user_id" -> c.nullUserId,
           "invalid_event_type" -> c.invalidEventType,
           "dup_extra_rows" -> c.dupExtraRows,
-          "curated_rows" -> curatedRows(),
+          "curated_rows" -> curated,
           "status_pass" -> (if (r.status == "PASS") 1L else 0L))
         s.range(1).select(explode(array(ms.map { case (m, n) =>
             struct(lit(m).as("metric"), lit(n).as("n")) }: _*)).as("x"))
@@ -361,12 +361,16 @@ object PipelineQueries {
       // SAME gate over the compacted view — counters must not move
       val pre = Pipeline.runPartition(s, conf, Date)
       val preFiles = jsonFiles()
+      // snapshot the pre-compaction curated count NOW: phaseRows reads
+      // curatedRows() at call time, and the "arrivals" row must capture
+      // the state BEFORE the post-compaction re-run rewrites curated
+      val preCurated = curatedRows()
       val postFiles = graft.io.Compaction.compactRawPartition(
         s, rawDir, graft.schema.EventSchema.raw,
         targetBytes = Long.MaxValue).toLong
       val post = Pipeline.runPartition(s, conf, Date)
-      phaseRows("arrivals", preFiles, pre)
-        .unionByName(phaseRows("compacted", postFiles, post))
+      phaseRows("arrivals", preFiles, preCurated, pre)
+        .unionByName(phaseRows("compacted", postFiles, curatedRows(), post))
         .orderBy(col("phase"), col("metric"))
     }
   )

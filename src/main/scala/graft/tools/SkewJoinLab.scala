@@ -74,6 +74,13 @@ object SkewJoinLab {
     // partition carries the whole payload, exactly what AQE's skew
     // split exists for. Broadcast is disabled to force the shuffled
     // join a 100 TB dim table would force anyway.
+    // the enrichment dim lands in a SCRATCH dir, not the tier dir:
+    // writing user_stats.parquet beside events.parquet mutates shared
+    // benchmark inputs, and any tool enumerating <tier>/*.parquet as
+    // tables would pick up the synthetic frame
+    def statsPath(dir: String): String =
+      s"/tmp/graft-skewlab-stats/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
+        "/user_stats.parquet"
     val rawEnrich = graft.queries.Q("raw_enrich_join",
       (sess: SparkSession, dir: String) => {
         import org.apache.spark.sql.functions._
@@ -92,7 +99,7 @@ object SkewJoinLab {
         val ev = sess.read.parquet(s"$dir/events.parquet")
           .withColumn("payload", concat_ws("|", (0 until 30).map(_ =>
             coalesce(col("props"), lit("x"))): _*))
-        val stats = sess.read.parquet(s"$dir/user_stats.parquet")
+        val stats = sess.read.parquet(statsPath(dir))
         ev.hint("merge").join(stats, Seq("user_id"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("n_user")).as("s"),
@@ -103,7 +110,7 @@ object SkewJoinLab {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$dir/events.parquet")
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_user"))
-        .write.mode("overwrite").parquet(s"$dir/user_stats.parquet")
+        .write.mode("overwrite").parquet(statsPath(dir))
     }
 
     val queries = SparkEntry.inventory.filter(q => names.contains(q.name)) :+

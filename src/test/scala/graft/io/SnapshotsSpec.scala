@@ -458,4 +458,69 @@ class SnapshotsSpec extends SparkSpec {
     assert(snapshotMap(Snapshots.read(spark, t)) == want,
       "the re-checkpointed floor answers identically")
   }
+
+  test("tag publish survives a concurrent reader heal racing its " +
+      "rename (idempotent accept, the publishFloor discipline)") {
+    val t = tmpDir("snap_tag_race")
+    Snapshots.commitFull(rows("d1", 1 to 3, 0), t, "day")
+    Snapshots.commitOverwritePartition(rows("d1", 1 to 3, 100), t,
+      "day", "d1")
+    // Interleaving under test: tag() writes `name.tmp`, deletes the ref,
+    // and between its delete and rename a reader's versionOfRefOpt heal
+    // renames OUR tmp into place — tag's own rename then fails on a
+    // vanished source while the ref is in fact correctly published.
+    // Plant the healer-input state each round and race a healer thread
+    // against the publisher; the old code threw "failed to publish"
+    // whenever the healer won the window.
+    val refs = new java.io.File(t, "_refs")
+    refs.mkdirs()
+    val p = new java.io.File(refs, "m")
+    val tmp = new java.io.File(refs, "m.tmp")
+    val failures = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    for (_ <- 1 to 120) {
+      // tmp pins v1 (≠ the tag target): tag's own pre-publish read then
+      // heals it, sees a DIFFERENT version, and proceeds into the
+      // write-tmp → delete → rename window the healer races
+      p.delete()
+      java.nio.file.Files.write(tmp.toPath, "v1".getBytes)
+      val healer = new Thread(() =>
+        try Snapshots.versionOfRef(spark, t, "m")
+        catch { case _: Throwable => () })
+      val publisher = new Thread(() =>
+        try Snapshots.tag(spark, t, "m", 2, replace = true)
+        catch { case e: Throwable => failures.compareAndSet(null, e) })
+      healer.start(); publisher.start()
+      healer.join(); publisher.join()
+      assert(failures.get() == null,
+        s"tag must accept a healer-completed publish: ${failures.get()}")
+      assert(Snapshots.versionOfRef(spark, t, "m") == 2)
+    }
+  }
+
+  test("publish sweeps aged _CURRENT.<uuid>.tmp debris but never a " +
+      "live writer's fresh tmp") {
+    val t = tmpDir("snap_tmp_sweep")
+    Snapshots.commitFull(rows("d1", 1 to 3, 0), t, "day")
+    val dir = new java.io.File(t)
+    // a publisher that died between create(tmp) and the rename, long ago
+    val stale = new java.io.File(dir,
+      "_CURRENT.00000000-dead-beef-0000-000000000000.tmp")
+    java.nio.file.Files.write(stale.toPath, "v1".getBytes)
+    stale.setLastModified(System.currentTimeMillis() - 60 * 60 * 1000L)
+    // a LIVE writer's in-flight tmp (fresh mtime) — must survive
+    val live = new java.io.File(dir,
+      "_CURRENT.11111111-1111-1111-1111-111111111111.tmp")
+    java.nio.file.Files.write(live.toPath, "".getBytes)
+    // the legacy shared-name tmp is the heal's input, never swept here
+    val legacy = new java.io.File(dir, "_CURRENT.tmp")
+    java.nio.file.Files.write(legacy.toPath, "v1".getBytes)
+    legacy.setLastModified(System.currentTimeMillis() - 60 * 60 * 1000L)
+    Snapshots.commitOverwritePartition(rows("d1", 1 to 3, 100), t,
+      "day", "d1")
+    assert(!stale.exists(), "aged uuid tmp must be reclaimed by publish")
+    assert(live.exists(), "a fresh in-flight tmp must not be touched")
+    assert(legacy.exists(),
+      "the legacy shared-name tmp belongs to the heal, not the sweep")
+    assert(Snapshots.currentVersion(spark, t) == 2)
+  }
 }
