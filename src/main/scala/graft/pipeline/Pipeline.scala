@@ -167,6 +167,80 @@ object Pipeline {
     report
   }
 
+  /** Re-admission replay of a quarantined partition under the CURRENT
+    * gate: rows quarantined under yesterday's rules re-run through
+    * [[graft.dq.Dq.splitQuarantine]] with today's `allowed` domain —
+    * the operational sequel to [[runPartitionQuarantine]] (a rule was
+    * relaxed, a producer fixed, and the diverted rows deserve a second
+    * look). Rows whose `quarantine_reason` is outside `reasons`
+    * (empty = all) are not re-examined and stay quarantined as-is.
+    *
+    * Now-clean rows are admitted into curated via the same idempotent
+    * purge+rewrite a run uses; still-bad rows stay quarantined with
+    * their reasons REFRESHED by the replay. A re-split row whose
+    * event_id already lives in curated stays quarantined as
+    * `dup_event_id` — within the replay batch splitQuarantine's own
+    * ranking dedups, but admission must also never double a key the
+    * ORIGINAL run already admitted, and the quarantined copy of a dup
+    * is exactly such a key. The replay is audited as its OWN run
+    * (report-precedes-write ordering, failures = none — re-admission
+    * diagnoses, it never gates) and its JSON report lands beside the
+    * original as `data_quality_readmission.json`. Both zone rewrites
+    * are localCheckpoint-materialized BEFORE the purge: each output
+    * unions rows read from the very directory it overwrites.
+    * Returns the replay's report. */
+  def readmitQuarantine(spark: SparkSession, conf: PipelineConfig,
+      ingestionDate: String, quarantineBase: String,
+      reasons: Seq[String] = Nil,
+      allowed: Seq[String] = graft.schema.EventSchema.allowedEventTypes)
+      : DqReport = {
+    import org.apache.spark.sql.functions._
+    require(validDate(ingestionDate),
+      "ingestion_date must be YYYY-MM-DD, e.g. 2025-01-02")
+    val qPath = RawEvents.partitionPath(quarantineBase, ingestionDate)
+    val curatedPath = RawEvents.partitionPath(conf.curatedBase, ingestionDate)
+    if (!CuratedWriter.upstreamExists(spark, qPath))
+      throw new MissingUpstreamException(qPath)
+    val q = spark.read.parquet(qPath)
+    val inScope =
+      if (reasons.isEmpty) lit(true)
+      else col("quarantine_reason").isin(reasons: _*)
+    val cand = q.where(inScope).drop("quarantine_reason")
+    val keep = q.where(!inScope)
+    val (valid0, requar) = graft.dq.Dq.splitQuarantine(cand, allowed)
+    val curated =
+      if (CuratedWriter.upstreamExists(spark, curatedPath))
+        spark.read.parquet(curatedPath)
+      else valid0.where(lit(false))
+    val existingKeys = curated.select("event_id")
+    val admit = valid0.join(existingKeys, Seq("event_id"), "left_anti")
+      .localCheckpoint()
+    val collide = valid0.join(existingKeys, Seq("event_id"), "left_semi")
+      .withColumn("quarantine_reason", lit("dup_event_id"))
+    val newQuar = keep.unionByName(requar).unionByName(collide)
+      .localCheckpoint()
+    val newCurated = curated.unionByName(admit).localCheckpoint()
+    // the replay's own report: counters over the re-examined batch (the
+    // honest diagnosis of what quarantine still holds), admitted/kept
+    // tallies as warnings, no failures — then audit, then the writes
+    val counters = graft.dq.DqCounters.compute(cand)
+    val nAdmit = admit.count()
+    val kept = newQuar.groupBy("quarantine_reason").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val warnings = s"readmitted $nAdmit rows" +:
+      kept.map { case (r, n) => s"kept $n rows: $r" }.toSeq
+    val report = DqReport(ingestionDate, qPath, curatedPath, counters,
+      Nil, warnings)
+    CuratedWriter.writeSingleFile(spark,
+      RawEvents.partitionPath(conf.metricsBase, ingestionDate) +
+        "data_quality_readmission.json", report.toJson)
+    auditBestEffort(spark, conf, report)
+    CuratedWriter.overwritePartition(newQuar, quarantineBase, ingestionDate)
+    CuratedWriter.overwritePartition(newCurated, conf.curatedBase,
+      ingestionDate)
+    report
+  }
+
   def validDate(d: String): Boolean =
     d.matches("\\d{4}-\\d{2}-\\d{2}") &&
       scala.util.Try(LocalDate.parse(d)).isSuccess

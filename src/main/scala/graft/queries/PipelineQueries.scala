@@ -372,6 +372,109 @@ object PipelineQueries {
       phaseRows("arrivals", preFiles, preCurated, pre)
         .unionByName(phaseRows("compacted", postFiles, curatedRows(), post))
         .orderBy(col("phase"), col("metric"))
+    },
+
+    // --- quarantine re-admission under a relaxed gate --------------------
+    // The operational sequel to q_dq_quarantine: the poisoned partition
+    // quarantines under the default domain, then 'error' is declared a
+    // legal type and [[Pipeline.readmitQuarantine]] replays the
+    // invalid_event_type + dup_event_id rows through the relaxed gate.
+    // Now-clean rows move into curated via the idempotent partition
+    // rewrite; a replayed row whose event_id the original run already
+    // admitted stays quarantined as dup_event_id (the curated-collision
+    // anti-join — every valid dup's second copy exercises it); an
+    // invalid DUP's second copy stays via the replay's own in-batch
+    // ranking. The oracle replays the splitQuarantine predicate TWICE —
+    // once per domain — plus the collision rule, flat in SQL, so a hash
+    // match proves the replay drains exactly the now-legal rows and
+    // nothing else.
+    Q(
+      "q_dq_readmission",
+      s"""WITH $OracleRaw,
+         |cand AS (SELECT event_id, user_id, event_type, ts FROM tagged
+         |  WHERE reason IN ('invalid_event_type','dup_event_id')),
+         |t2 AS (SELECT *, (event_id IS NOT NULL AND event_type IS NOT NULL
+         |    AND user_id IS NOT NULL AND event_type IN
+         |    ('login','view_item','add_to_cart','purchase','error'))
+         |    AS clean2
+         |  FROM cand),
+         |r2 AS (SELECT *, CASE WHEN event_id IS NULL THEN 1
+         |    ELSE SUM(CASE WHEN clean2 THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY event_id
+         |      ORDER BY clean2 DESC, ts, user_id, event_type
+         |      ROWS UNBOUNDED PRECEDING) END AS rn2
+         |  FROM t2),
+         |tagged2 AS (SELECT *,
+         |    CASE WHEN event_id IS NULL THEN 'null_event_id'
+         |      WHEN event_type IS NULL THEN 'null_event_type'
+         |      WHEN user_id IS NULL THEN 'null_user_id'
+         |      WHEN event_type NOT IN
+         |        ('login','view_item','add_to_cart','purchase','error')
+         |        THEN 'invalid_event_type'
+         |      WHEN rn2 > 1 THEN 'dup_event_id' END AS reason2
+         |  FROM r2),
+         |cur0 AS (SELECT event_id FROM tagged WHERE reason IS NULL),
+         |adm AS (SELECT event_id FROM tagged2 WHERE reason2 IS NULL
+         |  AND event_id NOT IN (SELECT event_id FROM cur0)),
+         |qafter AS (
+         |  SELECT reason FROM tagged WHERE reason IS NOT NULL
+         |    AND reason NOT IN ('invalid_event_type','dup_event_id')
+         |  UNION ALL SELECT reason2 FROM tagged2 WHERE reason2 IS NOT NULL
+         |  UNION ALL SELECT 'dup_event_id' FROM tagged2
+         |  WHERE reason2 IS NULL AND event_id IN
+         |    (SELECT event_id FROM cur0)),
+         |b AS (SELECT COUNT(*) AS rows_before FROM tagged
+         |  WHERE reason IS NULL),
+         |a2 AS (SELECT COUNT(*) AS n_adm FROM adm),
+         |ct AS (SELECT COUNT(*) AS cand_rows FROM cand)
+         |SELECT src, metric, CAST(n AS BIGINT) AS n FROM (
+         |  SELECT 'audit' AS src, 'pass_runs' AS metric, 2 AS n
+         |  UNION ALL SELECT 'curated', 'rows_before', rows_before FROM b
+         |  UNION ALL SELECT 'curated', 'rows_after', rows_before + n_adm
+         |    FROM b CROSS JOIN a2
+         |  UNION ALL SELECT 'quarantine', reason, COUNT(*)
+         |    FROM qafter GROUP BY reason
+         |  UNION ALL SELECT 'replay', 'readmitted', n_adm FROM a2
+         |  UNION ALL SELECT 'replay', 'total_rows', cand_rows FROM ct)
+         |ORDER BY src, metric""".stripMargin
+    ) { (s, d) =>
+      val root = scratch(d, "readmission")
+      wipe(s, root)
+      val conf = PipelineConfig(s"$root/raw", s"$root/curated",
+        s"$root/metrics", auditTable = Some(s"$root/audit"))
+      val qBase = s"$root/quarantine"
+      poisoned(s, d).write.mode("overwrite")
+        .json(RawEvents.partitionPath(conf.rawBase, Date))
+      Pipeline.runPartitionQuarantine(s, conf, Date,
+        quarantineBase = qBase, maxQuarantineRate = 0.5)
+      def curatedCount(): Long = s.read.parquet(
+        RawEvents.partitionPath(conf.curatedBase, Date)).count()
+      val before = curatedCount()
+      val rep = Pipeline.readmitQuarantine(s, conf, Date, qBase,
+        reasons = Seq("invalid_event_type", "dup_event_id"),
+        allowed = graft.schema.EventSchema.allowedEventTypes :+ "error")
+      val after = curatedCount()
+      val quarAfter = s.read.parquet(RawEvents.partitionPath(qBase, Date))
+        .groupBy(col("quarantine_reason"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("quarantine").as("src"),
+          col("quarantine_reason").as("metric"), col("n"))
+      val passRuns = DqAudit.history(s, conf.auditTable.get)
+        .where(col("ingestion_date") === Date && col("status") === "PASS")
+        .count()
+      val scalars = Seq(
+        ("audit", "pass_runs", passRuns),
+        ("curated", "rows_before", before),
+        ("curated", "rows_after", after),
+        ("replay", "readmitted", after - before),
+        ("replay", "total_rows", rep.counters.totalRows))
+      val scalarDf = s.range(1).select(explode(array(scalars.map {
+          case (src, m, n) => struct(lit(src).as("src"), lit(m).as("metric"),
+            lit(n).as("n")) }: _*)).as("x"))
+        .select(col("x.src").as("src"), col("x.metric").as("metric"),
+          col("x.n").as("n"))
+      quarAfter.unionByName(scalarDf)
+        .orderBy(col("src"), col("metric"))
     }
   )
 }

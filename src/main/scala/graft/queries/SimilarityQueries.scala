@@ -1800,19 +1800,21 @@ object SimilarityQueries {
     //
     // Build candidates = multi-table LSH (6 bits × 8 tables, the
     // emb_knn_lsh amplification; one 8-bit table measured 1/30 recall
-    // from bucket starvation) REFINED by one NN-DESCENT round (Dong et
-    // al., WWW'11 — the billion-scale graph-build standard): the
-    // neighbor-of-a-neighbor pool (undirected, so reverse edges
-    // contribute) re-ranked to top-M repairs the edges LSH missed.
-    // Measured on the recall harness (GraphRecallLab, sf0.1/2000 vecs):
-    // LSH-only M=8 = 0.50 recall@3, +NN-descent M=16 plateaus at 0.87
-    // (disconnected LSH component), M=24 + 1 round = 0.97, 1.00 at
-    // sf0.01 — above IVF's 0.90 at comparable serve cost. Round cost is
-    // one self-join of the M-degree graph (O(N·M²) pairs, linear in N;
-    // production NN-descent samples the pool — ρ<1 — to cut the
-    // constant). The oracle replays build (LSH pool, NN-descent round,
-    // top-M) and walk flat in SQL, so a hash match proves the persisted
-    // index serves exactly the walk's semantics; its recall rides
+    // from bucket starvation) REFINED by one SAMPLED NN-DESCENT round
+    // (Dong et al., WWW'11 — the billion-scale graph-build standard):
+    // the neighbor-of-a-neighbor pool (undirected, so reverse edges
+    // contribute), SAMPLED at the paper's ρ=0.5 by a deterministic
+    // hash coin per directed adjacency entry, re-ranked to top-M
+    // repairs the edges LSH missed. Measured on the recall harness
+    // (GraphRecallLab, sf0.1/2000 vecs): LSH-only M=8 = 0.50 recall@3,
+    // +full-pool NN-descent M=16 plateaus at 0.87 (disconnected LSH
+    // component), M=24 + 1 full round = 0.97, 1.00 at sf0.01 — above
+    // IVF's 0.90 at comparable serve cost; the ρ=0.5 sample keeps
+    // recall within the paper's <2% band (sweep in DESIGN_NOTES) while
+    // cutting the round's candidate constant ~4× (ρ²·N·M² pairs). The
+    // oracle replays build (LSH pool, sampled NN-descent round, top-M)
+    // and walk flat in SQL, so a hash match proves the persisted index
+    // serves exactly the walk's semantics; its recall rides
     // emb_recall_at_k's 'graph' row against the same brute-force truth
     // as IVF/LSH/PQ.
     Q(
@@ -1840,7 +1842,11 @@ object SimilarityQueries {
            |      ORDER BY cos DESC, dst) AS rn FROM cs) WHERE rn <= 24),
            |und AS (SELECT src, dst FROM k0
            |  UNION ALL SELECT dst AS src, src AS dst FROM k0),
-           |nn AS (SELECT a.src, b.dst FROM und a JOIN und b
+           |su AS (SELECT src, dst FROM und
+           |  WHERE ${graft.functions.TextOps.md5Low60Sql(
+                 "CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")}
+           |      % 100 < 50),
+           |nn AS (SELECT a.src, b.dst FROM su a JOIN su b
            |  ON a.dst = b.src AND a.src <> b.dst),
            |c1 AS (SELECT src, dst FROM k0 UNION SELECT src, dst FROM nn),
            |cs1 AS (SELECT c1.src, c1.dst,
@@ -1913,18 +1919,25 @@ object SimilarityQueries {
     val pairs = a.join(b, col("t") === col("b_t")
           && col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
-    // ONE NN-DESCENT round over the LSH-seeded graph (Dong et al.,
-    // WWW'11): the undirected neighbor-of-a-neighbor pool re-ranked to
-    // top-M repairs edges the hash tables missed — recall@3 0.50 → 0.97
-    // at sf0.1 (measured, GraphRecallLab; scaladoc above). One
-    // self-join of the M-degree graph: O(N·M²) pairs, linear in N.
-    // localCheckpoint cuts the lineage before the self-join (the
-    // iterative-plan discipline) — N·M narrow rows, bounded.
+    // ONE SAMPLED NN-DESCENT round over the LSH-seeded graph (Dong et
+    // al., WWW'11): the undirected neighbor-of-a-neighbor pool
+    // re-ranked to top-M repairs edges the hash tables missed. The pool
+    // is SAMPLED at the paper's ρ=0.5 — each directed adjacency entry
+    // enters the self-join iff a hash coin on its (src, dst) pair
+    // selects it (hash-derived-uniform, the pipe_weighted_sample
+    // discipline, so the oracle replays the identical sample) — cutting
+    // the candidate constant ~ρ²·N·M² for the paper's typical <2%
+    // recall cost (measured on GraphRecallLab: full-pool 0.97 recall@3
+    // at sf0.1, see DESIGN_NOTES for the ρ sweep). localCheckpoint cuts
+    // the lineage before the self-join (the iterative-plan discipline)
+    // — N·M narrow rows, bounded.
     val k0 = topM(pairs).localCheckpoint()
     val und = k0.unionByName(
       k0.select(col("dst").as("src"), col("src").as("dst")))
-    val nn = und.select(col("src"), col("dst").as("mid"))
-      .join(und.select(col("src").as("mid"), col("dst")), Seq("mid"))
+    val su = und.where(pmod(graft.functions.TextOps.md5Low60(
+      concat_ws(":", col("src"), col("dst"))), lit(100)) < 50)
+    val nn = su.select(col("src"), col("dst").as("mid"))
+      .join(su.select(col("src").as("mid"), col("dst")), Seq("mid"))
       .select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
     val edges = topM(k0.unionByName(nn).distinct())

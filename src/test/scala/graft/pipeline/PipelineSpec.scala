@@ -173,6 +173,66 @@ class PipelineSpec extends SparkSpec {
       RawEvents.partitionPath(qBase, "2025-01-01")).exists())
   }
 
+  test("readmission: a relaxed rule drains exactly the now-legal rows; " +
+      "curated collisions stay quarantined as dups") {
+    val conf = freshConf()
+    val qBase = s"${new File(conf.rawBase).getParent}/quarantine"
+    gen(conf, "2025-01-01")
+    // fresh, feed-unique ids so the drain is attributable row-by-row
+    val bad = EventsGen.generateDay("2025-01-01", nEvents = 3)
+    val poisoned = Seq(
+      bad(0).copy(event_id = "rx-hack", event_type = "hack"),
+      bad(1).copy(event_id = "rx-promo", event_type = "promo"),
+      bad(2).copy(event_id = "rx-nouser", user_id = None))
+    EventsGen.writeNdjson(poisoned, conf.rawBase, "2025-01-01",
+      fileName = "poison.json")
+    Pipeline.runPartitionQuarantine(spark, conf, "2025-01-01", qBase)
+    def quarReasons(): Map[String, Long] = spark.read
+      .parquet(RawEvents.partitionPath(qBase, "2025-01-01"))
+      .groupBy("quarantine_reason").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = quarReasons()
+    assert(before("invalid_event_type") == 2L) // hack + promo
+    val curatedBefore = curated(conf, "2025-01-01").count()
+    val total = curatedBefore +
+      before.values.sum // diversion is lossless, pin it across replays
+
+    // 'hack' becomes legal; only invalid_event_type rows re-examined
+    val rep = Pipeline.readmitQuarantine(spark, conf, "2025-01-01", qBase,
+      reasons = Seq("invalid_event_type"),
+      allowed = graft.schema.EventSchema.allowedEventTypes :+ "hack")
+    assert(rep.status == "PASS")
+    assert(rep.warnings.exists(_.startsWith("readmitted 1 rows")))
+    val out = curated(conf, "2025-01-01")
+    assert(out.where("event_id = 'rx-hack'").count() == 1L,
+      "the now-legal row must land in curated")
+    assert(out.count() == curatedBefore + 1)
+    val after = quarReasons()
+    assert(after("invalid_event_type") == 1L, "promo stays quarantined")
+    assert(after.getOrElse("null_user_id", 0L) ==
+      before.getOrElse("null_user_id", 0L),
+      "out-of-scope reasons must not be touched")
+    assert(after.getOrElse("dup_event_id", 0L) ==
+      before.getOrElse("dup_event_id", 0L))
+    assert(out.count() + after.values.sum == total, "lossless replay")
+
+    // dup copies re-examined: each id already lives in curated, so the
+    // collision anti-join keeps every one quarantined — nothing drains
+    val rep2 = Pipeline.readmitQuarantine(spark, conf, "2025-01-01", qBase,
+      reasons = Seq("dup_event_id"))
+    assert(rep2.warnings.exists(_.startsWith("readmitted 0 rows")))
+    assert(curated(conf, "2025-01-01").count() == curatedBefore + 1)
+    assert(quarReasons().getOrElse("dup_event_id", 0L) ==
+      before.getOrElse("dup_event_id", 0L))
+
+    // idempotency: replaying the same relaxation drains nothing new
+    val rep3 = Pipeline.readmitQuarantine(spark, conf, "2025-01-01", qBase,
+      reasons = Seq("invalid_event_type"),
+      allowed = graft.schema.EventSchema.allowedEventTypes :+ "hack")
+    assert(rep3.warnings.exists(_.startsWith("readmitted 0 rows")))
+    assert(quarReasons() == after)
+  }
+
   test("missing upstream partition fails distinctly (sensor C4)") {
     val conf = freshConf()
     intercept[MissingUpstreamException] {
