@@ -1790,7 +1790,7 @@ object SimilarityQueries {
     // --- graph-index ANN: committed k-NN graph + 2-hop beam serve --------
     // The graph-index alternative alongside IVF/PQ (the HNSW/NSG family
     // reduced to its Spark-native core): BUILD commits a directed k-NN
-    // edge relation (degree M=24) as a snapshot table RANGE-SORTED on
+    // edge relation (degree M=32) as a snapshot table RANGE-SORTED on
     // src (each file covers a disjoint src range, recorded as manifest
     // min/max), and SERVE answers a query by greedy 2-hop expansion
     // over adjacency lists read OFF THE STORE: one batched stats-pruned
@@ -1798,9 +1798,11 @@ object SimilarityQueries {
     // bytes — never the corpus), exact-cosine rerank of the ≤ M+M²
     // candidates, top-3.
     //
-    // Build candidates = multi-table LSH (6 bits × 8 tables, the
+    // Build candidates = multi-table LSH (7 bits × 8 tables, the
     // emb_knn_lsh amplification; one 8-bit table measured 1/30 recall
-    // from bucket starvation) REFINED by one SAMPLED NN-DESCENT round
+    // from bucket starvation — 7 bits halves the seed-pair pool vs 6
+    // with NO recall cost once NN-descent refines it, measured)
+    // REFINED by one SAMPLED NN-DESCENT round
     // (Dong et al., WWW'11 — the billion-scale graph-build standard):
     // the neighbor-of-a-neighbor pool (undirected, so reverse edges
     // contribute), SAMPLED at the paper's ρ=0.5 by a deterministic
@@ -1808,10 +1810,13 @@ object SimilarityQueries {
     // repairs the edges LSH missed. Measured on the recall harness
     // (GraphRecallLab, sf0.1/2000 vecs): LSH-only M=8 = 0.50 recall@3,
     // +full-pool NN-descent M=16 plateaus at 0.87 (disconnected LSH
-    // component), M=24 + 1 full round = 0.97, 1.00 at sf0.01 — above
-    // IVF's 0.90 at comparable serve cost; the ρ=0.5 sample keeps
-    // recall within the paper's <2% band (sweep in DESIGN_NOTES) while
-    // cutting the round's candidate constant ~4× (ρ²·N·M² pairs). The
+    // component), M=24 + 1 full round = 0.97. Sampling at ρ=0.5 costs
+    // recall at fixed degree (M=24: 0.97→0.87), and the paper's cure
+    // is the right one here too — spend the saved pool on DEGREE:
+    // M=32 + ρ=0.5 = 0.933 at sf0.1 (1.00 at sf0.01), above IVF's
+    // 0.90, with ρ²·M² = 256·N NoN pairs vs the full-pool M=24's
+    // 576·N — better recall AND a 2.25× cheaper round (ρ sweep in
+    // DESIGN_NOTES). The
     // oracle replays build (LSH pool, sampled NN-descent round, top-M)
     // and walk flat in SQL, so a hash match proves the persisted index
     // serves exactly the walk's semantics; its recall rides
@@ -1820,7 +1825,7 @@ object SimilarityQueries {
     Q(
       "emb_knn_graph", {
         val tables = (0 until 8).map { t =>
-          val planes = VectorOps.hyperplanes(Dim, 6, 7L + 1000L * t)
+          val planes = VectorOps.hyperplanes(Dim, 7, 7L + 1000L * t)
           s"struct_pack(tbl := $t, bucket := ${Sql.bucket("embedding", planes)})"
         }.mkString(",\n    ")
         val qcos = Sql.cos("q.q_vec", "b.embedding")
@@ -1839,7 +1844,7 @@ object SimilarityQueries {
            |    JOIN embeddings be ON be.vec_id = c.dst),
            |k0 AS (SELECT src, dst FROM (
            |    SELECT src, dst, row_number() OVER (PARTITION BY src
-           |      ORDER BY cos DESC, dst) AS rn FROM cs) WHERE rn <= 24),
+           |      ORDER BY cos DESC, dst) AS rn FROM cs) WHERE rn <= 32),
            |und AS (SELECT src, dst FROM k0
            |  UNION ALL SELECT dst AS src, src AS dst FROM k0),
            |su AS (SELECT src, dst FROM und
@@ -1855,7 +1860,7 @@ object SimilarityQueries {
            |    JOIN embeddings be ON be.vec_id = c1.dst),
            |k AS (SELECT src, dst FROM (
            |    SELECT src, dst, row_number() OVER (PARTITION BY src
-           |      ORDER BY cos DESC, dst) AS rn FROM cs1) WHERE rn <= 24),
+           |      ORDER BY cos DESC, dst) AS rn FROM cs1) WHERE rn <= 32),
            |q AS (SELECT vec_id AS q_id, embedding AS q_vec
            |  FROM embeddings WHERE vec_id < 10),
            |h1 AS (SELECT q.q_id, k.dst FROM q JOIN k ON k.src = q.q_id),
@@ -1892,28 +1897,28 @@ object SimilarityQueries {
     val emb = Tables.embeddings(s, d)
     val withT = emb.withColumn("t",
       explode(VectorOps.lshTables(col("embedding"), Dim,
-        nBits = 6, nTables = 8)))
+        nBits = 7, nTables = 8)))
     val a = withT.select(col("t"), col("vec_id").as("src"))
     val b = withT.select(col("t").as("b_t"), col("vec_id").as("dst"))
     // dedupe every candidate pool as NARROW (src, dst) pairs — a first
     // cut carried both 64-float vectors through the distinct's shuffle
     // and tripled the build (measured 30 s vs 9 at sf0.1); vectors
     // re-attach by two id equi-joins (the oracle's own shape). Graph
-    // DEGREE M=24 (HNSW-class fanout), distinct from the k=3 the serve
-    // returns: hop-1 probes 24 lists, rerank keeps 3.
-    def topM(cand: DataFrame): DataFrame = {
+    // DEGREE M=32 (HNSW-class fanout), distinct from the k=3 the serve
+    // returns: hop-1 probes 32 lists, rerank keeps 3.
+    def scored(cand: DataFrame): DataFrame = cand
+      .join(emb.select(col("vec_id").as("src"),
+        col("embedding").as("a_vec")), Seq("src"))
+      .join(emb.select(col("vec_id").as("dst"),
+        col("embedding").as("b_vec")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        round(VectorOps.cosine(col("a_vec"), col("b_vec")), 6)
+          .as("cos"))
+    def topM(sc: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("src"))
         .orderBy(col("cos").desc, col("dst"))
-      cand
-        .join(emb.select(col("vec_id").as("src"),
-          col("embedding").as("a_vec")), Seq("src"))
-        .join(emb.select(col("vec_id").as("dst"),
-          col("embedding").as("b_vec")), Seq("dst"))
-        .select(col("src"), col("dst"),
-          round(VectorOps.cosine(col("a_vec"), col("b_vec")), 6)
-            .as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 24)
+      sc.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 32)
         .select(col("src"), col("dst"))
     }
     val pairs = a.join(b, col("t") === col("b_t")
@@ -1931,7 +1936,11 @@ object SimilarityQueries {
     // at sf0.1, see DESIGN_NOTES for the ρ sweep). localCheckpoint cuts
     // the lineage before the self-join (the iterative-plan discipline)
     // — N·M narrow rows, bounded.
-    val k0 = topM(pairs).localCheckpoint()
+    // (A score-reuse variant — checkpoint every seed pair's cos and
+    // re-score only NN-descent's new pairs — measured SLOWER at sf0.1:
+    // the 250k-row checkpoint plus two narrow joins cost more than the
+    // saved cosine evals. Re-scoring the union is the cheaper shape.)
+    val k0 = topM(scored(pairs)).localCheckpoint()
     val und = k0.unionByName(
       k0.select(col("dst").as("src"), col("src").as("dst")))
     val su = und.where(pmod(graft.functions.TextOps.md5Low60(
@@ -1940,7 +1949,7 @@ object SimilarityQueries {
       .join(su.select(col("src").as("mid"), col("dst")), Seq("mid"))
       .select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-    val edges = topM(k0.unionByName(nn).distinct())
+    val edges = topM(scored(k0.unionByName(nn).distinct()))
     // range-sorted on src so each file's manifest min/max covers a
     // disjoint adjacency range — a probe read opens only its node's
     // file (the BM25-postings layout, src for term)

@@ -26,10 +26,10 @@ object GraphRecallLab {
     *                lab measures exactly the production sample. 100 =
     *                full pool. */
   def buildEdges(emb: DataFrame, m: Int, rounds: Int,
-      rhoPct: Int = 100): DataFrame = {
+      rhoPct: Int = 100, nBits: Int = 6, nTables: Int = 8): DataFrame = {
     val withT = emb.withColumn("t",
-      explode(VectorOps.lshTables(col("embedding"), 64, nBits = 6,
-        nTables = 8)))
+      explode(VectorOps.lshTables(col("embedding"), 64, nBits = nBits,
+        nTables = nTables)))
     val a = withT.select(col("t"), col("vec_id").as("src"))
     val b = withT.select(col("t").as("b_t"), col("vec_id").as("dst"))
     def topM(cand: DataFrame): DataFrame = {
@@ -112,19 +112,32 @@ object GraphRecallLab {
     println(s"corpus=$n truth pairs=${truth.size}")
     // (M, ndRounds, hops, ρ%): the degree/round sweep that picked
     // M=24×1 round, then the ρ sweep over the shipped config — Dong et
-    // al. report <2% recall loss at ρ≈0.5 for ~ρ² pool cost
-    val configs = Seq(
-      (16, 1, 2, 100), (16, 2, 2, 100), (24, 1, 2, 100),
-      (24, 1, 2, 50), (24, 1, 2, 30))
-    for ((m, rounds, hops, rho) <- configs) {
+    // al. report small recall loss at ρ≈0.5 for ~ρ² pool cost per
+    // round. Override with --configs=m:rounds:hops:rho,...
+    // m:rounds:hops:rho[:bits[:tables]] — bits/tables shape the LSH
+    // seed pool (sharper buckets = fewer seed pairs for NN-descent to
+    // refine)
+    val configs = args.collectFirst {
+      case a if a.startsWith("--configs=") =>
+        a.stripPrefix("--configs=").split(',').toSeq.map { c =>
+          val xs = c.split(':').map(_.trim.toInt)
+          (xs(0), xs(1), xs(2), xs(3),
+            if (xs.length > 4) xs(4) else 6,
+            if (xs.length > 5) xs(5) else 8)
+        }
+    }.getOrElse(Seq(
+      (16, 1, 2, 100, 6, 8), (16, 2, 2, 100, 6, 8), (24, 1, 2, 100, 6, 8),
+      (24, 1, 2, 50, 6, 8), (32, 1, 2, 50, 6, 8)))
+    for ((m, rounds, hops, rho, bits, tables) <- configs) {
       val t0 = System.nanoTime()
-      val edges = buildEdges(emb, m, rounds, rho)
+      val edges = buildEdges(emb, m, rounds, rho, bits, tables)
       val got = serve(emb, edges, hops)
         .select(col("q_id"), col("vec_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val hits = got.count(truth.contains)
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"M=$m%2d ndRounds=$rounds hops=$hops rho=$rho%3d  " +
+      println(f"M=$m%2d ndRounds=$rounds hops=$hops rho=$rho%3d " +
+        f"bits=$bits tables=$tables  " +
         f"recall@3=${hits.toDouble / truth.size}%.3f  (${dt}%.1f s)")
     }
     spark.stop()
