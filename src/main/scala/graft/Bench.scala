@@ -115,7 +115,58 @@ object Bench {
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plans,"sf":"$sfDir"}"""
+
+    // COMPACT summary line: the full line above is ~100 KB for the full
+    // inventory and the round driver keeps only a truncated stdout TAIL
+    // — r11's BENCH artifact parsed to null because no complete JSON
+    // line survived the cut. The summary (count, total, per-class
+    // totals, worst-5, pointer to the full artifact) is printed BEFORE
+    // the full line for human scanning and AGAIN as the very last line
+    // so the tail always ends with one complete parseable JSON object.
+    // Class taxonomy mirrors scripts/bench_classes.py (the source of
+    // truth — keep the two in sync).
+    def classify(n: String): String = {
+      val indexBuild = ("(_persist|_append|_delete|_compact)$" +
+        "|^q_graph_(persist|append|serve_)" +
+        "|^q_(time_travel|snapshot_prune|partition_evolution)$" +
+        "|^q_snapshot_(merge|merge_evolved|schema_evolution|tag|" +
+        "partition_evolution)$" +
+        "|^(text_unigram_serve|emb_knn_graph)$" +
+        "|^q_dq_(quarantine|audit_history|readmission)$" +
+        "|^q_raw_compaction$|^dedup_incremental$").r
+      val iterative = ("pagerank|kcore|components|graph_bfs" +
+        "|label_propagation|modularity|bpe_|unigram|quality_train" +
+        "|recall_at_k|nprobe").r
+      if (n.startsWith("ref_")) "parity"
+      else if (indexBuild.findFirstIn(n).isDefined) "index-build"
+      else if (iterative.findFirstIn(n).isDefined) "iterative"
+      else "analytic"
+    }
+    val ok = results.filter(_._2 >= 0)
+    val classes = Seq("parity", "analytic", "index-build", "iterative")
+      .map { c =>
+        val in = ok.filter(r => classify(r._1) == c)
+        val sec = math.round(in.map(_._2).sum * 100) / 100.0
+        s""""$c":{"n":${in.size},"sec":$sec}"""
+      }.mkString("{", ",", "}")
+    val worst5 = ok.sortBy(-_._2).take(5)
+      .map { case (k, v, _) =>
+        s""""$k":${math.round(v * 100) / 100.0}""" }
+      .mkString("{", ",", "}")
+    val sfName0 = new java.io.File(sfDir).getName match {
+      case "" | "." | ".." => "default"
+      case n => n.replaceAll("[^A-Za-z0-9._-]", "_")
+    }
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"/tmp/graft_bench_$sfName0.json")
+    val summary =
+      s"""{"metric":"summary","n":${ok.size},"errors":${results.size - ok.size},""" +
+        s""""total":${math.round(total * 100) / 100.0},"unit":"sec",""" +
+        s""""classes":$classes,"worst5":$worst5,""" +
+        s""""full":"$outFile","sf":"$sfDir"}"""
+    println(summary)
     println(line)
+    println(summary)
     // The driver keeps only a truncated stdout tail in its artifact; also
     // persist the full line so per-query timings stay machine-readable
     // (BENCH_r05.json lost all but the last ~60 entries to truncation).
@@ -124,12 +175,6 @@ object Bench {
     // The sf tier is baked into the name so runs at different tiers
     // (sf0.01 iteration vs the driver's sf0.1 pass) never clobber each
     // other's full per-query timing line.
-    val sfName = new java.io.File(sfDir).getName match {
-      case "" | "." | ".." => "default"
-      case n => n.replaceAll("[^A-Za-z0-9._-]", "_")
-    }
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"/tmp/graft_bench_$sfName.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       line + "\n")
     catch { case e: Throwable =>

@@ -78,10 +78,15 @@ object Snapshots {
   case class StatRange(typ: String, lo: String, hi: String)
 
   /** One data file of one version: path relative to the table root,
-    * the partition value it belongs to, rows, and declared-column
-    * stats. */
+    * the partition value it belongs to, rows, declared-column stats,
+    * and the PARTITION SPEC (the partCol name) the file was committed
+    * under — None for files written before spec tracking. The spec is
+    * what makes partition-spec EVOLUTION transactional: two eras of one
+    * table can carry colliding partition VALUES under different specs,
+    * and a whole-partition tombstone only reaches files of its own
+    * era (see [[manifestDF]]). */
   case class FileEntry(path: String, partition: String, rows: Long,
-      stats: Map[String, StatRange])
+      stats: Map[String, StatRange], spec: Option[String] = None)
 
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -109,12 +114,12 @@ object Snapshots {
   /** Atomic pointer flip. The old delete(cur)→rename(tmp, cur) dance
     * had two windows a concurrent reader could fall into (missing
     * pointer; half-written SHARED tmp promoted by the reader heal).
-    * FileContext.rename(OVERWRITE) is an atomic REPLACE on both POSIX
-    * and HDFS — readers always observe a complete pointer — and the
-    * tmp is writer-unique so no publisher can truncate another's
-    * in-flight file. FileContext bypasses ChecksumFileSystem, so any
-    * legacy `._CURRENT.crc` sidecar is dropped first (stale crc over
-    * new bytes fails every subsequent read). */
+    * The tmp is writer-unique so no publisher can truncate another's
+    * in-flight file, and the flip is [[atomicReplace]] — readers
+    * always observe a complete pointer. FileContext bypasses
+    * ChecksumFileSystem, so any legacy `._CURRENT.crc` sidecar is
+    * dropped first (stale crc over new bytes fails every subsequent
+    * read). */
   private def publish(spark: SparkSession, table: String, v: Int): Unit = {
     val f = fs(spark, table)
     val cur = f.makeQualified(new Path(table, "_CURRENT"))
@@ -128,8 +133,27 @@ object Snapshots {
     try out.write(s"v$v".getBytes(StandardCharsets.UTF_8))
     finally out.close()
     f.delete(new Path(cur.getParent, "." + cur.getName + ".crc"), false)
-    fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    atomicReplace(fc, tmp, cur)
     sweepStaleTmps(f, new Path(table), cur.getName)
+  }
+
+  /** Rename `tmp` onto `dst` with NO window where `dst` is missing.
+    * On HDFS/object stores FileContext.rename(OVERWRITE) is an atomic
+    * server-side replace. On the LOCAL filesystem Hadoop's overwrite
+    * rename is delete(dst)-then-rename — the round-12 snapshot SOAK
+    * measured a reader inside that gap resolving currentVersion to 0
+    * on a published table — so local paths take POSIX rename(2)
+    * directly (Files.move ATOMIC_MOVE replaces atomically), the same
+    * scheme dispatch [[reserve]] uses for its O_EXCL. */
+  private[io] def atomicReplace(
+      fc: org.apache.hadoop.fs.FileContext, tmp: Path, dst: Path): Unit = {
+    val scheme = Option(dst.toUri.getScheme).getOrElse("file")
+    if (scheme == "file")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    else fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Best-effort reclaim of writer-unique `_CURRENT.<uuid>.tmp` files a
@@ -190,27 +214,32 @@ object Snapshots {
     else readSmallFile(f, p).trim.stripPrefix("v").toInt
   }
 
+  /** Floor publish, same discipline as [[publish]]: writer-unique tmp
+    * + [[atomicReplace]]. The old shared-name tmp + delete + rename had
+    * two soak-measured reader hazards: the missing-floor gap (floors
+    * transiently regress to 1) and a racing publish's `create(tmp,
+    * overwrite)` TRUNCATING the tmp while the reader heal promoted it —
+    * retentionFloor then read an empty floor file and threw
+    * NumberFormatException. The legacy heal in [[retentionFloor]]
+    * remains for tables last written by the old code. */
   private def publishFloor(spark: SparkSession, table: String, v: Int)
       : Unit = {
     val f = fs(spark, table)
-    val tmp = new Path(table, "_vacuum_floor.tmp")
-    val out = f.create(tmp, true)
+    val cur = f.makeQualified(floorPath(table))
+    val tmp = f.makeQualified(new Path(table,
+      s"_vacuum_floor.${java.util.UUID.randomUUID}.tmp"))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      cur.toUri, spark.sparkContext.hadoopConfiguration)
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
     try out.write(s"v$v".getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    f.delete(floorPath(table), false)
-    if (!f.rename(tmp, floorPath(table))) {
-      // A reader running retentionFloor's crash-window self-heal can
-      // rename OUR tmp into place between the delete and the rename
-      // above — the publish then already happened (by the healer's
-      // hand), so re-read and accept an idempotent success instead of
-      // throwing on a floor that is in fact correctly published.
-      val now =
-        try readSmallFile(f, floorPath(table)).trim
-        catch { case scala.util.control.NonFatal(_) => "" }
-      require(now == s"v$v",
-        s"Snapshots.vacuum: failed to publish retention floor v$v of " +
-          s"$table (found '$now')")
-    }
+    // FileContext writes no checksum sidecar; a stale crc from the old
+    // f.create-based publishes would fail every later checksummed read
+    f.delete(new Path(cur.getParent, "." + cur.getName + ".crc"), false)
+    atomicReplace(fc, tmp, cur)
+    sweepStaleTmps(f, new Path(table), cur.getName)
   }
 
   // ---- named refs (tags) ------------------------------------------------
@@ -336,6 +365,47 @@ object Snapshots {
   private def schemaPath(table: String, v: Int) =
     new Path(manifestDir(table, v), "_schema")
 
+  // ---- partition-spec tracking (spec evolution) -----------------------
+  //
+  // Every version records the PARTITION SPEC (the partCol) it was
+  // committed under as a `_partspec` file beside `_schema` — the
+  // Iceberg spec-evolution sibling of schema tracking. A growing table
+  // can re-partition (date → type) WITHOUT a rewrite: new commits
+  // write the new spec, their files carry it in the manifest, and
+  // resolution unions the eras while whole-partition tombstones stay
+  // scoped to their own era (colliding partition VALUES across specs
+  // cannot cross-delete — see [[manifestDF]]). Reads prune either era
+  // through the same per-file stats ([[readWhere]]), so the new layout
+  // benefits new data immediately and old data is never rewritten.
+
+  private def partSpecPath(table: String, v: Int) =
+    new Path(manifestDir(table, v), "_partspec")
+
+  private def writePartSpec(spark: SparkSession, table: String, v: Int,
+      partCol: String): Unit = {
+    val f = fs(spark, table)
+    f.mkdirs(new Path(manifestDir(table, v)))
+    val out = f.create(partSpecPath(table, v), true)
+    try out.write(partCol.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The partition spec (partCol) version `v` was committed under;
+    * None for versions written before spec tracking. */
+  def partSpecOf(spark: SparkSession, table: String, v: Int)
+      : Option[String] = {
+    val f = fs(spark, table)
+    val p = partSpecPath(table, v)
+    try {
+      if (!f.exists(p)) None
+      else Some(readSmallFile(f, p).trim).filter(_.nonEmpty)
+    } catch {
+      // graced manifest dirs can be reclaimed between probe and open
+      // (the schemaOf discipline)
+      case _: java.io.FileNotFoundException => None
+    }
+  }
+
   private def writeSchema(spark: SparkSession, table: String, v: Int,
       schema: org.apache.spark.sql.types.StructType): Unit = {
     val f = fs(spark, table)
@@ -440,10 +510,12 @@ object Snapshots {
 
   private val CheckpointEvery = 8
 
-  /** Tombstones + whether the version wrote any add segment. Underscore
-    * name keeps the file invisible to the parquet reader sharing the
-    * dir. */
-  private[io] case class DeltaMeta(removes: Seq[String], hasAdds: Boolean)
+  /** Tombstones + whether the version wrote any add segment, plus the
+    * partition spec the removing commit ran under (None for metas
+    * written before spec tracking). Underscore name keeps the file
+    * invisible to the parquet reader sharing the dir. */
+  private[io] case class DeltaMeta(removes: Seq[String], hasAdds: Boolean,
+      spec: Option[String] = None)
 
   private def deltaMetaPath(table: String, v: Int) =
     new Path(manifestDir(table, v), "_delta_meta")
@@ -497,14 +569,17 @@ object Snapshots {
         case s => s.split(',').toSeq
           .map(java.net.URLDecoder.decode(_, "UTF-8"))
       }
-      Some(DeltaMeta(removes, kv.get("adds").contains("true")))
+      Some(DeltaMeta(removes, kv.get("adds").contains("true"),
+        kv.get("spec").filter(_.nonEmpty)
+          .map(java.net.URLDecoder.decode(_, "UTF-8"))))
     }
   }
 
   /** Write one delta version: the commit's own entries (tiny) plus the
     * tombstone meta — never the carried file set. */
   private[io] def writeDelta(spark: SparkSession, table: String, v: Int,
-      adds: Seq[FileEntry], removes: Seq[String]): Unit = {
+      adds: Seq[FileEntry], removes: Seq[String],
+      spec: Option[String] = None): Unit = {
     import spark.implicits._
     val f = fs(spark, table)
     if (adds.nonEmpty)
@@ -515,7 +590,9 @@ object Snapshots {
     try out.write(
       (s"removes=${removes.map(java.net.URLEncoder.encode(_, "UTF-8"))
         .mkString(",")}\n" +
-        s"adds=${adds.nonEmpty}\n").getBytes(StandardCharsets.UTF_8))
+        s"adds=${adds.nonEmpty}\n" +
+        s"spec=${spec.map(java.net.URLEncoder.encode(_, "UTF-8"))
+          .getOrElse("")}\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 
@@ -551,21 +628,34 @@ object Snapshots {
   private def baseOf(spark: SparkSession, table: String, v: Int): Int =
     chainOf(spark, table, v)._1
 
+  /** Does a tombstone from a commit under `rspec` reach a manifest row?
+    * Only within the same ERA: both specs known and different → the row
+    * is another era's file and survives. Either side unknown (legacy
+    * data or legacy meta) → the pre-evolution behavior: value match
+    * alone removes. */
+  private def specCompat(rowSpec: Column, rspec: Column): Column =
+    rowSpec.isNull || rspec.isNull || rowSpec === rspec
+
   /** Route one commit's manifest: checkpoint (complete set, plan-side
     * carry) when the chain would exceed [[CheckpointEvery]], else a
-    * delta of just the commit's own entries + tombstones. */
+    * delta of just the commit's own entries + tombstones. `spec` is the
+    * commit's partition spec — tombstones it writes reach only files of
+    * the same era. */
   private def commitManifest(spark: SparkSession, table: String, v: Int,
-      prev: Int, adds: Seq[FileEntry], removes: Seq[String]): Unit = {
+      prev: Int, adds: Seq[FileEntry], removes: Seq[String],
+      spec: Option[String] = None): Unit = {
     import spark.implicits._
     if (prev == 0) writeManifest(spark, table, v, adds)
     else if (v - baseOf(spark, table, prev) >= CheckpointEvery) {
       val carried =
         if (removes.isEmpty) manifestDF(spark, table, prev)
         else manifestDF(spark, table, prev)
-          .where(!col("partition").isin(removes: _*))
+          .where(!(col("partition").isin(removes: _*) &&
+            specCompat(col("spec"),
+              lit(spec.orNull).cast("string"))))
       writeManifestDF(spark, carried.unionByName(adds.toDS().toDF()),
         table, v)
-    } else writeDelta(spark, table, v, adds, removes)
+    } else writeDelta(spark, table, v, adds, removes, spec)
   }
 
   /** Another writer holds the next version slot; re-read the current
@@ -644,35 +734,47 @@ object Snapshots {
     val dir = manifestDir(table, v)
     require(fs(spark, table).exists(new Path(dir)),
       s"Snapshots: manifest v$v has been vacuumed from $table")
+    // manifests written before spec tracking lack the `spec` column;
+    // normalize so every consumer (tombstone scoping, readManifest's
+    // FileEntry decode) sees one shape
+    def withSpec(df: DataFrame): DataFrame =
+      if (df.columns.contains("spec")) df
+      else df.withColumn("spec", lit(null).cast("string"))
     chainOf(spark, table, v) match {
       case (_, Nil) => // checkpoint: the complete set
-        spark.read.parquet(checkpointParquetDir(spark, table, v))
+        withSpec(spark.read.parquet(checkpointParquetDir(spark, table, v)))
       case (b, metas) =>
         // delta chain: nearest checkpoint + each delta's adds, tagged
         // with their origin version; a row survives unless its
-        // partition carries a tombstone from a LATER version (an
-        // overwrite's own adds survive their own tombstone). All of it
-        // composes lazily — downstream pruning/diff/aggregation still
-        // runs over one plan.
+        // partition carries a SAME-ERA tombstone from a LATER version
+        // (an overwrite's own adds survive their own tombstone, and a
+        // tombstone never reaches another spec's era even when the
+        // partition VALUES collide). All of it composes lazily —
+        // downstream pruning/diff/aggregation still runs over one plan.
         val segs =
-          spark.read.parquet(checkpointParquetDir(spark, table, b))
+          withSpec(spark.read.parquet(checkpointParquetDir(spark, table, b)))
             .withColumn("_origin", lit(b)) +:
             metas.collect { case (w, m) if m.hasAdds =>
-              spark.read.parquet(manifestDir(table, w))
+              withSpec(spark.read.parquet(manifestDir(table, w)))
                 .withColumn("_origin", lit(w))
             }
         val all = segs.reduce(_.unionByName(_))
-        val lastRemove = metas
-          .flatMap { case (w, m) => m.removes.map(_ -> w) }
-          .groupBy(_._1).map { case (p, ws) => (p, ws.map(_._2).max) }
-          .toSeq
-        if (lastRemove.isEmpty) all.drop("_origin")
+        val removeRows = metas.flatMap { case (w, m) =>
+          m.removes.map(r => (r, w, m.spec.orNull))
+        }
+        if (removeRows.isEmpty) all.drop("_origin")
         else {
           import spark.implicits._
-          val rm = broadcast(lastRemove.toDF("partition", "_rmv"))
-          all.join(rm, Seq("partition"), "left")
-            .where(col("_rmv").isNull || col("_origin") >= col("_rmv"))
-            .drop("_origin", "_rmv")
+          // anti-join: a row dies iff ANY later same-era tombstone
+          // names its partition — multiplicity-safe when the same
+          // value was overwritten under different specs
+          val rm = broadcast(removeRows.toDF("_rpart", "_rmv", "_rspec"))
+          all.join(rm,
+            col("partition") === col("_rpart") &&
+              col("_origin") < col("_rmv") &&
+              specCompat(col("spec"), col("_rspec")),
+            "left_anti")
+            .drop("_origin")
         }
     }
   }
@@ -761,7 +863,8 @@ object Snapshots {
           c -> StatRange(typs(c),
             r.getAs[String](s"_lo_$c"), r.getAs[String](s"_hi_$c"))
         }.toMap
-        FileEntry(rel, r.getAs[String]("_gp"), r.getAs[Long]("_rows"), stats)
+        FileEntry(rel, r.getAs[String]("_gp"), r.getAs[Long]("_rows"),
+          stats, Some(partCol))
       }
   }
 
@@ -778,6 +881,7 @@ object Snapshots {
     // wholesale re-commit: the frame's schema IS the table schema (no
     // carried files to stay compatible with)
     writeSchema(spark, table, v, df.schema)
+    writePartSpec(spark, table, v, partCol)
     publish(spark, table, v)
     v
   }
@@ -826,13 +930,15 @@ object Snapshots {
     df.where(col(partCol).cast("string") === value)
       .write.mode("overwrite").parquet(s"$table/$dir")
     val fresh = fileStats(spark, table, dir, statsCols).map {
-      case (rel, n, st) => FileEntry(rel, value, n, st)
+      case (rel, n, st) => FileEntry(rel, value, n, st, Some(partCol))
     }
     // metadata-log commit: normally just the fresh entries + one
     // partition tombstone (O(commit)); every CheckpointEvery-th version
     // materializes the carried set plan-side into a fresh checkpoint
-    commitManifest(spark, table, v, prev, fresh, Seq(value))
+    commitManifest(spark, table, v, prev, fresh, Seq(value),
+      Some(partCol))
     writeSchema(spark, table, v, sch)
+    writePartSpec(spark, table, v, partCol)
     publish(spark, table, v)
     v
   }
@@ -902,8 +1008,9 @@ object Snapshots {
     val fresh =
       if (present.isEmpty) Nil
       else writeCommitData(restricted, table, v, partCol, statsCols)
-    commitManifest(spark, table, v, prev, fresh, values)
+    commitManifest(spark, table, v, prev, fresh, values, Some(partCol))
     writeSchema(spark, table, v, sch)
+    writePartSpec(spark, table, v, partCol)
     publish(spark, table, v)
     v
   }
@@ -931,8 +1038,9 @@ object Snapshots {
     val fresh =
       if (parts.isEmpty) Nil
       else writeCommitData(df, table, v, partCol, statsCols)
-    commitManifest(spark, table, v, prev, fresh, Nil)
+    commitManifest(spark, table, v, prev, fresh, Nil, Some(partCol))
     writeSchema(spark, table, v, sch)
+    writePartSpec(spark, table, v, partCol)
     tag.foreach { t =>
       val f = fs(spark, table)
       f.create(new Path(manifestDir(table, v), s"_applied_$t"), true).close()
@@ -1291,6 +1399,42 @@ object Snapshots {
       lo: String, hi: String): DataFrame =
     readWhere(spark, table, Map(c -> (lo, hi)))
 
+  /** Era-aware partition read under SPEC EVOLUTION: scan exactly the
+    * files that can hold rows with `partCol == value` in the CURRENT
+    * version. Files committed under the same spec prune by their
+    * manifest partition value (exact — only the named partition's
+    * files); files of OTHER eras prune by per-file stats on `partCol`
+    * when the era recorded them, and are conservatively scanned
+    * otherwise (their rows pass through the residual filter — a
+    * pre-evolution file that never carried the column null-fills it
+    * and contributes nothing). This is the migration economics of spec
+    * evolution: the new layout's reads are directory-exact
+    * immediately, legacy data serves unrewritten. */
+  def readPartition(spark: SparkSession, table: String, partCol: String,
+      value: String): DataFrame = {
+    import spark.implicits._
+    val v = currentVersion(spark, table)
+    val sch = schemaOf(spark, table, v)
+    require(sch.forall(_.fieldNames.contains(partCol)),
+      s"Snapshots.readPartition: column '$partCol' not in v$v's schema")
+    // 3VL care: a legacy file's spec is NULL — it must land in the
+    // other-era (conservative) branch, never be dropped by a
+    // null-valued comparison
+    val sameEra = col("spec").isNotNull && col("spec") === lit(partCol)
+    val otherEra = col("spec").isNull || col("spec") =!= lit(partCol)
+    val pred = (sameEra && col("partition") === lit(value)) ||
+      (otherEra && overlapCol(partCol, value, value))
+    val mdf = manifestDF(spark, table, v)
+    val keep = mdf.where(pred).select("path").as[String].collect().toSeq
+    if (keep.isEmpty) {
+      val one = mdf.select("path").limit(1).as[String].collect().toSeq
+      scanPaths(spark, table, one, sch).where(lit(false))
+    } else {
+      val kept = scanPaths(spark, table, keep, sch)
+      kept.where(col(partCol).cast("string") === value)
+    }
+  }
+
   /** Conjunctive multi-column pruned read: a file survives only if its
     * stats overlap EVERY range — with independent clustering per
     * column (e.g. range-sorted on one, partition-aligned on another)
@@ -1428,18 +1572,40 @@ object Snapshots {
     val dataRoot = new Path(table, "data")
     if (!f.exists(dataRoot)) return 0
     var deleted = 0
-    // walk commit dirs; delete files not referenced by a live manifest
-    val it = f.listFiles(dataRoot, true)
+    // walk commit dirs; delete files not referenced by a live manifest.
+    // Commit dirs ABOVE `cur` are an IN-FLIGHT writer's (the reserved
+    // slot's data lands before its manifest publishes) and are skipped
+    // WHOLESALE: their files are unreferenced by every retained
+    // manifest yet must be SPARED — deleting them would let the commit
+    // publish a manifest naming vanished files — and even LISTING them
+    // races the job committer's `_temporary` churn (both measured by
+    // the soak spec's writer×vacuum interleaving). A later vacuum,
+    // running after the slot publishes, judges them normally. Retained
+    // dirs' contents are immutable, so their walks are churn-free; a
+    // racing surprise there skips the dir for this cycle (conservative
+    // — reclaimed next time).
     val toDelete = scala.collection.mutable.ArrayBuffer.empty[Path]
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile) {
-        val full = st.getPath.toString
-        val idx = full.indexOf("data/c")
-        val rel = if (idx >= 0) full.substring(idx) else full
-        if (rel.endsWith(".parquet") && !live.contains(rel))
-          toDelete += st.getPath
+    val eligible = f.listStatus(dataRoot)
+      .filter(_.isDirectory)
+      .filter { d =>
+        val n = d.getPath.getName
+        !n.startsWith("c") ||
+          scala.util.Try(n.drop(1).toInt).toOption.forall(_ <= cur)
       }
+    eligible.foreach { dir =>
+      try {
+        val it = f.listFiles(dir.getPath, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile) {
+            val full = st.getPath.toString
+            val idx = full.indexOf("data/c")
+            val rel = if (idx >= 0) full.substring(idx) else full
+            if (rel.endsWith(".parquet") && !live.contains(rel))
+              toDelete += st.getPath
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     toDelete.foreach { p => if (f.delete(p, false)) deleted += 1 }
     deleted

@@ -62,7 +62,10 @@ private[io] object VersionedState {
     try out.write(s"v$v".getBytes(StandardCharsets.UTF_8))
     finally out.close()
     f.delete(new Path(cur.getParent, "." + cur.getName + ".crc"), false)
-    fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // no-missing-pointer replace (local Hadoop overwrite-rename is
+    // delete-then-rename — the soak-measured reader gap): POSIX rename
+    // for file://, FileContext OVERWRITE elsewhere
+    Snapshots.atomicReplace(fc, tmp, cur)
     // best-effort: reclaim uuid tmps a crashed publisher stranded (the
     // heal only promotes the legacy shared-name tmp; nothing else ever
     // deletes these). Same age-gated sweep as Snapshots.publish.

@@ -422,7 +422,93 @@ object SnapshotQueries {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM e GROUP BY event_date
         |ORDER BY event_date NULLS FIRST""".stripMargin
-    ) { (s, d) => partitionEvolutionServe(s, d) }
+    ) { (s, d) => partitionEvolutionServe(s, d) },
+
+    // --- TRANSACTIONAL partition-spec evolution --------------------------
+    // q_partition_evolution proves the two-era READ; this proves the
+    // spec is table METADATA with transactional semantics (the Iceberg
+    // spec-evolution contract): each version records its partCol
+    // (`_partspec`, partSpecOf), manifest rows carry their era, and a
+    // whole-partition OVERWRITE in the evolved era (pt='purchase',
+    // cents doubled) tombstones only same-era files — era-1 rows are
+    // untouched bit-for-bit, proven by the 'current' leg's era-1
+    // portion hashing against the raw replay. Three legs: the current
+    // unified read after the overwrite, the era-exact partition read
+    // (readPartition — only era-2 purchase files scan; era-1 rows
+    // null-fill pt and drop in the residual), and time travel to the
+    // pre-overwrite version across the spec boundary.
+    Q(
+      "q_snapshot_partition_evolution",
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL),
+        |e1 AS (SELECT * FROM e WHERE event_id % 2 = 0),
+        |e2 AS (SELECT * FROM e WHERE event_id % 2 <> 0),
+        |cur AS (
+        |  SELECT event_type, cents FROM e1
+        |  UNION ALL
+        |  SELECT event_type,
+        |    CASE WHEN event_type = 'purchase' THEN 2 * cents
+        |         ELSE cents END AS cents
+        |  FROM e2)
+        |SELECT leg, event_type, n, sum_cents FROM (
+        |  SELECT 'current' AS leg, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |  FROM cur GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'era_purchase', event_type, CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(2 * cents) AS BIGINT)
+        |  FROM e2 WHERE event_type = 'purchase' GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'v2_preoverwrite', event_type, CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(cents) AS BIGINT)
+        |  FROM e GROUP BY event_type)
+        |ORDER BY leg, event_type""".stripMargin
+    ) { (s, d) =>
+      val table = scratch(d) + "_specevolve"
+      val p = new Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"), to_date(col("ts")).as("event_date"))
+      // era 1: date-partitioned
+      val v1 = Snapshots.commitFull(
+        ev.where(pmod(col("event_id"), lit(2)) === 0)
+          .withColumn("pd", col("event_date").cast("string")),
+        table, "pd", statsCols = Seq("event_type"))
+      // era 2: the evolved type-partitioned spec — appended, no rewrite
+      val v2 = Snapshots.commitAppend(
+        ev.where(pmod(col("event_id"), lit(2)) =!= 0)
+          .withColumn("pt", col("event_type")),
+        table, "pt", statsCols = Seq("event_type"))
+      require(Snapshots.partSpecOf(s, table, v1).contains("pd") &&
+        Snapshots.partSpecOf(s, table, v2).contains("pt"),
+        "each version must record its partition spec")
+      // transactional overwrite IN THE EVOLVED ERA: purchase cents
+      // doubled; the tombstone is era-scoped, era-1 files carry over
+      Snapshots.commitOverwritePartition(
+        ev.where(pmod(col("event_id"), lit(2)) =!= 0 &&
+            col("event_type") === "purchase")
+          .withColumn("cents", col("cents") * 2)
+          .withColumn("pt", col("event_type")),
+        table, "pt", "purchase")
+      def agg(df: org.apache.spark.sql.DataFrame, leg: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("sum_cents"))
+          .select(lit(leg).as("leg"), col("event_type"), col("n"),
+            col("sum_cents"))
+      agg(Snapshots.read(s, table), "current")
+        .unionByName(agg(
+          Snapshots.readPartition(s, table, "pt", "purchase"),
+          "era_purchase"))
+        .unionByName(agg(Snapshots.readAsOf(s, table, v2),
+          "v2_preoverwrite"))
+        .orderBy(col("leg"), col("event_type"))
+    }
   )
 
   /** Build the two-era table (shared with PartitionEvolutionSpec) and

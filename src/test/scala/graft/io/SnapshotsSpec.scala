@@ -459,6 +459,61 @@ class SnapshotsSpec extends SparkSpec {
       "the re-checkpointed floor answers identically")
   }
 
+  test("partition-spec evolution: colliding values across eras — a " +
+      "new-era overwrite never reaches legacy files; era reads prune") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("snap_spec_evolve")
+    // era 1: partitioned by day (values d1, d2)
+    val v1 = Snapshots.commitFull(
+      rows("d1", 1 to 3, 0).unionByName(rows("d2", 1 to 3, 100)),
+      t, "day")
+    // era 2: the table re-partitions by a NEW column whose values
+    // COLLIDE with era-1 day values — the adversarial layout for
+    // tombstone scoping
+    val era2 = Seq(("e2-1", "d1", 1000L), ("e2-2", "x", 2000L))
+      .toDF("id", "bucket", "cents")
+    val v2 = Snapshots.commitAppend(era2, t, "bucket")
+    assert(Snapshots.partSpecOf(spark, t, v1).contains("day"))
+    assert(Snapshots.partSpecOf(spark, t, v2).contains("bucket"))
+    assert(Snapshots.read(spark, t).count() == 8)
+    // overwrite new-era partition 'd1': era-1's day=d1 files carry the
+    // SAME partition value under the old spec and must survive
+    val v3 = Snapshots.commitOverwritePartition(
+      Seq(("e2-1b", "d1", 5000L)).toDF("id", "bucket", "cents"),
+      t, "bucket", "d1")
+    val cur = Snapshots.read(spark, t)
+    assert(cur.count() == 8, "6 era-1 rows + replaced d1 + x")
+    assert(cur.where(col("day") === "d1").count() == 3,
+      "a colliding new-era tombstone must not reach legacy-era files")
+    assert(cur.where(col("id") === "e2-1").count() == 0)
+    assert(cur.where(col("id") === "e2-1b").count() == 1)
+    // the manifest records each file's era
+    val m = Snapshots.readManifest(spark, t, v3)
+    assert(m.filter(_.spec.contains("day")).map(_.partition).toSet ==
+      Set("d1", "d2"), "era-1 files intact under their own spec")
+    assert(m.filter(_.spec.contains("bucket")).map(_.partition).toSet ==
+      Set("d1", "x"), "d1 rewrite + x under the new spec")
+    // era-aware read: among era-2 files only bucket=d1's file scans;
+    // era-1 files serve conservatively (no 'bucket' stats recorded)
+    // and contribute nothing — their rows null-fill the column
+    val pr = Snapshots.readPartition(spark, t, "bucket", "d1")
+    assert(pr.count() == 1)
+    assert(pr.select("id").as[String].head() == "e2-1b")
+    val scanned = pr.inputFiles.toSeq
+    val xPath = m.find(p => p.spec.contains("bucket") && p.partition == "x")
+      .get.path
+    assert(!scanned.exists(_.endsWith(xPath.split('/').last)),
+      "the evolved era's non-matching partition file must be pruned")
+    assert(m.filter(_.spec.contains("day")).forall(e =>
+      scanned.exists(_.endsWith(e.path.split('/').last))),
+      "legacy files serve (conservative scan, residual filter)")
+    // time travel across the evolution: v1 is pure era 1
+    assert(Snapshots.readAsOf(spark, t, v1).columns.toSeq ==
+      Seq("id", "day", "cents"))
+    assert(Snapshots.readAsOf(spark, t, v1).count() == 6)
+  }
+
   test("tag publish survives a concurrent reader heal racing its " +
       "rename (idempotent accept, the publishFloor discipline)") {
     val t = tmpDir("snap_tag_race")
