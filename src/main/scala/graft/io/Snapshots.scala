@@ -377,6 +377,13 @@ object Snapshots {
   // cannot cross-delete — see [[manifestDF]]). Reads prune either era
   // through the same per-file stats ([[readWhere]]), so the new layout
   // benefits new data immediately and old data is never rewritten.
+  //
+  // COMPOSITE specs (date → (date, type)) are a derived column: commit
+  // with partCol = a `concat(date, '/', type)` column — the composite
+  // string IS the spec ("date_type"), its values partition exactly,
+  // tombstones scope to it, and per-component pruning rides statsCols
+  // on the underlying columns (the [[readWhere]] path), which is how
+  // component predicates prune files in ANY era.
 
   private def partSpecPath(table: String, v: Int) =
     new Path(manifestDir(table, v), "_partspec")

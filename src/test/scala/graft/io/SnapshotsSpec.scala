@@ -514,6 +514,39 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readAsOf(spark, t, v1).count() == 6)
   }
 
+  test("partition-spec evolution survives a CHECKPOINT: the carried-set " +
+      "filter is era-scoped too, across enough commits to materialize") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("snap_spec_ckpt")
+    Snapshots.commitFull(rows("d1", 1 to 3, 0), t, "day")
+    def era2(id: String, b: String, c: Long) =
+      Seq((id, b, c)).toDF("id", "bucket", "cents")
+    Snapshots.commitAppend(era2("e2-0", "d1", 0L), t, "bucket")
+    // 9 more same-value overwrites in the NEW era: version 10 crosses
+    // CheckpointEvery=8, so the tombstone for 'd1' is applied by the
+    // CHECKPOINT branch's carried-set filter, not delta resolution —
+    // if that filter ignored the spec, era-1's day=d1 files would be
+    // dropped from the materialized checkpoint FOREVER
+    (1 to 9).foreach { i =>
+      Snapshots.commitOverwritePartition(
+        era2(s"e2-$i", "d1", i.toLong), t, "bucket", "d1")
+    }
+    val cur = Snapshots.read(spark, t)
+    assert(cur.where(col("day") === "d1").count() == 3,
+      "era-1 rows must survive the checkpointed colliding tombstone")
+    assert(cur.where(col("bucket") === "d1").count() == 1)
+    assert(cur.where(col("id") === "e2-9").count() == 1)
+    assert(cur.count() == 4)
+    // and the checkpointed manifest still carries each file's era
+    val m = Snapshots.readManifest(spark, t,
+      Snapshots.currentVersion(spark, t))
+    assert(m.filter(_.spec.contains("day")).map(_.partition).toSet ==
+      Set("d1"))
+    assert(m.filter(_.spec.contains("bucket")).map(_.partition).toSet ==
+      Set("d1"))
+  }
+
   test("tag publish survives a concurrent reader heal racing its " +
       "rename (idempotent accept, the publishFloor discipline)") {
     val t = tmpDir("snap_tag_race")
