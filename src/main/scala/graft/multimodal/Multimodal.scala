@@ -249,6 +249,49 @@ object MediaDecoder {
   // cluster scale it hammers executor local disks. Memory caching only.
   javax.imageio.ImageIO.setUseCache(false)
 
+  // AudioSystem.getAudioInputStream does a PROVIDER LOOKUP on every
+  // call, and the JDK's provider registry getter is a synchronized
+  // static (JDK13Services.getProviders) — a JVM-GLOBAL lock that
+  // serializes every decode thread on the executor (measured: the
+  // mm_audio family ran 23x instead of 10x at the x10 tier with 31
+  // cores idle). Load the SPI readers ONCE; each reader's own
+  // getAudioInputStream is lock-free header parsing. The production
+  // rule: per-row codec-FACTORY lookups hide global locks — hoist the
+  // factory, keep the per-row decode.
+  // WAVE reader FIRST: the service-loader order leads with the MIDI
+  // readers, and every MIDI REJECTION of a WAV payload itself calls
+  // MidiSystem.getProviders — the same synchronized global — so the
+  // lock moved from our lookup into the probe chain (stack-dumped:
+  // SoftMidiAudioFileReader.getAudioInputStream → JDK13Services).
+  // With the accepting reader in front, a RIFF/WAVE payload never
+  // reaches a prober that locks.
+  private lazy val audioReaders
+      : Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+      .sortBy(r => if (r.getClass.getName.contains("Wave")) 0 else 1)
+  }
+
+  /** Lock-free replacement for AudioSystem.getAudioInputStream over
+    * in-memory bytes: try each cached reader (the AudioSystem contract,
+    * minus its synchronized registry getter). */
+  private def openAudio(bytes: Array[Byte])
+      : javax.sound.sampled.AudioInputStream = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      try return r.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no cached reader accepts the payload")
+  }
+
   private def startsWith(bytes: Array[Byte], magic: Int*): Boolean =
     bytes.length >= magic.length &&
       magic.zipWithIndex.forall { case (m, i) => (bytes(i) & 0xff) == m }
@@ -380,8 +423,7 @@ object MediaDecoder {
           bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' &&
           bytes(11) == 'E')) None
       else {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val in = openAudio(bytes)
         try {
           val fmt = in.getFormat
           // the sample loop below reads 16-bit little-endian frames and,
@@ -427,8 +469,7 @@ object MediaDecoder {
           bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' &&
           bytes(11) == 'E')) None
       else {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val in = openAudio(bytes)
         try {
           val fmt = in.getFormat
           val channels = fmt.getChannels
@@ -474,8 +515,7 @@ object MediaDecoder {
           bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' &&
           bytes(11) == 'E')) None
       else {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val in = openAudio(bytes)
         try {
           val fmt = in.getFormat
           // same 16-bit-little-endian contract as audioFrameEnergies:
@@ -617,6 +657,19 @@ object Multimodal {
     }
   }
 
+  /** Spread a CPU-heavy synth/decode stage across the cluster: the
+    * input is a COLUMN-PRUNED id scan (kilobytes), so Spark's
+    * bytes-based partition sizing hands the whole stage to ~one task —
+    * measured 23× instead of 10× on the ×10 tier, a single core
+    * grinding while 31 idle. Decode stages must be sized by WORK, not
+    * input bytes: one narrow round-robin shuffle of the ids (cost:
+    * kilobytes) buys full parallelism for the heavy map that follows.
+    * At 100 TB the same rule holds wherever the decode INPUT is a
+    * pruned manifest/id column rather than the payload itself. */
+  private def spreadIds(ids: org.apache.spark.sql.Dataset[Long])
+      : org.apache.spark.sql.Dataset[Long] =
+    ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+
   /** Real-PNG media table: one deterministic tiny PNG per document id,
     * generated with [[ImageGen]]. The payloads are REAL image bytes —
     * [[MediaDecoder.decodeImage]] must parse actual pixels to recover
@@ -625,8 +678,8 @@ object Multimodal {
     * same contract a real fetch-and-decode stage has). */
   def syntheticImages(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    graft.Tables.documents(spark, dir)
-      .select(col("doc_id").cast("long")).as[Long]
+    spreadIds(graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long")).as[Long])
       .mapPartitions(_.map(id =>
         MediaRow(id, "image", "image/png", ImageGen.png(id))))
   }
@@ -650,8 +703,8 @@ object Multimodal {
     * ([[AudioGen]]), decoded back through the JDK codec. */
   def syntheticAudio(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    graft.Tables.documents(spark, dir)
-      .select(col("doc_id").cast("long")).as[Long]
+    spreadIds(graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long")).as[Long])
       .mapPartitions(_.map(id =>
         MediaRow(id, "audio", "audio/wav", AudioGen.wav(id))))
   }
@@ -673,8 +726,8 @@ object Multimodal {
     * ([[VideoGen]]). */
   def syntheticVideo(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    graft.Tables.documents(spark, dir)
-      .select(col("doc_id").cast("long")).as[Long]
+    spreadIds(graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long")).as[Long])
       .mapPartitions(_.map(id =>
         MediaRow(id, "video", "video/mp4", VideoGen.mp4(id))))
   }

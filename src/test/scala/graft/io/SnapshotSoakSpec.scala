@@ -178,4 +178,128 @@ class SnapshotSoakSpec extends SparkSpec {
     assert(ops.get() >= 1000,
       s"soak too small to mean anything: ${ops.get()} ops")
   }
+
+  test("mixed-writer soak: overwrite x append x MERGE x schema " +
+      "evolution against one table — OCC serializes, nothing is lost",
+      Slow) {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("snap_soak_mixed")
+    Snapshots.commitFull(payload("p0", 0L), t, "day")
+
+    val failure = new AtomicReference[Throwable](null)
+    def guard(body: => Unit): Unit =
+      try body catch { case e: Throwable => failure.compareAndSet(null, e) }
+
+    // overwriter: last-stamp-wins on partition p0 (the slot-race writer)
+    val nOver = 12
+    val overwriter = new Thread(() => guard {
+      for (i <- 1 to nOver) {
+        var done = false
+        while (!done && failure.get() == null) {
+          try {
+            Snapshots.commitOverwritePartition(
+              payload("p0", 100L + i), t, "day", "p0")
+            done = true
+          } catch {
+            case _: Snapshots.ConcurrentCommitException => Thread.sleep(7)
+          }
+        }
+      }
+    }, "mixed-overwriter")
+
+    // appender: append-only arrivals, one fresh id per append; from
+    // iteration 6 the frame carries a NEW column — add-only schema
+    // evolution races the other writers' commits
+    val nApp = 12
+    val appender = new Thread(() => guard {
+      for (i <- 1 to nApp) {
+        val base = Seq((s"a-$i", "pa", i.toLong)).toDF("id", "day", "stamp")
+        val frame =
+          if (i <= 5) base
+          else base.withColumn("extra", lit(s"x$i"))
+        var done = false
+        while (!done && failure.get() == null) {
+          try {
+            Snapshots.commitAppend(frame, t, "day")
+            done = true
+          } catch {
+            case _: Snapshots.ConcurrentCommitException => Thread.sleep(9)
+          }
+        }
+      }
+    }, "mixed-appender")
+
+    // merger: keyed CDC onto its own partition pm — upserts cycling 3
+    // keys, a delete every 4th op; OCC (expectedPrev) forces a retry
+    // whenever any other writer publishes mid-merge. The expected final
+    // state replays the op sequence in order (single merger thread, so
+    // ITS ops are totally ordered regardless of interleaving).
+    val nMerge = 10
+    val expected = scala.collection.mutable.Map[String, Long]()
+    val merger = new Thread(() => guard {
+      for (i <- 1 to nMerge) {
+        val k = s"m-k${i % 3}"
+        val del = i % 4 == 0
+        val batch = Seq((k, "pm", i.toLong, if (del) "D" else "U"))
+          .toDF("id", "day", "stamp", "op")
+        var done = false
+        while (!done && failure.get() == null) {
+          try {
+            Snapshots.mergeRows(s, t, "day", "id", batch)
+            done = true
+          } catch {
+            case _: Snapshots.ConcurrentCommitException => Thread.sleep(11)
+          }
+        }
+        if (del) expected.remove(k) else expected(k) = i.toLong
+      }
+    }, "mixed-merger")
+
+    val done = new AtomicBoolean(false)
+    val reader = new Thread(() => guard {
+      while (!done.get() && failure.get() == null) {
+        val byDay = Snapshots.read(spark, t)
+          .groupBy(col("day")).agg(countDistinct(col("stamp")).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        byDay.get("p0").foreach(n =>
+          assert(n == 1L, s"torn read on p0: $n stamps"))
+      }
+    }, "mixed-reader")
+
+    val threads = Seq(overwriter, appender, merger)
+    reader.start()
+    threads.foreach(_.start())
+    threads.foreach(_.join(600000))
+    done.set(true)
+    reader.join(600000)
+    if (failure.get() != null) throw failure.get()
+
+    val fin = Snapshots.read(spark, t)
+    // overwriter: exactly the last stamp on p0
+    val p0 = fin.where(col("day") === "p0")
+      .select(col("stamp")).distinct().as[Long].collect().toSeq
+    assert(p0 == Seq(100L + nOver), s"lost overwrite: $p0")
+    // appender: every append present exactly once, none lost to the
+    // slot races it retried through
+    val appIds = fin.where(col("day") === "pa")
+      .select(col("id")).as[String].collect().sorted.toSeq
+    assert(appIds == (1 to nApp).map(i => s"a-$i").sorted,
+      s"append set wrong: $appIds")
+    // schema evolution landed and old rows null-fill the new column
+    assert(fin.columns.contains("extra"))
+    assert(fin.where(col("id") === "a-3" && col("extra").isNull)
+      .count() == 1)
+    assert(fin.where(col("id") === s"a-$nApp" &&
+      col("extra") === s"x$nApp").count() == 1)
+    // merger: final pm content = the op sequence replayed in order
+    val got = fin.where(col("day") === "pm")
+      .select(col("id"), col("stamp")).as[(String, Long)]
+      .collect().toMap
+    assert(got == expected.toMap,
+      s"merge replay mismatch: got $got expected $expected")
+    // version math: one version per successful commit, none skipped
+    assert(Snapshots.currentVersion(spark, t) ==
+      1 + nOver + nApp + nMerge)
+  }
 }
