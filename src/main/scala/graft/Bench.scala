@@ -87,7 +87,38 @@ object Bench {
           })
     }
 
+    // Machine-load guard (the r12 lesson: same binary measured 293.0 s
+    // vs 375.8 s purely from a load-average 16-25 neighbor window — one
+    // noisy closing run recorded as official would have breached the
+    // 2× gate). The 1-min loadavg is sampled BEFORE each query into the
+    // artifact, so attribution is in-band, not post-hoc; a run whose
+    // samples exceed SPARK_GRAFT_LOAD_LIMIT (default: 1.5× the worker
+    // thread count) is stamped `"noisy":true` in the summary, and
+    // closing-run mode (SPARK_GRAFT_BENCH_ABORT_ON_LOAD=1) refuses to
+    // start timing at all when the pre-run load is already over the
+    // limit (exit 3 — re-run when the machine is quiet).
+    def loadavg(): Double =
+      try java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadLimit = sys.env.get("SPARK_GRAFT_LOAD_LIMIT")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(cpus.toDouble * 1.5)
+    if (sys.env.get("SPARK_GRAFT_BENCH_ABORT_ON_LOAD").contains("1")) {
+      val l0 = loadavg()
+      if (l0 > loadLimit) {
+        System.err.println(f"[bench] pre-run loadavg $l0%.1f exceeds " +
+          f"limit $loadLimit%.1f — refusing to record a closing run " +
+          "on a loaded machine (unset SPARK_GRAFT_BENCH_ABORT_ON_LOAD " +
+          "to force)")
+        spark.stop()
+        sys.exit(3)
+      }
+    }
+
     val results = selected.map { q =>
+      val load = loadavg()
       val (t, fp) =
         try {
           val (_, warmDf) = runOnce(q.run) // warm-up: plan + code + page cache
@@ -105,16 +136,27 @@ object Bench {
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
             (-1.0, "err")
         }
-      (q.name, t, fp)
+      (q.name, t, fp, load)
     }
 
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // JSON string escaping: env-supplied paths (outFile, sfDir) and
+    // query names interpolate into the summary whose parse-the-last-
+    // line contract the driver depends on — a quote or backslash in
+    // either would emit malformed JSON exactly where it hurts most
+    def jstr(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val qs = results.map { case (k, v, _, _) => "\"" + jstr(k) + "\":" + v }
       .mkString("{", ",", "}")
-    val plans = results.map { case (k, _, fp) => "\"" + k + "\":\"" + fp + "\"" }
+    val plans = results
+      .map { case (k, _, fp, _) => "\"" + jstr(k) + "\":\"" + jstr(fp) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val loads = results
+      .map { case (k, _, _, l) =>
+        "\"" + jstr(k) + "\":" + math.round(l * 100) / 100.0 }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plans,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plans,"loadavg":$loads,"sf":"${jstr(sfDir)}"}"""
 
     // COMPACT summary line: the full line above is ~100 KB for the full
     // inventory and the round driver keeps only a truncated stdout TAIL
@@ -130,7 +172,7 @@ object Bench {
         "|^q_graph_(persist|append|serve_)" +
         "|^q_(time_travel|snapshot_prune|partition_evolution)$" +
         "|^q_snapshot_(merge|merge_evolved|schema_evolution|tag|" +
-        "partition_evolution)$" +
+        "partition_evolution|sql)$" +
         "|^(text_unigram_serve|emb_knn_graph)$" +
         "|^q_dq_(quarantine|audit_history|readmission)$" +
         "|^q_raw_compaction$|^dedup_incremental$").r
@@ -150,8 +192,8 @@ object Bench {
         s""""$c":{"n":${in.size},"sec":$sec}"""
       }.mkString("{", ",", "}")
     val worst5 = ok.sortBy(-_._2).take(5)
-      .map { case (k, v, _) =>
-        s""""$k":${math.round(v * 100) / 100.0}""" }
+      .map { case (k, v, _, _) =>
+        s""""${jstr(k)}":${math.round(v * 100) / 100.0}""" }
       .mkString("{", ",", "}")
     val sfName0 = new java.io.File(sfDir).getName match {
       case "" | "." | ".." => "default"
@@ -159,11 +201,23 @@ object Bench {
     }
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"/tmp/graft_bench_$sfName0.json")
+    val loadSamples = results.map(_._4).filter(_ >= 0)
+    val loadStats =
+      if (loadSamples.isEmpty) """{"max":-1,"mean":-1,"over":0}"""
+      else {
+        val mx = math.round(loadSamples.max * 100) / 100.0
+        val mean =
+          math.round(loadSamples.sum / loadSamples.size * 100) / 100.0
+        s"""{"max":$mx,"mean":$mean,"over":${
+          loadSamples.count(_ > loadLimit)}}"""
+      }
+    val noisy = loadSamples.exists(_ > loadLimit)
     val summary =
       s"""{"metric":"summary","n":${ok.size},"errors":${results.size - ok.size},""" +
         s""""total":${math.round(total * 100) / 100.0},"unit":"sec",""" +
         s""""classes":$classes,"worst5":$worst5,""" +
-        s""""full":"$outFile","sf":"$sfDir"}"""
+        s""""load":$loadStats,"noisy":$noisy,""" +
+        s""""full":"${jstr(outFile)}","sf":"${jstr(sfDir)}"}"""
     println(summary)
     println(line)
     println(summary)

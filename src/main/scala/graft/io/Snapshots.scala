@@ -287,24 +287,30 @@ object Snapshots {
           s"(pass replace=true to retarget to v$v)")
     }
     f.mkdirs(refsDir(table))
-    val tmp = new Path(refsDir(table), s"$name.tmp")
-    val out = f.create(tmp, true)
+    // publishFloor discipline: a WRITER-UNIQUE tmp + atomicReplace. The
+    // old shared-name `$name.tmp` + delete(p) + rename had a lost-ref
+    // window on FIRST publish (and after deleteTag): a concurrent
+    // reader's crash heal could rename our in-flight tmp into place,
+    // then our delete(p) removed the correctly-published ref and the
+    // re-read found nothing — tag threw while the ref transiently
+    // vanished. A uuid tmp is invisible to the heal (which only
+    // promotes the legacy shared name), and atomicReplace both creates
+    // and replaces with no missing-dst window.
+    val qp = f.makeQualified(p)
+    val tmp = f.makeQualified(new Path(refsDir(table),
+      s"$name.${java.util.UUID.randomUUID}.tmp"))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      qp.toUri, spark.sparkContext.hadoopConfiguration)
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
     try out.write(s"v$v".getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    f.delete(p, false)
-    if (!f.rename(tmp, p)) {
-      // a concurrent reader's crash-window heal (versionOfRefOpt) can
-      // rename OUR tmp into place between the delete and the rename —
-      // the publish then already happened by the healer's hand, so
-      // re-read and accept the idempotent success (the publishFloor
-      // discipline) instead of throwing on a correctly-published ref
-      val now =
-        try readSmallFile(f, p).trim
-        catch { case scala.util.control.NonFatal(_) => "" }
-      require(now == s"v$v",
-        s"Snapshots.tag: failed to publish ref '$name' of $table " +
-          s"(found '$now')")
-    }
+    // drop any legacy checksum sidecar (the publish/publishFloor rule:
+    // FileContext writes none; a stale crc fails later checksummed reads)
+    f.delete(new Path(qp.getParent, "." + qp.getName + ".crc"), false)
+    atomicReplace(fc, tmp, qp)
+    sweepStaleTmps(f, refsDir(table), name)
   }
 
   private def versionOfRefOpt(spark: SparkSession, table: String,
@@ -1001,8 +1007,14 @@ object Snapshots {
     // path that could actually publish empty; the refused slot's
     // reservation is released so the table isn't wedged.
     if (present.isEmpty) {
+      // spec-scoped like the tombstone it probes for (commitManifest's
+      // specCompat): an OTHER-ERA file whose partition VALUE collides
+      // with `values` is untouched by this commit's era-scoped
+      // tombstone and therefore a survivor — counting it as removed
+      // would spuriously refuse a commit that leaves it live
       val survivors = manifestDF(spark, table, prev)
-        .where(!col("partition").isin(values: _*))
+        .where(!(col("partition").isin(values: _*) &&
+          specCompat(col("spec"), lit(partCol).cast("string"))))
         .limit(1).count()
       if (survivors == 0L) {
         breakReservation(spark, table, v)
@@ -1110,28 +1122,73 @@ object Snapshots {
       keyCol: String, keys: DataFrame,
       statsCols: Seq[String] = Nil): Int = {
     import spark.implicits._
-    // the whole delete computes against ONE pinned version, and the
+    // the whole delete computes against ONE pinned version, and each
     // commit validates it is still current (OCC) — a commit landing
     // in between must fail the rewrite, not be silently overwritten
     val baseV = currentVersion(spark, table)
-    val affected = readAsOf(spark, table, baseV)
-      .join(keys.select(keyCol), Seq(keyCol), "left_semi")
-      .select(col(partCol).cast("string")).distinct()
+    // ERA-AWARE resolution under partition-spec evolution: a file's
+    // manifest `partition` value is meaningful only in its own era —
+    // pinning by the CURRENT spec's values would (a) silently skip
+    // keys living in legacy-era files (their manifest values are
+    // old-spec; the key survives the "delete") and (b) rewrite a
+    // colliding-value legacy file's rows under the NEW spec while the
+    // era-scoped tombstone spares the original file (row duplication).
+    // Instead each era resolves with ITS OWN partCol: affected values
+    // computed from that era's files, the pin and the tombstone scoped
+    // to that era, and the rewrite committed UNDER that era's spec (a
+    // row never migrates eras through a delete). Files written before
+    // spec tracking (spec null) belong to the caller's-partCol era —
+    // the pre-evolution behavior, where a value-matching tombstone
+    // reaches them. Eras commit separately (one OCC-chained version
+    // each, current era last); the operation is idempotent, so a crash
+    // between era commits re-runs to completion.
+    val eras = manifestDF(spark, table, baseV)
+      .select(coalesce(col("spec"), lit(partCol)).as("s")).distinct()
       .as[String].collect().sorted
-    if (affected.isEmpty) return 0
-    val mine = manifestDF(spark, table, baseV)
-      .where(col("partition").isin(affected.toSeq: _*))
-      .select("path").as[String].collect().toSeq
-    val kept = scanPaths(spark, table, mine, schemaOf(spark, table, baseV))
-      .join(keys.select(keyCol), Seq(keyCol), "left_anti")
-    // statsCols must survive the rewrite: a compaction that dropped the
-    // manifest min/max of the store's range column would silently turn
-    // every later stats-pruned read (readRange / readWhere) into a
-    // full-file scan of the rewritten partitions — overlapCol fails
-    // open, so answers stay right while the targeted-read contract rots
-    commitOverwritePartitions(kept, table, partCol, affected.toSeq,
-      statsCols, expectedPrev = Some(baseV))
-    affected.length
+      .sortBy(_ == partCol) // current era commits LAST (tie to caller)
+    val sch = schemaOf(spark, table, baseV)
+    var touched = 0
+    // OCC across the era chain: every pin resolves against baseV (each
+    // era commit tombstones only its OWN era's partitions, so baseV's
+    // file set stays exact for the eras still to come), and each commit
+    // expects exactly baseV + (our own commits so far) — a FOREIGN
+    // commit landing mid-chain fails the next era commit instead of
+    // being silently rewritten over
+    var expect = baseV
+    eras.foreach { eraCol =>
+      require(sch.forall(_.fieldNames.contains(eraCol)),
+        s"Snapshots.deleteRows: era partition column '$eraCol' missing " +
+          s"from v$baseV's schema of $table")
+      val eraPred =
+        if (eraCol == partCol) col("spec").isNull || col("spec") === eraCol
+        else col("spec") === eraCol
+      val eraPaths = manifestDF(spark, table, baseV).where(eraPred)
+        .select("path").as[String].collect().toSeq
+      if (eraPaths.nonEmpty) {
+        val eraRows = scanPaths(spark, table, eraPaths, sch)
+        val affected = eraRows
+          .join(keys.select(keyCol), Seq(keyCol), "left_semi")
+          .select(col(eraCol).cast("string")).distinct()
+          .as[String].collect().sorted
+        if (affected.nonEmpty) {
+          val mine = manifestDF(spark, table, baseV)
+            .where(eraPred && col("partition").isin(affected.toSeq: _*))
+            .select("path").as[String].collect().toSeq
+          val kept = scanPaths(spark, table, mine, sch)
+            .join(keys.select(keyCol), Seq(keyCol), "left_anti")
+          // statsCols must survive the rewrite: a compaction that
+          // dropped the manifest min/max of the store's range column
+          // would silently turn every later stats-pruned read
+          // (readRange / readWhere) into a full-file scan of the
+          // rewritten partitions — overlapCol fails open, so answers
+          // stay right while the targeted-read contract rots
+          expect = commitOverwritePartitions(kept, table, eraCol,
+            affected.toSeq, statsCols, expectedPrev = Some(expect))
+          touched += affected.length
+        }
+      }
+    }
+    touched
   }
 
   /** Transactional MERGE INTO the snapshot table — the CDC landing
@@ -1194,6 +1251,32 @@ object Snapshots {
       .filterNot(f => target.columns.contains(f.name) || f.name == opCol)
     val attrCols = (target.columns.filterNot(_ == keyCol) ++
       batchNew.map(_.name)).toSeq
+    // ERA GUARD under partition-spec evolution: a change key whose
+    // current row lives in a LEGACY-era file cannot be merged
+    // copy-on-write here — its file's manifest partition value is
+    // old-spec, so the value-based pin would miss it (silent duplicate
+    // key on upsert, silent no-op on delete) and a colliding-value
+    // legacy file that DID get pinned would have its rows rewritten
+    // under the new spec while the era-scoped tombstone spared the
+    // original (row duplication). Refuse fail-fast with the migration
+    // path spelled out; deletes of legacy keys go through the era-aware
+    // [[deleteRows]]. One metadata probe when single-era (the common
+    // case), one bounded semi-join otherwise.
+    val eraPred = col("spec").isNull || col("spec") === lit(partCol)
+    val sch = schemaOf(spark, table, baseV)
+    val otherEraPaths = manifestDF(spark, table, baseV).where(!eraPred)
+      .select("path").as[String].collect().toSeq
+    if (otherEraPaths.nonEmpty) {
+      val hit = scanPaths(spark, table, otherEraPaths, sch)
+        .join(changes.select(keyCol), Seq(keyCol), "left_semi")
+        .limit(1).count()
+      require(hit == 0L,
+        s"Snapshots.mergeRows: change batch touches keys living in " +
+          s"files of another partition-spec era of $table — merge " +
+          "cannot rewrite across eras. Migrate first (deleteRows the " +
+          "keys era-aware, or commitFull to rewrite the table under " +
+          s"'$partCol'), then re-apply the batch")
+    }
     val matched = target
       .join(changes.select(keyCol), Seq(keyCol), "left_semi")
       .select(col(partCol).cast("string"))
@@ -1205,9 +1288,12 @@ object Snapshots {
     // pin the affected partitions' file set now — the merge plan reads
     // exactly these files however long it runs, and a concurrent commit
     // cannot make it see a mix (brand-new landing partitions have no
-    // files yet; their rows come solely from the change batch)
+    // files yet; their rows come solely from the change batch). The pin
+    // is ERA-SCOPED: a colliding-value other-era file must keep serving
+    // its own era, not ride into this rewrite (the guard above ensures
+    // no change key needs it).
     val mine = manifestDF(spark, table, baseV)
-      .where(col("partition").isin(affected.toSeq: _*))
+      .where(eraPred && col("partition").isin(affected.toSeq: _*))
       .select("path").as[String].collect().toSeq
     val pinned0 =
       if (mine.isEmpty) target.where(lit(false)) // pure-insert batch
@@ -1372,7 +1458,17 @@ object Snapshots {
     * sharpness in pathological ranges, never a row). Strings / dates /
     * timestamps compare lexicographically (ISO order = value order).
     * Files with no stats for the column, or all-null stats, are kept. */
-  private def overlapCol(c: String, lo: String, hi: String): Column = {
+  private def overlapCol(c: String, lo: String, hi: String): Column =
+    pruneColOpt(c, Some(lo), Some(hi))
+
+  /** [[overlapCol]] generalized to OPTIONAL bounds — the shared survival
+    * predicate for both the library reads ([[readWhere]], both bounds)
+    * and the SQL catalog's pushed filters (one-sided `>=`/`<=`
+    * comparisons push one bound each; their conjunction equals the
+    * two-sided overlap, which is what keeps the SQL scan's file set
+    * identical to [[readRange]]'s — SnapshotCatalogSpec pins it). */
+  private[graft] def pruneColOpt(c: String, lo: Option[String],
+      hi: Option[String]): Column = {
     val st = col("stats").getItem(c)
     val typ = st.getField("typ")
     val flo = st.getField("lo")
@@ -1380,11 +1476,92 @@ object Snapshots {
     val numeric = typ.isin("byte", "short", "integer", "long",
       "float", "double") || typ.startsWith("decimal")
     val dec = "decimal(38,18)"
-    val numOv = fhi.cast(dec) >= lit(lo).cast(dec) &&
-      flo.cast(dec) <= lit(hi).cast(dec)
-    val strOv = fhi >= lit(lo) && flo <= lit(hi)
+    val numOv = lo.map(l => fhi.cast(dec) >= lit(l).cast(dec))
+      .getOrElse(lit(true)) &&
+      hi.map(h => flo.cast(dec) <= lit(h).cast(dec)).getOrElse(lit(true))
+    val strOv = lo.map(l => fhi >= lit(l)).getOrElse(lit(true)) &&
+      hi.map(h => flo <= lit(h)).getOrElse(lit(true))
     st.isNull || flo.isNull || fhi.isNull ||
       coalesce(when(numeric, numOv).otherwise(strOv), lit(true))
+  }
+
+  /** Stringify one pushed-filter comparison value into the stats
+    * comparison domain — None for types whose `toString` does not match
+    * Spark's `cast(string)` of the column (timestamps; anything exotic),
+    * which keeps pruning CONSERVATIVE: an untranslatable value prunes
+    * nothing rather than mis-pruning a boundary file. */
+  private def statLit(v: Any): Option[String] = v match {
+    case null => None
+    case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+         _: java.lang.Byte | _: java.lang.Float | _: java.lang.Double |
+         _: java.math.BigDecimal | _: java.lang.Boolean => Some(v.toString)
+    case s: String => Some(s)
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+    case d: java.sql.Date => Some(d.toString)
+    case d: java.time.LocalDate => Some(d.toString)
+    case _ => None
+  }
+
+  /** Manifest-pruning predicate for one pushed source Filter — None
+    * when the shape or value type cannot prune (the file is kept;
+    * Spark's residual filter preserves correctness either way).
+    * Equality on the version's PARTITION column additionally prunes by
+    * the manifest's exact partition value for same-era files (the
+    * [[readPartition]] rule), which is what makes `WHERE day = 'x'`
+    * directory-exact through SQL even when `day` carries no stats. */
+  private def pruneFilter(f: org.apache.spark.sql.sources.Filter,
+      partCol: Option[String]): Option[Column] = {
+    import org.apache.spark.sql.sources._
+    def eq(c: String, v: Any): Option[Column] = statLit(v).map { s =>
+      val statsOv = pruneColOpt(c, Some(s), Some(s))
+      if (partCol.contains(c)) {
+        val sameEra = col("spec").isNotNull && col("spec") === lit(c)
+        (sameEra && col("partition") === lit(s)) || (!sameEra && statsOv)
+      } else statsOv
+    }
+    f match {
+      case EqualTo(c, v) => eq(c, v)
+      case EqualNullSafe(c, v) if v != null => eq(c, v)
+      case In(c, vs) =>
+        val preds = vs.toSeq.map(v => eq(c, v))
+        if (preds.isEmpty || preds.exists(_.isEmpty)) None
+        else Some(preds.flatten.reduce(_ || _))
+      case GreaterThan(c, v) =>
+        statLit(v).map(s => pruneColOpt(c, Some(s), None))
+      case GreaterThanOrEqual(c, v) =>
+        statLit(v).map(s => pruneColOpt(c, Some(s), None))
+      case LessThan(c, v) =>
+        statLit(v).map(s => pruneColOpt(c, None, Some(s)))
+      case LessThanOrEqual(c, v) =>
+        statLit(v).map(s => pruneColOpt(c, None, Some(s)))
+      case And(l, r) =>
+        (pruneFilter(l, partCol), pruneFilter(r, partCol)) match {
+          case (Some(a), Some(b)) => Some(a && b)
+          case (a, b) => a.orElse(b) // one side still prunes
+        }
+      case Or(l, r) => // both sides must prune, else keep everything
+        for (a <- pruneFilter(l, partCol); b <- pruneFilter(r, partCol))
+          yield a || b
+      case _ => None
+    }
+  }
+
+  /** Planning-time file pruning for the SQL catalog: the data-file
+    * paths of version `v` (ABSOLUTE) that could satisfy every pushed
+    * filter, decided from manifest stats + era-aware partition values —
+    * no parquet footer opened. Conservative by construction: an
+    * untranslatable filter keeps all files; correctness rides on
+    * Spark's residual Filter, pruning only cuts IO. */
+  private[graft] def sqlPrunedPaths(spark: SparkSession, table: String,
+      v: Int, filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Seq[String] = {
+    import spark.implicits._
+    val partCol = partSpecOf(spark, table, v)
+    val preds = filters.flatMap(pruneFilter(_, partCol))
+    val mdf = manifestDF(spark, table, v)
+    val pruned = if (preds.isEmpty) mdf else mdf.where(preds.reduce(_ && _))
+    pruned.select("path").as[String].collect().toSeq
+      .map(p => s"$table/$p")
   }
 
   /** Files of version `v` that COULD hold rows with `c` in [lo, hi] —

@@ -235,9 +235,17 @@ object Pipeline {
       RawEvents.partitionPath(conf.metricsBase, ingestionDate) +
         "data_quality_readmission.json", report.toJson)
     auditBestEffort(spark, conf, report)
-    CuratedWriter.overwritePartition(newQuar, quarantineBase, ingestionDate)
+    // curated FIRST, quarantine second: a crash between the two writes
+    // then leaves admitted rows present in BOTH zones — and the next
+    // replay's curated-collision anti-join re-tags the stale quarantine
+    // copies as dup_event_id, converging back to exactly-one-zone. The
+    // old order (quarantine purged first) lost the admitted rows
+    // entirely on a crash: purged from quarantine, never written to
+    // curated — the lossless-replay invariant broken until a full
+    // re-run from raw.
     CuratedWriter.overwritePartition(newCurated, conf.curatedBase,
       ingestionDate)
+    CuratedWriter.overwritePartition(newQuar, quarantineBase, ingestionDate)
     report
   }
 

@@ -508,6 +508,85 @@ object SnapshotQueries {
         .unionByName(agg(Snapshots.readAsOf(s, table, v2),
           "v2_preoverwrite"))
         .orderBy(col("leg"), col("event_type"))
+    },
+
+    // --- the SQL/catalog surface ([[graft.sources.SnapshotCatalog]]) ------
+    // The reference's entire query layer is catalog SQL over the curated
+    // table (reference `sql/athena/curated_events.sql:1-14` registers it,
+    // `:17-36` queries it); this is the snapshot store reaching the same
+    // surface with its versioning intact. Three legs, ALL pure
+    // `spark.sql` text over the registered catalog — no library read
+    // anywhere in the result path:
+    //   current   — the live version through `FROM graftsql_*.events_sql`;
+    //   v1        — `VERSION AS OF 'base'`, time travel BY NAMED REF
+    //               across a partition rewrite;
+    //   pruned    — a cents range over the range-sorted commit, planned
+    //               through the manifest's per-file stats (the catalog's
+    //               pushed-filter pruning; SnapshotCatalogSpec pins the
+    //               file set == readRange's).
+    // The oracle recomputes every leg flat from the raw parquet, so a
+    // hash match proves the SQL path returns exactly the library
+    // semantics: pinned versions, ref resolution, and pruning that cuts
+    // IO without touching answers.
+    Q(
+      "q_snapshot_sql",
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL),
+        |v2 AS (SELECT event_type,
+        |    cents * CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END
+        |      AS cents
+        |  FROM e)
+        |SELECT leg, event_type, n, sum_cents FROM (
+        |  SELECT 'current' AS leg, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |  FROM v2 GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'pruned', event_type, CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(cents) AS BIGINT)
+        |  FROM v2 WHERE cents BETWEEN 2500 AND 7500 GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'v1', event_type, CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(cents) AS BIGINT)
+        |  FROM e GROUP BY event_type)
+        |ORDER BY leg, event_type""".stripMargin
+    ) { (s, d) =>
+      val root = scratch(d) + "_sqlcat"
+      val table = s"$root/events_sql"
+      val p = new Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        // range-sorted so per-file cents stats are disjoint → the SQL
+        // range leg's pushed filter prunes whole files at planning time
+        .repartitionByRange(16, col("cents"))
+      val v1 = Snapshots.commitFull(ev, table, "event_type",
+        statsCols = Seq("cents"))
+      Snapshots.tag(s, table, "base", v1)
+      Snapshots.commitOverwritePartition(
+        ev.where(col("event_type") === "purchase")
+          .withColumn("cents", col("cents") * 2),
+        table, "event_type", "purchase", statsCols = Seq("cents"))
+      // register the catalog once per (session, tier): catalog instances
+      // cache their root at first use, so the name carries the tier tag
+      val cat = "graftsql_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      def leg(tag: String, from: String, where: String = "") = s.sql(
+        s"""SELECT '$tag' AS leg, event_type,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+           |FROM $from $where GROUP BY event_type""".stripMargin)
+      leg("current", s"$cat.events_sql")
+        .unionByName(leg("pruned", s"$cat.events_sql",
+          "WHERE cents BETWEEN 2500 AND 7500"))
+        .unionByName(leg("v1", s"$cat.events_sql VERSION AS OF 'base'"))
+        .orderBy(col("leg"), col("event_type"))
     }
   )
 

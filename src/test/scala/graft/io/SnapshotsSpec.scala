@@ -611,4 +611,130 @@ class SnapshotsSpec extends SparkSpec {
       "the legacy shared-name tmp belongs to the heal, not the sweep")
     assert(Snapshots.currentVersion(spark, t) == 2)
   }
+
+  test("deleteRows is era-aware under partition-spec evolution: legacy-" +
+      "era keys are deleted, colliding-value legacy files not duplicated") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("snap_del_era")
+    // era 1 (day): d1 holds key victim-1; d1's VALUE collides with an
+    // era-2 bucket value — the adversarial layout
+    Snapshots.commitFull(
+      rows("d1", 1 to 3, 0).unionByName(rows("d2", 1 to 3, 100)), t, "day")
+    // era 2 (bucket): bucket=d1 collides with era-1 day=d1
+    Snapshots.commitAppend(
+      Seq(("e2-1", "z9", "d1", 1000L), ("e2-2", "z9", "x", 2000L))
+        .toDF("id", "day", "bucket", "cents"), t, "bucket")
+    // delete one key living in a LEGACY-era file (day=d1 holds d1-2)
+    // and one in the new era (bucket=x holds e2-2), in one call
+    val keys = Seq("d1-2", "e2-2").toDF("id")
+    val touched = Snapshots.deleteRows(spark, t, "bucket", "id", keys)
+    assert(touched == 2, "one partition per era rewritten")
+    val cur = Snapshots.read(spark, t)
+    assert(cur.where(col("id") === "d1-2").count() == 0,
+      "legacy-era key must actually be deleted, not silently skipped")
+    assert(cur.where(col("id") === "e2-2").count() == 0)
+    assert(cur.where(col("day") === "d1").count() == 2,
+      "exactly one row removed from day=d1 — no duplication from a " +
+        "colliding-value pin")
+    assert(cur.where(col("id") === "e2-1").count() == 1)
+    assert(cur.count() == 2 + 3 + 1, "d1(2) + d2(3) + e2-1")
+    // eras preserved: the rewritten legacy partition stays era 'day'
+    val m = Snapshots.readManifest(spark, t,
+      Snapshots.currentVersion(spark, t))
+    assert(m.filter(_.partition == "d1").forall(_.spec.contains("day")) ||
+      m.filter(e => e.spec.contains("day")).map(_.partition).toSet
+        .contains("d1"),
+      "a delete never migrates rows across eras")
+    assert(m.filter(_.spec.contains("day")).map(_.partition).toSet ==
+      Set("d1", "d2"))
+    assert(m.filter(_.spec.contains("bucket")).map(_.partition).toSet ==
+      Set("d1"), "bucket=x emptied to a pure tombstone, bucket=d1 intact")
+  }
+
+  test("mergeRows refuses a change batch touching legacy-era keys " +
+      "(fail-fast, no silent duplicate) and still merges current-era ones") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("snap_merge_era")
+    Snapshots.commitFull(
+      rows("d1", 1 to 3, 0).unionByName(rows("d2", 1 to 3, 100)), t, "day")
+    Snapshots.commitAppend(
+      Seq(("e2-1", "z9", "b1", 1000L)).toDF("id", "day", "bucket", "cents"),
+      t, "bucket")
+    // updating a key that lives in an era-1 file must refuse
+    val bad = Seq(("d1-2", "z8", "b1", 7L, "U"))
+      .toDF("id", "day", "bucket", "cents", "op")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.mergeRows(spark, t, "bucket", "id", bad)
+    }
+    assert(e.getMessage.contains("another partition-spec era"))
+    // current-era merge still works, and never pins the colliding-value
+    // legacy files (day=d1 vs a change landing in bucket partitions)
+    val good = Seq(("e2-1", "z9", "b1", 9999L, "U"),
+      ("e2-9", "z9", "d1", 1L, "I"))
+      .toDF("id", "day", "bucket", "cents", "op")
+    val v = Snapshots.mergeRows(spark, t, "bucket", "id", good)
+    assert(v > 0)
+    val cur = Snapshots.read(spark, t)
+    assert(cur.where(col("id") === "e2-1").select("cents")
+      .as[Long].head() == 9999L)
+    assert(cur.where(col("id") === "e2-9").count() == 1)
+    assert(cur.where(col("day") === "d1").count() == 3,
+      "a change row LANDING in bucket=d1 must not rewrite or duplicate " +
+        "the colliding-value era-1 day=d1 files")
+    assert(cur.count() == 8)
+  }
+
+  test("tag first publish has no lost-ref window: a racing reader heal " +
+      "never unpublishes a fresh tag (writer-unique tmp + atomicReplace)") {
+    val t = tmpDir("snap_tag_first")
+    Snapshots.commitFull(rows("d1", 1 to 3, 0), t, "day")
+    Snapshots.commitOverwritePartition(rows("d1", 1 to 3, 100), t,
+      "day", "d1")
+    val refs = new java.io.File(t, "_refs")
+    refs.mkdirs()
+    val p = new java.io.File(refs, "first")
+    val tmp = new java.io.File(refs, "first.tmp")
+    for (i <- 1 to 60) {
+      // FIRST-publish shape each round: no ref on disk, a stale legacy
+      // shared-name tmp for the healer to promote mid-publish
+      p.delete()
+      java.nio.file.Files.write(tmp.toPath, "v1".getBytes)
+      val healer = new Thread(() => {
+        var n = 0
+        while (n < 200 && !Thread.interrupted()) {
+          Snapshots.listRefs(spark, t) // runs versionOfRefOpt's heal
+          n += 1
+        }
+      })
+      healer.start()
+      try Snapshots.tag(spark, t, "first", 2, replace = true)
+      finally { healer.interrupt(); healer.join() }
+      assert(Snapshots.versionOfRef(spark, t, "first") == 2,
+        s"round $i: tag must be published and stay published")
+    }
+  }
+
+  test("commitOverwritePartitions EMPTY guard is era-scoped: a " +
+      "colliding-value other-era file counts as a survivor") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("snap_empty_guard_era")
+    Snapshots.commitFull(rows("d1", 1 to 2, 0), t, "day")
+    Snapshots.commitAppend(
+      Seq(("e2", "z", "d1", 5L)).toDF("id", "day", "bucket", "cents"),
+      t, "bucket")
+    // tombstone bucket=d1 with no replacement rows: era-1's day=d1
+    // files survive (other era, colliding value) — the commit must be
+    // ACCEPTED, not refused as empty
+    val empty = Snapshots.read(spark, t).where(lit(false))
+      .select("id", "day", "bucket", "cents")
+    val v = Snapshots.commitOverwritePartitions(empty, t, "bucket",
+      Seq("d1"))
+    assert(v == 3)
+    val cur = Snapshots.read(spark, t)
+    assert(cur.count() == 2, "era-1 rows survive; e2 tombstoned")
+    assert(cur.where(col("day") === "d1").count() == 2)
+  }
 }
