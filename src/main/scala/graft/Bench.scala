@@ -172,7 +172,7 @@ object Bench {
         "|^q_graph_(persist|append|serve_)" +
         "|^q_(time_travel|snapshot_prune|partition_evolution)$" +
         "|^q_snapshot_(merge|merge_evolved|schema_evolution|tag|" +
-        "partition_evolution|sql)$" +
+        "partition_evolution|sql|delete_mor)$" +
         "|^(text_unigram_serve|emb_knn_graph)$" +
         "|^q_dq_(quarantine|audit_history|readmission)$" +
         "|^q_raw_compaction$|^dedup_incremental$").r

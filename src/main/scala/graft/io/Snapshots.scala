@@ -77,16 +77,27 @@ object Snapshots {
     * all-null column in that file = never prunable. */
   case class StatRange(typ: String, lo: String, hi: String)
 
-  /** One data file of one version: path relative to the table root,
-    * the partition value it belongs to, rows, declared-column stats,
-    * and the PARTITION SPEC (the partCol name) the file was committed
+  /** One file of one version: path relative to the table root, the
+    * partition value it belongs to, rows, declared-column stats, and
+    * the PARTITION SPEC (the partCol name) the file was committed
     * under — None for files written before spec tracking. The spec is
     * what makes partition-spec EVOLUTION transactional: two eras of one
     * table can carry colliding partition VALUES under different specs,
     * and a whole-partition tombstone only reaches files of its own
-    * era (see [[manifestDF]]). */
+    * era (see [[manifestDF]]).
+    *
+    * `kind` distinguishes DATA files (None) from merge-on-read DELETE
+    * files (`Some("delete:<keyCol>")` — an equality-delete key set,
+    * see [[deleteRowsMoR]]); `seq` is the commit version that added
+    * the file (None for pre-MoR manifests, ordered as 0). A delete
+    * file suppresses matching rows only in data files with a LOWER
+    * seq — the Iceberg-v2 sequence rule that makes re-inserting a
+    * deleted key after the delete work, and makes folded rewrites
+    * (whose files carry a newer seq) immune to the deletes they
+    * already applied. */
   case class FileEntry(path: String, partition: String, rows: Long,
-      stats: Map[String, StatRange], spec: Option[String] = None)
+      stats: Map[String, StatRange], spec: Option[String] = None,
+      kind: Option[String] = None, seq: Option[Int] = None)
 
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -487,7 +498,11 @@ object Snapshots {
     schemaOf(spark, table, prev) match {
       case Some(s) => evolveSchema(s, df.schema, op)
       case None =>
-        val carriedPaths = manifestPaths(spark, table, prev)
+        // data files only: a merge-on-read delete file's key-set
+        // schema must never leak into the table schema (unreachable
+        // in practice — deleteRowsMoR requires schema tracking — but
+        // the filter keeps the invariant local)
+        val carriedPaths = dataEntries(spark, table, prev).map(_._1)
         val carried = spark.read.option("mergeSchema", "true")
           .parquet(carriedPaths.map(p => s"$table/$p"): _*).schema
         evolveSchema(carried, df.schema, op)
@@ -747,12 +762,20 @@ object Snapshots {
     val dir = manifestDir(table, v)
     require(fs(spark, table).exists(new Path(dir)),
       s"Snapshots: manifest v$v has been vacuumed from $table")
-    // manifests written before spec tracking lack the `spec` column;
-    // normalize so every consumer (tombstone scoping, readManifest's
+    // manifests written before spec tracking lack the `spec` column,
+    // and pre-MoR ones lack `kind`/`seq`; normalize so every consumer
+    // (tombstone scoping, delete-file routing, readManifest's
     // FileEntry decode) sees one shape
-    def withSpec(df: DataFrame): DataFrame =
-      if (df.columns.contains("spec")) df
-      else df.withColumn("spec", lit(null).cast("string"))
+    def withSpec(df0: DataFrame): DataFrame = {
+      var df = df0
+      if (!df.columns.contains("spec"))
+        df = df.withColumn("spec", lit(null).cast("string"))
+      if (!df.columns.contains("kind"))
+        df = df.withColumn("kind", lit(null).cast("string"))
+      if (!df.columns.contains("seq"))
+        df = df.withColumn("seq", lit(null).cast("int"))
+      df
+    }
     chainOf(spark, table, v) match {
       case (_, Nil) => // checkpoint: the complete set
         withSpec(spark.read.parquet(checkpointParquetDir(spark, table, v)))
@@ -877,7 +900,7 @@ object Snapshots {
             r.getAs[String](s"_lo_$c"), r.getAs[String](s"_hi_$c"))
         }.toMap
         FileEntry(rel, r.getAs[String]("_gp"), r.getAs[Long]("_rows"),
-          stats, Some(partCol))
+          stats, Some(partCol), kind = None, seq = Some(v))
       }
   }
 
@@ -943,7 +966,9 @@ object Snapshots {
     df.where(col(partCol).cast("string") === value)
       .write.mode("overwrite").parquet(s"$table/$dir")
     val fresh = fileStats(spark, table, dir, statsCols).map {
-      case (rel, n, st) => FileEntry(rel, value, n, st, Some(partCol))
+      case (rel, n, st) =>
+        FileEntry(rel, value, n, st, Some(partCol), kind = None,
+          seq = Some(v))
     }
     // metadata-log commit: normally just the fresh entries + one
     // partition tombstone (O(commit)); every CheckpointEvery-th version
@@ -1093,12 +1118,15 @@ object Snapshots {
     import spark.implicits._
     val cur = currentVersion(spark, table)
     val mine = manifestDF(spark, table, cur)
-      .where(col("partition") === lit(value))
-      .select("path").as[String].collect().toSeq
+      .where(col("partition") === lit(value) && !isDelete(col("kind")))
+      .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"))
+      .as[(String, Int)].collect().toSeq
     require(mine.nonEmpty,
       s"Snapshots.commitCompact: no files for $partCol=$value")
+    // MoR-filtered (the deleteRows rule): the compacted file's fresh
+    // seq must not resurrect rows an active delete file suppresses
     commitOverwritePartition(
-      scanPaths(spark, table, mine, schemaOf(spark, table, cur))
+      morScan(spark, table, cur, mine, schemaOf(spark, table, cur))
         .coalesce(targetFiles),
       table, partCol, value, statsCols, expectedPrev = Some(cur))
   }
@@ -1143,6 +1171,7 @@ object Snapshots {
     // each, current era last); the operation is idempotent, so a crash
     // between era commits re-runs to completion.
     val eras = manifestDF(spark, table, baseV)
+      .where(!isDelete(col("kind")))
       .select(coalesce(col("spec"), lit(partCol)).as("s")).distinct()
       .as[String].collect().sorted
       .sortBy(_ == partCol) // current era commits LAST (tie to caller)
@@ -1163,9 +1192,13 @@ object Snapshots {
         if (eraCol == partCol) col("spec").isNull || col("spec") === eraCol
         else col("spec") === eraCol
       val eraPaths = manifestDF(spark, table, baseV).where(eraPred)
-        .select("path").as[String].collect().toSeq
+        .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"))
+        .as[(String, Int)].collect().toSeq
       if (eraPaths.nonEmpty) {
-        val eraRows = scanPaths(spark, table, eraPaths, sch)
+        // MoR-filtered: the rewrite's fresh seq makes older delete
+        // files inert for these partitions — rows they suppressed must
+        // not ride back in through the copy-on-write scan
+        val eraRows = morScan(spark, table, baseV, eraPaths, sch)
         val affected = eraRows
           .join(keys.select(keyCol), Seq(keyCol), "left_semi")
           .select(col(eraCol).cast("string")).distinct()
@@ -1173,8 +1206,9 @@ object Snapshots {
         if (affected.nonEmpty) {
           val mine = manifestDF(spark, table, baseV)
             .where(eraPred && col("partition").isin(affected.toSeq: _*))
-            .select("path").as[String].collect().toSeq
-          val kept = scanPaths(spark, table, mine, sch)
+            .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"))
+            .as[(String, Int)].collect().toSeq
+          val kept = morScan(spark, table, baseV, mine, sch)
             .join(keys.select(keyCol), Seq(keyCol), "left_anti")
           // statsCols must survive the rewrite: a compaction that
           // dropped the manifest min/max of the store's range column
@@ -1264,7 +1298,8 @@ object Snapshots {
     // case), one bounded semi-join otherwise.
     val eraPred = col("spec").isNull || col("spec") === lit(partCol)
     val sch = schemaOf(spark, table, baseV)
-    val otherEraPaths = manifestDF(spark, table, baseV).where(!eraPred)
+    val otherEraPaths = manifestDF(spark, table, baseV)
+      .where(!eraPred && !isDelete(col("kind")))
       .select("path").as[String].collect().toSeq
     if (otherEraPaths.nonEmpty) {
       val hit = scanPaths(spark, table, otherEraPaths, sch)
@@ -1294,10 +1329,13 @@ object Snapshots {
     // no change key needs it).
     val mine = manifestDF(spark, table, baseV)
       .where(eraPred && col("partition").isin(affected.toSeq: _*))
-      .select("path").as[String].collect().toSeq
+      .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"))
+      .as[(String, Int)].collect().toSeq
     val pinned0 =
       if (mine.isEmpty) target.where(lit(false)) // pure-insert batch
-      else scanPaths(spark, table, mine, schemaOf(spark, table, baseV))
+      // MoR-filtered (the deleteRows rule): the merge rewrite's fresh
+      // seq must not resurrect rows an active delete file suppresses
+      else morScan(spark, table, baseV, mine, sch)
     val pinned = batchNew.foldLeft(pinned0)((df, f) =>
       df.withColumn(f.name, lit(null).cast(f.dataType)))
     val merged = graft.operators.Merge
@@ -1305,6 +1343,187 @@ object Snapshots {
       .drop("merge_status")
     commitOverwritePartitions(merged, table, partCol, affected.toSeq,
       statsCols, expectedPrev = Some(baseV))
+  }
+
+  // ---- merge-on-read deletes -------------------------------------------
+  //
+  // The query-side dual of copy-on-write [[deleteRows]] (the Iceberg-v2
+  // equality-delete shape): [[deleteRowsMoR]] commits a tiny KEY-SET
+  // file instead of rewriting partitions — a 1-row CDC delete against a
+  // 1 GB partition costs O(1 key), not O(partition rewrite). Reads
+  // anti-join the accumulated delete keys (seq-scoped: a delete reaches
+  // only data files committed BEFORE it, so re-inserts and folded
+  // rewrites are immune), and [[compactDeletes]] folds the tombstones
+  // away with the usual copy-on-write rewrite once they warrant it.
+
+  /** Is this manifest row a merge-on-read delete file? */
+  private def isDelete(kind: Column): Column =
+    kind.isNotNull && kind.startsWith("delete:")
+
+  /** Version `v`'s DATA entries as (relPath, seq) — what a scan reads;
+    * delete files are routed to [[applyDeletes]] instead. */
+  private def dataEntries(spark: SparkSession, table: String, v: Int)
+      : Seq[(String, Int)] = {
+    import spark.implicits._
+    manifestDF(spark, table, v).where(!isDelete(col("kind")))
+      .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"))
+      .as[(String, Int)].collect().toSeq
+  }
+
+  /** Version `v`'s active delete files as (relPath, keyCol). */
+  private def activeDeletes(spark: SparkSession, table: String, v: Int)
+      : Seq[(String, String)] = {
+    import spark.implicits._
+    manifestDF(spark, table, v).where(isDelete(col("kind")))
+      .select(col("path"), col("kind")).as[(String, String)].collect()
+      .toSeq.map { case (p, k) => (p, k.stripPrefix("delete:")) }
+  }
+
+  /** Does version `v` carry active merge-on-read delete files? (The
+    * SQL catalog refuses such versions — a DSv2 Scan cannot express
+    * the anti-join — and points at [[compactDeletes]].) */
+  private[graft] def hasMorDeletes(spark: SparkSession, table: String,
+      v: Int): Boolean =
+    activeDeletes(spark, table, v).nonEmpty
+
+  /** Scan `entries`' files and suppress rows matched by version `v`'s
+    * delete files — the MoR read: per-row data seq rides a broadcast
+    * (relPath → seq) map joined on `input_file_name`, then one
+    * broadcast ANTI-join per delete key column with the seq guard
+    * `deleteSeq > dataSeq` as the extra hash-join condition (delete
+    * sets are small by contract — that's what [[compactDeletes]] is
+    * for — so the anti-joins broadcast and the scan never shuffles).
+    * Zero overhead when no deletes are active: the plain multi-file
+    * parquet scan comes back untouched. */
+  private def morScan(spark: SparkSession, table: String, v: Int,
+      entries: Seq[(String, Int)],
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
+    import spark.implicits._
+    val base = scanPaths(spark, table, entries.map(_._1), schema)
+    val dels = activeDeletes(spark, table, v)
+    if (dels.isEmpty) return base
+    Seq("_grel", "_gseq", "_gdelkey", "_delseq").foreach(c =>
+      require(!base.columns.contains(c),
+        s"Snapshots: column name '$c' is reserved for merge-on-read " +
+          "delete application"))
+    val seqDf = broadcast(entries.toDF("_grel", "_gseq"))
+    val tagged = base
+      .withColumn("_grel",
+        expr("substr(input_file_name(), " +
+          "instr(input_file_name(), 'data/c'))"))
+      .join(seqDf, Seq("_grel"), "left_outer")
+    val filtered = dels.groupBy(_._2).toSeq.sortBy(_._1)
+      .foldLeft(tagged) { case (acc, (keyCol, files)) =>
+        val keys = spark.read
+          .parquet(files.map(f => s"$table/${f._1}"): _*)
+          .withColumnRenamed(keyCol, "_gdelkey")
+        acc.join(broadcast(keys),
+          acc(keyCol) === keys("_gdelkey") &&
+            keys("_delseq") > coalesce(acc("_gseq"), lit(0)),
+          "left_anti")
+      }
+    filtered.drop("_grel", "_gseq")
+  }
+
+  /** Merge-on-read row delete: commit version `v` adds ONE key-set
+    * parquet (the distinct `keys`, stamped with `_delseq = v`) and
+    * rewrites NOTHING — the metadata-only delete a CDC-heavy 100 TB
+    * table needs. Every read of v onward anti-joins the keys away;
+    * time travel below v still sees them; a later re-insert of a
+    * deleted key is visible (its file's seq exceeds the delete's).
+    * Returns the new version, or 0 for an empty key set. Call
+    * [[compactDeletes]] periodically to fold accumulated deletes into
+    * a copy-on-write rewrite. */
+  def deleteRowsMoR(spark: SparkSession, table: String, keyCol: String,
+      keys: DataFrame): Int = {
+    val prev = currentVersion(spark, table)
+    require(prev >= 1, s"Snapshots: no initial commit under $table")
+    val sch = schemaOf(spark, table, prev)
+    require(sch.nonEmpty,
+      s"Snapshots.deleteRowsMoR: $table predates schema tracking — " +
+        "re-commit once (commitFull) to adopt it before using " +
+        "merge-on-read deletes")
+    require(sch.exists(_.fieldNames.contains(keyCol)),
+      s"Snapshots.deleteRowsMoR: key column '$keyCol' not in v$prev's " +
+        s"schema of $table")
+    val v = prev + 1
+    reserve(spark, table, v)
+    val keyTyped = sch.map(_(keyCol).dataType)
+      .map(t => keys.select(col(keyCol).cast(t))).getOrElse(
+        keys.select(keyCol))
+    val distinctKeys = keyTyped.distinct()
+    if (distinctKeys.isEmpty) { breakReservation(spark, table, v); return 0 }
+    val dir = s"data/c$v/_del"
+    distinctKeys.withColumn("_delseq", lit(v))
+      .coalesce(1).write.mode("overwrite").parquet(s"$table/$dir")
+    val fresh = fileStats(spark, table, dir, Nil).map {
+      case (rel, n, st) =>
+        FileEntry(rel, s"_del$v", n, st, Some("_del"),
+          Some(s"delete:$keyCol"), Some(v))
+    }
+    commitManifest(spark, table, v, prev, fresh, Nil, None)
+    sch.foreach(writeSchema(spark, table, v, _))
+    partSpecOf(spark, table, prev)
+      .foreach(writePartSpec(spark, table, v, _))
+    publish(spark, table, v)
+    v
+  }
+
+  /** Fold accumulated merge-on-read deletes into the data: rewrite the
+    * affected partitions copy-on-write FROM THE MoR-FILTERED VIEW (one
+    * [[commitOverwritePartitions]] — the rewritten files' seq then
+    * exceeds every delete's, making the delete files inert), then drop
+    * the delete files in a second, metadata-only commit. Crash-safe in
+    * between: inert delete files change no answer, and a re-run just
+    * drops them. Returns rewritten partition count (0 = nothing to
+    * fold). Single-spec tables only (the CoW rewrite commits under
+    * `partCol`); spec-evolved tables fold with [[deleteRows]] per era
+    * first. */
+  def compactDeletes(spark: SparkSession, table: String, partCol: String,
+      statsCols: Seq[String] = Nil): Int = {
+    import spark.implicits._
+    val baseV = currentVersion(spark, table)
+    val dels = activeDeletes(spark, table, baseV)
+    if (dels.isEmpty) return 0
+    val sch = schemaOf(spark, table, baseV)
+    val entries = dataEntries(spark, table, baseV)
+    // partitions still holding a row a delete suppresses = the fold
+    // set; computed as the complement of the MoR view over the raw
+    // scan, pruned to partCol (one pass, plan-side)
+    val raw = scanPaths(spark, table, entries.map(_._1), sch)
+    val visible = morScan(spark, table, baseV, entries, sch)
+    val affected = raw.groupBy(col(partCol).cast("string").as("_p"))
+      .agg(count(lit(1)).as("_n"))
+      .join(visible.groupBy(col(partCol).cast("string").as("_p"))
+        .agg(count(lit(1)).as("_m")), Seq("_p"), "left_outer")
+      .where(coalesce(col("_m"), lit(0L)) < col("_n"))
+      .select("_p").as[String].collect().sorted
+    var expect = baseV
+    if (affected.nonEmpty) {
+      val kept = visible
+        .where(col(partCol).cast("string").isin(affected.toSeq: _*))
+      expect = commitOverwritePartitions(kept, table, partCol,
+        affected.toSeq, statsCols, expectedPrev = Some(expect))
+    }
+    // metadata-only drop of the (now inert) delete files: tombstone
+    // their unique `_del<v>` partitions under the reserved `_del` spec
+    val prev = currentVersion(spark, table)
+    val v = prev + 1
+    reserve(spark, table, v)
+    if (expect != prev) { // a foreign commit slipped in: OCC refusal
+      breakReservation(spark, table, v)
+      throw new ConcurrentCommitException(table, v)
+    }
+    val delParts = manifestDF(spark, table, prev)
+      .where(isDelete(col("kind"))).select("partition").distinct()
+      .as[String].collect().toSeq.sorted
+    commitManifest(spark, table, v, prev, Nil, delParts, Some("_del"))
+    schemaOf(spark, table, prev).foreach(writeSchema(spark, table, v, _))
+    partSpecOf(spark, table, prev)
+      .foreach(writePartSpec(spark, table, v, _))
+    publish(spark, table, v)
+    affected.length
   }
 
   // ---- reads ----------------------------------------------------------
@@ -1323,9 +1542,11 @@ object Snapshots {
 
   /** Read as of a PINNED version: the file set is resolved here, once,
     * so the returned frame keeps answering with version `v`'s rows no
-    * matter how many commits land afterwards. */
+    * matter how many commits land afterwards. Merge-on-read delete
+    * files of `v` are applied ([[morScan]]); versions without deletes
+    * read as the plain multi-file scan. */
   def readAsOf(spark: SparkSession, table: String, v: Int): DataFrame =
-    scanPaths(spark, table, manifestPaths(spark, table, v),
+    morScan(spark, table, v, dataEntries(spark, table, v),
       schemaOf(spark, table, v))
 
   /** Read the latest snapshot — pinned at CALL time (the manifest is
@@ -1352,19 +1573,26 @@ object Snapshots {
     import spark.implicits._
     val to = manifestDF(spark, table, toV)
     // the version diff is a left-anti join INSIDE the plan — neither
-    // manifest materializes on the driver, only the added paths do
+    // manifest materializes on the driver, only the added paths do.
+    // Merge-on-read DELETE files are metadata, not rows: they never
+    // surface in the append stream, and `toV`'s deletes apply to the
+    // added data files (a key appended then MoR-deleted inside the
+    // range is not "added" at toV).
     val added = (
       if (fromV == 0) to
       else to.join(manifestDF(spark, table, fromV).select("path"),
         Seq("path"), "left_anti")
-      ).select("path").as[String].collect().toSeq
+      ).where(!isDelete(col("kind")))
+      .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"))
+      .as[(String, Int)].collect().toSeq
     val sch = schemaOf(spark, table, toV)
     if (added.isEmpty) {
       // nothing new: an empty frame with the version's schema (one
       // file resolves it when the table predates schema tracking)
-      val one = to.select("path").limit(1).as[String].collect().toSeq
+      val one = to.where(!isDelete(col("kind"))).select("path")
+        .limit(1).as[String].collect().toSeq
       scanPaths(spark, table, one, sch).where(lit(false))
-    } else scanPaths(spark, table, added, sch)
+    } else morScan(spark, table, toV, added, sch)
   }
 
   /** Row-level diff between two versions: (added, removed) frames via
@@ -1606,15 +1834,19 @@ object Snapshots {
     // null-valued comparison
     val sameEra = col("spec").isNotNull && col("spec") === lit(partCol)
     val otherEra = col("spec").isNull || col("spec") =!= lit(partCol)
-    val pred = (sameEra && col("partition") === lit(value)) ||
-      (otherEra && overlapCol(partCol, value, value))
+    val pred = (!isDelete(col("kind"))) &&
+      ((sameEra && col("partition") === lit(value)) ||
+        (otherEra && overlapCol(partCol, value, value)))
     val mdf = manifestDF(spark, table, v)
-    val keep = mdf.where(pred).select("path").as[String].collect().toSeq
+    val keep = mdf.where(pred)
+      .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"))
+      .as[(String, Int)].collect().toSeq
     if (keep.isEmpty) {
-      val one = mdf.select("path").limit(1).as[String].collect().toSeq
+      val one = mdf.where(!isDelete(col("kind"))).select("path")
+        .limit(1).as[String].collect().toSeq
       scanPaths(spark, table, one, sch).where(lit(false))
     } else {
-      val kept = scanPaths(spark, table, keep, sch)
+      val kept = morScan(spark, table, v, keep, sch)
       kept.where(col(partCol).cast("string") === value)
     }
   }
@@ -1636,12 +1868,15 @@ object Snapshots {
     // surviving paths (and, on a fully-pruned read, the single path
     // needed to resolve the table schema)
     val sch = schemaOf(spark, table, v)
-    val keep = mdf.where(pred).select("path").as[String].collect().toSeq
+    val keep = mdf.where(pred && !isDelete(col("kind")))
+      .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"))
+      .as[(String, Int)].collect().toSeq
     if (keep.isEmpty) {
-      val one = mdf.select("path").limit(1).as[String].collect().toSeq
+      val one = mdf.where(!isDelete(col("kind"))).select("path")
+        .limit(1).as[String].collect().toSeq
       scanPaths(spark, table, one, sch).where(lit(false))
     } else {
-      val kept = scanPaths(spark, table, keep, sch)
+      val kept = morScan(spark, table, v, keep, sch)
       val residual = ranges.map { case (c, (lo, hi)) =>
         col(c) >= lit(lo).cast(kept.schema(c).dataType) &&
           col(c) <= lit(hi).cast(kept.schema(c).dataType)

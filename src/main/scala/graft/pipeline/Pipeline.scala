@@ -126,6 +126,8 @@ object Pipeline {
       maxQuarantineRate: Double = 0.10): DqReport = {
     require(validDate(ingestionDate),
       "ingestion_date must be YYYY-MM-DD, e.g. 2025-01-02")
+    // heal any interrupted zone flip BEFORE reading or writing the date
+    recoverPending(spark, conf, ingestionDate)
     val rawPath = RawEvents.partitionPath(conf.rawBase, ingestionDate)
     val curatedPath = RawEvents.partitionPath(conf.curatedBase, ingestionDate)
     val metricsPath =
@@ -161,9 +163,11 @@ object Pipeline {
     auditBestEffort(spark, conf, report)
     if (report.status == "FAIL") throw new DqFailedException(report)
 
-    CuratedWriter.overwritePartition(quarantined, quarantineBase,
-      ingestionDate)
-    CuratedWriter.overwritePartition(valid, conf.curatedBase, ingestionDate)
+    // both zones move in ONE transaction (staged two-phase flip): no
+    // crash leaves admitted rows in curated while quarantine still
+    // carries the pre-run set, or vice versa
+    publishZones(spark, conf, ingestionDate,
+      Seq(quarantined -> quarantineBase, valid -> conf.curatedBase))
     report
   }
 
@@ -197,6 +201,8 @@ object Pipeline {
     import org.apache.spark.sql.functions._
     require(validDate(ingestionDate),
       "ingestion_date must be YYYY-MM-DD, e.g. 2025-01-02")
+    // heal any interrupted zone flip BEFORE reading or writing the date
+    recoverPending(spark, conf, ingestionDate)
     val qPath = RawEvents.partitionPath(quarantineBase, ingestionDate)
     val curatedPath = RawEvents.partitionPath(conf.curatedBase, ingestionDate)
     if (!CuratedWriter.upstreamExists(spark, qPath))
@@ -235,18 +241,127 @@ object Pipeline {
       RawEvents.partitionPath(conf.metricsBase, ingestionDate) +
         "data_quality_readmission.json", report.toJson)
     auditBestEffort(spark, conf, report)
-    // curated FIRST, quarantine second: a crash between the two writes
-    // then leaves admitted rows present in BOTH zones — and the next
-    // replay's curated-collision anti-join re-tags the stale quarantine
-    // copies as dup_event_id, converging back to exactly-one-zone. The
-    // old order (quarantine purged first) lost the admitted rows
-    // entirely on a crash: purged from quarantine, never written to
-    // curated — the lossless-replay invariant broken until a full
-    // re-run from raw.
-    CuratedWriter.overwritePartition(newCurated, conf.curatedBase,
-      ingestionDate)
-    CuratedWriter.overwritePartition(newQuar, quarantineBase, ingestionDate)
+    // both zones move in ONE transaction (staged two-phase flip; both
+    // frames are localCheckpoint-materialized above because each reads
+    // the very directory its flip replaces). Within the flip, curated
+    // renames first: even a crash INSIDE the ~ms flip window leaves
+    // admitted rows present in at least one zone — duplicated at worst,
+    // which the next replay's curated-collision anti-join re-tags as
+    // dup_event_id — never lost (the old quarantine-first write order
+    // purged them before curated had them).
+    publishZones(spark, conf, ingestionDate,
+      Seq(newCurated -> conf.curatedBase, newQuar -> quarantineBase))
     report
+  }
+
+  // ---- multi-zone atomic publish ---------------------------------------
+  //
+  // runPartitionQuarantine and readmitQuarantine each publish TWO zones
+  // (curated + quarantine) whose contents must move together — written
+  // as two independent Spark jobs, a crash in between left an admitted
+  // partition in one zone and stale rows in the other for a full re-run
+  // window. The staged two-phase flip closes the seam to a metadata
+  // blink: every zone's new content lands in a HIDDEN staging dir
+  // (`<base>/.staged/ingestion_date=<d>` — dot-dirs are invisible to
+  // Spark's partition discovery, so readers never see half-written
+  // staging), then ONE atomically-published pending record
+  // (`_txn_pending`, temp+rename beside the DQ report) becomes the
+  // commit point, then the flips replay: purge live, rename staged. A
+  // crash before the record leaves the live zones byte-untouched (the
+  // txn never happened; orphaned staging is purged by the next
+  // attempt); a crash after it is healed by [[recoverPending]] — run
+  // automatically at the next pipeline touch of the date — which
+  // re-drives only the flips that have not happened yet (a missing
+  // staged dir means that flip already completed). The residual
+  // exposure is two directory renames (~ms), detectable via the
+  // pending record, instead of two multi-second write jobs with no
+  // record at all; readers needing full snapshot isolation use
+  // [[graft.io.Snapshots]], which exists for exactly that.
+
+  private def txnPendingPath(conf: PipelineConfig, d: String): String =
+    RawEvents.partitionPath(conf.metricsBase, d) + "_txn_pending"
+
+  private def stagedPath(base: String, d: String): String =
+    s"${base.stripSuffix("/")}/.staged/ingestion_date=$d"
+
+  private def hadoopFs(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Stage every zone's content, publish the pending record (the
+    * atomic commit point), flip, clear the record. `zones` =
+    * (content, liveBase) pairs; contents must already be materialized
+    * (localCheckpoint) if they read from the dirs they replace. */
+  private def publishZones(spark: SparkSession, conf: PipelineConfig,
+      d: String, zones: Seq[(org.apache.spark.sql.DataFrame, String)])
+      : Unit = {
+    val flips = zones.map { case (df, base) =>
+      val staged = stagedPath(base, d)
+      CuratedWriter.purge(spark, staged)
+      df.drop("ingestion_date").write.mode("overwrite").parquet(staged)
+      staged -> RawEvents.partitionPath(base, d).stripSuffix("/")
+    }
+    // commit point: one atomic file naming every flip
+    val rec = txnPendingPath(conf, d)
+    val f = hadoopFs(spark, rec)
+    val tmp = new org.apache.hadoop.fs.Path(
+      rec + "." + java.util.UUID.randomUUID + ".tmp")
+    f.mkdirs(tmp.getParent)
+    val out = f.create(tmp, true)
+    try out.write(flips.map { case (s, t) => s"$s\t$t" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, new org.apache.hadoop.fs.Path(rec))) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"pipeline txn: could not publish pending record $rec " +
+          "(concurrent run for the same date?)")
+    }
+    replayPending(spark, conf, d)
+  }
+
+  /** Complete any interrupted zone flip for `d`. Returns true when a
+    * pending record was found and replayed. Idempotent: a flip whose
+    * staged dir is gone already completed; one whose live dir still
+    * holds old content is purged and renamed now. Called automatically
+    * at the start of every pipeline operation on the date. */
+  def recoverPending(spark: SparkSession, conf: PipelineConfig,
+      d: String): Boolean = {
+    val rec = txnPendingPath(conf, d)
+    val f = hadoopFs(spark, rec)
+    val p = new org.apache.hadoop.fs.Path(rec)
+    if (!f.exists(p)) return false
+    replayPending(spark, conf, d)
+    true
+  }
+
+  private def replayPending(spark: SparkSession, conf: PipelineConfig,
+      d: String): Unit = {
+    val rec = txnPendingPath(conf, d)
+    val f = hadoopFs(spark, rec)
+    val p = new org.apache.hadoop.fs.Path(rec)
+    val in = f.open(p)
+    val content =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var r = in.read(chunk)
+        while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+    content.split('\n').filter(_.contains('\t')).foreach { line =>
+      val Array(src, dst) = line.split('\t')
+      val sp = new org.apache.hadoop.fs.Path(src)
+      val dp = new org.apache.hadoop.fs.Path(dst)
+      if (f.exists(sp)) { // not yet flipped
+        if (f.exists(dp)) f.delete(dp, true)
+        f.mkdirs(dp.getParent)
+        require(f.rename(sp, dp),
+          s"pipeline txn: flip $src -> $dst failed")
+      }
+    }
+    f.delete(p, false)
+    ()
   }
 
   def validDate(d: String): Boolean =

@@ -587,6 +587,76 @@ object SnapshotQueries {
           "WHERE cents BETWEEN 2500 AND 7500"))
         .unionByName(leg("v1", s"$cat.events_sql VERSION AS OF 'base'"))
         .orderBy(col("leg"), col("event_type"))
+    },
+
+    // --- merge-on-read deletes ([[Snapshots.deleteRowsMoR]]) --------------
+    // The Iceberg-v2 equality-delete shape: deleting every event_id%10=7
+    // key commits ONE key-set file (SnapshotsMorSpec pins the structural
+    // O(tombstone) claim: zero data files rewritten), reads anti-join it
+    // away seq-scoped — so the event_id%100=7 keys RE-INSERTED after the
+    // delete (cents+1) are visible, because their file's seq exceeds the
+    // delete's — and compactDeletes folds the tombstones into a
+    // copy-on-write rewrite without changing a single answer. Three
+    // legs: v1 time-travels below the delete, mor reads the pinned
+    // delete+reinsert view, folded re-reads after the fold (same values
+    // as mor — the oracle computes the expression once and serves it to
+    // both legs, so a fold that changed anything would hash-mismatch).
+    Q(
+      "q_snapshot_delete_mor",
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL),
+        |mor AS (
+        |  SELECT event_type, cents FROM e WHERE event_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT event_type, cents + 1 AS cents
+        |  FROM e WHERE event_id % 100 = 7)
+        |SELECT leg, event_type, n, sum_cents FROM (
+        |  SELECT 'folded' AS leg, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |  FROM mor GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'mor', event_type, CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(cents) AS BIGINT)
+        |  FROM mor GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'v1', event_type, CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(cents) AS BIGINT)
+        |  FROM e GROUP BY event_type)
+        |ORDER BY leg, event_type""".stripMargin
+    ) { (s, d) =>
+      val table = scratch(d) + "_mor"
+      val p = new Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      val v1 = Snapshots.commitFull(ev, table, "event_type",
+        statsCols = Seq("cents"))
+      // metadata-only delete: one key file, no partition rewritten
+      Snapshots.deleteRowsMoR(s, table, "event_id",
+        ev.where(pmod(col("event_id"), lit(10)) === 7).select("event_id"))
+      // re-insert a subset AFTER the delete: newer seq → visible
+      val vMor = Snapshots.commitAppend(
+        ev.where(pmod(col("event_id"), lit(100)) === 7)
+          .withColumn("cents", col("cents") + 1),
+        table, "event_type", statsCols = Seq("cents"))
+      def agg(df: org.apache.spark.sql.DataFrame, leg: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("sum_cents"))
+          .select(lit(leg).as("leg"), col("event_type"), col("n"),
+            col("sum_cents"))
+      val morLeg = agg(Snapshots.readAsOf(s, table, vMor), "mor")
+      Snapshots.compactDeletes(s, table, "event_type",
+        statsCols = Seq("cents"))
+      agg(Snapshots.readAsOf(s, table, v1), "v1")
+        .unionByName(morLeg)
+        .unionByName(agg(Snapshots.read(s, table), "folded"))
+        .orderBy(col("leg"), col("event_type"))
     }
   )
 

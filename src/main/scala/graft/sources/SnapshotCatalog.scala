@@ -105,6 +105,7 @@ class SnapshotCatalog extends TableCatalog {
     val path = tablePath(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val v = Snapshots.versionAsOfTime(spark, path, timestampMicros / 1000L)
+    requireNoMorDeletes(path, v)
     new SnapshotSqlTable(fullName(ident), path, v)
   }
 
@@ -119,8 +120,19 @@ class SnapshotCatalog extends TableCatalog {
       case Some(s) => s.toIntOption
         .getOrElse(Snapshots.versionOfRef(spark, path, s))
     }
+    requireNoMorDeletes(path, v)
     new SnapshotSqlTable(fullName(ident), path, v)
   }
+
+  /** A DSv2 Scan produces rows from files; it cannot anti-join the
+    * merge-on-read delete keys away. Refusing beats silently serving
+    * deleted rows; folding restores SQL access. */
+  private def requireNoMorDeletes(path: String, v: Int): Unit =
+    if (Snapshots.hasMorDeletes(spark, path, v))
+      throw new UnsupportedOperationException(
+        s"SnapshotCatalog: $path@v$v carries merge-on-read delete " +
+          "files the SQL scan cannot apply — fold them first " +
+          "(Snapshots.compactDeletes) or read through the library API")
 
   // The store's writes are the library's transactional commits; SQL
   // DDL/DML would need the same reservation protocol to stay atomic.
