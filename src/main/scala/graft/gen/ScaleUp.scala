@@ -27,18 +27,23 @@ import org.apache.spark.sql.functions._
   *    enums (region, nation) are still copied once: scaling a 25-row dim
   *    would change join RESULTS, not just plan shapes.
   *
-  *  - `--fresh-text`: rewrites `documents.text` per copy by suffixing
-  *    every whitespace token with the copy index (copy 0 stays
-  *    pristine). Token sets of different copies become disjoint, so a
-  *    doc is never a near-dup of its own copy in another replica, while
-  *    WITHIN a copy every token set is renamed injectively — Jaccard
-  *    similarity, set overlaps, and therefore the MinHash/PPJoin
-  *    near-dup pair structure of the original corpus are preserved
-  *    verbatim per copy. Total near-dup pairs scale ×n (density
-  *    constant) instead of the ×n² blow-up verbatim copies produce
-  *    (n key-offset copies of one dup group → C(n·g,2) true pairs) —
-  *    the honest way to scale-bench `dedup_minhash_lsh` / `dedup_ppjoin`
-  *    / `dedup_simhash`.
+  *  - fresh text (the DEFAULT for `documents` since round 13):
+  *    rewrites `documents.text` per copy by suffixing every whitespace
+  *    token with the copy index (copy 0 stays pristine). Token sets of
+  *    different copies become disjoint, so a doc is never a near-dup of
+  *    its own copy in another replica, while WITHIN a copy every token
+  *    set is renamed injectively — Jaccard similarity, set overlaps,
+  *    and therefore the MinHash/PPJoin near-dup pair structure of the
+  *    original corpus are preserved verbatim per copy. Total near-dup
+  *    pairs scale ×n (density constant) instead of the ×n² blow-up
+  *    verbatim copies produce (n key-offset copies of one dup group →
+  *    C(n·g,2) true pairs) — the honest way to scale-bench
+  *    `dedup_minhash_lsh` / `dedup_ppjoin` / `dedup_simhash`. The old
+  *    behavior was the round-12 sweep's top-of-table artifact: three of
+  *    its five slowest rows (dedup_containment, dedup_ngram_jaccard,
+  *    pipe_dedup_eval) were quadratic BY TIER SEMANTICS, not by engine.
+  *    `--verbatim-text` restores the key-offset-only copies (the
+  *    labeled-appendix tier); `--fresh-text` is accepted and redundant.
   *
   * `events.ts` round-trips as-is for the current TIMESTAMP_MICROS
   * fixtures (NTZ in → NTZ out); for a legacy TIMESTAMP(NANOS) source the
@@ -91,7 +96,7 @@ object ScaleUp {
   /** The generation body, session-agnostic (SkewTierSpec drives it on
     * the shared test session — main owns start/stop). */
   def run(spark: SparkSession, args: Array[String]): Unit = {
-    val freshText = args.contains("--fresh-text")
+    val freshText = !args.contains("--verbatim-text")
     val nFiles: Int = args
       .collectFirst { case a if a.startsWith("--files=") =>
         a.stripPrefix("--files=").toInt }

@@ -1979,31 +1979,30 @@ object Snapshots {
     // resolutions of below-floor versions fail cleanly, while in-flight
     // plans keep their graced manifest dirs for one more cycle
     publishFloor(spark, table, floor)
-    // paths only (no stats maps) — the live set is the one driver
-    // materialization a delete-compare walk genuinely needs
-    val live = (floor to cur).flatMap { v =>
-      if (f.exists(new Path(manifestDir(table, v))))
-        manifestPaths(spark, table, v)
-      else Nil
-    }.toSet
     (1 until prevFloor).foreach(v =>
       f.delete(new Path(manifestDir(table, v)), true))
     val dataRoot = new Path(table, "data")
     if (!f.exists(dataRoot)) return 0
-    var deleted = 0
-    // walk commit dirs; delete files not referenced by a live manifest.
-    // Commit dirs ABOVE `cur` are an IN-FLIGHT writer's (the reserved
-    // slot's data lands before its manifest publishes) and are skipped
-    // WHOLESALE: their files are unreferenced by every retained
-    // manifest yet must be SPARED — deleting them would let the commit
-    // publish a manifest naming vanished files — and even LISTING them
-    // races the job committer's `_temporary` churn (both measured by
-    // the soak spec's writer×vacuum interleaving). A later vacuum,
-    // running after the slot publishes, judges them normally. Retained
-    // dirs' contents are immutable, so their walks are churn-free; a
-    // racing surprise there skips the dir for this cycle (conservative
-    // — reclaimed next time).
-    val toDelete = scala.collection.mutable.ArrayBuffer.empty[Path]
+    // DISTRIBUTED reclaim planning (the 10⁷-file lens): the live set is
+    // a PLAN — the union of retained manifests' path columns — never a
+    // driver Set (a 100 TB table's live paths are GBs of strings); the
+    // listing fans out over commit dirs on executors; the delete set is
+    // their anti-join, and the deletes themselves run foreachPartition
+    // so the only driver state is the accumulator count. Commit dirs
+    // ABOVE `cur` are an IN-FLIGHT writer's (the reserved slot's data
+    // lands before its manifest publishes) and are skipped WHOLESALE at
+    // dir enumeration — one O(versions) driver listing: their files are
+    // unreferenced by every retained manifest yet must be SPARED, and
+    // even LISTING them races the job committer's `_temporary` churn
+    // (both measured by the soak spec's writer×vacuum interleaving). A
+    // later vacuum judges them normally. Retained dirs' contents are
+    // immutable, so their walks are churn-free; a racing surprise skips
+    // that dir for this cycle (conservative — reclaimed next time).
+    import spark.implicits._
+    val liveDF = (floor to cur)
+      .filter(v => f.exists(new Path(manifestDir(table, v))))
+      .map(v => manifestDF(spark, table, v).select("path"))
+      .reduce(_.unionByName(_)).distinct()
     val eligible = f.listStatus(dataRoot)
       .filter(_.isDirectory)
       .filter { d =>
@@ -2011,22 +2010,50 @@ object Snapshots {
         !n.startsWith("c") ||
           scala.util.Try(n.drop(1).toInt).toOption.forall(_ <= cur)
       }
-    eligible.foreach { dir =>
-      try {
-        val it = f.listFiles(dir.getPath, true)
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.isFile) {
-            val full = st.getPath.toString
-            val idx = full.indexOf("data/c")
-            val rel = if (idx >= 0) full.substring(idx) else full
-            if (rel.endsWith(".parquet") && !live.contains(rel))
-              toDelete += st.getPath
+      .map(_.getPath.toString).toSeq
+    if (eligible.isEmpty) return 0
+    // executors re-derive FileSystem from the default Configuration:
+    // correct for local paths and for clusters whose core-site is on
+    // the executor classpath (the standard deployment); a \u0001 separator packs
+    // (full, rel) through one string column
+    val listed = spark.createDataset(eligible)
+      .repartition(math.min(eligible.size, 32))
+      .flatMap { dir =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val efs = p.getFileSystem(
+            new org.apache.hadoop.conf.Configuration())
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          val it = efs.listFiles(p, true)
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile) {
+              val full = st.getPath.toString
+              val idx = full.indexOf("data/c")
+              val rel = if (idx >= 0) full.substring(idx) else full
+              if (rel.endsWith(".parquet"))
+                out += full + "\u0001" + rel
+            }
           }
+          out.toSeq
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+      }
+      .map { s =>
+        val i = s.indexOf('\u0001'); (s.take(i), s.drop(i + 1))
+      }
+      .toDF("_full", "path")
+    val acc = spark.sparkContext.longAccumulator("graft.vacuum.deleted")
+    listed.join(liveDF, Seq("path"), "left_anti")
+      .select(col("_full")).as[String]
+      .foreachPartition { (it: Iterator[String]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.foreach { full =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(full)
+            if (p.getFileSystem(conf).delete(p, false)) acc.add(1L)
+          } catch { case scala.util.control.NonFatal(_) => () }
         }
-      } catch { case scala.util.control.NonFatal(_) => () }
-    }
-    toDelete.foreach { p => if (f.delete(p, false)) deleted += 1 }
-    deleted
+      }
+    acc.value.toInt
   }
 }
