@@ -4,9 +4,10 @@ import java.util
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.Filter
@@ -51,10 +52,15 @@ import graft.io.Snapshots
   * engine. All pushed filters are also kept as residuals, so pruning
   * can only cut IO, never change answers.
   *
-  * Read-only by design this round: writes go through the library's
-  * transactional commits ([[Snapshots.commitAppend]] and friends),
-  * which SQL `INSERT` could not make atomic without duplicating the
-  * reservation protocol here.
+  * Writes: `INSERT INTO` appends and `INSERT OVERWRITE` replaces the
+  * table — both through the LIBRARY's transactional commits
+  * ([[Snapshots.commitAppend]] / [[Snapshots.commitFull]] via the
+  * `V1Write` bridge), so SQL writers get the same reservation
+  * protocol, OCC, schema evolution, and atomic pointer flip as
+  * library writers, with nothing duplicated here. Writes land on the
+  * CURRENT version under the current partition spec; a time-travel
+  * handle (`VERSION AS OF`) refuses writes. DDL stays library-side
+  * (create = commitFull, retention = vacuum).
   */
 class SnapshotCatalog extends TableCatalog {
 
@@ -106,7 +112,7 @@ class SnapshotCatalog extends TableCatalog {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val v = Snapshots.versionAsOfTime(spark, path, timestampMicros / 1000L)
     requireNoMorDeletes(path, v)
-    new SnapshotSqlTable(fullName(ident), path, v)
+    new SnapshotSqlTable(fullName(ident), path, v, timeTravel = true)
   }
 
   private def fullName(ident: Identifier): String =
@@ -121,7 +127,8 @@ class SnapshotCatalog extends TableCatalog {
         .getOrElse(Snapshots.versionOfRef(spark, path, s))
     }
     requireNoMorDeletes(path, v)
-    new SnapshotSqlTable(fullName(ident), path, v)
+    new SnapshotSqlTable(fullName(ident), path, v,
+      timeTravel = version.isDefined)
   }
 
   /** A DSv2 Scan produces rows from files; it cannot anti-join the
@@ -134,33 +141,37 @@ class SnapshotCatalog extends TableCatalog {
           "files the SQL scan cannot apply — fold them first " +
           "(Snapshots.compactDeletes) or read through the library API")
 
-  // The store's writes are the library's transactional commits; SQL
-  // DDL/DML would need the same reservation protocol to stay atomic.
+  // DDL stays library-side: table creation is a first commitFull,
+  // schema evolution happens through commits, retention is vacuum.
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
-      "SnapshotCatalog is read-only: create tables with " +
-        "Snapshots.commitFull")
+      "SnapshotCatalog: create tables with Snapshots.commitFull " +
+        "(SQL INSERT/OVERWRITE work once the table exists)")
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table =
     throw new UnsupportedOperationException(
-      "SnapshotCatalog is read-only: evolve schemas through commits")
+      "SnapshotCatalog: schemas evolve add-only through commits")
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
-      "SnapshotCatalog is read-only: retention is Snapshots.vacuum")
+      "SnapshotCatalog: retention is Snapshots.vacuum")
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
-      "SnapshotCatalog is read-only")
+      "SnapshotCatalog does not rename tables")
 }
 
 /** One snapshot table PINNED at `version`. Schema is the version's
   * recorded `_schema` (evolved reads null-fill old files; time travel
   * returns exactly that version's columns), falling back to the file
-  * set's own schema for pre-tracking tables. */
+  * set's own schema for pre-tracking tables. `timeTravel` marks a
+  * handle resolved through VERSION/TIMESTAMP AS OF — readable, never
+  * writable (writing "into the past" has no meaning in a linear
+  * version history). */
 private[sources] class SnapshotSqlTable(tableName: String,
-    path: String, version: Int) extends Table with SupportsRead {
+    path: String, version: Int, timeTravel: Boolean = false)
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"$tableName@v$version"
 
@@ -171,11 +182,45 @@ private[sources] class SnapshotSqlTable(tableName: String,
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new SnapshotScanBuilder(path, version, schema, options)
+
+  /** SQL writes ride the library's transactional commits through the
+    * V1Write bridge: INSERT INTO → [[Snapshots.commitAppend]] (the
+    * reservation protocol, add-only schema evolution, atomic pointer
+    * flip — a concurrent writer fails clean, never lost-updates);
+    * INSERT OVERWRITE (truncate) → [[Snapshots.commitFull]]. The
+    * partition column is the CURRENT version's recorded spec. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation()
+            : org.apache.spark.sql.sources.InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+            require(!timeTravel,
+              s"SnapshotCatalog: cannot write to time-travel handle " +
+                s"$tableName@v$version — writes land on the current " +
+                "version only")
+            val spark = data.sparkSession
+            val cur = Snapshots.currentVersion(spark, path)
+            val partCol = Snapshots.partSpecOf(spark, path, cur)
+              .getOrElse(throw new UnsupportedOperationException(
+                s"SnapshotCatalog: $path predates partition-spec " +
+                  "tracking — re-commit once (commitFull) before " +
+                  "writing through SQL"))
+            if (replace || overwrite)
+              Snapshots.commitFull(data, path, partCol)
+            else Snapshots.commitAppend(data, path, partCol)
+            ()
+          }
+      }
+    }
 }
 
 /** Pushdown seam: pushed filters drive MANIFEST pruning (file-level

@@ -157,8 +157,7 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("table"))
   }
 
-  test("catalog is read-only: DML/DDL refuse with a pointer to the " +
-      "transactional library API") {
+  test("DDL refuses with a pointer to the transactional library API") {
     val root = tmpDir("cat_ro")
     Snapshots.commitFull(rows("d1", 1 to 2, 0), s"$root/t1", "day")
     val c = catalog(root)
@@ -167,5 +166,30 @@ class SnapshotCatalogSpec extends SparkSpec {
     }
     assert(spark.sql(s"SELECT count(*) FROM $c.t1").head().getLong(0) == 2,
       "refused drop leaves the table intact")
+  }
+
+  test("SQL INSERT INTO appends through the transactional commit " +
+      "(version bumps, library read agrees); INSERT OVERWRITE replaces " +
+      "wholesale and history stays time-travelable") {
+    val root = tmpDir("cat_write")
+    val t = s"$root/w"
+    Snapshots.commitFull(rows("d1", 1 to 2, 0), t, "day")
+    val c = catalog(root)
+    spark.sql(s"INSERT INTO $c.w VALUES ('n1', 'd2', 50)")
+    assert(Snapshots.currentVersion(spark, t) == 2,
+      "a SQL insert is one snapshot commit")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.w")
+      .head().getLong(0) == 3)
+    assert(Snapshots.read(spark, t)
+      .where(col("id") === "n1").count() == 1,
+      "the library read sees the SQL-inserted row")
+    spark.sql(
+      s"INSERT OVERWRITE $c.w VALUES ('z1', 'd9', 1), ('z2', 'd9', 2)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.w")
+      .head().getLong(0) == 2, "overwrite replaces the table")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.w VERSION AS OF 2")
+      .head().getLong(0) == 3,
+      "pre-overwrite versions stay time-travelable")
+    assert(Snapshots.currentVersion(spark, t) == 3)
   }
 }
