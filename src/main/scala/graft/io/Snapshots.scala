@@ -502,7 +502,7 @@ object Snapshots {
         // schema must never leak into the table schema (unreachable
         // in practice — deleteRowsMoR requires schema tracking — but
         // the filter keeps the invariant local)
-        val carriedPaths = dataEntries(spark, table, prev).map(_._1)
+        val carriedPaths = allEntries(spark, table, prev)._1.map(_._1)
         val carried = spark.read.option("mergeSchema", "true")
           .parquet(carriedPaths.map(p => s"$table/$p"): _*).schema
         evolveSchema(carried, df.schema, op)
@@ -1126,7 +1126,8 @@ object Snapshots {
     // MoR-filtered (the deleteRows rule): the compacted file's fresh
     // seq must not resurrect rows an active delete file suppresses
     commitOverwritePartition(
-      morScan(spark, table, cur, mine, schemaOf(spark, table, cur))
+      morScan(spark, table, mine, activeDeletes(spark, table, cur),
+          schemaOf(spark, table, cur))
         .coalesce(targetFiles),
       table, partCol, value, statsCols, expectedPrev = Some(cur))
   }
@@ -1176,6 +1177,7 @@ object Snapshots {
       .as[String].collect().sorted
       .sortBy(_ == partCol) // current era commits LAST (tie to caller)
     val sch = schemaOf(spark, table, baseV)
+    val morDels = activeDeletes(spark, table, baseV)
     var touched = 0
     // OCC across the era chain: every pin resolves against baseV (each
     // era commit tombstones only its OWN era's partitions, so baseV's
@@ -1198,7 +1200,7 @@ object Snapshots {
         // MoR-filtered: the rewrite's fresh seq makes older delete
         // files inert for these partitions — rows they suppressed must
         // not ride back in through the copy-on-write scan
-        val eraRows = morScan(spark, table, baseV, eraPaths, sch)
+        val eraRows = morScan(spark, table, eraPaths, morDels, sch)
         val affected = eraRows
           .join(keys.select(keyCol), Seq(keyCol), "left_semi")
           .select(col(eraCol).cast("string")).distinct()
@@ -1208,7 +1210,7 @@ object Snapshots {
             .where(eraPred && col("partition").isin(affected.toSeq: _*))
             .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"))
             .as[(String, Int)].collect().toSeq
-          val kept = morScan(spark, table, baseV, mine, sch)
+          val kept = morScan(spark, table, mine, morDels, sch)
             .join(keys.select(keyCol), Seq(keyCol), "left_anti")
           // statsCols must survive the rewrite: a compaction that
           // dropped the manifest min/max of the store's range column
@@ -1335,7 +1337,8 @@ object Snapshots {
       if (mine.isEmpty) target.where(lit(false)) // pure-insert batch
       // MoR-filtered (the deleteRows rule): the merge rewrite's fresh
       // seq must not resurrect rows an active delete file suppresses
-      else morScan(spark, table, baseV, mine, sch)
+      else morScan(spark, table, mine,
+        activeDeletes(spark, table, baseV), sch)
     val pinned = batchNew.foldLeft(pinned0)((df, f) =>
       df.withColumn(f.name, lit(null).cast(f.dataType)))
     val merged = graft.operators.Merge
@@ -1360,17 +1363,32 @@ object Snapshots {
   private def isDelete(kind: Column): Column =
     kind.isNotNull && kind.startsWith("delete:")
 
-  /** Version `v`'s DATA entries as (relPath, seq) — what a scan reads;
-    * delete files are routed to [[applyDeletes]] instead. */
-  private def dataEntries(spark: SparkSession, table: String, v: Int)
-      : Seq[(String, Int)] = {
-    import spark.implicits._
-    manifestDF(spark, table, v).where(!isDelete(col("kind")))
-      .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"))
-      .as[(String, Int)].collect().toSeq
+  /** ONE manifest resolution serving both halves of a MoR read —
+    * (data entries as (relPath, seq), delete files as (relPath,
+    * keyCol)). The first MoR cut probed delete files with a SEPARATE
+    * manifestDF collect per read, which taxed every read path — the
+    * bench's whole commit-inside-query class — by one manifest job
+    * even on tables that never saw a delete; the fused collect keeps
+    * reads at exactly one resolution, deletes or not. */
+  private def splitEntries(rows: Seq[(String, Int, String)])
+      : (Seq[(String, Int)], Seq[(String, String)]) = {
+    val (del, data) = rows.partition(r =>
+      r._3 != null && r._3.startsWith("delete:"))
+    (data.map(r => (r._1, r._2)),
+      del.map(r => (r._1, r._3.stripPrefix("delete:"))))
   }
 
-  /** Version `v`'s active delete files as (relPath, keyCol). */
+  private def allEntries(spark: SparkSession, table: String, v: Int)
+      : (Seq[(String, Int)], Seq[(String, String)]) = {
+    import spark.implicits._
+    splitEntries(manifestDF(spark, table, v)
+      .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"),
+        col("kind"))
+      .as[(String, Int, String)].collect().toSeq)
+  }
+
+  /** Version `v`'s active delete files as (relPath, keyCol) — for the
+    * WRITE paths, which resolve the manifest separately anyway. */
   private def activeDeletes(spark: SparkSession, table: String, v: Int)
       : Seq[(String, String)] = {
     import spark.implicits._
@@ -1386,34 +1404,31 @@ object Snapshots {
       v: Int): Boolean =
     activeDeletes(spark, table, v).nonEmpty
 
-  /** Scan `entries`' files and suppress rows matched by version `v`'s
-    * delete files — the MoR read: per-row data seq rides a broadcast
-    * (relPath → seq) map joined on `input_file_name`, then one
-    * broadcast ANTI-join per delete key column with the seq guard
-    * `deleteSeq > dataSeq` as the extra hash-join condition (delete
-    * sets are small by contract — that's what [[compactDeletes]] is
-    * for — so the anti-joins broadcast and the scan never shuffles).
-    * Zero overhead when no deletes are active: the plain multi-file
-    * parquet scan comes back untouched. */
-  private def morScan(spark: SparkSession, table: String, v: Int,
-      entries: Seq[(String, Int)],
-      schema: Option[org.apache.spark.sql.types.StructType])
-      : DataFrame = {
+  /** Attach each row's data-file seq (`_gseq`): a broadcast
+    * (relPath → seq) map joined on `input_file_name`. */
+  private def morTag(spark: SparkSession, base: DataFrame,
+      entries: Seq[(String, Int)]): DataFrame = {
     import spark.implicits._
-    val base = scanPaths(spark, table, entries.map(_._1), schema)
-    val dels = activeDeletes(spark, table, v)
-    if (dels.isEmpty) return base
     Seq("_grel", "_gseq", "_gdelkey", "_delseq").foreach(c =>
       require(!base.columns.contains(c),
         s"Snapshots: column name '$c' is reserved for merge-on-read " +
           "delete application"))
     val seqDf = broadcast(entries.toDF("_grel", "_gseq"))
-    val tagged = base
+    base
       .withColumn("_grel",
         expr("substr(input_file_name(), " +
           "instr(input_file_name(), 'data/c'))"))
       .join(seqDf, Seq("_grel"), "left_outer")
-    val filtered = dels.groupBy(_._2).toSeq.sortBy(_._1)
+  }
+
+  /** One broadcast join per delete key column with the seq guard
+    * `deleteSeq > dataSeq` as the extra hash-join condition. `anti`
+    * filters suppressed rows away (the read); semi keeps ONLY them
+    * (the fold's affected-partition probe). */
+  private def morJoin(spark: SparkSession, table: String,
+      tagged: DataFrame, dels: Seq[(String, String)], joinType: String)
+      : DataFrame =
+    dels.groupBy(_._2).toSeq.sortBy(_._1)
       .foldLeft(tagged) { case (acc, (keyCol, files)) =>
         val keys = spark.read
           .parquet(files.map(f => s"$table/${f._1}"): _*)
@@ -1421,9 +1436,22 @@ object Snapshots {
         acc.join(broadcast(keys),
           acc(keyCol) === keys("_gdelkey") &&
             keys("_delseq") > coalesce(acc("_gseq"), lit(0)),
-          "left_anti")
+          joinType)
       }
-    filtered.drop("_grel", "_gseq")
+
+  /** Scan `entries`' files and suppress rows matched by `dels` — the
+    * MoR read (delete sets are small by contract — that's what
+    * [[compactDeletes]] is for — so the anti-joins broadcast and the
+    * scan never shuffles). Zero overhead when no deletes are active:
+    * the plain multi-file parquet scan comes back untouched. */
+  private def morScan(spark: SparkSession, table: String,
+      entries: Seq[(String, Int)], dels: Seq[(String, String)],
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
+    val base = scanPaths(spark, table, entries.map(_._1), schema)
+    if (dels.isEmpty) return base
+    morJoin(spark, table, morTag(spark, base, entries), dels,
+      "left_anti").drop("_grel", "_gseq")
   }
 
   /** Merge-on-read row delete: commit version `v` adds ONE key-set
@@ -1484,24 +1512,21 @@ object Snapshots {
       statsCols: Seq[String] = Nil): Int = {
     import spark.implicits._
     val baseV = currentVersion(spark, table)
-    val dels = activeDeletes(spark, table, baseV)
+    val (entries, dels) = allEntries(spark, table, baseV)
     if (dels.isEmpty) return 0
     val sch = schemaOf(spark, table, baseV)
-    val entries = dataEntries(spark, table, baseV)
     // partitions still holding a row a delete suppresses = the fold
-    // set; computed as the complement of the MoR view over the raw
-    // scan, pruned to partCol (one pass, plan-side)
-    val raw = scanPaths(spark, table, entries.map(_._1), sch)
-    val visible = morScan(spark, table, baseV, entries, sch)
-    val affected = raw.groupBy(col(partCol).cast("string").as("_p"))
-      .agg(count(lit(1)).as("_n"))
-      .join(visible.groupBy(col(partCol).cast("string").as("_p"))
-        .agg(count(lit(1)).as("_m")), Seq("_p"), "left_outer")
-      .where(coalesce(col("_m"), lit(0L)) < col("_n"))
-      .select("_p").as[String].collect().sorted
+    // set: ONE seq-guarded SEMI-join over the raw scan (a first cut
+    // counted raw vs visible with two groupBys and a join — twice the
+    // scans for the same answer)
+    val tagged = morTag(spark,
+      scanPaths(spark, table, entries.map(_._1), sch), entries)
+    val affected = morJoin(spark, table, tagged, dels, "left_semi")
+      .select(col(partCol).cast("string")).distinct()
+      .as[String].collect().sorted
     var expect = baseV
     if (affected.nonEmpty) {
-      val kept = visible
+      val kept = morScan(spark, table, entries, dels, sch)
         .where(col(partCol).cast("string").isin(affected.toSeq: _*))
       expect = commitOverwritePartitions(kept, table, partCol,
         affected.toSeq, statsCols, expectedPrev = Some(expect))
@@ -1545,9 +1570,10 @@ object Snapshots {
     * matter how many commits land afterwards. Merge-on-read delete
     * files of `v` are applied ([[morScan]]); versions without deletes
     * read as the plain multi-file scan. */
-  def readAsOf(spark: SparkSession, table: String, v: Int): DataFrame =
-    morScan(spark, table, v, dataEntries(spark, table, v),
-      schemaOf(spark, table, v))
+  def readAsOf(spark: SparkSession, table: String, v: Int): DataFrame = {
+    val (data, dels) = allEntries(spark, table, v)
+    morScan(spark, table, data, dels, schemaOf(spark, table, v))
+  }
 
   /** Read the latest snapshot — pinned at CALL time (the manifest is
     * resolved now), so a concurrent commit cannot make this frame see
@@ -1578,13 +1604,23 @@ object Snapshots {
     // surface in the append stream, and `toV`'s deletes apply to the
     // added data files (a key appended then MoR-deleted inside the
     // range is not "added" at toV).
-    val added = (
-      if (fromV == 0) to
-      else to.join(manifestDF(spark, table, fromV).select("path"),
-        Seq("path"), "left_anti")
-      ).where(!isDelete(col("kind")))
-      .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"))
-      .as[(String, Int)].collect().toSeq
+    val flagged = (
+      if (fromV == 0) to.withColumn("_new", lit(true))
+      else to.join(manifestDF(spark, table, fromV)
+          .select(col("path"), lit(true).as("_old")),
+          Seq("path"), "left_outer")
+        .withColumn("_new", col("_old").isNull).drop("_old")
+      )
+      .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"),
+        col("kind"), col("_new"))
+      .as[(String, Int, String, Boolean)].collect().toSeq
+    // one collect carries everything: the added data files AND toV's
+    // delete files (ALL of them — a delete from before the range still
+    // suppresses an added-then-deleted key at toV)
+    val (_, dels) = splitEntries(flagged.map(r => (r._1, r._2, r._3)))
+    val added = flagged
+      .filter(r => r._4 && (r._3 == null || !r._3.startsWith("delete:")))
+      .map(r => (r._1, r._2))
     val sch = schemaOf(spark, table, toV)
     if (added.isEmpty) {
       // nothing new: an empty frame with the version's schema (one
@@ -1592,7 +1628,7 @@ object Snapshots {
       val one = to.where(!isDelete(col("kind"))).select("path")
         .limit(1).as[String].collect().toSeq
       scanPaths(spark, table, one, sch).where(lit(false))
-    } else morScan(spark, table, toV, added, sch)
+    } else morScan(spark, table, added, dels, sch)
   }
 
   /** Row-level diff between two versions: (added, removed) frames via
@@ -1834,19 +1870,23 @@ object Snapshots {
     // null-valued comparison
     val sameEra = col("spec").isNotNull && col("spec") === lit(partCol)
     val otherEra = col("spec").isNull || col("spec") =!= lit(partCol)
-    val pred = (!isDelete(col("kind"))) &&
-      ((sameEra && col("partition") === lit(value)) ||
-        (otherEra && overlapCol(partCol, value, value)))
+    val pred = (sameEra && col("partition") === lit(value)) ||
+      (otherEra && overlapCol(partCol, value, value))
     val mdf = manifestDF(spark, table, v)
-    val keep = mdf.where(pred)
-      .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"))
-      .as[(String, Int)].collect().toSeq
+    // ONE resolution: surviving data files AND the version's delete
+    // files (kept unconditionally — a delete suppresses rows wherever
+    // they live) ride the same collect
+    val (keep, dels) = splitEntries(
+      mdf.where(isDelete(col("kind")) || pred)
+        .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"),
+          col("kind"))
+        .as[(String, Int, String)].collect().toSeq)
     if (keep.isEmpty) {
       val one = mdf.where(!isDelete(col("kind"))).select("path")
         .limit(1).as[String].collect().toSeq
       scanPaths(spark, table, one, sch).where(lit(false))
     } else {
-      val kept = morScan(spark, table, v, keep, sch)
+      val kept = morScan(spark, table, keep, dels, sch)
       kept.where(col(partCol).cast("string") === value)
     }
   }
@@ -1868,15 +1908,20 @@ object Snapshots {
     // surviving paths (and, on a fully-pruned read, the single path
     // needed to resolve the table schema)
     val sch = schemaOf(spark, table, v)
-    val keep = mdf.where(pred && !isDelete(col("kind")))
-      .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"))
-      .as[(String, Int)].collect().toSeq
+    // delete files ride the same collect (kept unconditionally: their
+    // key columns carry no stats, and a delete suppresses rows in any
+    // surviving file)
+    val (keep, dels) = splitEntries(
+      mdf.where(isDelete(col("kind")) || pred)
+        .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"),
+          col("kind"))
+        .as[(String, Int, String)].collect().toSeq)
     if (keep.isEmpty) {
       val one = mdf.where(!isDelete(col("kind"))).select("path")
         .limit(1).as[String].collect().toSeq
       scanPaths(spark, table, one, sch).where(lit(false))
     } else {
-      val kept = morScan(spark, table, v, keep, sch)
+      val kept = morScan(spark, table, keep, dels, sch)
       val residual = ranges.map { case (c, (lo, hi)) =>
         col(c) >= lit(lo).cast(kept.schema(c).dataType) &&
           col(c) <= lit(hi).cast(kept.schema(c).dataType)

@@ -607,10 +607,11 @@ object SnapshotQueries {
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         |  FROM events WHERE event_type IS NOT NULL),
         |mor AS (
-        |  SELECT event_type, cents FROM e WHERE event_id % 10 <> 7
+        |  SELECT event_type, cents FROM e
+        |  WHERE NOT (event_type = 'purchase' AND event_id % 10 = 7)
         |  UNION ALL
         |  SELECT event_type, cents + 1 AS cents
-        |  FROM e WHERE event_id % 100 = 7)
+        |  FROM e WHERE event_type = 'purchase' AND event_id % 100 = 7)
         |SELECT leg, event_type, n, sum_cents FROM (
         |  SELECT 'folded' AS leg, event_type,
         |    CAST(COUNT(*) AS BIGINT) AS n,
@@ -636,12 +637,18 @@ object SnapshotQueries {
             .as("cents"))
       val v1 = Snapshots.commitFull(ev, table, "event_type",
         statsCols = Seq("cents"))
-      // metadata-only delete: one key file, no partition rewritten
+      // metadata-only delete of PURCHASE keys: one key file, no
+      // partition rewritten — and the later fold rewrites exactly the
+      // one partition holding suppressed rows (the targeted-delete
+      // economics this entry prices; a first cut deleted keys across
+      // every event type and the fold rewrote the whole table)
       Snapshots.deleteRowsMoR(s, table, "event_id",
-        ev.where(pmod(col("event_id"), lit(10)) === 7).select("event_id"))
+        ev.where(col("event_type") === "purchase" &&
+          pmod(col("event_id"), lit(10)) === 7).select("event_id"))
       // re-insert a subset AFTER the delete: newer seq → visible
       val vMor = Snapshots.commitAppend(
-        ev.where(pmod(col("event_id"), lit(100)) === 7)
+        ev.where(col("event_type") === "purchase" &&
+            pmod(col("event_id"), lit(100)) === 7)
           .withColumn("cents", col("cents") + 1),
         table, "event_type", statsCols = Seq("cents"))
       def agg(df: org.apache.spark.sql.DataFrame, leg: String) =
