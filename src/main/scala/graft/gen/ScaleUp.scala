@@ -157,6 +157,27 @@ object ScaleUp {
       if (args.contains("--skew")) plantHotUser else identity)
     copies("documents", Seq("doc_id"), factor,
       if (freshText) freshen else identity)
-    copies("embeddings", Seq("vec_id"), factor)
+    // fresh EMBEDDINGS (default, like fresh text; --verbatim-embeddings
+    // opts out): copy 0 pristine, copy k's vectors cyclically shifted
+    // by k mod dim. A dimension permutation is ORTHOGONAL, so every
+    // within-copy cosine/L2/dot is preserved EXACTLY — the corpus's
+    // planted near-dup pairs, kNN structure, and cluster geometry
+    // replicate per copy (pairs scale ×n) — while a shifted vector is
+    // no longer a near-dup of its unshifted siblings, killing the
+    // verbatim artifact that made every vector gain n−1 exact
+    // duplicates (dedup_embedding_cosine went ×16 at ×10 on the
+    // verbatim tier — C(n,2) cross-copy pairs, the same blow-up fresh
+    // text fixed for documents).
+    val freshVecs: DataFrame => DataFrame = df => {
+      val dim = size(col("embedding"))
+      val k = pmod(col("_copy_idx"), dim.cast("long")).cast("int")
+      df.withColumn("embedding",
+        when(col("_copy_idx") === 0, col("embedding"))
+          .otherwise(concat(
+            slice(col("embedding"), k + 1, dim - k),
+            slice(col("embedding"), lit(1), k))))
+    }
+    copies("embeddings", Seq("vec_id"), factor,
+      if (args.contains("--verbatim-embeddings")) identity else freshVecs)
   }
 }
