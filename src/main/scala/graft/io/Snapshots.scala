@@ -131,7 +131,7 @@ object Snapshots {
     * ChecksumFileSystem, so any legacy `._CURRENT.crc` sidecar is
     * dropped first (stale crc over new bytes fails every subsequent
     * read). */
-  private def publish(spark: SparkSession, table: String, v: Int): Unit = {
+  private[io] def publish(spark: SparkSession, table: String, v: Int): Unit = {
     val f = fs(spark, table)
     val cur = f.makeQualified(new Path(table, "_CURRENT"))
     val tmp = f.makeQualified(new Path(table,
@@ -405,7 +405,7 @@ object Snapshots {
   private def partSpecPath(table: String, v: Int) =
     new Path(manifestDir(table, v), "_partspec")
 
-  private def writePartSpec(spark: SparkSession, table: String, v: Int,
+  private[io] def writePartSpec(spark: SparkSession, table: String, v: Int,
       partCol: String): Unit = {
     val f = fs(spark, table)
     f.mkdirs(new Path(manifestDir(table, v)))
@@ -430,7 +430,7 @@ object Snapshots {
     }
   }
 
-  private def writeSchema(spark: SparkSession, table: String, v: Int,
+  private[io] def writeSchema(spark: SparkSession, table: String, v: Int,
       schema: org.apache.spark.sql.types.StructType): Unit = {
     val f = fs(spark, table)
     f.mkdirs(new Path(manifestDir(table, v)))
@@ -1186,6 +1186,9 @@ object Snapshots {
     // commit landing mid-chain fails the next era commit instead of
     // being silently rewritten over
     var expect = baseV
+    // affected-partition PROBE is key-range pruned (the rewrite set
+    // `mine` below stays partition-complete — whole partitions rewrite)
+    val keyPrune = keyRangePrune(keys, keyCol)
     eras.foreach { eraCol =>
       require(sch.forall(_.fieldNames.contains(eraCol)),
         s"Snapshots.deleteRows: era partition column '$eraCol' missing " +
@@ -1193,7 +1196,8 @@ object Snapshots {
       val eraPred =
         if (eraCol == partCol) col("spec").isNull || col("spec") === eraCol
         else col("spec") === eraCol
-      val eraPaths = manifestDF(spark, table, baseV).where(eraPred)
+      val eraPaths = manifestDF(spark, table, baseV)
+        .where(eraPred && keyPrune)
         .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"))
         .as[(String, Int)].collect().toSeq
       if (eraPaths.nonEmpty) {
@@ -1314,7 +1318,21 @@ object Snapshots {
           "keys era-aware, or commitFull to rewrite the table under " +
           s"'$partCol'), then re-apply the batch")
     }
-    val matched = target
+    // matched-partition PROBE, key-range pruned: only files whose
+    // keyCol stats overlap the batch's [min, max] can hold a changed
+    // key, so the probe scans O(candidate files), not the table (the
+    // MoR filter still applies — a partition whose only matching rows
+    // are delete-suppressed must not be rewritten for them)
+    val probePaths = manifestDF(spark, table, baseV)
+      .where(eraPred && !isDelete(col("kind")) &&
+        keyRangePrune(changes, keyCol))
+      .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"))
+      .as[(String, Int)].collect().toSeq
+    val probe =
+      if (probePaths.isEmpty) target.where(lit(false))
+      else morScan(spark, table, probePaths,
+        activeDeletes(spark, table, baseV), sch)
+    val matched = probe
       .join(changes.select(keyCol), Seq(keyCol), "left_semi")
       .select(col(partCol).cast("string"))
     val landing = changes.where(col(opCol) =!= "D")
@@ -1362,6 +1380,26 @@ object Snapshots {
   /** Is this manifest row a merge-on-read delete file? */
   private def isDelete(kind: Column): Column =
     kind.isNotNull && kind.startsWith("delete:")
+
+  /** Manifest KEY-RANGE prune for the copy-on-write probes
+    * ([[deleteRows]] / [[mergeRows]] / [[compactDeletes]] all start by
+    * scanning for partitions that hold an affected key): keep only
+    * manifest rows whose recorded `keyCol` stats overlap the key
+    * batch's [min, max] — a 1-key delete against a stats-covered table
+    * probes O(candidate files), not the era (the 10⁷-file lens the
+    * distributed vacuum adopted, applied to the CoW planning side).
+    * Bounds are computed in the key's NATIVE type (numeric min, not
+    * lexicographic-on-strings) and rendered as strings for the shared
+    * decimal/lexicographic stat comparison ([[pruneColOpt]]), which
+    * FAILS OPEN for rows without stats on `keyCol` — pruning is an IO
+    * optimization, never a proof; the semi-join stays the decider. */
+  private def keyRangePrune(keys: DataFrame, keyCol: String): Column = {
+    val kb = keys.agg(min(col(keyCol)).cast("string"),
+      max(col(keyCol)).cast("string")).head()
+    if (kb.isNullAt(0)) lit(true)
+    else pruneColOpt(keyCol, Option(kb.getString(0)),
+      Option(kb.getString(1)))
+  }
 
   /** ONE manifest resolution serving both halves of a MoR read —
     * (data entries as (relPath, seq), delete files as (relPath,
@@ -1414,10 +1452,18 @@ object Snapshots {
         s"Snapshots: column name '$c' is reserved for merge-on-read " +
           "delete application"))
     val seqDf = broadcast(entries.toDF("_grel", "_gseq"))
+    // manifest-relative path = the LAST `data/c<version>/…` suffix of
+    // the file URI (greedy `.*` backtracks to the final match), NOT
+    // the first literal 'data/c' occurrence — a table rooted under a
+    // path like /data/corpus/t would otherwise mis-anchor every row,
+    // miss the seq join, and over-apply deletes to re-inserted keys.
+    // Partition VALUES can't fake a match: Spark percent-escapes '/'
+    // in partition directory names, so the only literal `data/c<d>/`
+    // segments are version dirs (and possibly the root — hence LAST).
     base
       .withColumn("_grel",
-        expr("substr(input_file_name(), " +
-          "instr(input_file_name(), 'data/c'))"))
+        regexp_extract(input_file_name(),
+          "^.*/(data/c\\d+/.*)$", 1))
       .join(seqDf, Seq("_grel"), "left_outer")
   }
 
@@ -1512,21 +1558,66 @@ object Snapshots {
       statsCols: Seq[String] = Nil): Int = {
     import spark.implicits._
     val baseV = currentVersion(spark, table)
-    val (entries, dels) = allEntries(spark, table, baseV)
+    val (_, dels) = allEntries(spark, table, baseV)
     if (dels.isEmpty) return 0
+    // the fold commits under `partCol` for EVERY affected file, so a
+    // legacy-era file (different spec) would be rewritten under the
+    // wrong spec while its era-scoped tombstone spares the original —
+    // row duplication, then the delete-file drop resurrects whatever
+    // the legacy files still suppressed. Refuse instead (the dual of
+    // mergeRows' era guard); spec-evolved tables fold per era with
+    // [[deleteRows]] first.
+    val foreign = manifestDF(spark, table, baseV)
+      .where(!isDelete(col("kind")) &&
+        col("spec").isNotNull && col("spec") =!= partCol)
+      .limit(1).count()
+    require(foreign == 0L,
+      s"Snapshots.compactDeletes: $table@v$baseV holds files from a " +
+        s"partition-spec era other than '$partCol' — fold " +
+        "spec-evolved tables with deleteRows per era first")
     val sch = schemaOf(spark, table, baseV)
     // partitions still holding a row a delete suppresses = the fold
-    // set: ONE seq-guarded SEMI-join over the raw scan (a first cut
-    // counted raw vs visible with two groupBys and a join — twice the
-    // scans for the same answer)
-    val tagged = morTag(spark,
-      scanPaths(spark, table, entries.map(_._1), sch), entries)
-    val affected = morJoin(spark, table, tagged, dels, "left_semi")
-      .select(col(partCol).cast("string")).distinct()
+    // set. One seq-guarded SEMI-join per delete KEY COLUMN, unioned:
+    // a row is suppressed when ANY key column's deletes match it, so
+    // the affected set is the UNION across key columns — chaining the
+    // semi-joins (as the anti-join read path correctly does) would
+    // intersect them and the delete-file drop below would resurrect
+    // rows only one key column suppressed. Each group's probe is
+    // key-range pruned against the manifest stats (fails open), so a
+    // handful of tombstoned keys probe O(candidate files), not the
+    // table.
+    val mdf = manifestDF(spark, table, baseV)
+    val affected = dels.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (kc, files) =>
+        val delKeys = spark.read
+          .parquet(files.map(f => s"$table/${f._1}"): _*).select(kc)
+        val pruned = mdf
+          .where(!isDelete(col("kind")) && keyRangePrune(delKeys, kc))
+          .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"))
+          .as[(String, Int)].collect().toSeq
+        if (pruned.isEmpty)
+          spark.emptyDataset[String].toDF("_gpart")
+        else
+          morJoin(spark, table,
+            morTag(spark,
+              scanPaths(spark, table, pruned.map(_._1), sch), pruned),
+            files, "left_semi")
+            .select(col(partCol).cast("string").as("_gpart"))
+      }
+      .reduce(_.unionByName(_)).distinct()
       .as[String].collect().sorted
     var expect = baseV
     if (affected.nonEmpty) {
-      val kept = morScan(spark, table, entries, dels, sch)
+      // rewrite scan pinned to the AFFECTED partitions' files (the
+      // single-spec guard above makes manifest partition values
+      // caller-spec, so the pin is exact); the residual row filter
+      // stays as belt-and-braces
+      val mine = mdf
+        .where(!isDelete(col("kind")) &&
+          col("partition").isin(affected.toSeq: _*))
+        .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"))
+        .as[(String, Int)].collect().toSeq
+      val kept = morScan(spark, table, mine, dels, sch)
         .where(col(partCol).cast("string").isin(affected.toSeq: _*))
       expect = commitOverwritePartitions(kept, table, partCol,
         affected.toSeq, statsCols, expectedPrev = Some(expect))
@@ -1822,10 +1913,46 @@ object Snapshots {
     import spark.implicits._
     val partCol = partSpecOf(spark, table, v)
     val preds = filters.flatMap(pruneFilter(_, partCol))
-    val mdf = manifestDF(spark, table, v)
+    // delete-file entries never reach the file scan: their parquet
+    // shape is the key set, not the table schema (when a version
+    // carries active deletes the SQL path routes through
+    // [[sqlMorScan]] instead, but the guard keeps this leg safe
+    // regardless)
+    val mdf = manifestDF(spark, table, v).where(!isDelete(col("kind")))
     val pruned = if (preds.isEmpty) mdf else mdf.where(preds.reduce(_ && _))
     pruned.select("path").as[String].collect().toSeq
       .map(p => s"$table/$p")
+  }
+
+  /** The SQL catalog's merge-on-read leg: version `v`'s rows with its
+    * delete files APPLIED, file-pruned by the pushed filters exactly
+    * like [[sqlPrunedPaths]] (delete files always ride along — a
+    * delete suppresses rows in any surviving file). Returned as a
+    * DataFrame because a plain DSv2 file Scan cannot express the
+    * seq-guarded anti-join; the catalog bridges it through a
+    * `V1Scan`, and all pushed filters stay residual above it, so
+    * pruning here only cuts IO. */
+  private[graft] def sqlMorScan(spark: SparkSession, table: String,
+      v: Int, filters: Seq[org.apache.spark.sql.sources.Filter])
+      : DataFrame = {
+    import spark.implicits._
+    val partCol = partSpecOf(spark, table, v)
+    val preds = filters.flatMap(pruneFilter(_, partCol))
+    val mdf = manifestDF(spark, table, v)
+    val keepPred =
+      if (preds.isEmpty) !isDelete(col("kind"))
+      else !isDelete(col("kind")) && preds.reduce(_ && _)
+    val (keep, dels) = splitEntries(
+      mdf.where(isDelete(col("kind")) || keepPred)
+        .select(col("path"), coalesce(col("seq"), lit(0)).as("seq"),
+          col("kind"))
+        .as[(String, Int, String)].collect().toSeq)
+    val sch = schemaOf(spark, table, v)
+    if (keep.isEmpty) {
+      val one = mdf.where(!isDelete(col("kind"))).select("path")
+        .limit(1).as[String].collect().toSeq
+      scanPaths(spark, table, one, sch).where(lit(false))
+    } else morScan(spark, table, keep, dels, sch)
   }
 
   /** Files of version `v` that COULD hold rows with `c` in [lo, hi] —
@@ -2057,31 +2184,53 @@ object Snapshots {
       }
       .map(_.getPath.toString).toSeq
     if (eligible.isEmpty) return 0
-    // executors re-derive FileSystem from the default Configuration:
-    // correct for local paths and for clusters whose core-site is on
-    // the executor classpath (the standard deployment); a \u0001 separator packs
+    // executors rebuild FileSystem from a BROADCAST of the session's
+    // full Hadoop configuration (SerializableConfiguration) — a bare
+    // `new Configuration()` would drop every spark.hadoop.* override
+    // (S3 credentials, fs.defaultFS), every listing would fail, and
+    // the swallow-to-Nil guard would report "0 reclaimed" with no
+    // diagnostic. Listing failures are now also COUNTED and surfaced
+    // in a warning so a misconfigured deployment is loud, not silent.
+    // Manifest-relative paths are derived by stripping the table
+    // root's QUALIFIED prefix (both sides come from Path.toString on
+    // the same FS, so they agree) — never by searching for a literal
+    // 'data/c' substring, which a root like /data/corpus/t defeats:
+    // the rel path would then never match the manifest's, the
+    // anti-join would mark LIVE files unreferenced, and vacuum would
+    // delete current data. A\u0001 separator packs
     // (full, rel) through one string column
+    val rootPrefix = f.makeQualified(new Path(table)).toString
+      .stripSuffix("/") + "/"
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val listFailures =
+      spark.sparkContext.longAccumulator("graft.vacuum.listFailures")
     val listed = spark.createDataset(eligible)
       .repartition(math.min(eligible.size, 32))
       .flatMap { dir =>
         try {
           val p = new org.apache.hadoop.fs.Path(dir)
-          val efs = p.getFileSystem(
-            new org.apache.hadoop.conf.Configuration())
+          val efs = p.getFileSystem(bcConf.value.value)
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
           val it = efs.listFiles(p, true)
           while (it.hasNext) {
             val st = it.next()
             if (st.isFile) {
               val full = st.getPath.toString
-              val idx = full.indexOf("data/c")
-              val rel = if (idx >= 0) full.substring(idx) else full
+              val rel =
+                if (full.startsWith(rootPrefix))
+                  full.substring(rootPrefix.length)
+                else full
               if (rel.endsWith(".parquet"))
                 out += full + "\u0001" + rel
             }
           }
           out.toSeq
-        } catch { case scala.util.control.NonFatal(_) => Nil }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            listFailures.add(1L); Nil
+        }
       }
       .map { s =>
         val i = s.indexOf('\u0001'); (s.take(i), s.drop(i + 1))
@@ -2091,7 +2240,7 @@ object Snapshots {
     listed.join(liveDF, Seq("path"), "left_anti")
       .select(col("_full")).as[String]
       .foreachPartition { (it: Iterator[String]) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = bcConf.value.value
         it.foreach { full =>
           try {
             val p = new org.apache.hadoop.fs.Path(full)
@@ -2099,6 +2248,11 @@ object Snapshots {
           } catch { case scala.util.control.NonFatal(_) => () }
         }
       }
+    if (listFailures.value > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Snapshots.vacuum($table): ${listFailures.value} commit-dir " +
+          "listings failed on executors (check executor Hadoop/FS " +
+          "configuration) — their files were conservatively spared")
     acc.value.toInt
   }
 }

@@ -317,4 +317,69 @@ class ManifestScaleSpec extends SparkSpec {
     assert(!new java.io.File(dir, "orphanA.parquet").exists())
     assert(!new java.io.File(dir, "orphanB.parquet").exists())
   }
+
+  /** A REAL two-partition table whose manifest is then extended (one
+    * internal delta commit) with `n` synthetic entries pointing at
+    * files that DO NOT EXIST, with `id`/`day` stats disjoint from the
+    * real data. Any probe that fails to key-range prune dies on the
+    * missing paths — existence of the fake files is the proof the
+    * planner never opened them. */
+  private def cowTable(n: Int): String = {
+    val t = tmpDir("cow-prune")
+    val s = spark
+    import s.implicits._
+    val df = Seq(("d1-1", "d1", 1L), ("d1-2", "d1", 2L),
+      ("d2-1", "d2", 101L), ("d2-2", "d2", 102L))
+      .toDF("id", "day", "cents")
+    Snapshots.commitFull(df, t, "day", statsCols = Seq("id"))
+    val synthetic = (0 until n).map { i =>
+      FileEntry(s"data/c1/gp=z${i % 100}/f$i.parquet", s"z${i % 100}",
+        10L, Map(
+          "id" -> StatRange("string", f"zz-$i%07d", f"zz-$i%07d"),
+          "day" -> StatRange("string", "z0", "z99")),
+        spec = Some("day"))
+    }
+    Snapshots.reserve(spark, t, 2)
+    Snapshots.writeDelta(spark, t, 2, synthetic, Nil, None)
+    Snapshots.schemaOf(spark, t, 1)
+      .foreach(Snapshots.writeSchema(spark, t, 2, _))
+    Snapshots.partSpecOf(spark, t, 1)
+      .foreach(Snapshots.writePartSpec(spark, t, 2, _))
+    Snapshots.publish(spark, t, 2)
+    t
+  }
+
+  test("deleteRows' affected-partition probe is key-range pruned: " +
+      "200k manifest entries whose id stats exclude the delete keys " +
+      "are never opened (their files don't exist)") {
+    val s = spark
+    import s.implicits._
+    val t = cowTable(200000)
+    val touched = Snapshots.deleteRows(spark, t, "day", "id",
+      Seq("d1-2").toDF("id"), statsCols = Seq("id"))
+    assert(touched == 1, "only d1 holds the key")
+    val d1 = Snapshots.readPartition(spark, t, "day", "d1")
+      .select("id").as[String].collect().toSet
+    assert(d1 == Set("d1-1"), "key deleted, sibling intact")
+    assert(Snapshots.readPartition(spark, t, "day", "d2")
+      .select("id").as[String].collect().toSet == Set("d2-1", "d2-2"),
+      "untouched partition carried by reference")
+  }
+
+  test("compactDeletes' probe and rewrite are pruned the same way: a " +
+      "MoR delete folds over a 200k-entry manifest without opening " +
+      "the synthetic files") {
+    val s = spark
+    import s.implicits._
+    val t = cowTable(200000)
+    Snapshots.deleteRowsMoR(spark, t, "id", Seq("d2-1").toDF("id"))
+    assert(Snapshots.compactDeletes(spark, t, "day") == 1,
+      "exactly d2 folds")
+    val cur = Snapshots.currentVersion(spark, t)
+    assert(!Snapshots.readManifest(spark, t, cur)
+      .exists(_.kind.exists(_.startsWith("delete:"))),
+      "fold dropped the delete file")
+    assert(Snapshots.readPartition(spark, t, "day", "d2")
+      .select("id").as[String].collect().toSet == Set("d2-2"))
+  }
 }

@@ -157,9 +157,9 @@ class SnapshotsMorSpec extends SparkSpec {
     assert(ids(cur) == Set("d1-1", "d1-3", "d1-4", "d2-3"))
   }
 
-  test("SQL catalog refuses a version with active MoR deletes and " +
-      "serves again after the fold; readChanges never surfaces a " +
-      "delete file") {
+  test("SQL catalog SERVES a version with active MoR deletes (V1 " +
+      "bridge ≡ library morScan) and stays on the vectorized path " +
+      "after the fold; readChanges never surfaces a delete file") {
     val root = tmpDir("mor_sql")
     val t = s"$root/tab"
     Snapshots.commitFull(rows("d1", 1 to 3, 0), t, "day")
@@ -170,14 +170,93 @@ class SnapshotsMorSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.morsql",
       classOf[graft.sources.SnapshotCatalog].getName)
     spark.conf.set("spark.sql.catalog.morsql.root", root)
-    val e = intercept[Exception] {
-      spark.sql("SELECT * FROM morsql.tab").collect()
-    }
-    assert(e.getMessage.contains("merge-on-read"),
-      s"refusal must name the cause, got: ${e.getMessage}")
+    assert(ids(spark.sql("SELECT * FROM morsql.tab")) ==
+      ids(Snapshots.read(spark, t)),
+      "SQL must serve the MoR-filtered view, not raw files")
+    assert(ids(spark.sql("SELECT * FROM morsql.tab")) ==
+      Set("d1-1", "d1-3"))
+    assert(spark.sql("SELECT count(*) AS n FROM morsql.tab")
+      .head().getLong(0) == 2,
+      "zero-column pruning (COUNT(*)) works through the V1 bridge")
     Snapshots.compactDeletes(spark, t, "day")
     assert(spark.sql("SELECT count(*) AS n FROM morsql.tab")
-      .head().getLong(0) == 2, "folding restores SQL access")
+      .head().getLong(0) == 2, "folding keeps the same answer")
+  }
+
+  test("compactDeletes folds the UNION of partitions across delete " +
+      "KEY COLUMNS — a delete only one key column's files suppress " +
+      "must not resurrect when the delete files drop") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("mor_twokey")
+    Snapshots.commitFull(
+      rows("d1", 1 to 3, 0).unionByName(rows("d2", 1 to 3, 100)), t, "day")
+    // two DIFFERENT key columns, each suppressing a row in a
+    // DIFFERENT partition: the affected set is their union; an
+    // intersection (chained semi-joins) would be empty, skip the
+    // rewrite, then drop both delete files — resurrecting both rows
+    Snapshots.deleteRowsMoR(spark, t, "id", keyDf("d1-2"))
+    Snapshots.deleteRowsMoR(spark, t, "cents",
+      Seq(102L).toDF("cents")) // d2-2's cents
+    val before = ids(Snapshots.read(spark, t))
+    assert(before == Set("d1-1", "d1-3", "d2-1", "d2-3"))
+    assert(Snapshots.compactDeletes(spark, t, "day") == 2,
+      "both partitions hold suppressed rows → both fold")
+    assert(ids(Snapshots.read(spark, t)) == before,
+      "the fold changes no answer")
+    val cur = Snapshots.currentVersion(spark, t)
+    assert(!Snapshots.readManifest(spark, t, cur)
+      .exists(_.kind.exists(_.startsWith("delete:"))))
+    assert(ids(Snapshots.readAsOf(spark, t, cur)) == before,
+      "suppressed rows physically gone from BOTH partitions")
+  }
+
+  test("compactDeletes refuses a partition-spec-evolved table (the " +
+      "CoW rewrite would commit legacy-era files under the wrong " +
+      "spec); deleteRows per era stays the documented fold path") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("mor_specguard")
+    Snapshots.commitFull(rows("d1", 1 to 3, 0), t, "day")
+    Snapshots.commitAppend(
+      Seq(("e2-1", "d1", "b1", 1000L)).toDF("id", "day", "bucket", "cents"),
+      t, "bucket")
+    Snapshots.deleteRowsMoR(spark, t, "id", keyDf("d1-2"))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.compactDeletes(spark, t, "bucket")
+    }
+    assert(e.getMessage.contains("era"),
+      s"refusal must name the spec-era cause, got: ${e.getMessage}")
+    assert(ids(Snapshots.read(spark, t)) ==
+      Set("d1-1", "d1-3", "e2-1"), "refused fold changes nothing")
+  }
+
+  test("a table ROOTED under a path containing 'data/c' anchors " +
+      "manifest-relative paths correctly: MoR seq scoping holds and " +
+      "vacuum never deletes live files") {
+    val s = spark
+    import s.implicits._
+    // the adversarial root: literal 'data/c' INSIDE the table path —
+    // a first-occurrence substring anchor would mis-relativize every
+    // file, break the seq join (over-applying deletes), and make
+    // vacuum's liveness anti-join miss every live file
+    val t = tmpDir("mor_adv") + "/data/corpus/t"
+    Snapshots.commitFull(rows("d1", 1 to 3, 0), t, "day")
+    Snapshots.deleteRowsMoR(spark, t, "id", keyDf("d1-2"))
+    Snapshots.commitAppend(
+      Seq(("d1-2", "d1", 999L)).toDF("id", "day", "cents"), t, "day")
+    val cur = Snapshots.read(spark, t)
+    assert(ids(cur) == Set("d1-1", "d1-2", "d1-3"),
+      "the re-inserted key's file seq must beat the delete's")
+    assert(cur.where(col("id") === "d1-2").select("cents")
+      .as[Long].head() == 999L)
+    // vacuum with full retention must reclaim superseded files only —
+    // never the live set (mis-relativized paths would all look dead)
+    Snapshots.commitOverwritePartition(rows("d1", 1 to 2, 50), t,
+      "day", "d1")
+    Snapshots.vacuum(spark, t, Snapshots.currentVersion(spark, t))
+    assert(ids(Snapshots.read(spark, t)) == Set("d1-1", "d1-2"),
+      "live files survive vacuum under the adversarial root")
   }
 
   test("vacuum reclaims folded delete files once their manifests age " +
