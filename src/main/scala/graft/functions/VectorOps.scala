@@ -250,6 +250,23 @@ object VectorOps {
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
+  /** Corpus-sized LSH bucket width: the smallest `b` in
+    * [minBits, maxBits] with expected occupancy `n / 2^b ≤ targetOcc`
+    * — the production knob that keeps within-bucket pair volume
+    * LINEAR in corpus size (fixed width goes quadratic once buckets
+    * saturate: occupancy ∝ n ⇒ pairs ∝ n²). Integer ladder, no
+    * floating-point log: the same comparison chain is replayable
+    * verbatim in any SQL engine (the DuckDB oracle emits it as a CASE
+    * ladder), so width choice can never diverge across engines.
+    * [[hyperplanes]] is prefix-stable in `nBits` (one sequential
+    * seeded stream), so widening only APPENDS bits — a pair of
+    * identical vectors collides at every width, and the narrow
+    * bucket is always a coarsening of the wide one. */
+  def lshWidthFor(n: Long, targetOcc: Int = 8, minBits: Int = 8,
+      maxBits: Int = 24): Int =
+    (minBits to maxBits).find(b => n <= (targetOcc.toLong << b))
+      .getOrElse(maxBits)
+
   def lshBucket(vec: Column, dim: Int, nBits: Int,
       seed: Long = 7L): Column = {
     val planes = hyperplanes(dim, nBits, seed)

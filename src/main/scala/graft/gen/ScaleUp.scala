@@ -165,9 +165,13 @@ object ScaleUp {
     // replicate per copy (pairs scale ×n) — while a shifted vector is
     // no longer a near-dup of its unshifted siblings, killing the
     // verbatim artifact that made every vector gain n−1 exact
-    // duplicates (dedup_embedding_cosine went ×16 at ×10 on the
-    // verbatim tier — C(n,2) cross-copy pairs, the same blow-up fresh
-    // text fixed for documents).
+    // duplicates (C(n,2) cross-copy pairs, the same blow-up fresh
+    // text fixed for documents). The RESIDUAL super-linearity the
+    // fresh tier exposed — fixed 8-bit LSH buckets saturating as the
+    // corpus grows (occupancy ∝ n ⇒ in-bucket pairs ∝ n²) — is the
+    // engine's to fix, and is: dedup_embedding_cosine now sizes its
+    // bucket width from the corpus count
+    // ([[graft.functions.VectorOps.lshWidthFor]]).
     val freshVecs: DataFrame => DataFrame = df => {
       val dim = size(col("embedding"))
       val k = pmod(col("_copy_idx"), dim.cast("long")).cast("int")

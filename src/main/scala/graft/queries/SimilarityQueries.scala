@@ -52,6 +52,28 @@ object SimilarityQueries {
         s"x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])))"
   }
 
+  /** Engine side of `dedup_embedding_cosine`, parameterized by bucket
+    * width so CosineWidthSpec can pin the ladder's recall/occupancy
+    * contract directly: bucket at `nbits`, self-join within buckets,
+    * exact-cosine verify at `threshold`. (Threshold 0.4 is calibrated
+    * to the synthetic corpus — random gaussians max out ≈0.5; a real
+    * near-dup corpus would use ≥0.95.) */
+  private[graft] def cosineNearDupPairs(embT: DataFrame, nbits: Int,
+      threshold: Double = 0.4): DataFrame = {
+    val emb = embT.withColumn("bucket",
+      VectorOps.lshBucket(col("embedding"), Dim, nbits))
+    val a = emb.select(col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("a_vec"))
+    val b = emb.select(col("bucket").as("b_bucket"),
+      col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    a.join(b, col("bucket") === col("b_bucket")
+        && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(VectorOps.cosine(col("a_vec"), col("b_vec")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Shared k-means oracle replay, matching [[KMeans.fit]] +
     * [[KMeans.nearestExpr]] bit-for-bit: CTEs `c0..c<iters>` (centroid
     * tables per Lloyd iteration — md5-hash seeds, 2⁵²-exact means) and
@@ -1020,15 +1042,38 @@ object SimilarityQueries {
     },
 
     // --- embedding-cosine near-duplicate pairs ---------------------------
-    // same LSH bucketing, self-join, high-threshold filter: the
-    // embedding-space analogue of MinHash dedup. Oracle replays the
-    // 8-bit bucket key from the serialized planes, then the exact cosine.
+    // LSH bucketing, self-join, high-threshold filter: the
+    // embedding-space analogue of MinHash dedup. The bucket width is
+    // CORPUS-SIZED ([[VectorOps.lshWidthFor]] — smallest b in [8, 24]
+    // with n/2^b ≤ 8): a fixed 8-bit space saturates as the corpus
+    // grows (occupancy ∝ n ⇒ within-bucket pairs ∝ n², the measured
+    // ×16-at-×10-data sweep row this replaces), while the ladder keeps
+    // candidate volume linear. Width choice is part of the query's
+    // declared semantics and the oracle replays it EXACTLY: the same
+    // integer CASE ladder over COUNT(*), the same prefix-stable plane
+    // family (bit i depends only on (dim, seed, i)), so both engines
+    // pick the same width and the same buckets at every tier — at the
+    // sf0.01 gate and the sf0.1 bench tier the ladder resolves to 8
+    // bits, bit-identical to the pre-adaptive query. TRUE near-dup
+    // recall survives widening: an identical pair collides at every
+    // width (widening only appends bits), and a cos ≥ t pair keeps
+    // each appended bit with probability 1 − θ/π (→1 as t→1);
+    // CosineWidthSpec pins planted-dup recall across the ladder.
     Q(
       "dedup_embedding_cosine", {
-        val planes = VectorOps.hyperplanes(Dim, 8, 7L)
-        s"""WITH e AS (SELECT vec_id, embedding,
-           |    ${Sql.bucket("embedding", planes)} AS bucket
-           |  FROM embeddings)
+        val planes = VectorOps.hyperplanes(Dim, 24, 7L)
+        val ladder = (8 to 23)
+          .map(b => s"WHEN n <= ${8L << b} THEN $b")
+          .mkString("CASE ", " ", " ELSE 24 END")
+        val bits = planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN $i < w.nbits AND " +
+            s"${Sql.dot("embedding", Sql.floatList(p))} >= 0 " +
+            s"THEN ${1L << i} ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+        s"""WITH w AS (SELECT $ladder AS nbits
+           |  FROM (SELECT COUNT(*) AS n FROM embeddings) t),
+           |e AS (SELECT vec_id, embedding, $bits AS bucket
+           |  FROM embeddings, w)
            |SELECT * FROM (
            |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            |    ROUND(${Sql.cos("a.embedding", "b.embedding")}, 6) AS cos
@@ -1038,21 +1083,12 @@ object SimilarityQueries {
            |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin
       }
     ) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-        .withColumn("bucket",
-          VectorOps.lshBucket(col("embedding"), Dim, nBits = 8))
-      val a = emb.select(col("bucket"), col("vec_id").as("a_id"),
-        col("embedding").as("a_vec"))
-      val b = emb.select(col("bucket").as("b_bucket"),
-        col("vec_id").as("b_id"), col("embedding").as("b_vec"))
-      a.join(b, col("bucket") === col("b_bucket")
-          && col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          round(VectorOps.cosine(col("a_vec"), col("b_vec")), 6).as("cos"))
-        // threshold calibrated to the synthetic corpus (random gaussians:
-        // cosine maxes out ≈0.5; a real near-dup corpus would use ≥0.95)
-        .where(col("cos") >= 0.4)
-        .orderBy(col("a_id"), col("b_id"))
+      val embT = Tables.embeddings(s, d)
+      // one O(1) footer-count job sizes the width — the same
+      // stats-driven planning as the broadcast-vs-SMJ demotion and
+      // the SimHash banding ladder
+      val nbits = VectorOps.lshWidthFor(embT.count())
+      cosineNearDupPairs(embT, nbits)
     },
 
     // --- contrastive hard-negative mining (triplet construction) --------
