@@ -28,7 +28,7 @@ INDEX_BUILD = re.compile(
     r"(_persist|_append|_delete|_compact)$"
     r"|^q_graph_(persist|append|serve_)"
     r"|^q_(time_travel|snapshot_prune|partition_evolution)$"
-    r"|^q_snapshot_(merge|merge_evolved|schema_evolution|tag|partition_evolution|sql|delete_mor)$"
+    r"|^q_snapshot_(merge|merge_evolved|schema_evolution|tag|partition_evolution|sql|sql_dml|delete_mor)$"
     r"|^(text_unigram_serve|emb_knn_graph)$"
     r"|^q_dq_(quarantine|audit_history|readmission)$"
     r"|^q_raw_compaction$"

@@ -172,7 +172,7 @@ object Bench {
         "|^q_graph_(persist|append|serve_)" +
         "|^q_(time_travel|snapshot_prune|partition_evolution)$" +
         "|^q_snapshot_(merge|merge_evolved|schema_evolution|tag|" +
-        "partition_evolution|sql|delete_mor)$" +
+        "partition_evolution|sql|sql_dml|delete_mor)$" +
         "|^(text_unigram_serve|emb_knn_graph)$" +
         "|^q_dq_(quarantine|audit_history|readmission)$" +
         "|^q_raw_compaction$|^dedup_incremental$").r
@@ -229,6 +229,21 @@ object Bench {
     // The sf tier is baked into the name so runs at different tiers
     // (sf0.01 iteration vs the driver's sf0.1 pass) never clobber each
     // other's full per-query timing line.
+    // The summary also lands in its own side file (full artifact path
+    // with a _summary suffix) — BASELINE.md §"Machine-readable bench
+    // record" declares these two files + the tail summary line the
+    // OFFICIAL machine-readable record: the driver's `parsed` field
+    // cannot be populated from this side (it archives a 2000-char
+    // sbt-[info]-wrapped stdout tail that no complete per-query JSON
+    // line can fit inside).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        outFile.stripSuffix(".json") + "_summary.json"),
+      summary + "\n")
+    catch { case e: Throwable =>
+      System.err.println(
+        s"[bench] could not write the summary side file: ${e.getMessage}")
+    }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       line + "\n")
     catch { case e: Throwable =>

@@ -664,6 +664,80 @@ object SnapshotQueries {
         .unionByName(morLeg)
         .unionByName(agg(Snapshots.read(s, table), "folded"))
         .orderBy(col("leg"), col("event_type"))
+    },
+
+    // --- the SQL-ONLY DML lifecycle --------------------------------------
+    // Everything a SQL client needs to run the store without touching
+    // the Scala API, in one query: `CREATE TABLE … PARTITIONED BY …
+    // AS SELECT` (staged descriptor, first insert = commitFull v1),
+    // `DELETE FROM … WHERE event_id IN (…)` (one tombstone commit via
+    // the SupportsDelete bridge — zero data rewrites, the key list is
+    // the literal IN shape a SQL client sends, bounded at n/997 keys),
+    // `INSERT INTO` re-inserting a subset AFTER the delete (the
+    // re-inserted rows' file seq exceeds the tombstone's, so they
+    // must serve), then two pure-SQL reads: `mor` — the CURRENT
+    // version WITH active delete files, served through the catalog's
+    // V1 bridge (the scan a plain DSv2 file scan can't express) — and
+    // `v1` — `VERSION AS OF 1`, pre-delete, still on the vectorized
+    // parquet path. The oracle recomputes both legs flat from the raw
+    // parquet: a hash match proves SQL DELETE applied exactly the
+    // declared key set, seq scoping held through SQL INSERT, and the
+    // MoR bridge returns precisely the library's row set.
+    Q(
+      "q_snapshot_sql_dml",
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL),
+        |mor AS (
+        |  SELECT event_type, cents FROM e WHERE event_id % 997 <> 7
+        |  UNION ALL
+        |  SELECT event_type, cents + 1 AS cents
+        |  FROM e WHERE event_id % 9970 = 7)
+        |SELECT leg, event_type, n, sum_cents FROM (
+        |  SELECT 'mor' AS leg, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |  FROM mor GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'v1', event_type, CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(cents) AS BIGINT)
+        |  FROM e GROUP BY event_type)
+        |ORDER BY leg, event_type""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val root = scratch(d) + "_sqldml"
+      val p = new Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      ev.createOrReplaceTempView(s"ev_dml_$tag")
+      val cat = "graftdml_" + tag
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.events_dml PARTITIONED BY (event_type) " +
+        s"AS SELECT event_id, event_type, cents FROM ev_dml_$tag")
+      // the key list a SQL client would send: literal IN values —
+      // bounded by construction (one key per 997 events)
+      val keys = ev.where(pmod(col("event_id"), lit(997)) === 7)
+        .select("event_id").as[Long].collect().sorted
+      s.sql(s"DELETE FROM $cat.events_dml " +
+        s"WHERE event_id IN (${keys.mkString(",")})")
+      s.sql(s"INSERT INTO $cat.events_dml " +
+        s"SELECT event_id, event_type, cents + 1 AS cents " +
+        s"FROM ev_dml_$tag WHERE event_id % 9970 = 7")
+      def leg(tag: String, from: String) = s.sql(
+        s"""SELECT '$tag' AS leg, event_type,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+           |FROM $from GROUP BY event_type""".stripMargin)
+      leg("mor", s"$cat.events_dml")
+        .unionByName(leg("v1", s"$cat.events_dml VERSION AS OF 1"))
+        .orderBy(col("leg"), col("event_type"))
     }
   )
 
