@@ -608,11 +608,9 @@ object Snapshots {
   private[io] def writeDelta(spark: SparkSession, table: String, v: Int,
       adds: Seq[FileEntry], removes: Seq[String],
       spec: Option[String] = None): Unit = {
-    import spark.implicits._
     val f = fs(spark, table)
     if (adds.nonEmpty)
-      adds.toDS().toDF().coalesce(1).write.mode("overwrite")
-        .parquet(manifestDir(table, v))
+      writeManifestEntries(spark, manifestDir(table, v), adds)
     else f.mkdirs(new Path(manifestDir(table, v)))
     val out = f.create(deltaMetaPath(table, v), true)
     try out.write(
@@ -762,23 +760,17 @@ object Snapshots {
     val dir = manifestDir(table, v)
     require(fs(spark, table).exists(new Path(dir)),
       s"Snapshots: manifest v$v has been vacuumed from $table")
-    // manifests written before spec tracking lack the `spec` column,
-    // and pre-MoR ones lack `kind`/`seq`; normalize so every consumer
-    // (tombstone scoping, delete-file routing, readManifest's
-    // FileEntry decode) sees one shape
-    def withSpec(df0: DataFrame): DataFrame = {
-      var df = df0
-      if (!df.columns.contains("spec"))
-        df = df.withColumn("spec", lit(null).cast("string"))
-      if (!df.columns.contains("kind"))
-        df = df.withColumn("kind", lit(null).cast("string"))
-      if (!df.columns.contains("seq"))
-        df = df.withColumn("seq", lit(null).cast("int"))
-      df
-    }
+    // manifests read under ONE explicit schema: pre-spec/pre-MoR files
+    // simply null-fill the columns they lack (the parquet reader's
+    // missing-column rule — the same normalization the old per-frame
+    // withColumn shims did), and no manifest read ever pays a footer
+    // schema-inference job (guide §1.2: the schema is a constant of the
+    // format, not something to rediscover per read)
+    def readManifestDir(dir: String): DataFrame =
+      spark.read.schema(ManifestSchema).parquet(dir)
     chainOf(spark, table, v) match {
       case (_, Nil) => // checkpoint: the complete set
-        withSpec(spark.read.parquet(checkpointParquetDir(spark, table, v)))
+        readManifestDir(checkpointParquetDir(spark, table, v))
       case (b, metas) =>
         // delta chain: nearest checkpoint + each delta's adds, tagged
         // with their origin version; a row survives unless its
@@ -788,10 +780,10 @@ object Snapshots {
         // partition VALUES collide). All of it composes lazily —
         // downstream pruning/diff/aggregation still runs over one plan.
         val segs =
-          withSpec(spark.read.parquet(checkpointParquetDir(spark, table, b)))
+          readManifestDir(checkpointParquetDir(spark, table, b))
             .withColumn("_origin", lit(b)) +:
             metas.collect { case (w, m) if m.hasAdds =>
-              withSpec(spark.read.parquet(manifestDir(table, w)))
+              readManifestDir(manifestDir(table, w))
                 .withColumn("_origin", lit(w))
             }
         val all = segs.reduce(_.unionByName(_))
@@ -836,10 +828,152 @@ object Snapshots {
 
   // ---- commits --------------------------------------------------------
 
-  /** Stats of every file under `dir` (one bounded metadata job). */
+  /** Can `t`'s min/max be recovered from parquet FOOTER statistics in
+    * the same comparison domain the scan-based read-back produced?
+    *  - integral / decimal / float / double: pruning compares these
+    *    numerically (pruneColOpt casts to DECIMAL(38,18)), so any
+    *    parseable decimal string is equivalent — footer values convert
+    *    exactly (NaN falls back to unknown stats, which never prune).
+    *  - string: Spark's string ordering IS unsigned UTF-8 byte order
+    *    (UTF8String.compareTo), exactly the parquet UTF8 sort order the
+    *    footer min/max were computed under — the domains coincide.
+    *  - date: ISO `toString` order = value order, both engines agree.
+    * Timestamps (cast-to-string formatting is session-dependent) and
+    * anything exotic take the legacy scan path instead. */
+  private def footerStatsSafe(t: org.apache.spark.sql.types.DataType)
+      : Boolean = t match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.BooleanType |
+         org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.DoubleType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _ => false
+  }
+
+  /** (rows, per-column StatRange) of ONE just-written parquet file,
+    * read from its FOOTER — no data scanned. Unknown or unusable
+    * footer stats yield a null lo/hi range, which [[pruneColOpt]]
+    * keeps (conservative: weaker pruning, never a lost row). */
+  private def footerFileStats(conf: org.apache.hadoop.conf.Configuration,
+      file: Path, statsCols: Seq[String],
+      types: Map[String, org.apache.spark.sql.types.DataType])
+      : (Long, Map[String, StatRange]) = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = statsCols.map { c =>
+        val t = types(c)
+        val typName = t.typeName
+        // one Statistics per block; a block whose stats are absent or
+        // unusable makes the whole column unknown (conservative)
+        val chunkStats = blocks.map(b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == c)
+            .map(_.getStatistics).orNull)
+        if (chunkStats.exists(s => s == null || s.isEmpty))
+          c -> StatRange(typName, null, null)
+        else {
+          val nonNull = chunkStats.filter(_.hasNonNullValue)
+          if (nonNull.isEmpty) c -> StatRange(typName, null, null)
+          else c -> footerRange(t, typName,
+            nonNull.map(_.genericGetMin.asInstanceOf[AnyRef]),
+            nonNull.map(_.genericGetMax.asInstanceOf[AnyRef]))
+        }
+      }.toMap
+      (rows, stats)
+    } finally reader.close()
+  }
+
+  /** Fold per-block footer min/max values into one stringified
+    * StatRange in the scan-read-back's comparison domain (see
+    * [[footerStatsSafe]] for why each mapping is order-exact). */
+  private def footerRange(t: org.apache.spark.sql.types.DataType,
+      typName: String, mins: Seq[AnyRef], maxs: Seq[AnyRef]): StatRange = {
+    import org.apache.spark.sql.types._
+    def long(v: AnyRef): Long = v match {
+      case i: java.lang.Integer => i.toLong
+      case l: java.lang.Long => l
+      case o => o.toString.toLong
+    }
+    t match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        StatRange(typName, mins.map(long).min.toString,
+          maxs.map(long).max.toString)
+      case BooleanType =>
+        val bs = (v: AnyRef) => v.asInstanceOf[java.lang.Boolean]
+        StatRange(typName, mins.map(bs).min.toString,
+          maxs.map(bs).max.toString)
+      case DateType =>
+        StatRange(typName,
+          java.time.LocalDate.ofEpochDay(mins.map(long).min).toString,
+          java.time.LocalDate.ofEpochDay(maxs.map(long).max).toString)
+      case StringType =>
+        // min/max under UNSIGNED byte order — Spark's own string order
+        val bytes = (v: AnyRef) =>
+          v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+        val lo = mins.map(bytes).reduce((a, b) =>
+          if (java.util.Arrays.compareUnsigned(a, b) <= 0) a else b)
+        val hi = maxs.map(bytes).reduce((a, b) =>
+          if (java.util.Arrays.compareUnsigned(a, b) >= 0) a else b)
+        StatRange(typName, new String(lo, StandardCharsets.UTF_8),
+          new String(hi, StandardCharsets.UTF_8))
+      case d: DecimalType =>
+        def unscaled(v: AnyRef): java.math.BigInteger = v match {
+          case i: java.lang.Integer => java.math.BigInteger.valueOf(i.toLong)
+          case l: java.lang.Long => java.math.BigInteger.valueOf(l)
+          case b: org.apache.parquet.io.api.Binary =>
+            new java.math.BigInteger(b.getBytes)
+          case o => new java.math.BigInteger(o.toString)
+        }
+        def dec(v: AnyRef) = new java.math.BigDecimal(unscaled(v), d.scale)
+        StatRange(typName, mins.map(dec).min.toPlainString,
+          maxs.map(dec).max.toPlainString)
+      case FloatType | DoubleType =>
+        val dbl = (v: AnyRef) => v match {
+          case f: java.lang.Float => f.toDouble
+          case x: java.lang.Double => x.doubleValue()
+          case o => o.toString.toDouble
+        }
+        val (lo, hi) = (mins.map(dbl).min, maxs.map(dbl).max)
+        if (lo.isNaN || hi.isNaN) StatRange(typName, null, null)
+        else StatRange(typName, lo.toString, hi.toString)
+      case _ => StatRange(typName, null, null)
+    }
+  }
+
+  /** Stats of every file under `dir` — from parquet footers when every
+    * stat column's type is footer-safe (O(files) driver metadata, NO
+    * extra pass over just-written data — the Iceberg DataFile-stats
+    * shape; guide §6), falling back to one bounded read-back scan job
+    * otherwise. `schema` is the WRITER's schema, so even the fallback
+    * skips footer schema inference. */
   private def fileStats(spark: SparkSession, table: String, dir: String,
-      statsCols: Seq[String]): Seq[(String, Long, Map[String, StatRange])] = {
-    val df = spark.read.parquet(s"$table/$dir")
+      statsCols: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Seq[(String, Long, Map[String, StatRange])] = {
+    val types = schema.map(s => statsCols.map(c =>
+      c -> s(c).dataType).toMap)
+    if (types.exists(_.values.forall(footerStatsSafe))) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val f = fs(spark, table)
+      val files = f.globStatus(new Path(s"$table/$dir/*.parquet")).toSeq
+      return files.map { st =>
+        val full = st.getPath.toString
+        val rel = full.substring(full.indexOf(dir))
+        val (rows, stats) =
+          footerFileStats(conf, st.getPath, statsCols, types.get)
+        (rel, rows, stats)
+      }
+    }
+    val df = schema.fold(spark.read)(spark.read.schema)
+      .parquet(s"$table/$dir")
     val typs = statsCols.map(c => c -> df.schema(c).dataType.typeName).toMap
     val aggs = count(lit(1L)).as("_rows") +:
       statsCols.flatMap(c => Seq(
@@ -857,11 +991,100 @@ object Snapshots {
       }
   }
 
-  private def writeManifest(spark: SparkSession, table: String, v: Int,
-      entries: Seq[FileEntry]): Unit = {
-    import spark.implicits._
-    writeManifestDF(spark, entries.toDS().toDF(), table, v)
+  /** The one manifest shape every reader sees (see [[FileEntry]]).
+    * Reads pass it explicitly — older files null-fill the columns they
+    * predate — and the driver-side writer below emits exactly this
+    * structure, so Spark- and driver-written manifest files are
+    * interchangeable on disk. */
+  private[io] val ManifestSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("path", StringType),
+      StructField("partition", StringType),
+      StructField("rows", LongType),
+      StructField("stats", MapType(StringType, StructType(Seq(
+        StructField("typ", StringType),
+        StructField("lo", StringType),
+        StructField("hi", StringType))))),
+      StructField("spec", StringType),
+      StructField("kind", StringType),
+      StructField("seq", IntegerType)))
   }
+
+  /** Parquet-message twin of [[ManifestSchema]] for the driver-side
+    * writer — field names, order and logical types match what Spark's
+    * own parquet writer emits for a `Dataset[FileEntry]`, so readers
+    * cannot tell which writer produced a file. */
+  private lazy val ManifestMessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message graft_manifest {
+        |  optional binary path (STRING);
+        |  optional binary partition (STRING);
+        |  optional int64 rows;
+        |  optional group stats (MAP) {
+        |    repeated group key_value {
+        |      required binary key (STRING);
+        |      optional group value {
+        |        optional binary typ (STRING);
+        |        optional binary lo (STRING);
+        |        optional binary hi (STRING);
+        |      }
+        |    }
+        |  }
+        |  optional binary spec (STRING);
+        |  optional binary kind (STRING);
+        |  optional int32 seq;
+        |}""".stripMargin)
+
+  /** Write one manifest segment ON THE DRIVER: the entries are already
+    * a driver-side Seq (a commit's own files — O(commit), bounded),
+    * so round-tripping them through a one-task Spark job (plan +
+    * schedule + commit protocol) bought nothing. The plan-side carry
+    * paths (checkpoints, vacuum re-checkpoints) still write through
+    * Spark — those are O(table files) and belong on executors. */
+  private def writeManifestEntries(spark: SparkSession, dir: String,
+      entries: Seq[FileEntry]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val f = fs(spark, dir)
+    // the Spark writer this replaces ran in overwrite mode — clear any
+    // crash-retry debris so a re-driven commit can't double its entries
+    if (f.exists(new Path(dir))) f.delete(new Path(dir), true)
+    f.mkdirs(new Path(dir))
+    val file = new Path(dir,
+      s"part-00000-${java.util.UUID.randomUUID}.parquet")
+    val w = ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(file, spark.sparkContext.hadoopConfiguration))
+      .withType(ManifestMessageType)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val gf = new SimpleGroupFactory(ManifestMessageType)
+    try entries.foreach { e =>
+      val g = gf.newGroup()
+      g.add("path", e.path)
+      if (e.partition != null) g.add("partition", e.partition)
+      g.add("rows", e.rows)
+      val m = g.addGroup("stats")
+      e.stats.foreach { case (k, st) =>
+        val kv = m.addGroup("key_value")
+        kv.add("key", k)
+        val v = kv.addGroup("value")
+        v.add("typ", st.typ)
+        if (st.lo != null) v.add("lo", st.lo)
+        if (st.hi != null) v.add("hi", st.hi)
+      }
+      e.spec.foreach(g.add("spec", _))
+      e.kind.foreach(g.add("kind", _))
+      e.seq.foreach(g.add("seq", _))
+      w.write(g)
+    } finally w.close()
+  }
+
+  private def writeManifest(spark: SparkSession, table: String, v: Int,
+      entries: Seq[FileEntry]): Unit =
+    writeManifestEntries(spark, manifestDir(table, v), entries)
 
   /** Manifest write from a PLAN (carried-forward rows read lazily from
     * the previous manifest union'd with the commit's fresh entries) —
@@ -884,25 +1107,87 @@ object Snapshots {
     val dir = s"data/c$v"
     df.withColumn("gp", col(partCol).cast("string"))
       .write.partitionBy("gp").mode("overwrite").parquet(s"$table/$dir")
-    val typs = statsCols.map(c => c -> df.schema(c).dataType.typeName).toMap
-    val back = spark.read.parquet(s"$table/$dir")
-    val aggs = count(lit(1L)).as("_rows") +:
-      (max(col("gp").cast("string")).as("_gp") +:
-        statsCols.flatMap(c => Seq(
-          min(col(c)).cast("string").as(s"_lo_$c"),
-          max(col(c)).cast("string").as(s"_hi_$c"))))
-    back.groupBy(input_file_name().as("_path")).agg(aggs.head, aggs.tail: _*)
-      .collect().toSeq.map { r =>
-        val full = r.getString(0)
+    // an EMPTY input writes only _SUCCESS — one driver glob detects it
+    // without any read-back (the dir is removed so `data/` holds only
+    // versions that actually added files)
+    val f = fs(spark, table)
+    val files = f.globStatus(new Path(s"$table/$dir/*/*.parquet")).toSeq
+    if (files.isEmpty) {
+      f.delete(new Path(s"$table/$dir"), true)
+      return Nil
+    }
+    val types = statsCols.map(c => c -> df.schema(c).dataType).toMap
+    if (types.values.forall(footerStatsSafe)) {
+      // FOOTER metadata path (the default): per-file rows + min/max
+      // from the parquet footers of the files just written, partition
+      // value from the directory name — zero extra passes over the
+      // commit's data (pre-round-14 this was a full read-back scan job,
+      // an O(commit data) second pass; guide §1.2/§6)
+      val conf = spark.sparkContext.hadoopConfiguration
+      files.map { st =>
+        val full = st.getPath.toString
         val rel = full.substring(full.indexOf(dir))
-        val stats = statsCols.map { c =>
-          c -> StatRange(typs(c),
-            r.getAs[String](s"_lo_$c"), r.getAs[String](s"_hi_$c"))
-        }.toMap
-        FileEntry(rel, r.getAs[String]("_gp"), r.getAs[Long]("_rows"),
-          stats, Some(partCol), kind = None, seq = Some(v))
+        val gpDir = st.getPath.getParent.getName
+        val part = unescapePartitionValue(gpDir.stripPrefix("gp="))
+        val (rows, stats) = footerFileStats(conf, st.getPath, statsCols,
+          types)
+        FileEntry(rel, part, rows, stats, Some(partCol), kind = None,
+          seq = Some(v))
       }
+    } else {
+      // legacy read-back scan (stat types the footer domain can't
+      // stringify faithfully, e.g. timestamps) — still under the
+      // writer's schema, so no footer schema-inference job
+      val typs = statsCols.map { case c => c -> types(c).typeName }.toMap
+      val back = spark.read
+        .schema(org.apache.spark.sql.types.StructType(
+          df.schema.fields.map(_.copy(nullable = true)) :+
+            org.apache.spark.sql.types.StructField("gp",
+              org.apache.spark.sql.types.StringType)))
+        .parquet(s"$table/$dir")
+      val aggs = count(lit(1L)).as("_rows") +:
+        (max(col("gp").cast("string")).as("_gp") +:
+          statsCols.flatMap(c => Seq(
+            min(col(c)).cast("string").as(s"_lo_$c"),
+            max(col(c)).cast("string").as(s"_hi_$c"))))
+      back.groupBy(input_file_name().as("_path"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().toSeq.map { r =>
+          val full = r.getString(0)
+          val rel = full.substring(full.indexOf(dir))
+          val stats = statsCols.map { c =>
+            c -> StatRange(typs(c),
+              r.getAs[String](s"_lo_$c"), r.getAs[String](s"_hi_$c"))
+          }.toMap
+          FileEntry(rel, r.getAs[String]("_gp"), r.getAs[Long]("_rows"),
+            stats, Some(partCol), kind = None, seq = Some(v))
+        }
+    }
   }
+
+  /** Decode one `gp=<value>` directory name back to the partition
+    * value: Spark's partition-path escaping is %XX on a fixed special
+    * set, and the HIVE_DEFAULT sentinel encodes null (which commit
+    * validation then refuses, exactly as the old read-back's
+    * partition-discovery null did). */
+  private def unescapePartitionValue(s: String): String =
+    if (s == "__HIVE_DEFAULT_PARTITION__") null
+    else if (!s.contains('%')) s
+    else {
+      val out = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        // %XX with exactly two hex digits (Spark always emits both)
+        if (c == '%' && i + 3 <= s.length &&
+            Character.digit(s.charAt(i + 1), 16) >= 0 &&
+            Character.digit(s.charAt(i + 2), 16) >= 0) {
+          out.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { out.append(c); i += 1 }
+      }
+      out.toString
+    }
 
   /** Initial (or wholesale re-) commit of a full table, one immutable
     * dir per partition value. Returns the new version. */
@@ -911,8 +1196,17 @@ object Snapshots {
     val spark = df.sparkSession
     val v = currentVersion(spark, table) + 1
     reserve(spark, table, v)
-    requireCommittable(df, partCol, "commitFull", allowEmpty = false)
+    require(!df.columns.contains("gp"),
+      "Snapshots.commitFull: column name 'gp' is reserved for the " +
+        "commit layout")
     val entries = writeCommitData(df, table, v, partCol, statsCols)
+    // post-write validation (was a SEPARATE full computation of `df`
+    // before round 14 — a distinct() pass that doubled every commit's
+    // build cost; guide §1.2: don't compute things twice). The write
+    // itself surfaces both invariants: no files ⇒ empty frame, a
+    // HIVE_DEFAULT (null-decoded) partition dir ⇒ null partCol rows.
+    validateCommitEntries(spark, table, v, entries, partCol,
+      "commitFull", allowEmpty = false)
     writeManifest(spark, table, v, entries)
     // wholesale re-commit: the frame's schema IS the table schema (no
     // carried files to stay compatible with)
@@ -922,24 +1216,28 @@ object Snapshots {
     v
   }
 
-  /** Fail-fast commit preconditions: a shadow-column collision, a null
-    * partition value (partitionBy would bury those rows in a
-    * HIVE_DEFAULT dir the manifest can't honestly describe), or —
-    * unless appending — an empty frame (a published empty version could
-    * never resolve a scan). One column-pruned distinct, bounded driver
-    * list (the CdcView precedent). */
-  private def requireCommittable(df: DataFrame, partCol: String,
-      op: String, allowEmpty: Boolean): Array[String] = {
-    require(!df.columns.contains("gp"),
-      s"Snapshots.$op: column name 'gp' is reserved for the commit layout")
-    val rawParts = df.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0))
-    require(allowEmpty || rawParts.nonEmpty,
-      s"Snapshots.$op: refusing to publish an EMPTY version " +
+  /** Post-write commit validation — the invariants the old
+    * `requireCommittable` pre-pass enforced, now read off the commit's
+    * OWN file entries so no separate full computation of the input is
+    * paid: an empty frame (refused unless appending — a published
+    * empty version could never resolve a scan) and a null partition
+    * value (partitionBy buried those rows in a HIVE_DEFAULT dir the
+    * read-back decodes to null — a value the manifest can't honestly
+    * describe). A refused commit breaks its reservation; the orphaned
+    * `data/c<v>` files are unreferenced by any manifest and fall to
+    * the next vacuum. */
+  private def validateCommitEntries(spark: SparkSession, table: String,
+      v: Int, entries: Seq[FileEntry], partCol: String, op: String,
+      allowEmpty: Boolean): Unit = {
+    def refuse(msg: String): Nothing = {
+      breakReservation(spark, table, v)
+      throw new IllegalArgumentException(msg)
+    }
+    if (!allowEmpty && entries.isEmpty)
+      refuse(s"Snapshots.$op: refusing to publish an EMPTY version " +
         "(no rows; a reader of it could never resolve a scan)")
-    require(!rawParts.contains(null),
-      s"Snapshots.$op: null $partCol is not a partitionable value")
-    rawParts
+    if (entries.exists(_.partition == null))
+      refuse(s"Snapshots.$op: null $partCol is not a partitionable value")
   }
 
   /** Replace ONE partition with `df`'s rows (which must all carry
@@ -965,7 +1263,9 @@ object Snapshots {
     val dir = s"data/c$v/$partCol=$value"
     df.where(col(partCol).cast("string") === value)
       .write.mode("overwrite").parquet(s"$table/$dir")
-    val fresh = fileStats(spark, table, dir, statsCols).map {
+    val fresh = fileStats(spark, table, dir, statsCols,
+      Some(org.apache.spark.sql.types.StructType(
+        df.schema.fields.map(_.copy(nullable = true))))).map {
       case (rel, n, st) =>
         FileEntry(rel, value, n, st, Some(partCol), kind = None,
           seq = Some(v))
@@ -1020,18 +1320,19 @@ object Snapshots {
     val restricted = df
       .where(col(partCol).cast("string").isin(values: _*))
     // partitions whose entire content was dropped write no files — the
-    // tombstone alone removes them (an empty parquet dir would fail
-    // the read-back metadata job)
-    val present = restricted.select(col(partCol).cast("string"))
-      .distinct().collect().map(_.getString(0))
-    // the requireCommittable invariant, restated for tombstone commits:
-    // a published version whose manifest names NO files could never
+    // tombstone alone removes them. The write IS the presence probe
+    // (pre-round-14 a separate distinct() pass over `restricted` ran
+    // the whole rewrite plan twice); writeCommitData returns Nil when
+    // nothing survived the restriction.
+    val fresh = writeCommitData(restricted, table, v, partCol, statsCols)
+    // the empty-version invariant, restated for tombstone commits: a
+    // published version whose manifest names NO files could never
     // resolve a scan — reachable when the overwrite drops every row of
     // every partition the table has (e.g. deleteRows matching the whole
     // table). One limit-1 probe of the carried manifest, only on the
     // path that could actually publish empty; the refused slot's
     // reservation is released so the table isn't wedged.
-    if (present.isEmpty) {
+    if (fresh.isEmpty) {
       // spec-scoped like the tombstone it probes for (commitManifest's
       // specCompat): an OTHER-ERA file whose partition VALUE collides
       // with `values` is untouched by this commit's era-scoped
@@ -1049,9 +1350,6 @@ object Snapshots {
             "adds no files; a reader of it could never resolve a scan)")
       }
     }
-    val fresh =
-      if (present.isEmpty) Nil
-      else writeCommitData(restricted, table, v, partCol, statsCols)
     commitManifest(spark, table, v, prev, fresh, values, Some(partCol))
     writeSchema(spark, table, v, sch)
     writePartSpec(spark, table, v, partCol)
@@ -1075,13 +1373,15 @@ object Snapshots {
     val sch =
       if (prev == 0) df.schema
       else validatedSchema(spark, table, prev, df, "commitAppend", v)
+    require(!df.columns.contains("gp"),
+      "Snapshots.commitAppend: column name 'gp' is reserved for the " +
+        "commit layout")
     // empty micro-batches are legal appends: the version still publishes
-    // (carrying the previous file set) so the batch tag lands atomically
-    val parts = requireCommittable(df, partCol, "commitAppend",
-      allowEmpty = true)
-    val fresh =
-      if (parts.isEmpty) Nil
-      else writeCommitData(df, table, v, partCol, statsCols)
+    // (carrying the previous file set) so the batch tag lands atomically;
+    // writeCommitData returns Nil for them (no pre-pass over the input)
+    val fresh = writeCommitData(df, table, v, partCol, statsCols)
+    validateCommitEntries(spark, table, v, fresh, partCol,
+      "commitAppend", allowEmpty = true)
     commitManifest(spark, table, v, prev, fresh, Nil, Some(partCol))
     writeSchema(spark, table, v, sch)
     writePartSpec(spark, table, v, partCol)
@@ -1529,9 +1829,11 @@ object Snapshots {
     val distinctKeys = keyTyped.distinct()
     if (distinctKeys.isEmpty) { breakReservation(spark, table, v); return 0 }
     val dir = s"data/c$v/_del"
-    distinctKeys.withColumn("_delseq", lit(v))
-      .coalesce(1).write.mode("overwrite").parquet(s"$table/$dir")
-    val fresh = fileStats(spark, table, dir, Nil).map {
+    val delDf = distinctKeys.withColumn("_delseq", lit(v))
+    delDf.coalesce(1).write.mode("overwrite").parquet(s"$table/$dir")
+    val fresh = fileStats(spark, table, dir, Nil,
+      Some(org.apache.spark.sql.types.StructType(
+        delDf.schema.fields.map(_.copy(nullable = true))))).map {
       case (rel, n, st) =>
         FileEntry(rel, s"_del$v", n, st, Some("_del"),
           Some(s"delete:$keyCol"), Some(v))
