@@ -167,8 +167,28 @@ object DedupQueries {
   private[queries] def ppjoinPairs(base: org.apache.spark.sql.DataFrame,
       maxPostingOccupancy: Int = HotBucketCap)
       : org.apache.spark.sql.DataFrame = {
-    val docs = ppjoinDocs(base)
+    // both stages are CUT (localCheckpoint): `prefix` feeds BOTH sides
+    // of the candidate self-join and `docs` is re-joined twice in the
+    // verify step — left lazy, the shingle computation ran ~4× and the
+    // prefix windows 2× inside one plan (profiled at sf0.1: the two
+    // 2.3–2.6 s duplicate subtree jobs were exactly this; guide §1.2,
+    // "don't compute things twice"). The checkpoints also shorten the
+    // self-join plan the way the graph supersteps' cuts do.
+    //
+    // The prefix cut is REPARTITIONED to the session's defaultParallelism
+    // first: AQE sizes post-shuffle stages by BYTES, and the prefix
+    // table is byte-small but feeds the CPU-DENSE candidate join (hash
+    // probes × positional filters per posting) — measured at sf0.1,
+    // AQE's 4 coalesced partitions left 28 of 32 cores idle through the
+    // two most expensive stages of the whole query (guide §2.5: bytes
+    // are the wrong sizing signal for compute-bound stages). The count
+    // is environment-derived (cores here, cluster cores on a real
+    // deployment), not a local constant.
+    val spark = base.sparkSession
+    val para = spark.sparkContext.defaultParallelism
+    val docs = ppjoinDocs(base).localCheckpoint()
     val prefix = ppjoinPrefix(docs, maxPostingOccupancy)
+      .repartition(para, col("g")).localCheckpoint()
     // Positional filter (the PPJoin refinement over AllPairs): a match
     // at prefix positions (i, j) can extend to at most
     // 1 + min(nₐ−i, n_b−j) common shingles — everything before the
@@ -179,10 +199,23 @@ object DedupQueries {
     // prefix shingle has the loosest ceiling, so per-occurrence
     // filtering before the distinct loses no pair. Measured at sf0.1:
     // 310k → 125k candidates on this shingle-dense corpus.
+    // same bytes-vs-CPU correction for the verify stage: the candidate
+    // list is a few MB but each row pays a merge-walk jaccard over two
+    // shingle arrays. The explicit repartition sits BELOW the distinct
+    // (it satisfies the distinct's clustering, so it IS the distinct's
+    // exchange and the verify stage inherits its parallelism) — placed
+    // ABOVE, the optimizer drops it as redundant over the same keys and
+    // AQE byte-coalesces the verify back to one task (measured).
     val cand = prefix.as("x")
       .join(prefix.as("y"), ppjoinCandCond)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .repartition(para, col("a_id"), col("b_id"))
       .distinct()
+    // the scored pairs are CUT too: the caller's ORDER BY range-samples
+    // its child, so left lazy the whole verify projection — 125k merge-
+    // walk jaccards — evaluated TWICE (profiled: two single-task 2.5 s
+    // stages, the sampling pass and the real exchange). The checkpoint
+    // evaluates it once, at the repartition's full parallelism.
     cand
       .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
         "a_id")
@@ -191,6 +224,7 @@ object DedupQueries {
       .select(col("a_id"), col("b_id"),
         round(graft.functions.TextKernels.sorted_jaccard(
           col("a_sh"), col("b_sh")), 6).as("jac"))
+      .localCheckpoint()
   }
 
   /** DuckDB CTEs computing the EXACT jac ≥ 0.5 near-dup pair set with an

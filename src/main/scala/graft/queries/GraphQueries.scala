@@ -1077,6 +1077,11 @@ object GraphQueries {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val shuffleRanks =
       s.conf.getOption("spark.graft.pagerank.shuffle").contains("true")
+    // pairs is CUT: it feeds both halves of the undirected doubling and
+    // (through edges) the degree aggregate — lazy, the orders⋈lineitem
+    // distinct ran 4× before the first superstep (profiled at sf0.1:
+    // 4 × ~0.9 s near-identical jobs; guide §1.2). One checkpoint, the
+    // same working-set discipline partEdges applies.
     val pairs = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d)
@@ -1085,6 +1090,7 @@ object GraphQueries {
       .select((col("o_custkey") * 2).as("a"),
         (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
+      .localCheckpoint()
     val edges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
     val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("outdeg"))

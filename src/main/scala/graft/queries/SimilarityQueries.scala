@@ -21,6 +21,18 @@ object SimilarityQueries {
 
   private val Dim = 64
 
+  /** Round-robin the embeddings over the session's parallelism before
+    * a CPU-dense derivation. The corpus is byte-small (one parquet
+    * split even at the bench tier), so Spark's size-based splitting
+    * hands the WHOLE encode/ADC/moment stage to one task — profiled at
+    * sf0.1, emb_knn_pq spent 3.3 s of its 4.8 s in a single-task stage
+    * while 31 cores idled (guide §2.5: repartition after the read when
+    * the input layout, not the data volume, bounds parallelism). The
+    * count is environment-derived; results are row-wise deterministic,
+    * so placement cannot change any value. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Oracle-SQL fragments that replay the [[VectorOps]] kernels in
     * DuckDB with IDENTICAL IEEE arithmetic: products of float pairs in
     * double, summed sequentially left-to-right (list_sum), cosine as
@@ -379,7 +391,8 @@ object SimilarityQueries {
 
   def knnPq(emb: DataFrame): DataFrame = {
     val books = pqFit(emb)
-    knnPqServe(emb, pqCodes(emb, books), books)
+    // codes/ADC are the CPU-dense half — spread them off the single scan split
+    knnPqServe(emb, pqCodes(spread(emb), books), books)
   }
 
   // ---- build-once artifacts ([[RecallQueries]]'s per-tier stores) ------
@@ -486,7 +499,8 @@ object SimilarityQueries {
     val coarse = KMeans.fit(emb, k = 8, iters = 3)
     val books = pqFit(emb)
     // the stored index: one narrow projection — cell id + m code ids
-    val indexed = emb.select(
+    // (spread first: the assignment + ADC probe stage is CPU-dense)
+    val indexed = spread(emb).select(
         col("vec_id"),
         KMeans.assignExpr(col("embedding"), coarse).as("cid"),
         KMeans.nearestAllExpr(col("embedding"), PqSubDim, books).as("pq"))
@@ -535,7 +549,7 @@ object SimilarityQueries {
     * 100 TB the floats are read for 200 rows, not the corpus. */
   def knnRefine(emb: DataFrame): DataFrame = {
     val books = pqFit(emb)
-    val codes = emb.select(
+    val codes = spread(emb).select(
       col("vec_id") +: books.zipWithIndex.map { case (cents, i) =>
         KMeans.assignExpr(
           slice(col("embedding"), i * PqSubDim + 1, PqSubDim), cents)
@@ -1663,7 +1677,9 @@ object SimilarityQueries {
       "emb_top_component",
       PowerIterOracle
     ) { (s, d) =>
-      val xs = Tables.embeddings(s, d)
+      // spread first: the 64×64 per-vector pair fanout below is the
+      // CPU-dense stage and would otherwise run on the one scan split
+      val xs = spread(Tables.embeddings(s, d))
         .select(col("vec_id"),
           posexplode(col("embedding")).as(Seq("p", "e")))
         .select(col("vec_id"), (col("p") + 1).as("i"),

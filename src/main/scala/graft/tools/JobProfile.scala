@@ -30,8 +30,13 @@ object JobProfile {
 
     case class JobRec(id: Int, start: Long, var end: Long = -1L,
         var site: String = "", var tasks: Int = 0, var stages: Int = 0)
+    case class StageRec(id: Int, tasks: Int, wallMs: Long, cpuMs: Long,
+        runMs: Long, maxTaskMs: Long, shRead: Long, shWrite: Long,
+        outRows: Long)
     val jobs = new scala.collection.concurrent.TrieMap[Int, JobRec]()
     val order = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[StageRec]()
+    val taskMax = new scala.collection.concurrent.TrieMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val r = JobRec(js.jobId, js.time)
@@ -43,6 +48,26 @@ object JobProfile {
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         jobs.get(je.jobId).foreach(_.end = je.time)
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val d = Option(te.taskInfo).map(_.duration).getOrElse(0L)
+        taskMax.updateWith(te.stageId)(p =>
+          Some(math.max(p.getOrElse(0L), d)))
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+        val si = sc.stageInfo
+        val m = si.taskMetrics
+        stages.add(StageRec(si.stageId, si.numTasks,
+          si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+          if (m == null) 0L else m.executorCpuTime / 1000000L,
+          if (m == null) 0L else m.executorRunTime,
+          taskMax.getOrElse(si.stageId, 0L),
+          if (m == null) 0L else m.shuffleReadMetrics.totalBytesRead,
+          if (m == null) 0L else m.shuffleWriteMetrics.bytesWritten,
+          if (m == null) 0L else m.outputMetrics.recordsWritten))
+      }
     })
 
     val selected = graft.SparkEntry.inventory.filter(q => names(q.name))
@@ -51,7 +76,7 @@ object JobProfile {
     selected.foreach { q =>
       // untimed warm lap (plan + codegen + page cache), same as Bench
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      jobs.clear(); order.clear()
+      jobs.clear(); order.clear(); stages.clear(); taskMax.clear()
       val t0 = System.nanoTime()
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -62,11 +87,27 @@ object JobProfile {
       val sumJobs = recs.map(r => math.max(0L, r.end - r.start)).sum / 1e3
       println(f"== ${q.name}: wall ${wall}%.2f s, jobs ${recs.length}, " +
         f"sum(job) ${sumJobs}%.2f s, driver gap ${wall - sumJobs}%.2f s")
+      var prevEnd = -1L
       recs.foreach { r =>
         val d = math.max(0L, r.end - r.start) / 1e3
-        println(f"  job ${r.id}%3d ${d}%7.3f s  stages=${r.stages}%2d " +
-          f"tasks=${r.tasks}%4d  ${r.site.take(110)}")
+        // driver-side gap since the previous job ended: planning,
+        // metadata, FS ops, driver compute — where the "driver gap"
+        // total actually lives
+        val gap = if (prevEnd < 0) 0.0
+          else math.max(0L, r.start - prevEnd) / 1e3
+        prevEnd = math.max(prevEnd, r.end)
+        println(f"  job ${r.id}%3d ${d}%7.3f s  gap ${gap}%6.3f s  " +
+          f"stages=${r.stages}%2d tasks=${r.tasks}%4d  ${r.site.take(95)}")
       }
+      // slowest stages with executor CPU vs run time (overhead/IO) and
+      // the max single-task duration (straggler detector)
+      stages.toArray(Array.empty[StageRec]).sortBy(-_.wallMs).take(12)
+        .foreach { s =>
+          println(f"  stage ${s.id}%4d wall ${s.wallMs / 1e3}%7.3f s " +
+            f"tasks=${s.tasks}%4d cpu ${s.cpuMs / 1e3}%7.2f s " +
+            f"run ${s.runMs / 1e3}%7.2f s maxTask ${s.maxTaskMs / 1e3}%6.2f s " +
+            f"shR ${s.shRead / 1024}%8d KB shW ${s.shWrite / 1024}%8d KB")
+        }
     }
     spark.stop()
   }
