@@ -2029,7 +2029,12 @@ object SimilarityQueries {
     // re-attach by two id equi-joins (the oracle's own shape). Graph
     // DEGREE M=32 (HNSW-class fanout), distinct from the k=3 the serve
     // returns: hop-1 probes 32 lists, rerank keeps 3.
+    // clustering by src at session parallelism both spreads the
+    // CPU-dense cosine re-rank (AQE byte-coalesced the scored pool to
+    // 2 tasks at sf0.1 — the §2.5 bytes-vs-CPU trap again) and
+    // pre-satisfies topM's window partitioning
     def scored(cand: DataFrame): DataFrame = cand
+      .repartition(s.sparkContext.defaultParallelism, col("src"))
       .join(emb.select(col("vec_id").as("src"),
         col("embedding").as("a_vec")), Seq("src"))
       .join(emb.select(col("vec_id").as("dst"),
